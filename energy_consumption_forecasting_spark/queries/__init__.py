@@ -1,0 +1,68 @@
+"""Central query registry.
+
+Every operator from SURVEY.md §2 registers here as a named query
+(callable ``(spark, sf_dir) -> DataFrame``) plus, when SQL-expressible,
+a DuckDB oracle SQL string computing the identical result on the same
+parquet tables.  ``__spark_entry__.py`` exposes the registry to the
+driver's correctness gate.
+
+Conventions that keep the order-insensitive value-hash comparison stable
+across engines:
+
+* Alias every computed column identically in Spark and SQL.
+* Round every floating aggregate (``round(x, N)`` both sides) — partial
+  sums of doubles are order-dependent at the last ulp.
+* Never emit raw TIMESTAMP columns (tz-awareness differs); cast to DATE
+  or format to string.
+* Cast integer sums explicitly (DuckDB ``sum(INTEGER)`` is HUGEINT,
+  Spark is LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_LOADED = False
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Import every query module (side effect: registry population)."""
+    global _LOADED
+    if not _LOADED:
+        from . import (  # noqa: F401
+            aggregates,
+            dedup,
+            joins,
+            ml_queries,
+            relational,
+            reshape,
+            similarity,
+            text,
+            timeseries,
+            windows,
+        )
+
+        _LOADED = True
+    return QUERIES, ORACLES

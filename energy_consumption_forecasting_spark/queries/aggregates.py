@@ -1,0 +1,328 @@
+"""Aggregations — SURVEY.md §2.4 (A1-A9) plus TPC-H-shaped headliners.
+
+All hash aggregates with map-side partial aggregation; date keys are
+``to_date``/``trunc`` expressions so the group count stays bounded by the
+calendar, not the row count — the shape that survives a 100× scale-up.
+
+Numeric determinism: money/quantity columns carry two decimal digits, so
+they are cast to DECIMAL before summation.  Decimal sums are exact (no
+float addition-order dependence across partitions/engines); means are
+derived as ``CAST(sum AS DOUBLE) / count`` — a single deterministic float
+op — instead of rounding an order-dependent double sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _exact_avg(c: str) -> Column:
+    """Exact-decimal sum divided by count — engine-independent double."""
+    return F.sum(_dec(c)).cast("double") / F.count("*")
+
+
+# --- A1: group-by day, mean (normalization.ipynb:183-205) ---------------------
+@query(
+    "a1_daily_mean",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a1_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly→daily mean rollup, the EP2 spine (N:183-188,199-205)."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            _exact_avg("l_quantity").alias("avg_qty"),
+            _exact_avg("l_extendedprice").alias("avg_price"),
+            _exact_avg("l_discount").alias("avg_disc"),
+        )
+    )
+
+
+# --- A2: group-by month, sum (normalization.ipynb:435-440) --------------------
+@query(
+    "a2_monthly_sum",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_demand
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a2_monthly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "MM").alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_demand"))
+    )
+
+
+# --- A3: deterministic pivot aggregate (ETL.py:211-217) -----------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "a3_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           MIN(CASE WHEN event_type = 'click'    THEN value END) AS click,
+           MIN(CASE WHEN event_type = 'error'    THEN value END) AS error,
+           MIN(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           MIN(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+           MIN(CASE WHEN event_type = 'view'     THEN value END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a3_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (SURVEY §4.2.5): no
+    extra distinct job, deterministic column order.  The reference's
+    aggfunc="first" is order-dependent; we use MIN for a well-defined
+    result on an unordered engine."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.min("value"))
+    )
+
+
+# --- A4: month min/max boundaries (ts_kmeans_base.ipynb:1070) ------------------
+@query(
+    "a4_month_boundaries",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(MIN(o_orderdate) AS DATE) AS first_day,
+           CAST(MAX(o_orderdate) AS DATE) AS last_day
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a4_month_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "MM").alias("month"))
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+        )
+    )
+
+
+# --- A5: month-end resample mean (ts_kmeans_base.ipynb:2104) -------------------
+@query(
+    "a5_month_end_mean",
+    oracle="""
+    SELECT last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a5_month_end_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.last_day(F.to_date("ts")).alias("month_end"))
+        .agg(_exact_avg("value").alias("avg_value"))
+    )
+
+
+# --- A6: distinct values (ETL.py:232,298) --------------------------------------
+@query(
+    "a6_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --- A7: global mean/std (optimization.py:77) ------------------------------------
+@query(
+    "a7_global_stats",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             COUNT(*) AS n
+      FROM orders
+    )
+    SELECT sm / n AS mean_price,
+           sqrt((sq - sm * sm / n) / (n - 1)) AS std_price
+    FROM s
+    """,
+)
+def a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from exact decimal sums (sum, sum-of-squares): the
+    distributed moment merge order never touches the result."""
+    s = tbl(spark, sf_dir, "orders").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("sm"),
+        F.sum(_dec("o_totalprice") * _dec("o_totalprice")).cast("double").alias("sq"),
+        F.count("*").alias("n"),
+    )
+    return s.select(
+        (F.col("sm") / F.col("n")).alias("mean_price"),
+        F.sqrt(
+            (F.col("sq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)
+        ).alias("std_price"),
+    )
+
+
+# --- A8: row-wise mean across columns (ts_kmeans_base.ipynb:2123) ----------------
+@query(
+    "a8_rowwise_mean",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity + l_discount + l_tax) / 3.0 AS row_mean
+    FROM lineitem
+    """,
+)
+def a8_rowwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_quantity") + F.col("l_discount") + F.col("l_tax")) / 3.0).alias(
+            "row_mean"
+        ),
+    )
+
+
+# --- A9: histogram via explicit buckets (evaluation.ipynb:6232-6244) --------------
+@query(
+    "a9_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 5000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a9_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 5000.0).cast("long").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- approximate distinct (free Spark capability, SURVEY §2.4 note) ---------------
+@query(
+    "a_count_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+# --- TPC-H Q1 shape: the multi-aggregate headliner -------------------------------
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.sum(
+            _dec("l_extendedprice")
+            * (one - _dec("l_discount"))
+            * (one + _dec("l_tax"))
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        _exact_avg("l_quantity").alias("avg_qty"),
+        _exact_avg("l_extendedprice").alias("avg_price"),
+        _exact_avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- TPC-H Q3 shape: join + agg + filter headliner --------------------------------
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )

@@ -1,0 +1,138 @@
+"""Explicit StructType schemas for every engine table.
+
+The reference infers schemas from CSV (``src/scripts/ETL.py:67-68,173``);
+our engine declares them (SURVEY.md §1.3 decision): CSV sources read with
+``schema=``, Parquet carries its own footer schema which we validate
+against these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# Reference ingest shapes (FIXTURES.md §1-5), declared for the CSV /
+# fixed-width sources.  Mirrors the reference's implicit schemas:
+# stations fwf  → src/scripts/ETL.py:133-140
+# ghcnd daily   → src/scripts/ETL.py:101-120 (4 keys + 31×4 day fields)
+STATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("ID", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("long", T.DoubleType()),
+        T.StructField("elev", T.DoubleType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("unk1", T.StringType()),
+        T.StructField("unk2", T.StringType()),
+        T.StructField("unk3", T.StringType()),
+    ]
+)
+
+
+def ghcnd_daily_schema() -> T.StructType:
+    """128-column wide daily-weather schema (ETL.py:101-120 layout)."""
+    fields = [
+        T.StructField("ID", T.StringType()),
+        T.StructField("YEAR", T.IntegerType()),
+        T.StructField("MONTH", T.IntegerType()),
+        T.StructField("ELEMENT", T.StringType()),
+    ]
+    for day in range(1, 32):
+        fields.append(T.StructField(f"VALUE{day}", T.DoubleType()))
+        fields.append(T.StructField(f"MFLAG{day}", T.StringType()))
+        fields.append(T.StructField(f"QFLAG{day}", T.StringType()))
+        fields.append(T.StructField(f"SFLAG{day}", T.StringType()))
+    return T.StructType(fields)
