@@ -1,1 +1,247 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for training-data pipelines (SURVEY §7 phase 5).
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + regex tokenizer), and document fingerprinting.  All pure
+column expressions — per-document, shuffle-free, linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "y"],
+    "fr": ["le", "la", "les", "et"],
+}
+
+
+def _toks(c: str = "text") -> Column:
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+# --- token counting ------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs /
+    digit runs / single punctuation), per document."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).cast("long").alias(
+            "n_re_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# --- quality scoring -------------------------------------------------------------
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(a) AS n_tokens,
+             CAST(len(list_filter(a, x -> list_contains({STOPWORDS!r}, x))) AS BIGINT)
+               AS n_stop,
+             -- NB: list_aggregate, NOT list_reduce — DuckDB 1.0's
+             -- list_reduce mis-evaluates on full-table vectorized runs.
+             CAST(list_aggregate(list_transform(a, x -> length(x)), 'sum')
+                  AS BIGINT) AS total_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           n_stop / n_tokens AS stopword_ratio,
+           total_len / n_tokens AS mean_token_len,
+           (n_stop / n_tokens) * 0.5 + (total_len / n_tokens) * 0.1 AS quality_score
+    FROM m
+    WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality features and a
+    weighted score — the standard cheap quality gate before expensive
+    pipeline stages."""
+    t = tbl(spark, sf_dir, "documents").select("doc_id", _toks().alias("a"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = t.select(
+        "doc_id",
+        F.size("a").alias("n_tokens"),
+        F.size(F.filter("a", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+        F.aggregate(
+            F.transform("a", lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        )
+        .cast("long")
+        .alias("total_len"),
+    ).filter(F.col("n_tokens") > 0)
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    mean_len = F.col("total_len") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        (stop_ratio * 0.5 + mean_len * 0.1).alias("quality_score"),
+    )
+
+
+# --- language identification -------------------------------------------------------
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['en']!r}, x))) AS en,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['de']!r}, x))) AS de,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['es']!r}, x))) AS es,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['fr']!r}, x))) AS fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'unknown'
+                WHEN de > en AND de >= es AND de >= fr THEN 'de'
+                WHEN es > en AND es >= fr THEN 'es'
+                WHEN fr > en THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic (n-gram/stopword family).  The
+    deterministic tie-break order is part of the operator contract."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.lower(F.col("text"))).alias("a")
+    )
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter("a", lambda x: F.array_contains(arr, x)))
+
+    h = t.select(
+        "doc_id",
+        hits("en").alias("en"),
+        hits("de").alias("de"),
+        hits("es").alias("es"),
+        hits("fr").alias("fr"),
+    )
+    return h.select(
+        "doc_id",
+        F.when(
+            (F.col("en") == 0) & (F.col("de") == 0) & (F.col("es") == 0) & (F.col("fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("de") > F.col("en"))
+            & (F.col("de") >= F.col("es"))
+            & (F.col("de") >= F.col("fr")),
+            "de",
+        )
+        .when((F.col("es") > F.col("en")) & (F.col("es") >= F.col("fr")), "es")
+        .when(F.col("fr") > F.col("en"), "fr")
+        .otherwise("en")
+        .alias("lang_pred"),
+    )
+
+
+# --- document fingerprinting ----------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nt) AS fingerprint,
+           CASE WHEN length(nt) >= 8 THEN
+             -- list_aggregate, NOT list_reduce (DuckDB 1.0 vectorization bug)
+             list_aggregate(
+               list_transform(range(1, length(nt) - 6), i -> md5(substr(nt, i, 8))),
+               'min')
+           END AS min_gram_fp
+    FROM norm
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint (md5 of whitespace-normalized text) plus
+    a winnowing-style minimum over character-8-gram hashes — the rolling-
+    hash fingerprint that also matches documents with small edits."""
+    norm = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", r"\s+", " ")).alias("nt"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("nt") - 7),
+        lambda i: F.md5(F.substring(F.col("nt"), i, F.lit(8))),
+    )
+    return norm.select(
+        "doc_id",
+        F.md5("nt").alias("fingerprint"),
+        F.when(F.length("nt") >= 8, F.array_min(grams)).alias("min_gram_fp"),
+    )
+
+
+# --- n-gram frequency table --------------------------------------------------------------
+@query(
+    "text_bigram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
+      FROM toks WHERE len(a) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY 1 HAVING COUNT(*) >= 10
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency (n ≥ 10): map-side-combinable hash agg
+    over a row-local expansion."""
+    toks = tbl(spark, sf_dir, "documents").select(_toks().alias("a")).filter(
+        F.size("a") >= 2
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("a") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("a", i), F.element_at("a", i + 1)),
+    )
+    return (
+        toks.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
