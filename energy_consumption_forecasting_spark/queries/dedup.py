@@ -1,16 +1,19 @@
 """Deduplication operators for training-data pipelines (SURVEY §7 phase 5).
 
 Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
-near-dup — each fully distributed:
+near-dup — each designed shuffle-minimal:
 
-* Shingling is a row-local array transform (no shuffle, no window).
-* Candidate generation is an equi join on shingle / LSH bucket — the
-  only shuffles, and they key on content hashes, which distribute
-  uniformly.  Stop-shingles (appearing in > MAX_DOC_FREQ docs) are
-  dropped before the self-join; without that cap the hottest shingle
-  produces an O(df²) pair explosion at 100 TB.
-* Hashes are md5 hex strings (identical on every engine); "different
-  hash functions" are seeded by prefixing the hash index.
+* Shingling, MinHash signatures, and SimHash are **row-local array
+  algebra** (``transform``/``array_min``/``aggregate``): a document's
+  whole sketch is computed in one pass over its row, no explode+groupBy
+  re-aggregation.  The only shuffles are the candidate-pair groupings.
+* Candidate generation groups by shingle / LSH bucket and expands pairs
+  row-locally from the collected (bounded) member list — never a
+  self-join on a skewed key.  Stop-shingles (doc frequency >
+  MAX_DOC_FREQ) are dropped first; without that cap the hottest shingle
+  alone produces O(df²) pairs at 100 TB.
+* Hashes are md5 hex strings (identical on every engine); the 8 MinHash
+  "permutations" are 8-hex-char slices of two seeded digests.
 """
 
 from __future__ import annotations
@@ -24,10 +27,10 @@ from ._util import tbl
 
 MAX_DOC_FREQ = 100  # stop-shingle cap for candidate generation
 N_HASHES = 8
-BAND_ROWS = 2  # → 4 bands of 2 rows
+N_BANDS = 4  # 4 bands × 2 rows
 
 # ---------------------------------------------------------------------------
-# Shared shingling (3-word shingles, distinct per doc)
+# Shared shingling (3-word shingles, distinct per doc, row-local)
 # ---------------------------------------------------------------------------
 
 _SHINGLES_SQL = """
@@ -51,8 +54,8 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per doc — row-local, shuffle-free."""
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs: array<string>) — distinct 3-word shingles, row-local."""
     toks = _tokens(spark, sf_dir).filter(F.size("a") >= 3)
     idx = F.sequence(F.lit(1), F.size("a") - 2)
     sh = F.transform(
@@ -64,7 +67,33 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("a", i + 2),
         ),
     )
-    return toks.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    return toks.select("doc_id", F.array_distinct(sh).alias("shs"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, sh) view of the shingle arrays."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+
+
+def _pairs_from_members(members: DataFrame) -> DataFrame:
+    """Expand sorted member arrays into (doc_a < doc_b) pairs row-locally."""
+    pair_idx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("docs") - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), i - 1),
+                lambda j: F.struct(
+                    F.element_at("docs", j + 1).alias("doc_a"),
+                    F.element_at("docs", i + 1).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    return members.select(F.explode(pair_idx).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    )
 
 
 # --- exact dedup: hash-groupBy ----------------------------------------------
@@ -116,32 +145,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs (≥ 0.5): shingle self-join candidate
-    generation with a stop-shingle document-frequency cap, then exact
-    Jaccard from intersection/size counts.  Set semantics throughout —
-    no per-pair re-scan of the documents."""
-    sh = _shingles(spark, sf_dir)
-    df_ok = sh.groupBy("sh").count().filter(F.col("count") <= MAX_DOC_FREQ).select("sh")
-    filtered = sh.join(df_ok, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = filtered.alias("a")
-    b = filtered.alias("b")
+    """3-gram Jaccard near-dup pairs (≥ 0.5).
+
+    Plan shape: per-shingle member lists (one groupBy) → row-local pair
+    expansion → pair-count aggregation (second groupBy) → broadcast join
+    of per-doc sizes (row-local ``size(shs)``, no extra aggregation).
+    Stop-shingles are dropped by bounding the member list size."""
+    arrays = _shingle_arrays(spark, sf_dir)
+    sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
+    sizes = arrays.select("doc_id", F.size("shs").alias("n"))
+    members = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DOC_FREQ))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        _pairs_from_members(members)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
@@ -149,18 +177,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH banding -----------------------------------------------------
 _MINHASH_SQL = f"""
+    sliced AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x' || sh) AS h1 FROM shingles
+    ),
     hashes AS (
-      SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || sh)) AS mh
-      FROM shingles, range({N_HASHES}) t(h)
+      SELECT doc_id, h,
+             MIN(CASE WHEN h < 4 THEN substr(h0, h * 8 + 1, 8)
+                      ELSE substr(h1, (h - 4) * 8 + 1, 8) END) AS mh
+      FROM sliced, range({N_HASHES}) t(h)
       GROUP BY doc_id, h
     ),
     bands AS (
-      SELECT doc_id, h // {BAND_ROWS} AS band,
+      SELECT doc_id, h // 2 AS band,
              md5(string_agg(mh, ',' ORDER BY h)) AS bucket
       FROM hashes
-      GROUP BY doc_id, h // {BAND_ROWS}
+      GROUP BY doc_id, h // 2
     )
 """
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<string>[8]) — fully row-local signatures.
+
+    Two md5 digests per shingle, sliced into 8 hex windows; signature
+    element h is the array-min over the doc's shingles.  No explode, no
+    aggregation — a doc's sketch never leaves its row."""
+    arrays = _shingle_arrays(spark, sf_dir)
+    md5s0 = F.transform("shs", lambda s: F.md5(s))
+    md5s1 = F.transform("shs", lambda s: F.md5(F.concat(F.lit("x"), s)))
+    with_digests = arrays.select(
+        "doc_id", md5s0.alias("d0"), md5s1.alias("d1")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda h: F.array_min(
+            F.when(h < 4, F.transform("d0", lambda x: F.substring(x, h * 8 + 1, F.lit(8))))
+            .otherwise(
+                F.transform("d1", lambda x: F.substring(x, (h - 4) * 8 + 1, F.lit(8)))
+            )
+        ),
+    )
+    return with_digests.select("doc_id", sig.alias("sig"))
 
 
 @query(
@@ -172,77 +229,65 @@ _MINHASH_SQL = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, list(mh ORDER BY h) AS sig FROM hashes GROUP BY doc_id
     )
     SELECT doc_a, doc_b,
-           (SELECT COUNT(*) FROM hashes ha JOIN hashes hb
-              ON ha.h = hb.h AND ha.mh = hb.mh
-            WHERE ha.doc_id = doc_a AND hb.doc_id = doc_b) / {N_HASHES} AS est_jaccard
+           len(list_filter(range({N_HASHES}), i -> sa.sig[i+1] = sb.sig[i+1]))
+             / {N_HASHES} AS est_jaccard
     FROM cand
+    JOIN sigs sa ON doc_a = sa.doc_id
+    JOIN sigs sb ON doc_b = sb.doc_id
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash({N} seeded md5 permutations) → {B}-row LSH bands → bucket
-    equi-join candidates → signature-agreement Jaccard estimate.
+    """MinHash(8 seeded slices) → 4×2 LSH bands → bucket grouping →
+    row-local pair expansion → signature-agreement Jaccard estimate.
 
-    The full pairwise matrix never materializes: only docs sharing an
-    LSH bucket meet, so cost scales with collisions, not corpus².
+    One shuffle for bucket membership, one distinct over candidate
+    pairs, two broadcast signature joins.  The full pairwise matrix
+    never materializes; a poisoned mega-bucket degrades gracefully
+    because pairs expand from a bounded collected list, not a self-join.
     """
-    sh = _shingles(spark, sf_dir)
-    hashed = (
-        sh.select(
-            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("h"), "sh"
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min(F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("sh")))).alias("mh"))
+    sigs = _minhash_sigs(spark, sf_dir)
+    # 4 band buckets per doc, row-local from the signature array.
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.element_at("sig", b * 2 + 1),
+                            F.element_at("sig", b * 2 + 2),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    members = (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    bands = (
-        hashed.withColumn("band", (F.col("h") / BAND_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
+    cand = _pairs_from_members(members).distinct()
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+            lambda m: m,
         )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ha = hashed.alias("ha")
-    hb = hashed.alias("hb")
-    agree = (
-        ha.join(
-            hb,
-            (F.col("ha.h") == F.col("hb.h"))
-            & (F.col("ha.mh") == F.col("hb.mh"))
-            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
-        )
-        .groupBy(
-            F.col("ha.doc_id").alias("doc_a"), F.col("hb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_agree"))
     )
     return (
-        cand.join(agree, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.coalesce(F.col("n_agree"), F.lit(0)) / N_HASHES).alias("est_jaccard"),
-        )
+        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (n_agree / N_HASHES).alias("est_jaccard"))
     )
 
 
@@ -270,51 +315,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over the token multiset: bit j comes from the sign
-    of the summed ±1 contributions of each token's md5 hex digit j.
-    Near-dups differ in few bits; grouping by signature (or banding
-    substrings) finds them without pairwise comparison."""
-    words = _tokens(spark, sf_dir).select("doc_id", F.explode("a").alias("w"))
-    bits = (
-        words.select(
-            "doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(
-                    F.instr(
-                        F.lit("0123456789abcdef"),
-                        F.substring(F.md5("w"), F.col("j") + 1, 1),
-                    )
-                    - 1
-                    >= 8,
-                    1,
-                ).otherwise(-1)
-            ).alias("weight")
-        )
+    """16-bit SimHash over the token multiset, fully row-local: one md5
+    per token, then per-bit ±1 sums via sequential array folds — a doc's
+    signature is computed without any shuffle at all.  Near-dups differ
+    in few bits; group by signature (or band substrings) to find them."""
+    toks = _tokens(spark, sf_dir).filter(F.size("a") >= 1)
+    digests = toks.select("doc_id", F.transform("a", lambda w: F.md5(w)).alias("ds"))
+    hexv = "0123456789abcdef"
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.when(
+            F.aggregate(
+                "ds",
+                F.lit(0),
+                lambda acc, d: acc
+                + F.when(
+                    F.instr(F.lit(hexv), F.substring(d, j + 1, F.lit(1))) - 1 >= 8, 1
+                ).otherwise(-1),
+            )
+            >= 0,
+            "1",
+        ).otherwise("0"),
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "j",
-                                F.when(F.col("weight") >= 0, "1").otherwise("0").alias(
-                                    "bit"
-                                ),
-                            )
-                        )
-                    ),
-                    lambda s: s["bit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
-    )
+    return digests.select("doc_id", F.array_join(bits, "").alias("simhash"))
 
 
 # --- embedding-cosine near-dup ------------------------------------------------------
@@ -335,8 +358,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.3) via sequential-fold dot
     products (functions/vectors.py) — bit-identical across engines, no
-    Python UDF.  This is the verification baseline; the LSH-bucketed
-    scale path is queries/similarity.py::sim_lsh_bucketed."""
+    Python UDF.  This is the verification baseline; the bucketed scale
+    path is queries/similarity.py::sim_bucketed_ann."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )

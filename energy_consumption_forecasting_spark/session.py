@@ -11,6 +11,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Optimizer tuning applied to every session (including externally
+# supplied ones via ensure_utc).  Both are workload-measured fixes:
+#
+# * InferFiltersFromGenerate inlines the full generator expression into
+#   inferred filters; with higher-order-function shingle pipelines that
+#   re-evaluates an interpreted ~250-element array transform 2-3× per
+#   row (measured 8.6s → 0.6s on the sf0.1 dedup explode).
+# * Constraint propagation goes near-exponential on arithmetic filters
+#   that reference both sides of a join (the Jaccard threshold filter:
+#   measured 11.8s → 2.9s); Spark docs recommend disabling it for
+#   optimizer-time blowups (SPARK-19846 lineage).
+_OPTIMIZER_TUNING: dict[str, str] = {
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
+    "spark.sql.constraintPropagation.enabled": "false",
+}
+
 
 def get_spark(
     app_name: str = "ecf-spark",
@@ -41,6 +59,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in _OPTIMIZER_TUNING.items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
@@ -50,10 +70,14 @@ def get_spark(
 
 
 def ensure_utc(spark: SparkSession) -> SparkSession:
-    """Force UTC timestamp semantics on an externally supplied session.
+    """Normalize an externally supplied session (the driver hands our
+    ``queries()`` callables an arbitrary one).
 
-    The driver hands our ``queries()`` callables an arbitrary session;
-    date-truncation results must not depend on its host timezone.
+    UTC timestamps: date-truncation results must not depend on the host
+    timezone.  Plus the measured optimizer tunings above — all
+    semantically neutral.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in _OPTIMIZER_TUNING.items():
+        spark.conf.set(k, v)
     return spark
