@@ -54,6 +54,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         from . import (  # noqa: F401
             aggregates,
             dedup,
+            extensions,
             joins,
             ml_queries,
             relational,

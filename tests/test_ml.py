@@ -1,0 +1,143 @@
+"""ML module tests: scalers, CV, metrics, forecasters, clustering, BO."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.ml.bayesopt import _NumpyGP, bayes_opt
+from energy_consumption_forecasting_spark.ml.cv import folds, label_folds, train_test_split
+from energy_consumption_forecasting_spark.ml.forecast import (
+    _ar_fit_forecast,
+    ar_forecast_grouped,
+)
+from energy_consumption_forecasting_spark.ml.metrics import evaluate
+from energy_consumption_forecasting_spark.ml.clustering import (
+    _dtw,
+    dtw_distance_matrix,
+    kmedoids_from_distances,
+)
+from energy_consumption_forecasting_spark.ml.decomposition import _np_decompose
+from energy_consumption_forecasting_spark.ml.scaling import minmax_scale, standard_scale
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = [
+        (dt.date(2021, 1, 1) + dt.timedelta(days=i), float(10 + i % 7 + 0.1 * i))
+        for i in range(90)
+    ]
+    return spark.createDataFrame(rows, "d date, y double")
+
+
+def test_minmax_scale(spark, series_df):
+    out = minmax_scale(series_df, ["y"]).select("y_mm").collect()
+    vals = [r["y_mm"] for r in out]
+    assert min(vals) == 0.0 and max(vals) == 1.0
+
+
+def test_standard_scale(spark, series_df):
+    out = standard_scale(series_df, ["y"]).select("y_z").collect()
+    vals = np.array([r["y_z"] for r in out])
+    assert abs(vals.mean()) < 1e-9
+    assert abs(vals.std(ddof=1) - 1.0) < 1e-9
+
+
+def test_blocked_cv_folds(spark, series_df):
+    labeled = label_folds(series_df, ["d"])
+    counts = {
+        (r["fold"], r["role"]): r["n"]
+        for r in labeled.groupBy("fold", "role").agg(F.count("*").alias("n")).collect()
+    }
+    for k in range(1, 6):
+        assert counts[(k, "train")] + counts[(k, "val")] == 18
+        assert counts[(k, "val")] in (3, 4)
+    pairs = list(folds(series_df, ["d"]))
+    assert len(pairs) == 5
+    tr, va = pairs[0]
+    # validation tail strictly after the train block
+    assert tr.agg(F.max("d")).first()[0] < va.agg(F.min("d")).first()[0]
+
+
+def test_train_test_split(spark, series_df):
+    tr, te = train_test_split(series_df, ["d"])
+    assert tr.count() == math.ceil(0.85 * 90)
+    assert te.count() == 90 - math.ceil(0.85 * 90)
+    assert tr.agg(F.max("d")).first()[0] < te.agg(F.min("d")).first()[0]
+
+
+def test_metrics(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 3.0), (5.0, 4.0)], "pred double, y double"
+    )
+    m = evaluate(df, "pred", "y")
+    assert m["mae"] == pytest.approx(2.0 / 3)
+    assert m["mse"] == pytest.approx(2.0 / 3)
+    assert m["wmape"] == pytest.approx(2.0 / 9)
+
+
+def test_ar_forecast_linear_trend():
+    y = np.arange(100, dtype=float) * 2.0 + 5.0
+    fc = _ar_fit_forecast(y, p=2, d=1, steps=5)
+    # diff of a linear series is constant → forecast continues the line
+    expected = y[-1] + 2.0 * np.arange(1, 6)
+    assert np.allclose(fc, expected, rtol=1e-6)
+
+
+def test_ar_forecast_grouped(spark, series_df):
+    df = series_df.withColumn("k", F.lit("s1"))
+    out = ar_forecast_grouped(df, ["k"], "d", "y", p=3, d=1, steps=7).collect()
+    assert len(out) == 7
+    assert all(np.isfinite(r["forecast"]) for r in out)
+
+
+def test_dtw_identity_and_shift():
+    a = np.array([0.0, 1.0, 2.0, 1.0, 0.0])
+    assert _dtw(a, a) == 0.0
+    b = np.array([0.0, 0.0, 1.0, 2.0, 1.0, 0.0])  # time-shifted
+    assert _dtw(a, b) < np.abs(a.sum() - b.sum()) + 1.0  # warps cheaply
+
+
+def test_dtw_kmedoids(spark):
+    rows = []
+    for sid in range(6):
+        base = 0.0 if sid < 3 else 10.0
+        rows.append((f"s{sid}", [base + float(i % 3) for i in range(12)]))
+    df = spark.createDataFrame(rows, "series_id string, series array<double>")
+    dist = dtw_distance_matrix(df)
+    assignment = kmedoids_from_distances(dist, k=2, seed=7)
+    g1 = {assignment[f"s{i}"] for i in range(3)}
+    g2 = {assignment[f"s{i}"] for i in range(3, 6)}
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+
+
+def test_np_decompose_recovers_seasonality():
+    n, period = 140, 7
+    t = np.arange(n, dtype=float)
+    seasonal_true = np.tile([0, 1, 2, 3, -2, -3, -1], n // period).astype(float)
+    y = 0.5 * t + seasonal_true
+    trend, seasonal, resid = _np_decompose(y, period)
+    mid = slice(period, n - period)
+    assert np.nanmax(np.abs(resid[mid])) < 0.2
+    # seasonal pattern recovered up to a constant
+    got = seasonal[:period] - seasonal[:period].mean()
+    want = seasonal_true[:period] - seasonal_true[:period].mean()
+    assert np.allclose(got, want, atol=0.1)
+
+
+def test_numpy_gp_fits():
+    X = np.linspace(0, 1, 8).reshape(-1, 1)
+    y = np.sin(3 * X.ravel())
+    gp = _NumpyGP(alpha=1e-6, length_scale=0.3).fit(X, y)
+    mu, std = gp.predict(X)
+    assert np.allclose(mu, y, atol=1e-2)
+    assert (std < 0.1).all()
+
+
+def test_bayes_opt_finds_minimum():
+    res = bayes_opt(lambda x: (x[0] - 3.0) ** 2, [(0.0, 10.0)], n_init=4, n_iter=10)
+    assert abs(res["best_x"][0] - 3.0) < 1.0

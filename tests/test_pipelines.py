@@ -1,0 +1,163 @@
+"""EP1/EP2 pipeline tests on FIXTURES.md-shaped synthetic inputs.
+
+The reference pipelines are deterministic dataflows; these fixtures
+reproduce their input shapes (stations fwf, ghcnd wide-daily with
+sentinels and day-31 junk, hourly balance with comma numbers, monthly
+consumption with 'NM') and assert the assembled outputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.plans.dataset_assembly import (
+    assemble_dataset,
+    disaggregate_monthly,
+    monthly_consumption_target,
+)
+from energy_consumption_forecasting_spark.plans.weather_pipeline import (
+    gap_fill,
+    melt_days,
+    miso_stations,
+    pivot_elements,
+    valid_dates,
+    weather_pipeline,
+)
+
+RING = [(-95.0, 35.0), (-85.0, 35.0), (-85.0, 45.0), (-95.0, 45.0)]  # box
+
+
+@pytest.fixture(scope="module")
+def stations(spark):
+    rows = [
+        ("US000000001", 40.0, -90.0, 200.0, "MI_CITY_1"),  # inside
+        ("US000000002", 50.0, -90.0, 210.0, "MI_CITY_2"),  # north of box
+        ("CA000000003", 41.0, -91.0, 190.0, "ON_CITY_1"),  # not US
+        ("US000000004", 36.0, -86.0, 150.0, "MI_CITY_3"),  # inside
+    ]
+    return spark.createDataFrame(
+        rows, "ID string, lat double, long double, elev double, city string"
+    )
+
+
+@pytest.fixture(scope="module")
+def daily_wide(spark):
+    """Two stations × one month × TMAX/PRCP with sentinels and a day-31
+    value in a 30-day month (April) that W13 must drop."""
+    rows = []
+    for sid in ("US000000001", "US000000004"):
+        for elem in ("TMAX", "PRCP"):
+            vals = {f"VALUE{d}": float(d) for d in range(1, 32)}
+            if elem == "TMAX":
+                # sentinel on one element only: the row survives the
+                # all-null drop (reference ETL.py:223-224) and TMAX is
+                # gap-filled from neighbors
+                vals["VALUE5"] = -9999.0
+            rows.append({"ID": sid, "YEAR": 2021, "MONTH": 4, "ELEMENT": elem, **vals})
+    df = spark.createDataFrame(rows)
+    return df
+
+
+def test_spatial_semi_join(spark, stations):
+    got = sorted(r["ID"] for r in miso_stations(stations, RING).collect())
+    assert got == ["US000000001", "US000000004"]
+
+
+def test_melt_pivot_roundtrip(spark, daily_wide):
+    long_df = melt_days(daily_wide)
+    assert long_df.count() == 2 * 2 * 31
+    wide = pivot_elements(long_df, ["TMAX", "PRCP"])
+    assert wide.count() == 2 * 31  # one row per station-day
+    assert {"TMAX", "PRCP"} <= set(wide.columns)
+
+
+def test_weather_pipeline_end_to_end(spark, stations, daily_wide):
+    out = weather_pipeline(
+        stations, daily_wide, RING, year_range=(2016, 2024), elements=["TMAX", "PRCP"]
+    )
+    rows = out.collect()
+    # 2 stations × 30 valid April days (day 31 dropped by calendar rule)
+    assert len(rows) == 2 * 30
+    assert all(r["DATE"].month == 4 for r in rows)
+    assert all(r["DATE"].day <= 30 for r in rows)
+    # sentinel on day 5 was −9999 → null → filled from neighbors
+    day5 = [r for r in rows if r["DATE"].day == 5]
+    assert all(r["TMAX"] is not None for r in day5)
+    # station metadata joined on
+    assert all(r["city"].startswith("MI_CITY") for r in rows)
+
+
+def test_gap_fill_limit(spark):
+    rows = [("A", 2021, 1, d, None if 3 <= d <= 20 else float(d)) for d in range(1, 29)]
+    df = spark.createDataFrame(rows, "ID string, YEAR int, MONTH int, DAY int, v double")
+    filled = gap_fill(df, ["v"], limit=7).collect()
+    by_day = {r["DAY"]: r["v"] for r in filled}
+    assert by_day[9] == 2.0  # within 7 of day 2 (ffill)
+    assert by_day[14] == 21.0  # within 7 of day 21 (bfill)
+    assert by_day[12] is None  # gap center beyond both limits
+
+
+def test_calendar_validity(spark):
+    df = spark.createDataFrame(
+        [(2021, 2, 29), (2020, 2, 29), (2021, 4, 31), (2021, 12, 31)],
+        "YEAR int, MONTH int, DAY int",
+    )
+    got = sorted(
+        (r["YEAR"], r["MONTH"], r["DAY"]) for r in valid_dates(df).collect()
+    )
+    assert got == [(2020, 2, 29), (2021, 12, 31)]
+
+
+def test_dataset_assembly_disaggregation(spark):
+    # two months of daily demand; monthly targets 100 / 200
+    daily = spark.createDataFrame(
+        [(dt.date(2021, 1, 1), 10.0), (dt.date(2021, 1, 2), 30.0),
+         (dt.date(2021, 2, 1), 20.0), (dt.date(2021, 2, 2), 20.0)],
+        "date date, demand double",
+    )
+    monthly = spark.createDataFrame(
+        [(dt.date(2021, 1, 1), 100.0), (dt.date(2021, 2, 1), 200.0)],
+        "month date, total_consumption double",
+    )
+    out = {r["date"]: r["consumption"] for r in disaggregate_monthly(daily, monthly).collect()}
+    assert out[dt.date(2021, 1, 1)] == 25.0  # 100 × 10/40
+    assert out[dt.date(2021, 1, 2)] == 75.0
+    assert out[dt.date(2021, 2, 1)] == 100.0
+    assert out[dt.date(2021, 2, 2)] == 100.0
+
+
+def test_monthly_consumption_target(spark):
+    cons = spark.createDataFrame(
+        [(dt.date(2021, 1, 1), 2.0, 42.0, 1.0, 100.0)],
+        "date date, coal double, petroleum_liquids double, petroleum_coke double, natural_gas double",
+    )
+    row = monthly_consumption_target(cons).first()
+    assert row["total_consumption"] == pytest.approx(
+        2.0 * 1760.0 + 42.0 * (12.9 / 42.0) + 1.0 * 2360.0 + 100.0 * 0.13
+    )
+
+
+def test_assemble_dataset_end_to_end(spark):
+    hourly = spark.createDataFrame(
+        [
+            (dt.datetime(2021, 1, d, h), float(100 * d + h))
+            for d in (1, 2)
+            for h in range(4)
+        ],
+        "ts timestamp, demand double",
+    )
+    weather = spark.createDataFrame(
+        [(dt.datetime(2021, 1, 1), 5.0), (dt.datetime(2021, 1, 2), 7.0)],
+        "DATE timestamp, TMAX double",
+    )
+    cons = spark.createDataFrame(
+        [(dt.date(2021, 1, 1), 1.0, 0.0, 0.0, 0.0)],
+        "date date, coal double, petroleum_liquids double, petroleum_coke double, natural_gas double",
+    )
+    out = assemble_dataset(hourly, cons, weather, "ts", ["demand"], ["TMAX"]).collect()
+    assert len(out) == 2
+    assert {r["date"] for r in out} == {dt.date(2021, 1, 1), dt.date(2021, 1, 2)}
+    total = sum(r["consumption"] for r in out)
+    assert total == pytest.approx(1760.0, abs=1.0)  # disaggregation conserves

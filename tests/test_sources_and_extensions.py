@@ -1,0 +1,144 @@
+"""Sources (fixed-width, CSV skip-rows), spatial UDF, multimodal
+plumbing, and the streaming rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    payload_stats,
+    resize_images,
+    sample_frames,
+)
+from energy_consumption_forecasting_spark.operators.spatial import (
+    _ray_cast,
+    filter_in_polygon,
+)
+from energy_consumption_forecasting_spark.sources.fixed_width import (
+    dly_spec,
+    read_fixed_width,
+    read_stations,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_fixed_width_stations(spark, tmp_path):
+    lines = [
+        "US000000001  40.0000  -90.0000  200.0    SPRINGFIELD                   AAA BBB CCCCC",
+        "CA000000002  50.1234  -80.5000  150.5    TORONTO                       XXX YYY ZZZZZ",
+    ]
+    p = tmp_path / "stations.txt"
+    p.write_text("\n".join(lines) + "\n")
+    df = read_stations(spark, str(p))
+    rows = {r["ID"]: r for r in df.collect()}
+    assert rows["US000000001"]["lat"] == 40.0
+    assert rows["CA000000002"]["long"] == -80.5
+    assert rows["US000000001"]["city"] == "SPRINGFIELD"
+
+
+def test_fixed_width_dly(spark, tmp_path):
+    spec = dly_spec()
+    # build one .dly line positionally from the spec itself
+    line = [" "] * 270
+    def put(s, start, width, left=True):
+        s = str(s)[:width]
+        s = s.ljust(width) if left else s.rjust(width)
+        line[start - 1 : start - 1 + width] = list(s)
+    put("US000000001", 1, 11)
+    put("2021", 12, 4)
+    put("04", 16, 2)
+    put("TMAX", 18, 4)
+    for day in range(1, 32):
+        name, start, width, _ = spec[4 + (day - 1) * 4]
+        assert name == f"VALUE{day}"
+        put(str(day * 10), start, 5, left=False)
+    p = tmp_path / "US000000001.dly"
+    p.write_text("".join(line) + "\n")
+    df = read_fixed_width(spark, str(p), spec)
+    r = df.first()
+    assert (r["ID"], r["YEAR"], r["MONTH"], r["ELEMENT"]) == ("US000000001", 2021, 4, "TMAX")
+    assert r["VALUE1"] == 10.0 and r["VALUE31"] == 310.0
+
+
+def test_ray_cast_matches_known_points():
+    import numpy as np
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    lon = np.array([2.0, 5.0, -1.0, 3.9])
+    lat = np.array([2.0, 2.0, 2.0, 3.9])
+    assert _ray_cast(lon, lat, ring).tolist() == [True, False, False, True]
+
+
+def test_filter_in_polygon_prefilters_bbox(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 10.0, 10.0), (3, -5.0, 2.0)], "id long, x double, y double"
+    )
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    got = sorted(r["id"] for r in filter_in_polygon(df, "x", "y", ring).collect())
+    assert got == [1]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20)
+    return documents_as_media(docs)
+
+
+def test_payload_stats(spark, media):
+    out = payload_stats(media).collect()
+    assert len(out) == 20
+    assert all(r["n_bytes"] > 0 and len(r["content_hash"]) == 32 for r in out)
+
+
+def test_extract_features_batch_shape(spark, media):
+    out = extract_features(media).collect()
+    assert len(out) == 20
+    assert all(r["decoded_h"] >= 1 and r["feat_std"] >= 0.0 for r in out)
+
+
+def test_resize_shape(spark, media):
+    out = resize_images(media, (8, 8)).collect()
+    assert all(len(r["pixels"]) == 64 for r in out)
+
+
+def test_frame_sampling(spark, media):
+    out = sample_frames(media, every_n=5)
+    joined = (
+        out.groupBy("media_id")
+        .agg(F.count("*").alias("n"), F.max("frame_idx").alias("mx"))
+        .collect()
+    )
+    assert all(r["mx"] % 5 == 0 for r in joined)
+
+
+def test_streaming_rollup_equals_batch(spark):
+    from energy_consumption_forecasting_spark.session import ensure_utc
+    from energy_consumption_forecasting_spark.streaming.daily_rollup import (
+        run_available_now,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    ensure_utc(spark)
+    stream_res = {
+        (r["d"], r["event_type"]): (r["n"], round(r["avg_value"], 9))
+        for r in run_available_now(spark, SF_SMALL).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value"),
+        )
+    )
+    batch_res = {
+        (r["d"], r["event_type"]): (r["n"], round(r["avg_value"], 9))
+        for r in batch.collect()
+    }
+    assert stream_res == batch_res
