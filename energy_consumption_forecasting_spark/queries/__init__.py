@@ -57,6 +57,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             extensions,
             joins,
             ml_queries,
+            more_relational,
             relational,
             reshape,
             similarity,

@@ -1,0 +1,275 @@
+"""Additional relational/time-series coverage: more TPC-H-shaped
+headliners, event sessionization, approximate aggregates, and the
+M11/M15-M17 analysis-harness queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+
+# --- TPC-H Q6 shape: selective scan-aggregate ---------------------------------
+@query(
+    "tpch_q6_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def tpch_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-aggregate: every predicate reaches the parquet scan
+    (PushedFilters), the aggregation is a one-group decimal sum."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- TPC-H Q5 shape: multi-way join with dim chain ------------------------------
+@query(
+    "tpch_q5_local_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join: the fact chain (orders⋈lineitem) shuffles on its
+    keys once; customer/supplier/nation/region are broadcast dims."""
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- gap-based sessionization over the event stream ------------------------------
+@query(
+    "w_sessionize",
+    oracle="""
+    WITH marked AS (
+      -- epoch_us of the micro-truncated timestamp matches Spark's
+      -- unix_micros exactly (the loader truncates nanos -> micros)
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > 30 * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS DATE) AS session_date
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap sessionization (30-min inactivity): per-user windows
+    → new-session flags → running sum as session id → per-session
+    rollup.  Partitioned by user, so it scales with the user count."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.to_date(F.min("ts")).alias("session_date"),
+    )
+
+
+# --- approximate distinct (HLL) — engine-specific sketch → rows-only -------------
+@query("a_approx_distinct")
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the sketch is mergeable
+    map-side, which is why it is THE count-distinct at 100 TB.  The
+    estimate is engine-specific → rows-only check."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+# --- M11: LSTM sequence dataset prep (rows-only; arrays) ---------------------------
+@query("m11_lstm_dataset")
+def m11_lstm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 sequence tensors for the LSTM (ml/lstm.py): length-8 windows
+    over 2 features + next-step target; torch consumes the Arrow export."""
+    from ..ml.lstm import sequence_dataset
+
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("demand"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    seq = sequence_dataset(daily, "d", ["demand", "n_orders"], "demand", seq_length=8)
+    return seq.select("d", F.size("x").alias("x_len"), "y")
+
+
+# --- M15: permutation importance (rows-only) ----------------------------------------
+@query("m15_permutation_importance")
+def m15_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAP-style attribution via permutation importance: metric
+    degradation when one feature column is shuffled (ml/analysis.py)."""
+    from ..ml.analysis import permutation_importance
+
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("demand"),
+            F.count("*").alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+    )
+
+    def scorer(df: DataFrame) -> float:
+        # predict demand from n_orders via the global ratio; MAE as metric
+        stats = df.agg(
+            (F.sum("demand") / F.sum("n_orders")).alias("ratio")
+        )
+        scored = df.crossJoin(F.broadcast(stats))
+        return float(
+            scored.agg(
+                F.avg(F.abs(F.col("n_orders") * F.col("ratio") - F.col("demand")))
+            ).first()[0]
+        )
+
+    imp = permutation_importance(daily, ["n_orders", "avg_price"], scorer)
+    return spark.createDataFrame(
+        sorted(imp.items()), "feature string, delta_mae double"
+    )
+
+
+# --- M16: feature-group ablation (rows-only) ------------------------------------------
+@query("m16_ablation")
+def m16_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ablation over feature groups with the blocked-CV naive-AR MAE
+    objective (V:14040-14072 shape)."""
+    from ..ml.analysis import ablation, naive_ar_cv_mae
+
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("demand"),
+            F.count("*").alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+    )
+    res = ablation(
+        daily,
+        {"volume": ["n_orders"], "price": ["avg_price"]},
+        lambda df: naive_ar_cv_mae(df, "d", "demand", p=7, n_folds=3),
+    )
+    return spark.createDataFrame(sorted(res.items()), "config string, cv_mae double")
+
+
+# --- M17: hyperparameter sensitivity sweep (rows-only) ----------------------------------
+@query("m17_sensitivity")
+def m17_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CV MAE across the AR-order grid (the reference sweeps ±5 around
+    the optimum; V:14136-14238)."""
+    from ..ml.analysis import naive_ar_cv_mae, sensitivity_sweep
+
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("demand"))
+    )
+    grid = [{"p": p} for p in (1, 3, 7, 14)]
+    res = sensitivity_sweep(
+        daily,
+        grid,
+        lambda params: lambda df: naive_ar_cv_mae(
+            df, "d", "demand", p=params["p"], n_folds=3
+        ),
+    )
+    return spark.createDataFrame(
+        [(r[0]["p"], r[1]) for r in res], "p int, cv_mae double"
+    )
