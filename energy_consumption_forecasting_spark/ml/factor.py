@@ -1,0 +1,107 @@
+"""Factor Analysis with varimax rotation — SURVEY §2.7 M4.
+
+Reference: 3-factor decomposition alternative to PCA
+(ts_kmeans_base.ipynb:943-945), sklearn FactorAnalysis + varimax.
+
+sklearn is optional; the fallback is principal-axis factoring on the
+correlation matrix (eigendecomposition of the reduced correlation
+matrix with iterated communalities) plus the published varimax rotation
+— both plain numpy.  Per SURVEY §2.7, the data is a small aggregated
+matrix (~3.2k×28 in the reference), so the factorization runs on the
+driver; Spark's job is the upstream aggregation + correlation matrix,
+which ARE distributed (exact decimal sums)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:
+    from sklearn.decomposition import FactorAnalysis  # type: ignore
+
+    _HAS_SKLEARN = True
+except ImportError:
+    _HAS_SKLEARN = False
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """Pearson correlations from one distributed pass of exact moments."""
+    n = df.count()
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("decimal(28,6)")
+        aggs += [F.sum(d).cast("double").alias(f"s_{c}")]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            da = F.col(a).cast("decimal(28,6)")
+            db = F.col(b).cast("decimal(28,6)")
+            aggs.append(F.sum(da * db).cast("double").alias(f"q_{a}__{b}"))
+    row = df.agg(*aggs).first()
+    k = len(cols)
+    C = np.zeros((k, k))
+    means = {c: row[f"s_{c}"] / n for c in cols}
+    for i, a in enumerate(cols):
+        for j in range(i, k):
+            b = cols[j]
+            cov = row[f"q_{a}__{b}"] / n - means[a] * means[b]
+            C[i, j] = C[j, i] = cov
+    d = np.sqrt(np.diag(C))
+    return C / np.outer(d, d)
+
+
+def principal_axis_factoring(
+    R: np.ndarray, n_factors: int, n_iter: int = 50
+) -> np.ndarray:
+    """Iterated PAF: communalities on the diagonal, eigendecompose,
+    update until stable.  Returns (k, n_factors) loadings."""
+    k = R.shape[0]
+    h2 = 1.0 - 1.0 / np.diag(np.linalg.pinv(R))  # SMC start
+    for _ in range(n_iter):
+        Rr = R.copy()
+        np.fill_diagonal(Rr, h2)
+        vals, vecs = np.linalg.eigh(Rr)
+        order = np.argsort(vals)[::-1][:n_factors]
+        L = vecs[:, order] * np.sqrt(np.clip(vals[order], 0, None))
+        h2_new = (L**2).sum(axis=1)
+        if np.max(np.abs(h2_new - h2)) < 1e-6:
+            h2 = h2_new
+            break
+        h2 = h2_new
+    return L
+
+
+def varimax(L: np.ndarray, n_iter: int = 100, tol: float = 1e-8) -> np.ndarray:
+    """Kaiser's varimax rotation (published algorithm)."""
+    k, m = L.shape
+    R = np.eye(m)
+    var_old = 0.0
+    for _ in range(n_iter):
+        Lr = L @ R
+        u, s, vt = np.linalg.svd(
+            L.T @ (Lr**3 - (Lr * (Lr**2).sum(axis=0) / k))
+        )
+        R = u @ vt
+        var_new = s.sum()
+        if var_new - var_old < tol:
+            break
+        var_old = var_new
+    return L @ R
+
+
+def factor_analysis(
+    df: DataFrame, cols: list[str], n_factors: int = 3, rotate: bool = True
+) -> list[tuple[str, list[float]]]:
+    """End-to-end M4: distributed correlation pass → driver-side
+    factoring (+ varimax) → (column, loadings) list."""
+    if _HAS_SKLEARN:
+        pdf = df.select(*cols).toPandas()
+        fa = FactorAnalysis(n_components=n_factors, rotation="varimax" if rotate else None)
+        fa.fit(pdf.to_numpy(dtype=float))
+        L = fa.components_.T
+    else:
+        R = correlation_matrix(df, cols)
+        L = principal_axis_factoring(R, n_factors)
+        if rotate:
+            L = varimax(L)
+    return [(c, [float(x) for x in L[i]]) for i, c in enumerate(cols)]

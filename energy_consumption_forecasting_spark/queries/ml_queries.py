@@ -394,3 +394,48 @@ def m13_bayesopt_ar_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     daily.unpersist()
     return spark.createDataFrame(rows, "p int, cv_mae double")
+
+
+@query("m4_factor_analysis")
+def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Factor analysis (3 factors, varimax) over daily order features —
+    distributed correlation pass, driver-side factoring (ml/factor.py)."""
+    from ..ml.factor import factor_analysis
+
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("demand"),
+            F.count("*").cast("double").alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    loadings = factor_analysis(
+        daily, ["demand", "n_orders", "avg_price", "max_price"], n_factors=2
+    )
+    rows = [(c, v[0], v[1]) for c, v in loadings]
+    return spark.createDataFrame(rows, "feature string, f1 double, f2 double")
+
+
+# --- M19: cluster-label mapping / extraction (K:1913-1921,2221-2226) ---------
+@query(
+    "m19_cluster_map",
+    oracle="""
+    SELECT label AS cluster, vec_id
+    FROM embeddings
+    WHERE label = 3
+    ORDER BY cluster, vec_id
+    """,
+)
+def m19_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label mapping + per-cluster extraction: order members by
+    cluster, filter one cluster out (the reference zips labels with
+    series names and slices per cluster)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.col("label").alias("cluster"), "vec_id")
+        .filter(F.col("cluster") == 3)
+        .orderBy("cluster", "vec_id")
+    )

@@ -1,0 +1,125 @@
+"""Factor analysis, params store, analysis harness, LSTM dataset prep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.ml.analysis import (
+    ablation,
+    learning_curve,
+    naive_ar_cv_mae,
+    permutation_importance,
+)
+from energy_consumption_forecasting_spark.ml.factor import (
+    correlation_matrix,
+    principal_axis_factoring,
+    varimax,
+)
+from energy_consumption_forecasting_spark.ml.lstm import (
+    sequence_dataset,
+    to_numpy_dataset,
+)
+from energy_consumption_forecasting_spark.ml.params import (
+    best_of_grid,
+    load_params,
+    save_params,
+)
+
+
+@pytest.fixture(scope="module")
+def corr_df(spark):
+    rng = np.random.RandomState(0)
+    f1 = rng.randn(400)
+    f2 = rng.randn(400)
+    rows = [
+        (
+            float(f1[i] + 0.05 * rng.randn()),
+            float(f1[i] * 2 + 0.05 * rng.randn()),
+            float(f2[i] + 0.05 * rng.randn()),
+        )
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "a double, b double, c double")
+
+
+def test_correlation_matrix(spark, corr_df):
+    R = correlation_matrix(corr_df, ["a", "b", "c"])
+    assert R.shape == (3, 3)
+    assert np.allclose(np.diag(R), 1.0)
+    assert R[0, 1] > 0.95  # a,b share factor 1
+    assert abs(R[0, 2]) < 0.2  # c independent
+
+
+def test_factoring_recovers_structure(spark, corr_df):
+    R = correlation_matrix(corr_df, ["a", "b", "c"])
+    L = varimax(principal_axis_factoring(R, 2))
+    # a & b load on one factor, c on the other
+    dom = np.argmax(np.abs(L), axis=1)
+    assert dom[0] == dom[1] != dom[2]
+
+
+def test_params_roundtrip(tmp_path):
+    p = {"order": [3, 1, 4], "lr": 0.005}
+    path = str(tmp_path / "params.json")
+    save_params(p, path)
+    assert load_params(path) == p
+    hist = [({"p": 1}, 5.0), ({"p": 3}, 2.0), ({"p": 7}, 9.0)]
+    assert best_of_grid(hist)["params"] == {"p": 3}
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    import datetime as dt
+
+    rows = [
+        (
+            dt.date(2021, 1, 1) + dt.timedelta(days=i),
+            float(100 + (i % 7) * 5 + i * 0.3),
+            float(10 + i % 5),
+        )
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "d date, y double, x double")
+
+
+def test_naive_ar_cv_mae(spark, ts_df):
+    m = naive_ar_cv_mae(ts_df, "d", "y", p=7, n_folds=3)
+    assert 0 < m < 50
+
+
+def test_ablation(spark, ts_df):
+    res = ablation(ts_df, {"x": ["x"]}, lambda df: naive_ar_cv_mae(df, "d", "y", n_folds=2))
+    assert set(res) == {"none", "drop_x"}
+    # scorer ignores x → identical scores
+    assert res["none"] == pytest.approx(res["drop_x"])
+
+
+def test_learning_curve_monotone_rows(spark, ts_df):
+    res = learning_curve(ts_df, "d", [0.5, 1.0], lambda df: float(df.count()))
+    assert res[0][1] == 50.0 and res[1][1] == 100.0
+
+
+def test_permutation_importance_signal(spark, ts_df):
+    # scorer: MAE of predicting y from x*10 — shuffling x must hurt
+    def scorer(df):
+        return float(
+            df.agg(F.avg(F.abs(F.col("x") * 10 - F.col("y")))).first()[0]
+        )
+
+    imp = permutation_importance(ts_df, ["x"], scorer)
+    assert imp["x"] > 0  # degradation when x is shuffled
+
+
+def test_sequence_dataset_shapes(spark, ts_df):
+    seq = sequence_dataset(ts_df, "d", ["y", "x"], "y", seq_length=5)
+    rows = seq.collect()
+    # n - (L-1) full windows, minus the last row (no lead target)
+    assert len(rows) == 100 - 4 - 1
+    assert all(len(r["x"]) == 5 * 2 for r in rows)
+    X, y = to_numpy_dataset(seq, n_features=2)
+    assert X.shape == (95, 5, 2)
+    assert y.shape == (95,)
+    # window content: first window = rows 0..4 of feature y
+    assert X[0, :, 0] == pytest.approx([100 + (i % 7) * 5 + i * 0.3 for i in range(5)])
