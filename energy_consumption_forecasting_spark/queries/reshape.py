@@ -48,7 +48,7 @@ def w4_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT c_mktsegment,
-             ROUND(AVG(c_acctbal), 4) AS avg_bal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
              CAST(COUNT(*) AS DOUBLE) AS n_cust
       FROM customer GROUP BY 1
     ),
@@ -75,7 +75,10 @@ def w5_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal"),
             F.count("*").cast("double").alias("n_cust"),
         )
     )

@@ -1,0 +1,210 @@
+"""Property-based tests (Hypothesis): engine operators vs independent
+pure-Python reference implementations on randomized inputs.
+
+Settings are tuned for Spark round-trips (few, larger examples;
+deadline off since JVM calls are not constant-time)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# --- W1 bounded gap fill vs pandas-like reference ------------------------------
+@st.composite
+def gappy_series(draw):
+    n = draw(st.integers(min_value=3, max_value=40))
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    limit = draw(st.integers(min_value=1, max_value=5))
+    return vals, limit
+
+
+def ref_bounded_fill(vals, limit):
+    """ffill(limit) then bfill(limit) on the ORIGINAL nulls, like the
+    engine's coalesce(v, ff, bf) form."""
+    out = []
+    for i, v in enumerate(vals):
+        if v is not None:
+            out.append(v)
+            continue
+        filled = None
+        for back in range(1, limit + 1):
+            if i - back >= 0 and vals[i - back] is not None:
+                filled = vals[i - back]
+                break
+        if filled is None:
+            for fwd in range(1, limit + 1):
+                if i + fwd < len(vals) and vals[i + fwd] is not None:
+                    filled = vals[i + fwd]
+                    break
+        out.append(filled)
+    return out
+
+
+@SET
+@given(gappy_series())
+def test_bounded_gap_fill_property(spark, case):
+    vals, limit = case
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        "i int, v double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("i")
+    ff = F.last("v", ignorenulls=True).over(w.rowsBetween(-limit, 0))
+    bf = F.first("v", ignorenulls=True).over(w.rowsBetween(0, limit))
+    got = [
+        r["filled"]
+        for r in df.select("i", F.coalesce("v", ff, bf).alias("filled"))
+        .orderBy("i")
+        .collect()
+    ]
+    want = [float(v) if v is not None else None for v in ref_bounded_fill(vals, limit)]
+    assert got == want
+
+
+# --- Jaccard dedup vs set math -------------------------------------------------
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_ngram_jaccard_property(spark, docs):
+    texts = [" ".join(d) for d in docs]
+
+    def shingles(words):
+        return {tuple(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter:
+                expected[(i, j)] = inter / len(a | b)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("__docs")
+    # reuse the query machinery on an in-memory table by monkey-shingling
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        _pairs_from_members,
+    )
+
+    toks = df.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("a")
+    ).filter(F.size("a") >= 3)
+    idx = F.sequence(F.lit(1), F.size("a") - 2)
+    sh_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("a", i),
+            F.element_at("a", i + 1),
+            F.element_at("a", i + 2),
+        ),
+    )
+    arrays = toks.select("doc_id", F.array_distinct(sh_arr).alias("shs"))
+    sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
+    sizes = arrays.select("doc_id", F.size("shs").alias("n"))
+    members = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pairs = (
+        _pairs_from_members(members)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k])
+
+
+# --- sessionization vs linear scan ------------------------------------------------
+@SET
+@given(
+    st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=30)
+)
+def test_sessionize_property(spark, gaps_minutes):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    times = []
+    for g in gaps_minutes:
+        t = t + dt.timedelta(minutes=g)
+        times.append(t)
+    # reference: new session when gap > 30 min
+    want_sessions = 1 + sum(1 for g in gaps_minutes[1:] if g > 30)
+
+    df = spark.createDataFrame(
+        [(i, 1, ts) for i, ts in enumerate(times)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marked = df.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("ns"),
+    )
+    got = marked.agg(F.sum("ns")).first()[0]
+    assert got == want_sessions
+
+
+# --- exact-decimal mean == python mean -------------------------------------------
+@SET
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-1000, max_value=1000, places=2, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_exact_avg_property(spark, decs):
+    vals = [float(d) for d in decs]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(
+        (F.sum(F.col("x").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "m"
+        )
+    ).first()["m"]
+    # python exact: sum of scaled ints
+    want = float(sum(int(round(v * 100)) for v in vals)) / 100 / len(vals)
+    assert math.isclose(got, want, rel_tol=0, abs_tol=0)
