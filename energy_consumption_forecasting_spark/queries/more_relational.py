@@ -273,3 +273,93 @@ def m17_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r[0]["p"], r[1]) for r in res], "p int, cv_mae double"
     )
+
+
+# --- grouping sets: cube (free Spark capability, SURVEY §2.4 note) -------------
+@query(
+    "a_cube_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations
+    in one pass — the free generalization of the reference's single-key
+    aggregates."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --- deterministic top-k (head()/limit beyond display) ---------------------------
+@query(
+    "w_topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def w_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with a deterministic tiebreak: Spark plans TakeOrderedAndProject
+    (per-partition heaps + merge), never a full global sort."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- TPC-H Q10 shape: returned-item revenue by customer ---------------------------
+@query(
+    "tpch_q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = tbl(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
