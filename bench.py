@@ -51,7 +51,12 @@ def main() -> None:
     # one decimal aggregation + one window + one broadcast join compile
     # the code paths the headliners use.
     warm_sf = "/root/testdata/sf0.001"
-    for wq in ("tpch_q1_pricing_summary", "w18_disaggregation"):
+    for wq in (
+        "tpch_q1_pricing_summary",
+        "w18_disaggregation",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+    ):
         qs[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 

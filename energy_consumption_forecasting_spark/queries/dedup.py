@@ -151,7 +151,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion → pair-count aggregation (second groupBy) → broadcast join
     of per-doc sizes (row-local ``size(shs)``, no extra aggregation).
     Stop-shingles are dropped by bounding the member list size."""
-    arrays = _shingle_arrays(spark, sf_dir)
+    # Persist the per-doc shingle arrays (one row per doc): the exploded
+    # pair path and the row-local sizes both read them, and the size
+    # joins below carry explicit broadcast hints so cached-stats
+    # inflation can't demote them (see ARCHITECTURE.md).
+    arrays = _shingle_arrays(spark, sf_dir).persist()
     sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
     sizes = arrays.select("doc_id", F.size("shs").alias("n"))
     members = (
@@ -250,7 +254,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes; a poisoned mega-bucket degrades gracefully
     because pairs expand from a bounded collected list, not a self-join.
     """
-    sigs = _minhash_sigs(spark, sf_dir)
+    # Persist the (tiny: 8 strings/doc) signature table: three consumers
+    # (bands, and both sides of the candidate join) would otherwise each
+    # re-run the full tokenize→digest→min pipeline.  The downstream
+    # joins carry explicit broadcast hints, so the InMemoryRelation's
+    # inflated size stats can't demote them to sort-merge (the failure
+    # mode that made a naive persist slower — see ARCHITECTURE.md).
+    sigs = _minhash_sigs(spark, sf_dir).persist()
     # 4 band buckets per doc, row-local from the signature array.
     band_rows = sigs.select(
         "doc_id",
