@@ -33,5 +33,19 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; inputs must already be double arrays."""
+    """Cosine similarity; inputs must already be double arrays.
+
+    For pairwise queries prefer ``with_norm`` + ``cosine_prenormed`` —
+    recomputing both norms per PAIR folds each vector O(n) times."""
     return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def with_norm(df, vec_col: str = "v", norm_col: str = "nrm"):
+    """Attach the L2 norm as a column (computed once per vector)."""
+    return df.withColumn(norm_col, F.sqrt(norm2(F.col(vec_col))))
+
+
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖) with precomputed norms — bit-identical to
+    ``cosine`` (the norm value is the same double either way)."""
+    return dot(a, b) / (na * nb)

@@ -370,12 +370,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     products (functions/vectors.py) — bit-identical across engines, no
     Python UDF.  This is the verification baseline; the bucketed scale
     path is queries/similarity.py::sim_bucketed_ann."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = cosine_prenormed(
+        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

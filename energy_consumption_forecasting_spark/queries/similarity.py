@@ -154,12 +154,18 @@ def sim_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All same-bucket pairs above a cosine threshold — the similarity-
     join building block for clustering/near-dup sweeps."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = cosine_prenormed(
+        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         a.join(
             b,
