@@ -1,0 +1,86 @@
+"""Scale-technique tests: salted aggregation/join correctness and the
+bucketed-join no-exchange plan property."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.operators.skew import (
+    salted_join,
+    salted_sum,
+    write_bucketed,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_salted_sum_equals_plain(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: r["s"]
+        for r in df.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["sum_q"]
+        for r in salted_sum(
+            df.withColumn("q", F.col("l_quantity").cast("decimal(18,2)")),
+            ["l_returnflag"],
+            "q",
+            out_col="sum_q",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        F.col("l_partkey").alias("k"), "l_quantity"
+    )
+    parts = spark.read.parquet(f"{SF_SMALL}/part.parquet").select(
+        F.col("p_partkey").alias("k"), "p_name"
+    )
+    plain = li.join(parts, "k").count()
+    salted = salted_join(li, parts, "k").count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse.dir is a static conf — the default ./spark-warehouse is
+    # used; tables are dropped in the finally block (.gitignore'd).
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", "l_orderkey", n_buckets=4)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b", "l_orderkey", 4
+    )
+    a = spark.table("li_b")
+    b = spark.table("ord_b")
+    # force SMJ path (no broadcast) to expose the bucketing benefit
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # co-bucketed tables: the join reads bucket files directly —
+        # no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        # sanity: result matches the plain parquet join
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
