@@ -63,6 +63,45 @@ def _ar_fit_forecast(y: np.ndarray, p: int, d: int, steps: int) -> np.ndarray:
     return fc
 
 
+def _arx_fit_forecast(
+    y: np.ndarray, X: np.ndarray | None, p: int, d: int, steps: int
+) -> np.ndarray:
+    """AR(p)+exogenous regressors on the d-differenced series (ARIMAX
+    conditional least squares).  Future exog is held at the last
+    observed row — the standard choice when the caller supplies no
+    forecast-horizon covariates."""
+    if X is None or X.shape[1] == 0:
+        return _ar_fit_forecast(y, p, d, steps)
+    y = np.asarray(y, dtype=np.float64)
+    tails = []
+    z = y
+    Xz = X
+    for _ in range(d):
+        tails.append(z[-1])
+        z = np.diff(z)
+        Xz = Xz[1:]
+    if len(z) <= p + X.shape[1] + 1:
+        return np.repeat(y[-1], steps)
+    lagmat = np.column_stack([z[p - k - 1 : len(z) - k - 1] for k in range(p)])
+    design = np.column_stack([np.ones(len(lagmat)), lagmat, Xz[p:]])
+    coef, *_ = np.linalg.lstsq(design, z[p:], rcond=None)
+    hist = list(z)
+    x_future = Xz[-1]
+    out = []
+    for _ in range(steps):
+        lags = [hist[-k - 1] for k in range(p)]
+        pred = coef[0] + float(np.dot(coef[1 : 1 + p], lags)) + float(
+            np.dot(coef[1 + p :], x_future)
+        )
+        out.append(pred)
+        hist.append(pred)
+    fc = np.array(out)
+    for tail in reversed(tails):
+        fc = tail + np.cumsum(fc)
+        tail = fc[-1]
+    return fc
+
+
 def ar_forecast_grouped(
     df: DataFrame,
     key_cols: list[str],
@@ -71,11 +110,14 @@ def ar_forecast_grouped(
     p: int = 3,
     d: int = 1,
     steps: int = 14,
+    exog_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-series ARIMA-style forecast as an Arrow grouped map.
+    """Per-series ARIMA(X)-style forecast as an Arrow grouped map.
 
     One series per group key; each executor fits its groups
-    independently — the scale unit is #series, not series length."""
+    independently — the scale unit is #series, not series length.
+    ``exog_cols`` adds exogenous regressors (reference: ARIMA + exog,
+    evaluation.ipynb:187-191)."""
     out_fields = [df.schema[k] for k in key_cols]
     schema = T.StructType(
         list(out_fields)
@@ -84,18 +126,25 @@ def ar_forecast_grouped(
             T.StructField("forecast", T.DoubleType()),
         ]
     )
+    exog_cols = exog_cols or []
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col)
         y = pdf[value_col].to_numpy(dtype=np.float64)
+        X = (
+            pdf[exog_cols].to_numpy(dtype=np.float64) if exog_cols else None
+        )
         if _HAS_STATSMODELS and len(y) > (p + d + 5):
             fc = (
-                ARIMA(y, order=(p, d, 0))
+                ARIMA(y, exog=X, order=(p, d, 0))
                 .fit(method="statespace")
-                .forecast(steps=steps)
+                .forecast(
+                    steps=steps,
+                    exog=np.repeat(X[-1:], steps, axis=0) if X is not None else None,
+                )
             )
         else:
-            fc = _ar_fit_forecast(y, p, d, steps)
+            fc = _arx_fit_forecast(y, X, p, d, steps)
         head = {k: pdf[k].iloc[0] for k in key_cols}
         return pd.DataFrame(
             [{**head, "step": i + 1, "forecast": float(v)} for i, v in enumerate(fc)]

@@ -141,3 +141,46 @@ def test_numpy_gp_fits():
 def test_bayes_opt_finds_minimum():
     res = bayes_opt(lambda x: (x[0] - 3.0) ** 2, [(0.0, 10.0)], n_init=4, n_iter=10)
     assert abs(res["best_x"][0] - 3.0) < 1.0
+
+
+def test_arx_exog_improves_fit(spark):
+    """Series driven by an exogenous covariate: ARX tracks the exog
+    forecast level; pure AR can't see the driver variable."""
+    import datetime as dt
+
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.forecast import (
+        _ar_fit_forecast,
+        _arx_fit_forecast,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 200
+    x = np.sin(np.arange(n) / 5.0) * 10
+    y = 3.0 * x + 50.0 + 0.01 * rng.randn(n)
+    fc_arx = _arx_fit_forecast(y, x.reshape(-1, 1), p=2, d=0, steps=3)
+    # exog held at last value → forecast ≈ 3*x[-1] + 50
+    assert abs(fc_arx[0] - (3.0 * x[-1] + 50.0)) < 2.0
+
+
+def test_ar_forecast_grouped_with_exog(spark):
+    import datetime as dt
+
+    rows = [
+        (
+            "s1",
+            dt.date(2021, 1, 1) + dt.timedelta(days=i),
+            float(20 + 2.0 * (i % 10)),
+            float(i % 10),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, y double, x double")
+    from energy_consumption_forecasting_spark.ml.forecast import ar_forecast_grouped
+
+    out = ar_forecast_grouped(
+        df, ["k"], "d", "y", p=3, d=0, steps=5, exog_cols=["x"]
+    ).collect()
+    assert len(out) == 5
+    assert all(abs(r["forecast"]) < 1e6 for r in out)
