@@ -1,0 +1,162 @@
+"""Approximate nearest neighbor indexes over embedding columns.
+
+Three tiers (SURVEY §7 phase 5 similarity-search requirement):
+
+1. **Brute force** (queries/similarity.py) — exact, O(Q·N), the
+   verification baseline.
+2. **IVF** (here) — KMeans coarse quantizer; each vector is assigned to
+   its nearest centroid cell, queries probe the ``nprobe`` nearest
+   cells only.  Recall/cost trades off via n_cells × nprobe.  At 100 TB
+   the cell assignment is a narrow column and the search is a
+   cell-equi-join — no full-corpus scan per query.
+3. **Random-hyperplane LSH** (queries/similarity.py::sim_lsh_hyperplane)
+   — sign-bit signatures against fixed hyperplanes; bucket collisions
+   are the candidates.  Plane literals are deterministic, so the
+   operator is exactly verifiable cross-engine.
+
+Vectorized scoring: ``topk_numpy`` runs the dot products as one numpy
+matmul per Arrow batch (mapInPandas) — the scale path when the
+per-element Catalyst fold becomes CPU-bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def build_ivf(
+    emb: DataFrame,
+    vec_col: str = "v",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """Fit the coarse quantizer and return (assigned df, kmeans model).
+
+    ``assigned`` = input plus a ``cell`` column (nearest centroid id)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "cell")
+        .drop("__features")
+    )
+    return assigned, model
+
+
+def ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query, score candidates,
+    keep per-query top-k.
+
+    The query→cell fan-out is a tiny broadcast table (Q × nprobe rows);
+    candidates come from a cell equi-join, so the scored set is
+    N · nprobe / n_cells per query instead of N."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_prenormed, norm2
+
+    centers = model.clusterCenters()
+    rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        dists = [float(np.linalg.norm(qv - c)) for c in centers]
+        for cell in np.argsort(dists)[:nprobe]:
+            rows.append((r[id_col], int(cell), qv.tolist()))
+    spark = assigned.sparkSession
+    probe = spark.createDataFrame(
+        rows, f"query_id long, cell int, qv array<double>"
+    ).withColumn("qnrm", F.sqrt(norm2(F.col("qv"))))
+
+    cand = assigned.withColumn(
+        "nrm", F.sqrt(norm2(F.col(vec_col)))
+    ).join(F.broadcast(probe), "cell")
+    scored = cand.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_prenormed(
+            F.col("qv"), F.col(vec_col), F.col("qnrm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_numpy(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized brute-force top-k: one numpy matmul per Arrow batch
+    against the broadcast query matrix, then a global per-query top-k
+    merge.  This is the CPU-efficient form of sim_topk_bruteforce —
+    identical semantics, BLAS throughput."""
+    from pyspark.sql import Window
+
+    qids = [q[0] for q in queries]
+    Q = np.asarray([q[1] for q in queries], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # (batch, n_queries)
+            out = []
+            ids = pdf[id_col].to_numpy()
+            # per-batch top-k prune before the shuffle: only k rows per
+            # query leave each batch
+            for j, qid in enumerate(qids):
+                col = S[:, j]
+                top = np.argsort(-col)[: k + 1]
+                for i in top:
+                    if ids[i] != qid:
+                        out.append(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": int(ids[i]),
+                                "cos_sim": float(col[i]),
+                            }
+                        )
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+
+    partial = emb.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -180,3 +180,116 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.2)
     )
+
+
+# --- random-hyperplane LSH (exactly verifiable) --------------------------------
+def _planes_sql() -> str:
+    """The 8 plane literals as a DuckDB list-of-lists expression."""
+    from ._lsh_planes import PLANES
+
+    rows = ",".join(
+        "[" + ",".join(repr(x) for x in row) + "]" for row in PLANES
+    )
+    return f"[{rows}]"
+
+
+def _lsh_bucket_spark(vec_col):
+    """8-char sign-bit bucket string for a double-array column."""
+    from ._lsh_planes import PLANES
+    from ..functions.vectors import dot
+
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1").otherwise(
+            "0"
+        )
+        for row in PLANES
+    ]
+    return F.concat(*bits)
+
+
+@query(
+    "sim_lsh_hyperplane",
+    oracle=f"""
+    WITH planes AS (SELECT {_planes_sql()} AS ps),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (SELECT string_agg(
+                CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                     THEN '1' ELSE '0' END, '' ORDER BY j)
+              FROM (SELECT unnest(ps) AS p,
+                           generate_subscripts(ps, 1) AS j
+                    FROM planes) t) AS bucket
+      FROM embeddings
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+)
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 fixed planes (checked-in literals) →
+    sign-bit signature → bucket equi-join candidates, scored exactly.
+
+    The classic cosine-LSH guarantee: P[bit match] = 1 − θ/π, so
+    high-cosine pairs collide with high probability while the join
+    touches only same-bucket pairs (~N²/2^bits at uniform spread)."""
+    from ..functions.vectors import cosine_prenormed, norm2, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
+    ).persist()
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_prenormed(
+        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos_sim"),
+    )
+
+
+# --- IVF (KMeans coarse quantizer) — rows-only ----------------------------------
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans(16) coarse cells, nprobe=4, top-5 per query
+    (operators/ann.py).  Rows-only: centroids are solver-dependent."""
+    from ..operators.ann import build_ivf, ivf_search
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    assigned, model = build_ivf(e, n_cells=16)
+    queries_df = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_search(assigned, queries_df, model, k=TOP_K, nprobe=4).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+# --- vectorized numpy top-k — rows-only -------------------------------------------
+@query("sim_topk_numpy")
+def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k via one numpy matmul per Arrow batch
+    (operators/ann.py::topk_numpy) — the BLAS-throughput scale variant
+    of sim_topk_bruteforce with per-batch top-k pruning before the
+    shuffle."""
+    from ..operators.ann import topk_numpy
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    return topk_numpy(e, queries, k=TOP_K)
