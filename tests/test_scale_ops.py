@@ -84,3 +84,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Calendar-partitioned layout: a month predicate must prune to the
+    matching directories (PartitionFilters), not scan the table."""
+    import io
+    import contextlib
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("month").mode("overwrite").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("month") == "1996-03")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "1996-03" in plan  # the literal reached the partition filter
+    got = pruned.count()
+    want = orders.filter(F.col("month") == "1996-03").count()
+    assert got == want > 0
