@@ -363,3 +363,68 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+# --- range join: facts into containing value intervals ------------------------------
+@query(
+    "j_range_join",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(b AS BIGINT) AS bucket_id,
+             b * 10000.0 AS lo, (b + 1) * 10000.0 - 0.01 AS hi
+      FROM range(6) t(b)
+    )
+    SELECT o_orderkey, bucket_id, o_totalprice
+    FROM orders JOIN buckets
+      ON o_totalprice BETWEEN lo AND hi
+    """,
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value BETWEEN lo AND hi) via the binned equi-join
+    operator (operators/joins_ext.py) — the plan is an equi join on the
+    bin key plus a residual bound check, never a nested loop."""
+    from ..operators.joins_ext import range_join_binned
+
+    buckets = spark.createDataFrame(
+        [(b, b * 10000.0, (b + 1) * 10000.0 - 0.01) for b in range(6)],
+        "bucket_id long, lo double, hi double",
+    )
+    orders = tbl(spark, sf_dir, "orders")
+    return range_join_binned(
+        orders, F.broadcast(buckets), "o_totalprice", "lo", "hi", bin_size=5000.0
+    ).select("o_orderkey", "bucket_id", "o_totalprice")
+
+
+# --- generic as-of join (union-merge) ------------------------------------------------
+@query(
+    "j_asof_generic",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    merged AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT p.value FROM purchases p
+              WHERE p.user_id = e.user_id AND p.ts <= e.ts
+              ORDER BY p.ts DESC LIMIT 1) AS last_purchase_value
+      FROM events e
+    )
+    SELECT event_id, user_id, last_purchase_value FROM merged
+    """,
+)
+def j_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event gets the value of the user's most recent
+    purchase at-or-before its timestamp.  Union-merge implementation —
+    one (user, time) window pass, zero joins in the physical plan
+    (operators/joins_ext.py; generalizes SURVEY J3/J4)."""
+    from ..operators.joins_ext import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(left, purchases, ["user_id"], "ts", ["value"])
+    return out.select(
+        "event_id", "user_id", F.col("value_asof").alias("last_purchase_value")
+    )

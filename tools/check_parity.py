@@ -45,6 +45,11 @@ def canon_rows(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (driver-like) instead of get_spark()",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -57,7 +62,15 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
 
-    spark = get_spark("parity-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("vanilla-parity").getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
