@@ -428,3 +428,55 @@ def j_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("value_asof").alias("last_purchase_value")
     )
+
+
+# --- argmax aggregation (max_by / arg_max) ------------------------------------------
+@query(
+    "a_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_acctbal) AS top_customer,
+           MAX(c_acctbal) AS top_acctbal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def a_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment argmax (the TPC-H Q2 min-cost-supplier pattern as a
+    single aggregate instead of a self-join).  NB: ties on the max value
+    would be engine-nondeterministic — acctbal maxima are unique here."""
+    return (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("max_by(c_name, c_acctbal)").alias("top_customer"),
+            F.max("c_acctbal").alias("top_acctbal"),
+        )
+    )
+
+
+# --- per-group exact percentile bands ------------------------------------------------
+@query(
+    "a_percentile_bands",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F9's aggregate form).
+    At 100 TB swap for approx_percentile and accept the epsilon; the
+    exact form is the verification baseline."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+    )

@@ -248,3 +248,39 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+# --- edit-distance near-dup (bounded to same-source blocks) -------------------------
+@query(
+    "text_edit_distance",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, substr(text, 1, 40) AS head FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup on 40-char prefixes, blocked by source so
+    the pair space is per-block quadratic, not corpus-quadratic (the
+    blocking key stands in for any cheap candidate filter)."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("head")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
