@@ -391,3 +391,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+# --- dedup keep-policy: per-group survivor + drop list -------------------------------
+@query(
+    "dedup_keep_policy",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+               AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rnk = 1 THEN 'keep' ELSE 'drop' END AS decision
+    FROM ranked
+    """,
+)
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step of any dedup pipeline: within each duplicate
+    group (here: source block), keep one canonical row by a
+    deterministic policy (longest text, id tiebreak), mark the rest for
+    dropping — a rank window per group, no collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.row_number().over(w) == 1, "keep").otherwise("drop").alias("decision"),
+    )

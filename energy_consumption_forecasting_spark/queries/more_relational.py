@@ -480,3 +480,34 @@ def a_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
         )
     )
+
+
+# --- set operations: intersect / except (free capabilities) ---------------------------
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS src, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f' AS src, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer key sets (capabilities beyond the
+    reference's union-only surface; SURVEY §2.5 note)."""
+    o = tbl(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_keys.intersect(o_keys).select(F.lit("both").alias("src"), "o_custkey")
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll is the
+    # multiset variant and would keep keys that appear in both sides
+    # with different multiplicities.
+    only_f = f_keys.subtract(o_keys).select(F.lit("only_f").alias("src"), "o_custkey")
+    return both.union(only_f)
