@@ -168,10 +168,13 @@ class GBTLagForecaster:
         self.model = None
 
     def _features(self, df: DataFrame, time_col: str, value_col: str) -> DataFrame:
-        w = Window.orderBy(time_col)
-        for k in self.lags:
-            df = df.withColumn(f"lag_{k}", F.lag(value_col, k).over(w))
-        return df.na.drop(subset=[f"lag_{k}" for k in self.lags])
+        # Positional lags via distributed rank + per-lag equi-joins
+        # (operators/ranking.py) — no global-order window, so feature
+        # building scales past the calendar-bounded demo series.
+        from ..operators.ranking import global_row_number, lag_by_rank
+
+        ranked, _ = global_row_number(df, [time_col], rn_col="__rn")
+        return lag_by_rank(ranked, "__rn", value_col, self.lags).drop("__rn")
 
     def fit(self, df: DataFrame, time_col: str, value_col: str) -> "GBTLagForecaster":
         from pyspark.ml.feature import VectorAssembler

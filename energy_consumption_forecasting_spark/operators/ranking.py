@@ -1,0 +1,95 @@
+"""Distributed global ordering — two-pass rank without the
+single-partition ``Window.orderBy`` scale-killer.
+
+``Window.orderBy(...)`` with no ``partitionBy`` moves the WHOLE table to
+one partition ("WindowExec: No Partition Defined") — a single-task sort
+at 100 TB.  The classic distributed alternative (this module):
+
+1. ``repartitionByRange`` on the order key — a range shuffle; every
+   partition holds a contiguous, non-overlapping key range and sorts
+   locally in parallel.
+2. per-partition ``row_number`` keyed by ``spark_partition_id()``.
+3. global offset for partition *i* = total rows in partitions < i — a
+   per-partition count (one tiny job, ≤ #partitions rows collected)
+   broadcast-joined back.
+
+The global rank is exact (``offset + local rank``) for any total order;
+ties never straddle a range boundary when the order key is made unique
+with a tiebreaker column, which every caller here does.
+
+Reference parity: the pandas ``sort_values``/``reset_index`` idiom
+(ETL.py:90,219,311) assumes one in-memory frame; this is its
+cluster-shaped equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_OFF = "__rank_off"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach an exact global 1-based ``rn_col`` ordered by ``order_cols``
+    (ascending); returns ``(ranked_df, total_rows)``.
+
+    Triggers one counting job (the two-pass trade: a #partitions-sized
+    collect instead of a whole-table single-task sort).  The ranked
+    intermediate is persisted so the count pass and the ranked output
+    share the range shuffle.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r[_PID], r["cnt"])
+        for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    total = acc
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, {_OFF} long")
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    ranked = (
+        ranged.join(off_df, _PID)
+        .withColumn(rn_col, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
+        .drop(_PID, _OFF)
+    )
+    return ranked, total
+
+
+def lag_by_rank(
+    ranked: DataFrame,
+    rn_col: str,
+    value_col: str,
+    lags: list[int],
+    prefix: str = "lag_",
+) -> DataFrame:
+    """Positional lag features from a global rank column: one broadcast-
+    friendly equi-join per lag on ``rn - k`` (no global-order window).
+    Rows missing any lag (the first ``max(lags)``) are dropped, matching
+    ``F.lag`` + ``na.drop`` semantics on a unique total order."""
+    out = ranked
+    for k in lags:
+        shifted = ranked.select(
+            (F.col(rn_col) + k).alias(rn_col),
+            F.col(value_col).alias(f"{prefix}{k}"),
+        )
+        out = out.join(shifted, rn_col, "inner")
+    return out

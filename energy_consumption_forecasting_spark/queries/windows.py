@@ -104,11 +104,16 @@ def w2_unbounded_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w3_time_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A total sort is only observable through an explicit rank column
-    (the correctness gate hashes order-insensitively)."""
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return tbl(spark, sf_dir, "orders").select(
-        "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    (the correctness gate hashes order-insensitively).  Raw fact table ⇒
+    two-pass distributed rank (operators/ranking.py), never a
+    single-partition ``Window.orderBy``."""
+    from ..operators.ranking import global_row_number
+
+    ranked, _ = global_row_number(
+        tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"],
     )
+    return ranked.select("o_orderkey", "rn")
 
 
 # --- W6: positional 85/15 train-test split (xgb.ipynb:532-533) -------------------
@@ -123,16 +128,21 @@ def w3_time_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return tbl(spark, sf_dir, "orders").select(
+    """Positional 85/15 split on a raw fact table: distributed rank +
+    a literal boundary (ceil(0.85·n) computed from the rank pass's total
+    — same double→ceil arithmetic as the oracle's CEIL(0.85*COUNT(*)))."""
+    import math
+
+    from ..operators.ranking import global_row_number
+
+    ranked, n = global_row_number(
+        tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"],
+    )
+    thr = math.ceil(0.85 * n)
+    return ranked.select(
         "o_orderkey",
-        F.when(
-            F.row_number().over(w)
-            <= F.ceil(0.85 * F.count("*").over(Window.partitionBy())),
-            "train",
-        )
-        .otherwise("test")
-        .alias("split"),
+        F.when(F.col("rn") <= thr, "train").otherwise("test").alias("split"),
     )
 
 
@@ -158,20 +168,42 @@ def w6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 contiguous blocks over time order; last 20% of each block is the
-    validation tail (reference utils.py:8-23 BlockingTimeSeriesSplit)."""
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    ranked = tbl(spark, sf_dir, "orders").select(
-        "o_orderkey", F.ntile(5).over(w).alias("fold")
+    validation tail (reference utils.py:8-23 BlockingTimeSeriesSplit).
+
+    Scale shape: ntile and the within-fold rank are BOTH derived from
+    two-pass distributed ranks (operators/ranking.py) plus literal fold
+    boundaries (standard ntile split: first n%k folds get ⌈n/k⌉ rows) —
+    no single-partition window and no 5-giant-partition window either."""
+    from ..operators.ranking import global_row_number
+
+    k = 5
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ranked, n = global_row_number(orders, ["o_orderdate", "o_orderkey"])
+    szf, big = divmod(n, k)
+    sizes = [szf + 1 if i < big else szf for i in range(k)]
+    bounds, acc = [], 0
+    for sz in sizes:
+        acc += sz
+        bounds.append(acc)  # inclusive upper rank bound of fold i+1
+    fold_case = F.when(F.col("rn") <= bounds[0], 1)
+    for i in range(1, k):
+        fold_case = fold_case.when(F.col("rn") <= bounds[i], i + 1)
+    folded = ranked.select("o_orderkey", fold_case.alias("fold"))
+    # within-fold rank ordered by o_orderkey: a second distributed rank
+    # over (fold, o_orderkey); fold start offsets are the same literals.
+    ranked2, _ = global_row_number(
+        folded, ["fold", "o_orderkey"], rn_col="rn2"
     )
-    wf = Window.partitionBy("fold").orderBy("o_orderkey")
-    return ranked.select(
+    start_case = F.when(F.col("fold") == 1, 0)
+    size_case = F.when(F.col("fold") == 1, sizes[0])
+    for i in range(1, k):
+        start_case = start_case.when(F.col("fold") == i + 1, bounds[i - 1])
+        size_case = size_case.when(F.col("fold") == i + 1, sizes[i])
+    rank_in_fold = F.col("rn2") - start_case
+    return ranked2.select(
         "o_orderkey",
         F.col("fold").cast("int").alias("fold"),
-        F.when(
-            F.row_number().over(wf)
-            > 0.8 * F.count("*").over(Window.partitionBy("fold")),
-            "val",
-        )
+        F.when(rank_in_fold > 0.8 * size_case, "val")
         .otherwise("train")
         .alias("role"),
     )

@@ -108,3 +108,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = pruned.count()
     want = orders.filter(F.col("month") == "1996-03").count()
     assert got == want > 0
+
+
+def test_dedup_cosine_lsh_subset_and_plan(spark):
+    """The banded-LSH near-dup result is a subset of the exact all-pairs
+    result (same cosine values on shared pairs), and its physical plan
+    contains no cartesian/BNL join — the r1 scale-killer it replaced."""
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        dedup_cosine_allpairs,
+        dedup_embedding_cosine,
+    )
+
+    lsh_df = dedup_embedding_cosine(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lsh_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    lsh = {(r.vec_a, r.vec_b): r.cos_sim for r in lsh_df.collect()}
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_cosine_allpairs(spark, SF_SMALL).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # identical fold-dot cosine, bit-exact
+    # banding recall: strong pairs (cos >= 0.6) should mostly collide
+    strong = {k for k, v in exact.items() if v >= 0.6}
+    if strong:
+        got = len(strong & set(lsh)) / len(strong)
+        assert got >= 0.5, f"recall on strong pairs too low: {got:.2f}"

@@ -20,6 +20,9 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
+STRICT = False
+
+
 def canon_cell(v):
     if v is None:
         return "∅"
@@ -28,7 +31,9 @@ def canon_cell(v):
             return "NaN"
         if v == 0:
             return "0"
-        return f"{v:.9g}"
+        # strict: shortest round-trip repr — distinct doubles stay distinct,
+        # mimicking the driver's exact value hash.
+        return repr(v) if STRICT else f"{v:.9g}"
     # decimals, dates, ints, strings → str
     return str(v)
 
@@ -50,8 +55,15 @@ def main() -> int:
         action="store_true",
         help="use a bare SparkSession (driver-like) instead of get_spark()",
     )
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="compare floats bit-exactly (full repr) like the driver hash",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    global STRICT
+    STRICT = args.strict
 
     import duckdb
 
