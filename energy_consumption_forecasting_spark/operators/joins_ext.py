@@ -35,17 +35,26 @@ def range_join_binned(
     Intervals spanning multiple bins are exploded to one row per
     covered bin (bounded by interval width / bin_size)."""
     f = facts.withColumn("__bin", F.floor(F.col(value_col) / bin_size).cast("long"))
-    iv = intervals.withColumn(
-        "__bins",
-        F.sequence(
-            F.floor(F.col(lo_col) / bin_size).cast("long"),
-            F.floor(F.col(hi_col) / bin_size).cast("long"),
-        ),
-    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
-    joined = f.join(iv, "__bin", how).filter(
-        F.col(value_col).between(F.col(lo_col), F.col(hi_col))
+    iv = (
+        intervals.withColumn(
+            "__bins",
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_size).cast("long"),
+                F.floor(F.col(hi_col) / bin_size).cast("long"),
+            ),
+        )
+        .withColumn("__ibin", F.explode("__bins"))
+        .drop("__bins")
     )
-    return joined.drop("__bin")
+    # The exact bounds check lives IN the join condition (not a
+    # post-filter): under how='left' a post-filter would silently drop
+    # unmatched left rows (whose lo/hi are NULL), turning left into
+    # inner.  The bin equality still gives the planner its equi key.
+    cond = (F.col("__bin") == F.col("__ibin")) & F.col(value_col).between(
+        F.col(lo_col), F.col(hi_col)
+    )
+    joined = f.join(iv, cond, how)
+    return joined.drop("__bin", "__ibin")
 
 
 def asof_join(
@@ -62,8 +71,15 @@ def asof_join(
     One shuffle on (key, time); right rows ride the same window as
     left rows, so there is no join at all in the physical plan."""
     lt = left.withColumn("__side", F.lit(1))
+    # All right values ride in ONE struct that is non-null whenever a
+    # right ROW exists — so the window's ignorenulls keys on row
+    # presence, not value non-nullness: a right row whose value is NULL
+    # yields NULL (as-of semantics = "the latest row's value"), instead
+    # of skipping back to an older non-null value.
     rt = right.select(
-        *key_cols, time_col, *[F.col(c).alias(f"__r_{c}") for c in value_cols]
+        *key_cols,
+        time_col,
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_row"),
     ).withColumn("__side", F.lit(0))
     merged = lt.unionByName(rt, allowMissingColumns=True)
     # Right rows sort before left rows at the same timestamp (__side
@@ -73,10 +89,9 @@ def asof_join(
         .orderBy(time_col, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in value_cols:
-        merged = merged.withColumn(
-            c + suffix, F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
-    return merged.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__r_{c}" for c in value_cols]
+    merged = merged.withColumn(
+        "__r_last", F.last("__r_row", ignorenulls=True).over(w)
     )
+    for c in value_cols:
+        merged = merged.withColumn(c + suffix, F.col(f"__r_last.{c}"))
+    return merged.filter(F.col("__side") == 1).drop("__side", "__r_row", "__r_last")

@@ -61,6 +61,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             relational,
             reshape,
             similarity,
+            sources_gate,
             text,
             timeseries,
             windows,

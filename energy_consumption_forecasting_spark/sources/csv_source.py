@@ -36,19 +36,26 @@ def read_csv(
         reader = reader.option("timestampFormat", timestamp_format)
     if skip_rows == 0:
         return reader.csv(path)
-    # header=N emulation: read as text, drop the first N lines per file,
-    # re-parse with from_csv.  Files are processed independently, so the
-    # drop is per-file correct under globs.
+    # header=N emulation: read as text, drop the first N lines of EACH
+    # file (window partitioned by input_file_name — a glob of per-year
+    # files each carries its own preamble), re-parse with from_csv.
+    # monotonically_increasing_id orders by (partition, offset), and
+    # text-file partitions follow block order within a file, so the
+    # per-file rank is the line number.  Parallelism = one task per
+    # file for this pass — matched to the many-small-files shape the
+    # preamble-skip exists for.
     text = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("__rid"), "value"
+        F.input_file_name().alias("__file"),
+        F.monotonically_increasing_id().alias("__rid"),
+        "value",
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("__rid")
+    w = Window.partitionBy("__file").orderBy("__rid")
     body = (
         text.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") > skip_rows + (1 if header else 0))
-        .drop("__rid", "__rn")
+        .drop("__file", "__rid", "__rn")
     )
     ddl = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     return body.select(

@@ -191,3 +191,23 @@ def test_stateful_user_stats_matches_batch(spark):
     )
     want = {r["user_id"]: (r["n"], r["tot"]) for r in batch.collect()}
     assert got == want
+
+
+def test_csv_skip_rows_per_file(spark, tmp_path):
+    """Each globbed file drops ITS OWN preamble (r1 bug: a single global
+    drop kept every later file's preamble as garbage data rows)."""
+    from pyspark.sql import types as T
+
+    from energy_consumption_forecasting_spark.sources.csv_source import read_csv
+
+    for i in (1, 2, 3):
+        (tmp_path / f"f{i}.csv").write_text(
+            f"# preamble A file {i}\n# preamble B\nk,v\na{i},1\nb{i},2\n"
+        )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    df = read_csv(spark, str(tmp_path / "*.csv"), schema, header=True, skip_rows=2)
+    rows = {(r.k, r.v) for r in df.collect()}
+    assert rows == {(f"{p}{i}", n) for i in (1, 2, 3) for p, n in (("a", 1), ("b", 2))}
+    assert df.count() == 6  # no preamble garbage, no nulls
