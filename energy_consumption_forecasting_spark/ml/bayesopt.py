@@ -72,23 +72,35 @@ def bayes_opt(
     """Minimize ``objective`` over box ``bounds`` with GP + LCB.
 
     Mirrors the reference loop: random init, fit surrogate, score a
-    random candidate pool with mu − κ·σ, evaluate the argmin, reject
-    evaluations worse than ``outlier_factor`` × the running max
-    (optimization.py:112-151)."""
+    random candidate pool with mu − κ·σ, evaluate the argmin.  A NEW
+    evaluation exceeding ``outlier_factor`` × the max of the
+    already-accepted objectives is forsaken — recorded in history but
+    kept out of the surrogate's X/y (optimization.py:131's 'forsake
+    this run' branch; the r1 filter compared a point against a max that
+    included itself, which kept everything)."""
     rng = np.random.RandomState(seed)
     dim = len(bounds)
     lo = np.array([b[0] for b in bounds])
     hi = np.array([b[1] for b in bounds])
 
-    X = lo + rng.rand(n_init, dim) * (hi - lo)
-    y = [float(objective(x)) for x in X]
-    X = list(map(np.asarray, X))
+    X: list[np.ndarray] = []
+    y: list[float] = []
+    history: list[tuple[list[float], float, bool]] = []
+
+    def consider(x: np.ndarray) -> None:
+        v = float(objective(x))
+        accepted = not y or v <= outlier_factor * max(y)
+        history.append((list(map(float, x)), v, accepted))
+        if accepted:
+            X.append(np.asarray(x))
+            y.append(v)
+
+    for x in lo + rng.rand(n_init, dim) * (hi - lo):
+        consider(x)
 
     for _ in range(n_iter):
-        ymax = max(y)
-        keep = [i for i, v in enumerate(y) if v <= outlier_factor * ymax]
-        Xf = np.array([X[i] for i in keep])
-        yf = np.array([y[i] for i in keep])
+        Xf = np.array(X)
+        yf = np.array(y)
         if _HAS_SKLEARN:
             gp = GaussianProcessRegressor(alpha=1e-3, normalize_y=True)
             gp.fit(Xf, yf)
@@ -98,13 +110,12 @@ def bayes_opt(
             gp = _NumpyGP(alpha=1e-3).fit(Xf, yf)
             cand = lo + rng.rand(n_candidates, dim) * (hi - lo)
             mu, std = gp.predict(cand)
-        x_next = cand[int(np.argmin(mu - KAPPA * std))]
-        X.append(x_next)
-        y.append(float(objective(x_next)))
+        consider(cand[int(np.argmin(mu - KAPPA * std))])
 
     best = int(np.argmin(y))
     return {
         "best_x": np.asarray(X[best]),
         "best_y": y[best],
-        "history": list(zip([list(map(float, x)) for x in X], y)),
+        "history": [(x, v) for x, v, _ in history],
+        "accepted": [a for _, _, a in history],
     }

@@ -102,6 +102,119 @@ def _arx_fit_forecast(
     return fc
 
 
+def _hannan_rissanen(
+    z: np.ndarray,
+    X: np.ndarray | None,
+    p: int,
+    q: int,
+    n_iter: int = 2,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """ARMA(p,q)+exog coefficients by the (iterated) Hannan–Rissanen
+    two-stage regression — the published library-free route to MA terms:
+
+    1. long-AR(m) OLS → provisional innovations ê;
+    2. OLS of z_t on [1, z_{t-1..t-p}, ê_{t-1..t-q}, X_t];
+    3. re-derive innovations from the fitted ARMA recursion
+       (presample ê = 0, the conditional-sum-of-squares convention) and
+       refit — ``n_iter`` refinement rounds.
+
+    Returns ``(c, phi, theta, beta, resid)`` with ``resid`` aligned to
+    ``z`` (presample entries zero).  Caller guarantees
+    ``len(z) > m + q + p + (X cols) + 2``."""
+    n = len(z)
+    k = 0 if X is None else X.shape[1]
+    m = min(max(p, q) + 5, max(n // 3, max(p, q) + 1))
+    # stage 1: long AR for provisional innovations
+    lag1 = np.column_stack([z[m - j - 1 : n - j - 1] for j in range(m)])
+    d1 = np.column_stack([np.ones(n - m), lag1])
+    a, *_ = np.linalg.lstsq(d1, z[m:], rcond=None)
+    resid = np.zeros(n)
+    resid[m:] = z[m:] - d1 @ a
+
+    c = 0.0
+    phi = np.zeros(p)
+    theta = np.zeros(q)
+    beta = np.zeros(k)
+    start = max(p, q, m)
+    for _ in range(max(1, n_iter)):
+        rows = range(start, n)
+        zl = np.column_stack(
+            [[z[t - j - 1] for t in rows] for j in range(p)]
+        ) if p else np.empty((n - start, 0))
+        el = np.column_stack(
+            [[resid[t - j - 1] for t in rows] for j in range(q)]
+        ) if q else np.empty((n - start, 0))
+        parts = [np.ones(n - start), zl, el]
+        if k:
+            parts.append(X[start:])
+        design = np.column_stack(parts)
+        coef, *_ = np.linalg.lstsq(design, z[start:], rcond=None)
+        c = float(coef[0])
+        phi = coef[1 : 1 + p]
+        theta = coef[1 + p : 1 + p + q]
+        beta = coef[1 + p + q :]
+        # CSS innovation pass under the fitted recursion (presample 0)
+        resid = np.zeros(n)
+        for t in range(max(p, q), n):
+            pred = c
+            if p:
+                pred += float(np.dot(phi, z[t - p : t][::-1]))
+            if q:
+                pred += float(np.dot(theta, resid[t - q : t][::-1]))
+            if k:
+                pred += float(np.dot(beta, X[t]))
+            resid[t] = z[t] - pred
+    return c, phi, theta, beta, resid
+
+
+def _arma_fit_forecast(
+    y: np.ndarray,
+    X: np.ndarray | None,
+    p: int,
+    d: int,
+    q: int,
+    steps: int,
+) -> np.ndarray:
+    """Full ARIMA(p,d,q)+exog forecast, library-free (closes the r1 M9
+    gap: the reference's best model is order (3,1,4)+exog,
+    ARIMA_params.json:1 / evaluation.ipynb:187-191, and q was silently
+    unavailable without statsmodels).  Future innovations are 0 (their
+    conditional mean); future exog held at the last observed row."""
+    y = np.asarray(y, dtype=np.float64)
+    if q == 0:
+        return _arx_fit_forecast(y, X, p, d, steps)
+    tails = []
+    z = y
+    Xz = X
+    for _ in range(d):
+        tails.append(z[-1])
+        z = np.diff(z)
+        if Xz is not None:
+            Xz = Xz[1:]
+    k = 0 if Xz is None else Xz.shape[1]
+    m = max(p, q) + 5
+    if len(z) <= m + p + q + k + 2:
+        return np.repeat(y[-1], steps)
+    c, phi, theta, beta, resid = _hannan_rissanen(z, Xz, p, q)
+    hist = list(z)
+    errs = list(resid)
+    x_future = Xz[-1] if k else None
+    out = []
+    for _ in range(steps):
+        pred = c + float(np.dot(phi, [hist[-j - 1] for j in range(p)]))
+        if q:
+            pred += float(np.dot(theta, [errs[-j - 1] for j in range(q)]))
+        if k:
+            pred += float(np.dot(beta, x_future))
+        out.append(pred)
+        hist.append(pred)
+        errs.append(0.0)  # E[future innovation] = 0
+    fc = np.array(out)
+    for tail in reversed(tails):
+        fc = tail + np.cumsum(fc)
+    return fc
+
+
 def ar_forecast_grouped(
     df: DataFrame,
     key_cols: list[str],
@@ -111,13 +224,17 @@ def ar_forecast_grouped(
     d: int = 1,
     steps: int = 14,
     exog_cols: list[str] | None = None,
+    q: int = 0,
 ) -> DataFrame:
     """Per-series ARIMA(X)-style forecast as an Arrow grouped map.
 
     One series per group key; each executor fits its groups
     independently — the scale unit is #series, not series length.
-    ``exog_cols`` adds exogenous regressors (reference: ARIMA + exog,
-    evaluation.ipynb:187-191)."""
+    ``exog_cols`` adds exogenous regressors and ``q`` moving-average
+    terms (Hannan–Rissanen, ``_arma_fit_forecast``) — the reference's
+    full order (3,1,4)+exog (evaluation.ipynb:187-191) fits without
+    statsmodels; with statsmodels installed the same slot runs the
+    exact reference model."""
     out_fields = [df.schema[k] for k in key_cols]
     schema = T.StructType(
         list(out_fields)
@@ -134,9 +251,9 @@ def ar_forecast_grouped(
         X = (
             pdf[exog_cols].to_numpy(dtype=np.float64) if exog_cols else None
         )
-        if _HAS_STATSMODELS and len(y) > (p + d + 5):
+        if _HAS_STATSMODELS and len(y) > (p + q + d + 5):
             fc = (
-                ARIMA(y, exog=X, order=(p, d, 0))
+                ARIMA(y, exog=X, order=(p, d, q))
                 .fit(method="statespace")
                 .forecast(
                     steps=steps,
@@ -144,7 +261,7 @@ def ar_forecast_grouped(
                 )
             )
         else:
-            fc = _arx_fit_forecast(y, X, p, d, steps)
+            fc = _arma_fit_forecast(y, X, p, d, q, steps)
         head = {k: pdf[k].iloc[0] for k in key_cols}
         return pd.DataFrame(
             [{**head, "step": i + 1, "forecast": float(v)} for i, v in enumerate(fc)]
@@ -161,10 +278,24 @@ class GBTLagForecaster:
     the driver over a `steps`-length loop feeding predictions back as
     lags (bounded, per SURVEY §7 risk 6)."""
 
-    def __init__(self, lags: list[int], max_iter: int = 20, seed: int = 42):
+    def __init__(
+        self,
+        lags: list[int],
+        max_iter: int = 20,
+        seed: int = 42,
+        max_depth: int = 5,
+        fit_partitions: int | None = None,
+    ):
         self.lags = lags
         self.max_iter = max_iter
         self.seed = seed
+        self.max_depth = max_depth
+        # Every boosting iteration launches jobs over the feature
+        # partitioning; when the caller knows the series is small
+        # (aggregated calendar data), coalescing away the session's
+        # shuffle-partition count (200 in a default session) removes
+        # ~200 near-empty tasks per iteration.
+        self.fit_partitions = fit_partitions
         self.model = None
 
     def _features(self, df: DataFrame, time_col: str, value_col: str) -> DataFrame:
@@ -185,10 +316,13 @@ class GBTLagForecaster:
         assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(
             feats
         )
+        if self.fit_partitions:
+            assembled = assembled.coalesce(self.fit_partitions)
         gbt = GBTRegressor(
             labelCol=value_col,
             featuresCol="features",
             maxIter=self.max_iter,
+            maxDepth=self.max_depth,
             seed=self.seed,
         )
         self.model = gbt.fit(assembled)
@@ -202,20 +336,17 @@ class GBTLagForecaster:
         return self
 
     def forecast(self, spark, steps: int) -> list[float]:
-        """Recursive multi-step: each step scores one row (driver loop is
-        over steps, never over data)."""
+        """Recursive multi-step via ``model.predict`` — a driver-local
+        JVM call per step (the r1 version launched a one-row Spark job
+        per step; the loop is over steps, never over data, and now over
+        no cluster work at all)."""
         from pyspark.ml.linalg import Vectors
 
         hist = list(self._history)
         out: list[float] = []
-        rows = []
         for _ in range(steps):
-            vec = Vectors.dense([hist[-k] for k in self.lags])
-            rows.append((vec,))
             pred = float(
-                self.model.transform(
-                    spark.createDataFrame([(vec,)], ["features"])
-                ).first()["prediction"]
+                self.model.predict(Vectors.dense([hist[-k] for k in self.lags]))
             )
             out.append(pred)
             hist.append(pred)

@@ -312,6 +312,35 @@ def m9_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("m9_arima_full")
+def m9_arima_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ARIMA(3,1,4)+exog — the reference's best single model order
+    (ARIMA_params.json:1, evaluation.ipynb:187-191) — fit per series via
+    Hannan–Rissanen CSS (ml/forecast.py::_arma_fit_forecast), 14-step.
+    Rows-only: iterative least-squares coefficients are solver-shaped."""
+    from ..ml.forecast import ar_forecast_grouped
+
+    daily = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.avg(F.col("l_discount").cast("double")).alias("avg_disc"),
+        )
+    )
+    return ar_forecast_grouped(
+        daily,
+        ["l_returnflag"],
+        "d",
+        "qty",
+        p=3,
+        d=1,
+        q=4,
+        steps=14,
+        exog_cols=["avg_disc"],
+    )
+
+
 @query("m10_gbt_forecast")
 def m10_gbt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive lag-feature GBT forecast, 7 steps ahead (M10)."""
@@ -320,7 +349,7 @@ def m10_gbt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir).select(
         "d", F.col("demand").cast("double").alias("demand")
     )
-    fc = GBTLagForecaster(lags=[1, 2, 3, 7], max_iter=10).fit(daily, "d", "demand")
+    fc = GBTLagForecaster(lags=[1, 2, 3, 7], max_iter=10, fit_partitions=8).fit(daily, "d", "demand")
     preds = fc.forecast(spark, steps=7)
     return spark.createDataFrame(
         [(i + 1, float(v)) for i, v in enumerate(preds)], "step int, forecast double"
@@ -412,6 +441,67 @@ def m13_bayesopt_ar_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     daily.unpersist()
     return spark.createDataFrame(rows, "p int, cv_mae double")
+
+
+@query("m13_bayesopt_gbt")
+def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 on the REAL objective (r1 gap): GP+LCB over the recursive
+    GBT forecaster's hyperparameters (lag count × tree depth), each
+    evaluation a blocked time-split CV MAE computed by Spark-fitted
+    models — the reference's loop shape (optimization.py:112-151: BO
+    over XGB hyperparams × lags, surrogate on the driver, objective on
+    the engine), with M10's GBTLagForecaster standing in for XGB.
+    Rows-only: GBT fits are solver-shaped.  The history table shows the
+    GP exploring the (n_lags, max_depth) grid + the forsake flag."""
+    from ..ml.bayesopt import bayes_opt
+    from ..ml.forecast import GBTLagForecaster
+
+    daily = (
+        _daily(spark, sf_dir)
+        .select("d", F.col("demand").cast("double").alias("demand"))
+        .persist()
+    )
+    # calendar-bounded aggregated series: the actuals table is small by
+    # construction, so driver-side validation slicing is fine.
+    series = {r["d"]: r["demand"] for r in daily.collect()}
+    days = sorted(series)
+    horizon = 14
+    cutoffs = [days[int(len(days) * f)] for f in (0.7, 0.85)]
+
+    def objective(x) -> float:
+        n_lags, depth = int(round(float(x[0]))), int(round(float(x[1])))
+        lags = list(range(1, n_lags + 1))
+        maes = []
+        for cut in cutoffs:
+            # rolling-origin window: a bounded lookback (not all history)
+            # is both the standard CV shape and what keeps each fit cheap
+            train = daily.filter(
+                (F.col("d") <= F.lit(cut))
+                & (F.col("d") > F.date_sub(F.lit(cut), 600))
+            )
+            fc = (
+                GBTLagForecaster(
+                    lags, max_iter=5, max_depth=depth, fit_partitions=8
+                )
+                .fit(train, "d", "demand")
+                .forecast(spark, horizon)
+            )
+            idx = days.index(cut)
+            actual = [series[d] for d in days[idx + 1 : idx + 1 + horizon]]
+            maes.append(
+                sum(abs(p - a) for p, a in zip(fc, actual)) / len(actual)
+            )
+        return sum(maes) / len(maes)
+
+    res = bayes_opt(objective, bounds=[(1.0, 8.0), (2.0, 6.0)], n_init=2, n_iter=2)
+    rows = [
+        (int(round(x[0])), int(round(x[1])), float(v), bool(a))
+        for (x, v), a in zip(res["history"], res["accepted"])
+    ]
+    daily.unpersist()
+    return spark.createDataFrame(
+        rows, "n_lags int, max_depth int, cv_mae double, accepted boolean"
+    )
 
 
 @query("m4_factor_analysis")

@@ -123,3 +123,79 @@ def test_sequence_dataset_shapes(spark, ts_df):
     assert y.shape == (95,)
     # window content: first window = rows 0..4 of feature y
     assert X[0, :, 0] == pytest.approx([100 + (i % 7) * 5 + i * 0.3 for i in range(5)])
+
+
+# --- M9 full ARMA (Hannan-Rissanen MA terms) --------------------------------
+
+
+def test_hannan_rissanen_recovers_arma11():
+    """Parameter recovery on a long synthetic ARMA(1,1): phi=0.6,
+    theta=0.4 — the two-stage + CSS refinement must land near truth."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.forecast import _hannan_rissanen
+
+    rng = np.random.RandomState(7)
+    n, phi, theta = 4000, 0.6, 0.4
+    e = rng.randn(n + 100)
+    z = np.zeros(n + 100)
+    for t in range(1, n + 100):
+        z[t] = phi * z[t - 1] + e[t] + theta * e[t - 1]
+    z = z[100:]
+    c, phi_hat, theta_hat, beta, resid = _hannan_rissanen(z, None, 1, 1)
+    assert abs(phi_hat[0] - phi) < 0.1, phi_hat
+    assert abs(theta_hat[0] - theta) < 0.1, theta_hat
+    assert abs(c) < 0.1
+    assert beta.size == 0
+
+
+def test_arma_forecast_ma1_hand_case():
+    """Hand-checkable MA-effect case: for an MA(1)-ish fit, the 1-step
+    forecast uses the last innovation, and steps >=2 revert toward the
+    mean (future innovations are zero)."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.forecast import _arma_fit_forecast
+
+    rng = np.random.RandomState(3)
+    e = rng.randn(2000)
+    z = e[1:] + 0.7 * e[:-1]  # pure MA(1), mean 0
+    fc = _arma_fit_forecast(z, None, 0, 0, 1, steps=5)
+    assert fc.shape == (5,)
+    # beyond the MA memory the forecast collapses to the constant
+    assert abs(fc[1] - fc[4]) < 1e-9
+    assert abs(fc[1]) < 0.2  # ~ the series mean
+    # 1-step forecast differs from the unconditional mean via theta*e_T
+    assert abs(fc[0] - fc[1]) > 1e-3
+
+
+def test_arma_exog_beta_recovery():
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.forecast import _hannan_rissanen
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    x = rng.randn(n, 1)
+    e = rng.randn(n)
+    z = np.zeros(n)
+    for t in range(1, n):
+        z[t] = 0.5 * z[t - 1] + 2.0 * x[t, 0] + e[t]
+    c, phi, theta, beta, _ = _hannan_rissanen(z, x, 1, 0)
+    assert abs(phi[0] - 0.5) < 0.1
+    assert abs(beta[0] - 2.0) < 0.1
+
+
+def test_arima_d1_inversion_level():
+    """With d=1 the forecast must continue the LEVEL of the series, not
+    the differenced scale: forecasting a near-linear trend stays near
+    the extrapolated line."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.forecast import _arma_fit_forecast
+
+    t = np.arange(300, dtype=float)
+    y = 10.0 + 2.0 * t  # exact line: diffs are constant 2
+    fc = _arma_fit_forecast(y, None, 1, 1, 1, steps=3)
+    expect = 10.0 + 2.0 * np.arange(300, 303)
+    assert np.allclose(fc, expect, atol=1.0), (fc, expect)
