@@ -98,12 +98,69 @@ def decompose_grouped(
     return df.groupBy(*key_cols).applyInPandas(decomp, schema=schema)
 
 
+# --- db4 filter bank (published Daubechies-4 constants; 8 taps) ------------
+# rec_lo = the standard db4 scaling coefficients; the analysis pair is
+# dec_lo = reverse(rec_lo), dec_hi = reverse(qmf(rec_lo)) — the pywt
+# filter-bank relations, so the in-container transform matches
+# ``pywt.dwt(y, 'db4', mode='periodization')`` (K:1334-1337) without the
+# library.  Verified in tests by the algebra the filters must satisfy:
+# perfect reconstruction, orthonormal energy preservation, Σlo = √2,
+# and 4 vanishing moments (cubics annihilate away from the wrap).
+_DB4_REC_LO = np.array(
+    [
+        0.23037781330885523,
+        0.7148465705525415,
+        0.6308807679295904,
+        -0.02798376941698385,
+        -0.18703481171888114,
+        0.030841381835986965,
+        0.032883011666982945,
+        -0.010597401784997278,
+    ]
+)
+_DB4_DEC_LO = _DB4_REC_LO[::-1].copy()
+# qmf(g)[k] = (-1)^k · g[L-1-k]; dec_hi = reverse(rec_hi)
+_DB4_REC_HI = np.array(
+    [(-1.0) ** k * _DB4_REC_LO[len(_DB4_REC_LO) - 1 - k] for k in range(8)]
+)
+_DB4_DEC_HI = _DB4_REC_HI[::-1].copy()
+
+
+def db4_dwt(y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Single-level db4 DWT, periodization mode: circular correlation
+    ``c[i] = Σ_k f[k] · y[(2i+1-k) mod n]``, downsampled by 2.  Odd
+    lengths repeat the last sample first (pywt 'per' behavior).
+    Output length ⌈n/2⌉ per band."""
+    y = np.asarray(y, dtype=np.float64)
+    if len(y) % 2:
+        y = np.append(y, y[-1])
+    n = len(y)
+    L = len(_DB4_DEC_LO)
+    idx = (2 * np.arange(n // 2)[:, None] + 1 - np.arange(L)[None, :]) % n
+    windows = y[idx]  # (n/2, 8) gather — vectorized, no Python loop
+    return windows @ _DB4_DEC_LO, windows @ _DB4_DEC_HI
+
+
+def db4_idwt(ca: np.ndarray, cd: np.ndarray) -> np.ndarray:
+    """Inverse of ``db4_dwt`` (adjoint of the orthonormal analysis
+    operator): scatter each coefficient back through its filter taps."""
+    m = len(ca)
+    n = 2 * m
+    L = len(_DB4_DEC_LO)
+    out = np.zeros(n)
+    idx = (2 * np.arange(m)[:, None] + 1 - np.arange(L)[None, :]) % n
+    np.add.at(out, idx, ca[:, None] * _DB4_DEC_LO[None, :])
+    np.add.at(out, idx, cd[:, None] * _DB4_DEC_HI[None, :])
+    return out
+
+
 def haar_dwt_grouped(
     df: DataFrame, key_cols: list[str], time_col: str, value_col: str
 ) -> DataFrame:
     """Single-level DWT per series: pywt db4 (periodization) when
-    available, else the Haar transform (averages/differences over pairs
-    scaled by √2) — SURVEY M8's coefficient-extraction capability."""
+    available for exact library parity, else the numpy db4 filter bank
+    above (r1 shipped a Haar stand-in; the reference uses db4) —
+    SURVEY M8's coefficient-extraction capability."""
     schema = T.StructType(
         [df.schema[k] for k in key_cols]
         + [
@@ -118,10 +175,7 @@ def haar_dwt_grouped(
         if _HAS_PYWT:
             ca, cd = pywt.dwt(y, "db4", mode="periodization")
         else:
-            if len(y) % 2:
-                y = np.append(y, y[-1])
-            ca = (y[0::2] + y[1::2]) / np.sqrt(2.0)
-            cd = (y[0::2] - y[1::2]) / np.sqrt(2.0)
+            ca, cd = db4_dwt(y)
         head = {k: pdf[k].iloc[0] for k in key_cols}
         return pd.DataFrame([{**head, "approx": ca.tolist(), "detail": cd.tolist()}])
 

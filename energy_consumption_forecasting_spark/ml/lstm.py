@@ -67,12 +67,53 @@ def sequence_dataset(
 def to_numpy_dataset(
     seq_df: DataFrame, n_features: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow-batched export to (n, seq_len, n_features) X and (n,) y."""
-    pdf = seq_df.select("x", "y").toPandas()
-    X = np.stack(pdf["x"].to_numpy()).astype(np.float32)
-    X = X.reshape(len(pdf), -1, n_features)
-    y = pdf["y"].to_numpy(dtype=np.float32)
+    """Batched export to (n, seq_len, n_features) X and (n,) y.
+
+    Scale-clean shape (r1 used a whole-table ``toPandas``): each worker
+    packs its Arrow batches into contiguous float32 buffers via
+    ``mapInPandas`` — the per-sequence double-list rows never exist on
+    the driver, which concatenates ~#batches compact byte blobs (4
+    bytes/element, no pandas object overhead).  A single-node trainer
+    ultimately holds (X, y) in RAM by definition; when even that is too
+    big, ``export_sequences`` writes sharded parquet for per-worker
+    streaming (TorchDistributor / mapInPandas inference, SURVEY M11)."""
+    import pandas as pd
+
+    def pack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["x"].to_numpy()).astype(np.float32)
+            y = pdf["y"].to_numpy(dtype=np.float32)
+            yield pd.DataFrame(
+                {"n": [len(pdf)], "xb": [X.tobytes()], "yb": [y.tobytes()]}
+            )
+
+    rows = (
+        seq_df.select("x", "y")
+        .mapInPandas(pack, "n long, xb binary, yb binary")
+        .collect()
+    )
+    if not rows:
+        return np.empty((0, 0, n_features), np.float32), np.empty(0, np.float32)
+    X = np.concatenate(
+        [
+            np.frombuffer(r["xb"], np.float32).reshape(r["n"], -1, n_features)
+            for r in rows
+        ]
+    )
+    y = np.concatenate([np.frombuffer(r["yb"], np.float32) for r in rows])
     return X, y
+
+
+def export_sequences(seq_df: DataFrame, path: str, shards: int | None = None) -> None:
+    """Write the sequence dataset as sharded parquet — the cluster-scale
+    handoff: each executor writes its shards, a distributed trainer
+    (TorchDistributor) streams them per worker; no driver bottleneck."""
+    out = seq_df.select("x", "y")
+    if shards:
+        out = out.repartition(shards)
+    out.write.mode("overwrite").parquet(path)
 
 
 def lstm_train(X: np.ndarray, y: np.ndarray, params: dict | None = None):

@@ -199,3 +199,79 @@ def test_arima_d1_inversion_level():
     fc = _arma_fit_forecast(y, None, 1, 1, 1, steps=3)
     expect = 10.0 + 2.0 * np.arange(300, 303)
     assert np.allclose(fc, expect, atol=1.0), (fc, expect)
+
+
+# --- M8 db4 wavelet filter bank ---------------------------------------------
+
+
+def test_db4_perfect_reconstruction_and_energy():
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.decomposition import (
+        db4_dwt,
+        db4_idwt,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(64)
+    ca, cd = db4_dwt(x)
+    assert ca.shape == cd.shape == (32,)
+    assert np.allclose(db4_idwt(ca, cd), x, atol=1e-10)  # orthonormal PR
+    assert np.isclose(
+        np.sum(ca**2) + np.sum(cd**2), np.sum(x**2), rtol=1e-12
+    )  # Parseval
+
+
+def test_db4_constant_and_vanishing_moments():
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.decomposition import db4_dwt
+
+    # constant signal: details vanish, approx = sqrt(2)*c
+    ca, cd = db4_dwt(np.full(32, 3.0))
+    assert np.allclose(cd, 0.0, atol=1e-12)
+    assert np.allclose(ca, 3.0 * np.sqrt(2.0), atol=1e-12)
+    # db4 has 4 vanishing moments: cubics annihilate where the periodic
+    # window doesn't wrap (rows i>=4 have support [2i-6, 2i+1] in-range)
+    t = np.arange(64, dtype=float)
+    x = 0.5 * t**3 - 2.0 * t**2 + t - 7.0
+    _, cd = db4_dwt(x)
+    scale = np.max(np.abs(x))
+    assert np.all(np.abs(cd[4:31]) < 1e-9 * scale), cd[4:31]
+    # the wrap rows DO see the discontinuity (sanity that the test bites)
+    assert np.max(np.abs(cd[:3])) > 1e-3 * scale
+
+
+def test_db4_odd_length_and_filter_identities():
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.decomposition import (
+        _DB4_DEC_HI,
+        _DB4_DEC_LO,
+        db4_dwt,
+    )
+
+    assert np.isclose(_DB4_DEC_LO.sum(), np.sqrt(2.0), atol=1e-12)
+    assert np.isclose(_DB4_DEC_HI.sum(), 0.0, atol=1e-12)
+    assert np.isclose((_DB4_DEC_LO**2).sum(), 1.0, atol=1e-12)
+    # double-shift orthogonality of the analysis pair
+    for s in (1, 2, 3):
+        assert np.isclose(
+            np.dot(_DB4_DEC_LO[: -2 * s], _DB4_DEC_LO[2 * s :]), 0.0, atol=1e-12
+        )
+    ca, cd = db4_dwt(np.arange(31, dtype=float))  # odd: repeat last sample
+    assert ca.shape == cd.shape == (16,)
+
+
+def test_to_numpy_dataset_matches_full_topandas(spark, ts_df):
+    """The mapInPandas-packed export must reproduce the naive whole-table
+    toPandas arrays exactly (same rows, same order, float32)."""
+    import numpy as np
+
+    seq = sequence_dataset(ts_df, "d", ["y", "x"], "y", seq_length=5)
+    X, y = to_numpy_dataset(seq, n_features=2)
+    pdf = seq.select("x", "y").toPandas()
+    X_ref = np.stack(pdf["x"].to_numpy()).astype(np.float32).reshape(len(pdf), -1, 2)
+    y_ref = pdf["y"].to_numpy(dtype=np.float32)
+    assert np.array_equal(X, X_ref)
+    assert np.array_equal(y, y_ref)
