@@ -3,26 +3,21 @@
 Reference: 3-factor decomposition alternative to PCA
 (ts_kmeans_base.ipynb:943-945), sklearn FactorAnalysis + varimax.
 
-sklearn is optional; the fallback is principal-axis factoring on the
-correlation matrix (eigendecomposition of the reduced correlation
-matrix with iterated communalities) plus the published varimax rotation
-— both plain numpy.  Per SURVEY §2.7, the data is a small aggregated
-matrix (~3.2k×28 in the reference), so the factorization runs on the
-driver; Spark's job is the upstream aggregation + correlation matrix,
-which ARE distributed (exact decimal sums)."""
+Implementation is principal-axis factoring on the correlation matrix
+(eigendecomposition of the reduced correlation matrix with iterated
+communalities) plus the published varimax rotation — both plain numpy
+on a features×features matrix.  Per SURVEY §2.7, the factorization
+itself is driver-sized by construction; Spark's job is the upstream
+aggregation + correlation matrix, which ARE distributed (exact decimal
+sums).  r1 carried an sklearn-gated branch that collected the RAW rows
+via toPandas — removed: any library backend must consume the same
+driver-sized correlation matrix, never the table."""
 
 from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-try:
-    from sklearn.decomposition import FactorAnalysis  # type: ignore
-
-    _HAS_SKLEARN = True
-except ImportError:
-    _HAS_SKLEARN = False
 
 
 def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
@@ -94,14 +89,8 @@ def factor_analysis(
 ) -> list[tuple[str, list[float]]]:
     """End-to-end M4: distributed correlation pass → driver-side
     factoring (+ varimax) → (column, loadings) list."""
-    if _HAS_SKLEARN:
-        pdf = df.select(*cols).toPandas()
-        fa = FactorAnalysis(n_components=n_factors, rotation="varimax" if rotate else None)
-        fa.fit(pdf.to_numpy(dtype=float))
-        L = fa.components_.T
-    else:
-        R = correlation_matrix(df, cols)
-        L = principal_axis_factoring(R, n_factors)
-        if rotate:
-            L = varimax(L)
+    R = correlation_matrix(df, cols)
+    L = principal_axis_factoring(R, n_factors)
+    if rotate:
+        L = varimax(L)
     return [(c, [float(x) for x in L[i]]) for i, c in enumerate(cols)]

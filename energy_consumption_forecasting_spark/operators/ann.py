@@ -64,24 +64,38 @@ def ivf_search(
     """Probe the ``nprobe`` nearest cells per query, score candidates,
     keep per-query top-k.
 
-    The query→cell fan-out is a tiny broadcast table (Q × nprobe rows);
-    candidates come from a cell equi-join, so the scored set is
+    The query→cell fan-out happens ON the cluster: queries join the
+    broadcast centroid table (n_cells rows), rank cells per query with
+    a per-query window, keep ``nprobe`` (r1 collected the query set
+    row-by-row on the driver — wrong shape for a large query table).
+    Candidates then come from a cell equi-join, so the scored set is
     N · nprobe / n_cells per query instead of N."""
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_prenormed, norm2
 
-    centers = model.clusterCenters()
-    rows = []
-    for r in queries.select(id_col, vec_col).collect():
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        dists = [float(np.linalg.norm(qv - c)) for c in centers]
-        for cell in np.argsort(dists)[:nprobe]:
-            rows.append((r[id_col], int(cell), qv.tolist()))
     spark = assigned.sparkSession
-    probe = spark.createDataFrame(
-        rows, f"query_id long, cell int, qv array<double>"
-    ).withColumn("qnrm", F.sqrt(norm2(F.col("qv"))))
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probe = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .join(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= nprobe)
+        .select("query_id", "cell", "qv")
+        .withColumn("qnrm", F.sqrt(norm2(F.col("qv"))))
+    )
 
     cand = assigned.withColumn(
         "nrm", F.sqrt(norm2(F.col(vec_col)))

@@ -152,28 +152,26 @@ def w6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
              ntile(5) OVER (ORDER BY o_orderdate, o_orderkey) AS fold
       FROM orders
-    ),
-    within AS (
-      SELECT o_orderkey, fold,
-             row_number() OVER (PARTITION BY fold ORDER BY o_orderkey) AS rn,
-             COUNT(*) OVER (PARTITION BY fold) AS cnt
-      FROM ranked
     )
     SELECT o_orderkey, CAST(fold AS INT) AS fold,
-           CASE WHEN rn > 0.8 * cnt THEN 'val' ELSE 'train' END AS role
-    FROM within
+           CASE WHEN rn - MIN(rn) OVER (PARTITION BY fold) + 1
+                     > 0.8 * COUNT(*) OVER (PARTITION BY fold)
+                THEN 'val' ELSE 'train' END AS role
+    FROM ranked
     """,
 )
 def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 contiguous blocks over time order; last 20% of each block is the
     validation tail (reference utils.py:8-23 BlockingTimeSeriesSplit).
 
-    Scale shape: ntile and the within-fold rank are BOTH derived from
-    two-pass distributed ranks (operators/ranking.py) plus literal fold
-    boundaries (standard ntile split: first n%k folds get ⌈n/k⌉ rows) —
-    no single-partition window and no 5-giant-partition window either."""
+    Scale shape: ONE two-pass distributed rank (operators/ranking.py);
+    the ntile fold, within-fold position, and fold size all derive from
+    the global rank via literal boundaries (standard ntile split: first
+    n%k folds get ⌈n/k⌉ rows) — no single-partition window and no
+    5-giant-partition window either."""
     from ..operators.ranking import global_row_number
 
     k = 5
@@ -186,23 +184,16 @@ def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc += sz
         bounds.append(acc)  # inclusive upper rank bound of fold i+1
     fold_case = F.when(F.col("rn") <= bounds[0], 1)
+    start_case = F.when(F.col("rn") <= bounds[0], 0)
+    size_case = F.when(F.col("rn") <= bounds[0], sizes[0])
     for i in range(1, k):
         fold_case = fold_case.when(F.col("rn") <= bounds[i], i + 1)
-    folded = ranked.select("o_orderkey", fold_case.alias("fold"))
-    # within-fold rank ordered by o_orderkey: a second distributed rank
-    # over (fold, o_orderkey); fold start offsets are the same literals.
-    ranked2, _ = global_row_number(
-        folded, ["fold", "o_orderkey"], rn_col="rn2"
-    )
-    start_case = F.when(F.col("fold") == 1, 0)
-    size_case = F.when(F.col("fold") == 1, sizes[0])
-    for i in range(1, k):
-        start_case = start_case.when(F.col("fold") == i + 1, bounds[i - 1])
-        size_case = size_case.when(F.col("fold") == i + 1, sizes[i])
-    rank_in_fold = F.col("rn2") - start_case
-    return ranked2.select(
+        start_case = start_case.when(F.col("rn") <= bounds[i], bounds[i - 1])
+        size_case = size_case.when(F.col("rn") <= bounds[i], sizes[i])
+    rank_in_fold = F.col("rn") - start_case
+    return ranked.select(
         "o_orderkey",
-        F.col("fold").cast("int").alias("fold"),
+        fold_case.cast("int").alias("fold"),
         F.when(rank_in_fold > 0.8 * size_case, "val")
         .otherwise("train")
         .alias("role"),
