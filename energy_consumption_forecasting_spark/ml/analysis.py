@@ -89,6 +89,83 @@ def learning_curve(
     return out
 
 
+def shapley_values(
+    predict,
+    explain_df: DataFrame,
+    background_df: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "__sid",
+) -> DataFrame:
+    """M15, real Shapley attribution (upgrades the r1 permutation-
+    importance analog): EXACT interventional Shapley values — the
+    quantity SHAP's KernelExplainer estimates (evaluation.ipynb:
+    13964-13991) — computed exactly by enumerating all 2^m feature
+    subsets (m = len(feature_cols) is small for lag models, so 2^m is
+    driver-trivial while the SCORING is the expensive part and runs
+    distributed):
+
+    * grid = explain rows × broadcast(background rows) × broadcast(all
+      subset masks); features in the subset take the explained row's
+      value, the rest the background row's — the interventional v(S).
+    * ONE ``predict`` pass scores the whole grid (MLlib transform: one
+      distributed job, never a per-subset loop over the cluster).
+    * v(S) = avg over background; φ weights join in as a tiny
+      (mask, feature, ±|S|!(m−|S|−1)!/m!) table; a groupBy finishes.
+
+    ``predict`` is any ``DataFrame -> DataFrame`` adding a
+    ``prediction`` column (e.g. ``model.transform`` after assembly).
+    Returns (id_col, feature, phi).  Satisfies efficiency:
+    Σ_i φ_i = f(x) − E_background[f] (tested)."""
+    import math
+
+    from pyspark.sql import SparkSession
+
+    m = len(feature_cols)
+    spark = explain_df.sparkSession
+    masks = spark.createDataFrame([(s,) for s in range(2**m)], "mask int")
+    bg = background_df.select(
+        *[F.col(c).alias(f"__b_{c}") for c in feature_cols]
+    )
+    ex = explain_df.select(
+        id_col, *[F.col(c).alias(f"__x_{c}") for c in feature_cols]
+    )
+    grid = ex.crossJoin(F.broadcast(masks)).crossJoin(F.broadcast(bg))
+    mixed = grid.select(
+        id_col,
+        "mask",
+        *[
+            F.when(F.shiftright("mask", i).bitwiseAND(1) == 1, F.col(f"__x_{c}"))
+            .otherwise(F.col(f"__b_{c}"))
+            .alias(c)
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    v = (
+        predict(mixed)
+        .groupBy(id_col, "mask")
+        .agg(F.avg("prediction").alias("v"))
+    )
+    # φ_i = Σ_{S∌i} w(|S|) · [v(S∪i) − v(S)],  w(s) = s!(m−s−1)!/m!
+    wrows = []
+    fact = math.factorial
+    for i, c in enumerate(feature_cols):
+        for mask in range(2**m):
+            if mask >> i & 1:
+                continue
+            s = bin(mask).count("1")
+            w = fact(s) * fact(m - s - 1) / fact(m)
+            wrows.append((mask | (1 << i), c, w))
+            wrows.append((mask, c, -w))
+    weights = F.broadcast(
+        spark.createDataFrame(wrows, "mask int, feature string, w double")
+    )
+    return (
+        v.join(weights, "mask")
+        .groupBy(id_col, "feature")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("phi"))
+    )
+
+
 def permutation_importance(
     df: DataFrame,
     feature_cols: list[str],

@@ -504,6 +504,42 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("m15_shap_gbt")
+def m15_shap_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: EXACT interventional Shapley values for the GBT lag
+    forecaster's newest predictions (ml/analysis.py::shapley_values —
+    the quantity SHAP KernelExplainer estimates, evaluation.ipynb:
+    13964-13991; exact here because the lag feature set is small).
+    One distributed scoring pass over the explain×background×subset
+    grid.  Rows-only: GBT fits are solver-shaped."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..ml.analysis import shapley_values
+    from ..ml.forecast import GBTLagForecaster
+
+    daily = _daily(spark, sf_dir).select(
+        "d", F.col("demand").cast("double").alias("demand")
+    )
+    fc = GBTLagForecaster(lags=[1, 2, 3, 7], max_iter=5, fit_partitions=8).fit(
+        daily, "d", "demand"
+    )
+    cols = [f"lag_{k}" for k in fc.lags]
+    feats = fc._features(daily, "d", "demand")
+    explain = (
+        feats.orderBy(F.col("d").desc())
+        .limit(5)
+        .select(F.col("d").cast("string").alias("__sid"), *cols)
+    )
+    background = feats.orderBy("d").limit(64).select(*cols)
+    assembler = VectorAssembler(inputCols=cols, outputCol="features")
+
+    def predict(df: DataFrame) -> DataFrame:
+        return fc.model.transform(assembler.transform(df))
+
+    out = shapley_values(predict, explain, background, cols, id_col="__sid")
+    return out.select(F.col("__sid").alias("d"), "feature", "phi")
+
+
 @query("m4_factor_analysis")
 def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Factor analysis (3 factors, varimax) over daily order features —

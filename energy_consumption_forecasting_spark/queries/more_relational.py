@@ -511,3 +511,176 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with different multiplicities.
     only_f = f_keys.subtract(o_keys).select(F.lit("only_f").alias("src"), "o_custkey")
     return both.union(only_f)
+
+
+# --- TPC-H Q4 shape: EXISTS semi-join + priority counts -----------------------
+@query(
+    "tpch_q4_late_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's shape on this schema (no commitdate column: 'late' = any
+    line shipped >60 days after ordering).  The EXISTS becomes a
+    LEFT SEMI join — dedup-free, and the date predicate stays in the
+    join condition so Spark plans one shuffle-hash semi join."""
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- TPC-H Q14 shape: conditional-aggregate ratio -----------------------------
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS rev,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-12-01 00:00:00'
+    )
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
+           / CAST(SUM(rev) AS DOUBLE) AS promo_revenue
+    FROM r
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: broadcast part join, conditional decimal
+    sums (exact on both engines), one double division at the end."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-12-01 00:00:00").cast("timestamp"))
+    )
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(rev.alias("rev"), "p_type")
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("double")
+        .alias("promo"),
+        F.sum("rev").cast("double").alias("total"),
+    )
+    return agg.select(
+        ((100.0 * F.col("promo")) / F.col("total")).alias("promo_revenue")
+    )
+
+
+# --- TPC-H Q18 shape: HAVING over a big aggregation ---------------------------
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE)
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate lineitem FIRST (the big table
+    shrinks before any join), filter the HAVING early, then join the
+    dimension chain — vs the literal SQL shape that joins everything
+    and aggregates last.  Same result, one order of magnitude less
+    join input at scale."""
+    li = tbl(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+    )
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("odate")
+    )
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "odate",
+            F.col("q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive multi-predicate join ------------------------
+@query(
+    "tpch_q19_bracket_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive bracket predicates over a part join.  The l_quantity
+    envelope (1..30) is pre-filtered BEFORE the join — Catalyst can't
+    extract it from the OR across tables, but it is implied by the
+    disjunction, so pushing it manually prunes the scan."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return j.filter(bracket).agg(F.sum(rev).cast("double").alias("revenue"))

@@ -275,3 +275,70 @@ def test_to_numpy_dataset_matches_full_topandas(spark, ts_df):
     y_ref = pdf["y"].to_numpy(dtype=np.float32)
     assert np.array_equal(X, X_ref)
     assert np.array_equal(y, y_ref)
+
+
+# --- M15 exact interventional Shapley values --------------------------------
+
+
+def test_shapley_linear_model_closed_form(spark):
+    """For an additive model f = 2*x1 + 3*x2 + 1 with interventional
+    mixing, phi_i = coef_i * (x_i - mean_background(x_i)) exactly."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.ml.analysis import shapley_values
+
+    explain = spark.createDataFrame(
+        [("r1", 10.0, 4.0)], "__sid string, x1 double, x2 double"
+    )
+    background = spark.createDataFrame(
+        [(1.0, 1.0), (3.0, 3.0)], "x1 double, x2 double"
+    )  # means: x1=2, x2=2
+
+    def predict(df):
+        return df.withColumn(
+            "prediction", 2.0 * F.col("x1") + 3.0 * F.col("x2") + 1.0
+        )
+
+    phi = {
+        r["feature"]: r["phi"]
+        for r in shapley_values(
+            predict, explain, background, ["x1", "x2"]
+        ).collect()
+    }
+    assert phi["x1"] == pytest.approx(2.0 * (10.0 - 2.0), abs=1e-9)
+    assert phi["x2"] == pytest.approx(3.0 * (4.0 - 2.0), abs=1e-9)
+
+
+def test_shapley_efficiency_nonlinear(spark):
+    """Sum of phis = f(x) - E_background[f] for an interaction model."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.ml.analysis import shapley_values
+
+    explain = spark.createDataFrame(
+        [("a", 2.0, 5.0, 1.0), ("b", -1.0, 0.5, 3.0)],
+        "__sid string, x1 double, x2 double, x3 double",
+    )
+    bg_rows = [(float(i % 3), float(i % 5) / 2, float(i % 2)) for i in range(10)]
+    background = spark.createDataFrame(bg_rows, "x1 double, x2 double, x3 double")
+
+    def f(x1, x2, x3):
+        return x1 * x2 + 0.5 * x3 * x3 - x1 + 2.0
+
+    def predict(df):
+        return df.withColumn(
+            "prediction",
+            F.col("x1") * F.col("x2")
+            + 0.5 * F.col("x3") * F.col("x3")
+            - F.col("x1")
+            + 2.0,
+        )
+
+    res = shapley_values(predict, explain, background, ["x1", "x2", "x3"])
+    totals = {
+        r["__sid"]: r["tot"]
+        for r in res.groupBy("__sid").agg(F.sum("phi").alias("tot")).collect()
+    }
+    ef = sum(f(*b) for b in bg_rows) / len(bg_rows)
+    assert totals["a"] == pytest.approx(f(2.0, 5.0, 1.0) - ef, abs=1e-9)
+    assert totals["b"] == pytest.approx(f(-1.0, 0.5, 3.0) - ef, abs=1e-9)
