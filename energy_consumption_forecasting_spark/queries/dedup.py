@@ -536,3 +536,36 @@ def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(F.row_number().over(w) == 1, "keep").otherwise("drop").alias("decision"),
     )
+
+
+# --- composed cleaning pipeline: dedup -> quality gate -------------------------------
+@query(
+    "pipeline_dedup_clean",
+    oracle="""
+    WITH keep AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.source, d.lang, CAST(d.n_chars AS INT) AS n_chars
+    FROM documents d JOIN keep USING (doc_id)
+    WHERE d.n_chars >= 50
+    """,
+)
+def pipeline_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM-corpus cleaning composition: exact dedup
+    (first doc_id per content hash — the canonical-survivor policy)
+    then a quality gate (minimum length), emitting the cleaned corpus
+    a training pipeline would materialize.  Plan: hash-groupBy on the
+    32-byte digest, survivor semi-join back on doc_id (both shuffle
+    keys tiny and uniform), length filter pushed to the scan."""
+    docs = tbl(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .filter(F.col("n_chars") >= 50)
+        .select("doc_id", "source", "lang", F.col("n_chars").cast("int"))
+    )

@@ -123,3 +123,27 @@ def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     return run_available_now(spark, sf_dir.rstrip("/"), glob="events.parquet")
+
+
+# --- Structured Streaming exact dedup -----------------------------------------------
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT DISTINCT md5(text) AS text_hash FROM documents
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online exact dedup: ``dropDuplicatesWithinWatermark`` on the md5
+    content hash (streaming/dedup_stream.py) — the LLM-ingest shape
+    where duplicates are dropped as documents arrive, with state bounded
+    by the watermark horizon.  Which doc_id survives a duplicate group
+    is arrival-order-dependent, so the gate asserts the deterministic
+    part: exactly one survivor per distinct content hash."""
+    from ..session import ensure_utc
+    from ..streaming.dedup_stream import run_dedup_available_now
+
+    ensure_utc(spark)
+    survivors = run_dedup_available_now(
+        spark, sf_dir.rstrip("/"), glob="documents.parquet"
+    )
+    return survivors.select("text_hash")

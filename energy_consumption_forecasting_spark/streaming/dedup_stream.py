@@ -1,0 +1,77 @@
+"""Streaming deduplication — the exact-dedup operator as a stream.
+
+The LLM-ingest shape: documents arrive continuously; duplicates (same
+content hash) must be dropped online, not in a nightly batch.  Spark
+primitive: ``dropDuplicatesWithinWatermark`` keyed on the md5 content
+hash — state holds one entry per hash seen within the watermark horizon
+(bounded state, unlike ``dropDuplicates`` on an unbounded stream), and
+the shuffle key is the 32-byte hash, never the document text — the same
+scale rule as queries/dedup.py::dedup_exact.
+
+On a static directory drained with ``availableNow`` every duplicate
+falls inside one micro-batch, so the result equals the batch
+first-seen-per-hash dedup — the test contract
+(tests/test_sources_and_extensions.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see tables.load_table)
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    glob: str = "documents.parquet",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming DataFrame of first-seen documents per content hash."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(docs_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("text_hash", F.md5("text"))
+    )
+    return (
+        stream.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("doc_id", "text_hash", "source")
+    )
+
+
+def run_dedup_available_now(
+    spark: SparkSession, docs_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """Drain a static directory once; returns the surviving documents."""
+    sink = f"dedupstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(spark, docs_dir, glob)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ecf_dedup_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

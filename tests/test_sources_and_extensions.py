@@ -211,3 +211,30 @@ def test_csv_skip_rows_per_file(spark, tmp_path):
     rows = {(r.k, r.v) for r in df.collect()}
     assert rows == {(f"{p}{i}", n) for i in (1, 2, 3) for p, n in (("a", 1), ("b", 2))}
     assert df.count() == 6  # no preamble garbage, no nulls
+
+
+def test_stream_dedup_matches_batch(spark):
+    """Streaming exact dedup (availableNow drain) keeps exactly one
+    survivor per content hash — same hash set as batch dedup."""
+    from energy_consumption_forecasting_spark.streaming.dedup_stream import (
+        run_dedup_available_now,
+    )
+    from tests.conftest import SF_SMALL
+
+    survivors = run_dedup_available_now(spark, SF_SMALL).collect()
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    )
+    assert len(survivors) == len(batch)
+    assert {r["text_hash"] for r in survivors} == {r["h"] for r in batch}
+    # survivors are real rows: every (doc_id, hash) pair exists in the input
+    src = {
+        (r["doc_id"], r["h"])
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("h"))
+        .collect()
+    }
+    assert all((r["doc_id"], r["text_hash"]) in src for r in survivors)
