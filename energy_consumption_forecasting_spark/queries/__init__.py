@@ -64,6 +64,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             sources_gate,
             text,
             timeseries,
+            tpch_more,
             windows,
         )
 

@@ -1,0 +1,398 @@
+"""More TPC-H-shaped analytic coverage: Q7, Q8, Q12, Q13, Q15, Q16,
+Q22 shapes adapted to the testdata schema (which has no partsupp,
+l_commitdate/l_receiptdate, l_shipmode, o_comment, or c_phone — each
+query keeps the reference query's *plan shape* and swaps the missing
+column for the closest present analog, noted per query).
+
+All follow the exact-decimal conventions from ``queries/__init__``:
+money math on DECIMAL(18,2), one double cast at the very end, every
+computed column aliased identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+_TS = lambda s: F.lit(s + " 00:00:00").cast("timestamp")  # noqa: E731
+
+
+def _volume():
+    """l_extendedprice * (1 - l_discount) as exact DECIMAL."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+_VOLUME_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+# --- TPC-H Q7: volume shipping between two nations ----------------------------
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_VOLUME_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (TPC-H 2.18 §B.7): bilateral trade volume by year.  The fact
+    chain lineitem⋈orders shuffles once on orderkey; supplier,
+    customer and both nation legs are broadcast dims, and the nation
+    pair disjunction is applied after the two tiny joins — Catalyst
+    folds the 25-row nation filters into the broadcast side."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1998-01-01"))
+    )
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        tbl(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        tbl(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_volume()).cast("double").alias("revenue"))
+    )
+
+
+# --- TPC-H Q8: national market share ------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {_VOLUME_SQL} AS volume,
+             n1.n_name AS nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's share of PROMO-part volume sold into AMERICA,
+    by order year.  Same ratio discipline as Q14/m14: both the
+    numerator and denominator are exact decimal sums, and the single
+    double division is the identical IEEE op on both engines.  All
+    dims broadcast; the only shuffle is lineitem⋈orders."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01"))
+        & (F.col("o_orderdate") < _TS("1998-01-01"))
+    )
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rk")
+    )
+    region = (
+        tbl(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    all_nations = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _volume().alias("volume"),
+            "nation",
+        )
+    )
+    agg = all_nations.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum("volume").cast("double").alias("den"),
+    )
+    return agg.select("o_year", (F.col("num") / F.col("den")).alias("mkt_share"))
+
+
+# --- TPC-H Q12: late lines by priority class ----------------------------------
+@query(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape with l_returnflag standing in for the absent
+    l_shipmode, and ship-lag > 90 days for the absent
+    commit/receipt-date predicate: join + conditional priority
+    counts.  The year filter reaches the lineitem scan; the lag
+    predicate rides the join."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1997-01-01"))
+    )
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q13: customer order-count distribution ------------------------------
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: how many customers placed N (non-'5-LOW', standing in for
+    the absent o_comment exclusion) orders — zero included.  The
+    exclusion predicate must live in the LEFT JOIN condition, not a
+    WHERE (which would drop the zero-order customers); the double
+    aggregation shrinks 15k orders → 1.5k customers → ~20 buckets."""
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- TPC-H Q15: top supplier by revenue ---------------------------------------
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_VOLUME_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum quarterly revenue.  The max
+    is a one-row aggregate of the (already tiny, post-groupBy)
+    revenue table, broadcast back as a scalar — the tie-safe
+    equality compares exact decimals, never doubles.  No window, no
+    driver collect."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_volume()).alias("total_rev")
+    )
+    top = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --- TPC-H Q16: supplier count by part attribute ------------------------------
+@query(
+    "tpch_q16_part_suppliers",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's shape with the supplier-part relation derived from
+    lineitem (no partsupp table in this schema): anti-predicates on
+    the broadcast part dim, COUNT(DISTINCT suppkey) per attribute
+    triple.  Spark plans distinct-count as a two-phase partial
+    aggregate — no row explosion crosses the shuffle."""
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q22: dormant high-balance customers --------------------------------
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 10, 11, 12, 13)
+    )
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+    WHERE c_nationkey IN (1, 2, 3, 10, 11, 12, 13)
+      AND c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 with c_nationkey standing in for the absent phone country
+    code: above-average-balance customers dormant since 1999 (every
+    customer here has SOME order, so Q22's "never ordered" is recast
+    as "no recent order" to keep the gate non-trivial).  The
+    scalar threshold is an exact decimal sum divided once (both
+    engines bit-identical), broadcast back; the NOT EXISTS is a
+    LEFT ANTI join on custkey.  Note the anti join's build side is
+    orders projected to the single key column."""
+    nations = [1, 2, 3, 10, 11, 12, 13]
+    cust = tbl(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    orders = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _TS("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
