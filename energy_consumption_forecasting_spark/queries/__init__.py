@@ -58,6 +58,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             joins,
             ml_queries,
             more_relational,
+            pipeline_ops,
             relational,
             reshape,
             similarity,

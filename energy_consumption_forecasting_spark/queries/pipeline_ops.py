@@ -1,0 +1,264 @@
+"""LLM training-data pipeline operators: chunking, contamination
+screening, deterministic stratified sampling, PII scrubbing, and
+mixture-weight planning over the ``documents`` corpus.
+
+These are the corpus-preparation steps between raw ingest and
+tokenization.  Shared discipline with queries/dedup.py: tokenize with
+the repo-wide whitespace rule, never shuffle raw text (hashes only),
+and keep every decision a pure function of the row so both engines —
+and any two cluster runs — agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+
+def _tokens(c):
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+# --- document chunking (overlapping token windows) -----------------------------
+@query(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS a FROM documents
+    ), sized AS (
+      SELECT doc_id, a,
+             GREATEST(1, CAST(CEIL((len(a) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                              AS INT) + 1) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} + 1 AS INT) AS chunk_start,
+           CAST(len(a[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+                AS INT) AS chunk_tokens,
+           md5(array_to_string(
+               a[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+               ' ')) AS chunk_hash
+    FROM sized, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping {CHUNK_SIZE}-token windows
+    with stride {CHUNK_STRIDE} — the context-window prep step before
+    tokenizer sharding.  Entirely row-local (transform + posexplode, no
+    shuffle at all); emits the chunk *hash*, never chunk text, so
+    nothing wide survives past the scan."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("a")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("a") - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast("int")
+        + 1,
+    )
+    sized = docs.select("doc_id", "a", n_chunks.alias("n_chunks"))
+    exploded = sized.select(
+        "doc_id",
+        "a",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    )
+    chunk = F.slice(F.col("a"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i") * CHUNK_STRIDE + 1).cast("int").alias("chunk_start"),
+        F.size(chunk).cast("int").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+# --- train/eval contamination screen ------------------------------------------
+@query(
+    "pipeline_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS a FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(array_to_string(a[i : i + 4], ' ')) AS g
+      FROM toks, LATERAL unnest(generate_series(1, len(a) - 4)) AS t(i)
+      WHERE len(a) >= 5
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    train_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+    FROM train_g JOIN eval_g USING (g)
+    GROUP BY doc_id
+    """,
+)
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing
+    any 5-gram with the held-out eval slice (doc_id % 50 == 0 — the
+    stand-in for a benchmark set).  Plan: grams are md5 hashes (16
+    bytes cross the shuffle, not text); the eval gram set is distinct
+    → tiny → broadcast, so the screen is one broadcast semi-probe per
+    training gram — no all-pairs doc comparison anywhere."""
+    toks = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("a"))
+        .filter(F.size("a") >= 5)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 4),
+                lambda i: F.md5(F.array_join(F.slice(F.col("a"), i, 5), " ")),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    train_g = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("g").alias("n_distinct_grams"),
+        )
+    )
+
+
+# --- deterministic stratified sampling ----------------------------------------
+_STRATA_RATES = {"en": "4000", "de": "8000", "es": "8000", "fr": "8000", "zh": "8000"}
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(md5(text), 1, 4) <
+          CASE lang WHEN 'en' THEN '4000' ELSE '8000' END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff the
+    first 16 bits of its content md5 fall under the stratum's hex
+    threshold (en 25%, other langs 50% — rebalancing the
+    en-dominant corpus).  Content-hash gating instead of rand(): the
+    sample is reproducible across engines, runs, and partitionings,
+    and re-sampling after new ingest keeps prior decisions stable —
+    the property a 100-TB incremental pipeline actually needs."""
+    docs = tbl(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"])).otherwise(
+        F.lit("8000")
+    )
+    return docs.filter(F.substring(F.md5("text"), 1, 4) < thr).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --- PII scrub ----------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{3,4}"
+
+
+@query(
+    "pipeline_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      -- the corpus is synthetic word salad with no PII, so inject a
+      -- deterministic email+phone per doc, then scrub it back out
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-' || CAST(doc_id % 1000 + 100 AS VARCHAR)
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+    FROM aug
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone-shaped strings) with per-doc
+    detection counts and a hash of the scrubbed text.  The corpus is
+    synthetic, so each doc first gets one deterministic email+phone
+    appended — the scrub then provably removes exactly what was
+    injected (plus anything that was already there).  Patterns stay in
+    the RE2 ∩ Java-regex common subset so both engines agree.  Pure
+    row-local projection: zero shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.col("doc_id") % 1000 + 100).cast("string"),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+# --- mixture-weight planning --------------------------------------------------
+@query(
+    "pipeline_mixture_weights",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM per_lang
+    )
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / total AS nat_frac,
+           (CAST(1 AS DOUBLE) / n_langs)
+             / (CAST(n_docs AS DOUBLE) / total) AS multiplier
+    FROM per_lang, tot
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning: per-language natural fraction and the
+    resampling multiplier that would flatten the mixture to uniform —
+    the weights a data loader feeds its per-source samplers.  Two
+    integer aggregates and identical double divisions on both engines;
+    the totals row is a broadcast scalar."""
+    per_lang = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    nat = F.col("n_docs").cast("double") / F.col("total")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        nat.alias("nat_frac"),
+        ((F.lit(1).cast("double") / F.col("n_langs")) / nat).alias("multiplier"),
+    )

@@ -1,0 +1,80 @@
+"""Property tests for the LLM corpus-pipeline operators
+(queries/pipeline_ops.py): chunk coverage/overlap invariants,
+contamination symmetry, sampling determinism, scrub completeness."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    _EMAIL_RE,
+    _PHONE_RE,
+    pipeline_chunk_documents,
+    pipeline_contamination,
+    pipeline_pii_scrub,
+    pipeline_stratified_sample,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_chunk_invariants(spark):
+    chunks = pipeline_chunk_documents(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max(F.col("chunk_start") + F.col("chunk_tokens") - 1).alias("covered"),
+        F.max("chunk_tokens").alias("max_tokens"),
+        F.min("chunk_start").alias("first_start"),
+    )
+    joined = per_doc.join(docs, "doc_id").collect()
+    assert joined, "no documents"
+    for r in joined:
+        # every token lands in some chunk, chunks never exceed the window
+        assert r.covered == r.n
+        assert r.max_tokens <= CHUNK_SIZE
+        assert r.first_start == 1
+        # chunk count matches the stride formula
+        expected = 1 + max(0, -(-(r.n - CHUNK_SIZE) // CHUNK_STRIDE))
+        assert r.n_chunks == max(1, expected)
+
+
+def test_contamination_excludes_eval_docs(spark):
+    out = pipeline_contamination(spark, SF_SMALL)
+    rows = out.collect()
+    # train-side report only, and hit counts are sane
+    for r in rows:
+        assert r.doc_id % 50 != 0
+        assert r.n_hits >= r.n_distinct_grams >= 1
+
+
+def test_stratified_sample_deterministic(spark):
+    a = {r.doc_id for r in pipeline_stratified_sample(spark, SF_SMALL).collect()}
+    b = {r.doc_id for r in pipeline_stratified_sample(spark, SF_SMALL).collect()}
+    assert a == b
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert 0 < len(a) < total
+
+
+def test_pii_scrub_removes_injected_pii(spark):
+    out = pipeline_pii_scrub(spark, SF_SMALL)
+    rows = out.collect()
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_phones >= 1
+    # independently rebuild one augmented doc and confirm the scrub
+    # output the query hashed contains no PII pattern
+    doc = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .orderBy("doc_id")
+        .first()
+    )
+    aug = f"{doc.text} contact user{doc.doc_id}@example.com or 555-{doc.doc_id % 1000 + 100}"
+    scrubbed = re.sub(_PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", aug))
+    assert not re.search(_EMAIL_RE, scrubbed)
+    assert not re.search(_PHONE_RE, scrubbed)
+    assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed
