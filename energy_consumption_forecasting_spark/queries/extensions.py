@@ -147,3 +147,60 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir.rstrip("/"), glob="documents.parquet"
     )
     return survivors.select("text_hash")
+
+
+# --- native session windows (batch + streaming twins) --------------------------
+_SESSION_SQL = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)
+             AS session_start_us,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) + 30 * 60 * 1000000
+                AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, sid
+"""
+
+
+@query("w_session_window_native", oracle=_SESSION_SQL)
+def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic-gap session windows (``F.session_window``) — the
+    engine-managed twin of the lag/cumsum sessionization in
+    ``w_sessionize``.  One shuffle on user_id, per-key in-memory merge.
+    NOTE the boundary: session windows are [first, last+gap) and merge
+    on overlap, so a gap of exactly 30min splits — the oracle islands
+    on ``gap >= 30min``, not ``>``."""
+    from ..streaming.session_stream import session_agg
+
+    return session_agg(tbl(spark, sf_dir, "events"))
+
+
+@query("stream_session_window", oracle=_SESSION_SQL)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessionization run through Structured Streaming
+    (watermarked session_window state, availableNow drain) — equals
+    the batch result on a static directory, which the shared oracle
+    asserts."""
+    from ..session import ensure_utc
+    from ..streaming.session_stream import run_sessions_available_now
+
+    ensure_utc(spark)
+    return run_sessions_available_now(spark, sf_dir.rstrip("/"), glob="events.parquet")

@@ -238,3 +238,19 @@ def test_stream_dedup_matches_batch(spark):
         .collect()
     }
     assert all((r["doc_id"], r["text_hash"]) in src for r in survivors)
+
+
+def test_session_window_stream_equals_batch(spark):
+    """Streaming session_window (availableNow drain) == batch session_agg."""
+    from energy_consumption_forecasting_spark.queries._util import tbl
+    from energy_consumption_forecasting_spark.streaming.session_stream import (
+        run_sessions_available_now,
+        session_agg,
+    )
+
+    batch = session_agg(tbl(spark, SF_SMALL, "events"))
+    stream = run_sessions_available_now(spark, SF_SMALL, glob="events.parquet")
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events", "total_value"]
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    s = sorted(map(tuple, stream.select(*cols).collect()))
+    assert b == s and len(b) > 0
