@@ -4,14 +4,17 @@ Reference: hyperparameter dict JSONs (ARIMA_params.json, lstm_params.json;
 evaluation.ipynb:103-104,160-161) and a pickled BayesianOptimization
 object (optimization.py:199-204).
 
-Engine policy: JSON for parameters (portable, reviewable); MLlib models
-use their native ``model.save(path)``; pickle is deliberately NOT used
-(opaque + version-fragile)."""
+Engine policy: JSON for parameters (portable, reviewable) and MLlib
+models via their native ``model.save(path)`` are the preferred paths;
+``save_pickle``/``load_pickle`` exist for parity with the reference's
+pickled-artifact workflow (optimization.py:199-204) — driver-side only,
+for dim-sized fitted parameters, never for data."""
 
 from __future__ import annotations
 
 import json
 import os
+import pickle
 from typing import Any
 
 
@@ -24,6 +27,19 @@ def save_params(params: dict[str, Any], path: str) -> None:
 def load_params(path: str) -> dict[str, Any]:
     with open(path) as f:
         return json.load(f)
+
+
+def save_pickle(obj: Any, path: str) -> None:
+    """S9 pickle sink (reference parity).  Use ``save_params`` unless
+    the artifact genuinely isn't JSON-representable."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_pickle(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
 
 
 def best_of_grid(history: list[tuple[dict, float]], minimize: bool = True) -> dict:

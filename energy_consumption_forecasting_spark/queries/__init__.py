@@ -61,6 +61,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             pipeline_ops,
             relational,
             reshape,
+            rollup_gate,
             similarity,
             sources_gate,
             text,

@@ -154,3 +154,42 @@ def s4_dly_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("VALUE31").alias("value31"),
         F.col("QFLAG9").alias("qflag9"),
     )
+
+
+@query(
+    "s9_pickle_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MIN(l_quantity) AS DOUBLE) AS qmin,
+           CAST(MAX(l_quantity) AS DOUBLE) AS qmax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s9_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: pickle sink/source roundtrip (ml/params.save_pickle) on
+    dim-sized fitted parameters — per-returnflag min-max scaling bounds,
+    the M1 artifact the reference pickles (optimization.py:199-204).
+    The collect is 3 rows of fitted params (bounded by group
+    cardinality, not data size); the oracle recomputes the bounds
+    straight from the facts, so the pass proves the artifact survived
+    the driver->disk->driver roundtrip unchanged."""
+    import os
+
+    from ..ml.params import load_pickle, save_pickle
+
+    fitted = {
+        r["l_returnflag"]: (r["qmin"], r["qmax"])
+        for r in spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("qmin"), F.max("l_quantity").alias("qmax"))
+        .collect()
+    }
+    path = os.path.join(
+        STAGE_DIR, "s9_params", f"{os.path.basename(sf_dir.rstrip('/'))}.pkl"
+    )
+    save_pickle(fitted, path)
+    loaded = load_pickle(path)
+    return spark.createDataFrame(
+        [(k, float(v[0]), float(v[1])) for k, v in sorted(loaded.items())],
+        "l_returnflag string, qmin double, qmax double",
+    )

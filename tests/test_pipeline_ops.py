@@ -78,3 +78,39 @@ def test_pii_scrub_removes_injected_pii(spark):
     assert not re.search(_EMAIL_RE, scrubbed)
     assert not re.search(_PHONE_RE, scrubbed)
     assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed
+
+
+def test_rollup_partition_pruning_and_exactness(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.rollup import (
+        materialize_daily,
+        reaggregate,
+    )
+
+    daily = materialize_daily(spark, SF_SMALL)
+    pruned = daily.filter(F.col("y") == 1997)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "1997" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # sum-of-sums exactness: monthly from daily == monthly from facts
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    direct = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("period"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+    via_daily = reaggregate(daily, "month").select("period", "n", "total_qty")
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, via_daily.collect()))
+    assert a == b and len(a) > 0
