@@ -204,3 +204,44 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     return run_sessions_available_now(spark, sf_dir.rstrip("/"), glob="events.parquet")
+
+
+# --- stream-stream interval join (view -> purchase attribution) ----------------
+_ATTRIB_SQL = """
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           CAST(epoch_us(CAST(b.ts AS TIMESTAMP))
+                - epoch_us(CAST(a.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("j_interval_attribution", oracle=_ATTRIB_SQL)
+def j_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the attribution interval self-join
+    (streaming/attribution_stream.py): purchases matched to same-user
+    views in the preceding hour.  The equi-key (user_id) carries the
+    shuffle; the time range rides the join condition."""
+    from ..streaming.attribution_stream import attribution_join
+
+    ev = tbl(spark, sf_dir, "events")
+    return attribution_join(ev, ev)
+
+
+@query("stream_interval_attribution", oracle=_ATTRIB_SQL)
+def stream_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same attribution join as a stream-stream join: both sides
+    buffered in watermark-bounded state, drained availableNow over the
+    static directory — equals the batch join, per the shared oracle."""
+    from ..session import ensure_utc
+    from ..streaming.attribution_stream import run_attribution_available_now
+
+    ensure_utc(spark)
+    return run_attribution_available_now(
+        spark, sf_dir.rstrip("/"), glob="events.parquet"
+    )

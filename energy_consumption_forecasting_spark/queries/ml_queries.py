@@ -468,22 +468,27 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon = 14
     cutoffs = [days[int(len(days) * f)] for f in (0.7, 0.85)]
 
+    # rolling-origin windows: a bounded lookback (not all history) is
+    # both the standard CV shape and what keeps each fit cheap.  The
+    # per-cutoff train frames are persisted ONCE — every BO evaluation
+    # re-fits on them, so the filter+scan must not rerun per eval.
+    train_sets = {
+        cut: daily.filter(
+            (F.col("d") <= F.lit(cut)) & (F.col("d") > F.date_sub(F.lit(cut), 600))
+        ).persist()
+        for cut in cutoffs
+    }
+
     def objective(x) -> float:
         n_lags, depth = int(round(float(x[0]))), int(round(float(x[1])))
         lags = list(range(1, n_lags + 1))
         maes = []
         for cut in cutoffs:
-            # rolling-origin window: a bounded lookback (not all history)
-            # is both the standard CV shape and what keeps each fit cheap
-            train = daily.filter(
-                (F.col("d") <= F.lit(cut))
-                & (F.col("d") > F.date_sub(F.lit(cut), 600))
-            )
             fc = (
                 GBTLagForecaster(
-                    lags, max_iter=5, max_depth=depth, fit_partitions=8
+                    lags, max_iter=4, max_depth=depth, fit_partitions=2
                 )
-                .fit(train, "d", "demand")
+                .fit(train_sets[cut], "d", "demand")
                 .forecast(spark, horizon)
             )
             idx = days.index(cut)
@@ -498,6 +503,8 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(round(x[0])), int(round(x[1])), float(v), bool(a))
         for (x, v), a in zip(res["history"], res["accepted"])
     ]
+    for t in train_sets.values():
+        t.unpersist()
     daily.unpersist()
     return spark.createDataFrame(
         rows, "n_lags int, max_depth int, cv_mae double, accepted boolean"

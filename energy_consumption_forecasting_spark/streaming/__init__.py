@@ -4,3 +4,30 @@ The reference is batch-only (six-month EIA files re-downloaded
 wholesale, ETL.py:56-77); these operators are the streaming-native form
 of its hourly→daily rollup, plus stateful custom aggregation.
 """
+
+from __future__ import annotations
+
+import contextlib
+
+STREAM_STATE_PARTITIONS = 32
+
+
+@contextlib.contextmanager
+def pinned_stream_partitions(spark, n: int = STREAM_STATE_PARTITIONS):
+    """Pin ``spark.sql.shuffle.partitions`` while a streaming query
+    starts, then restore.
+
+    A streaming query bakes the shuffle-partition count into its state
+    store layout at start; a driver-handed vanilla session carries the
+    200 default, which means 200 state-store instances PER stateful
+    operator PER micro-batch — a stream-stream join drain that takes
+    ~10s at 32 partitions takes minutes at 200.  Our gate drains use
+    throwaway checkpoints, so pinning at start is safe (a production
+    job with a durable checkpoint must instead set this before the
+    FIRST run and never change it)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1,0 +1,90 @@
+"""Stream-stream interval join — view→purchase attribution.
+
+The last core Structured Streaming operator family this engine needed:
+joining two live streams.  Spark buffers both sides in the state store;
+the watermark plus the time-range join condition bound how long a view
+must be retained (one hour past its event time) — without the range
+condition the state would grow forever, which is why the bound lives in
+the JOIN clause, not a post-filter.
+
+Scale: state is keyed by user_id (the equi-key); per-key buffered rows
+are bounded by event rate × the attribution window, independent of
+total history.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .daily_rollup import EVENTS_STREAM_SCHEMA
+
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def _read(spark: SparkSession, events_dir: str, glob: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared batch/streaming shape: each purchase joined to every view
+    by the same user within the preceding attribution window."""
+    v = views.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+
+
+def attribution_stream(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    views = _read(spark, events_dir, glob).withWatermark("ts", ATTRIBUTION_WINDOW)
+    purchases = _read(spark, events_dir, glob).withWatermark("ts", "0 seconds")
+    return attribution_join(views, purchases)
+
+
+def run_attribution_available_now(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    from . import pinned_stream_partitions
+
+    sink = f"attrib_{uuid.uuid4().hex[:8]}"
+    with pinned_stream_partitions(spark):
+        q = (
+            attribution_stream(spark, events_dir, glob)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ecf_attrib_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

@@ -70,18 +70,21 @@ def run_available_now(
     """Drain the (static) directory through the streaming engine once and
     return the final aggregate as a batch DataFrame — the batch-equiv
     harness for the correctness gate."""
+    from . import pinned_stream_partitions
+
     sink = f"rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        daily_rollup_stream(spark, events_dir, glob)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="ecf_stream_ckpt_"),
+    with pinned_stream_partitions(spark):
+        q = (
+            daily_rollup_stream(spark, events_dir, glob)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ecf_stream_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink)

@@ -61,17 +61,20 @@ def run_dedup_available_now(
     spark: SparkSession, docs_dir: str, glob: str = "documents.parquet"
 ) -> DataFrame:
     """Drain a static directory once; returns the surviving documents."""
+    from . import pinned_stream_partitions
+
     sink = f"dedupstream_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_stream(spark, docs_dir, glob)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ecf_dedup_ckpt_")
+    with pinned_stream_partitions(spark):
+        q = (
+            dedup_stream(spark, docs_dir, glob)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_dedup_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink)

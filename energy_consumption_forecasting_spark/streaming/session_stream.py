@@ -67,15 +67,18 @@ def run_sessions_available_now(
     spark: SparkSession, events_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """Drain the static directory once; final per-session rows."""
+    from . import pinned_stream_partitions
+
     sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        session_window_stream(spark, events_dir, glob)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ecf_sess_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_stream_partitions(spark):
+        q = (
+            session_window_stream(spark, events_dir, glob)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ecf_sess_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

@@ -254,3 +254,20 @@ def test_session_window_stream_equals_batch(spark):
     b = sorted(map(tuple, batch.select(*cols).collect()))
     s = sorted(map(tuple, stream.select(*cols).collect()))
     assert b == s and len(b) > 0
+
+
+def test_attribution_stream_equals_batch(spark):
+    """Stream-stream interval join (availableNow) == batch interval join."""
+    from energy_consumption_forecasting_spark.queries._util import tbl
+    from energy_consumption_forecasting_spark.streaming.attribution_stream import (
+        attribution_join,
+        run_attribution_available_now,
+    )
+
+    ev = tbl(spark, SF_SMALL, "events")
+    batch = attribution_join(ev, ev)
+    stream = run_attribution_available_now(spark, SF_SMALL, glob="events.parquet")
+    cols = ["user_id", "view_id", "purchase_id", "lag_us"]
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    s = sorted(map(tuple, stream.select(*cols).collect()))
+    assert b == s
