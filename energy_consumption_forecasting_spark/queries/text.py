@@ -284,3 +284,100 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 20)
     )
+
+
+# --- corpus-frequency rarity scoring -------------------------------------------
+@query(
+    "text_rarity_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+           FROM t GROUP BY w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN d < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN d < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_ratio
+    FROM t JOIN df USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity: fraction of a document's tokens whose
+    document frequency is under 100 — the cheap unigram stand-in for
+    LM-perplexity quality filtering (rare-token-heavy docs are the
+    noisy tail a pretraining pipeline down-weights).  The document-
+    frequency table is vocabulary-sized -> broadcast; the scoring pass
+    is one explode + broadcast probe + per-doc re-agg, and only token
+    strings (bounded length) ever cross a shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(_toks()).alias("w"))
+    df_tbl = t.groupBy("w").agg(F.countDistinct("doc_id").alias("d"))
+    rare = F.when(F.col("d") < 100, 1).otherwise(0)
+    return (
+        t.join(F.broadcast(df_tbl), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
+        )
+    )
+
+
+# --- TF-IDF top term per document ----------------------------------------------
+@query(
+    "text_tfidf_topterm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, w),
+    df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+           FROM t GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, w,
+             tf * (CAST(n_docs AS DOUBLE) / d) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * (CAST(n_docs AS DOUBLE) / d) DESC,
+                                         w) AS rk
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS top_term, score FROM scored WHERE rk = 1
+    """,
+)
+def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-characteristic term by tf-idf with a RATIONAL
+    idf (N/df instead of ln(N/df)): log is monotone, so the argmax is
+    the classic tf-idf argmax, while every score stays a product of
+    exact integer ratios — bit-identical across engines, where ln()
+    last-ulp disagreement would break the gate.  Window is partitioned
+    by doc_id (never global); the df and N sides are broadcast."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(_toks()).alias("w"))
+    tf = t.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_tbl = t.groupBy("w").agg(F.countDistinct("doc_id").alias("d"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * (F.col("n_docs").cast("double") / F.col("d"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        tf.join(F.broadcast(df_tbl), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "score")
+    )
