@@ -396,3 +396,125 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --- TPC-H Q17: small-quantity-order revenue ----------------------------------
+@query(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                   AS DOUBLE) / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON ap = l_partkey
+    WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
+      AND l_quantity < 0.5 * aq
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue locked in small-quantity orders of one part class.
+    The correlated scalar subquery (per-part average quantity) becomes
+    a per-part aggregate joined back on partkey; the threshold uses an
+    exact-decimal sum divided once, so both engines compare the same
+    double.  The part filter is applied BEFORE the avg join on the
+    probe side — but the average itself is over ALL lineitems of the
+    part, per the reference semantics."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = (
+        tbl(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("ap") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --- TPC-H Q21: sole-late-supplier detection ----------------------------------
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+    )
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN multi USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM late l2
+      WHERE l2.l_orderkey = late.l_orderkey
+        AND l2.l_suppkey <> late.l_suppkey
+    )
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's shape on this schema ('late' = shipped >90 days after
+    ordering, standing in for the absent commit/receipt dates):
+    suppliers who were the ONLY late supplier on a multi-supplier
+    order.  The EXISTS pair becomes (a) a semi join against orders
+    with >1 distinct supplier and (b) an anti join against OTHER late
+    lines of the same order — expressed as a per-order distinct-late-
+    supplier count == 1, which collapses both correlated subqueries
+    into one aggregation over the (already small) late set."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late_supps"),
+            F.first("l_suppkey").alias("supp"),
+        )
+        .filter(F.col("n_late_supps") == 1)
+    )
+    # re-join to late to count every late LINE of the sole supplier
+    return (
+        late.join(
+            sole_late.select("l_orderkey"), "l_orderkey", "left_semi"
+        )
+        .join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
