@@ -35,6 +35,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_score",
     "sim_topk_bruteforce",
+    # round-2 additions: analytic spine + corpus pipeline + rollup
+    "tpch_q8_market_share",
+    "w_session_window_native",
+    "pipeline_chunk_documents",
+    "pipeline_contamination",
+    "rollup_monthly_from_daily",
 ]
 
 
