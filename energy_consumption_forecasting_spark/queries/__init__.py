@@ -62,6 +62,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             relational,
             reshape,
             rollup_gate,
+            scale_ops,
             similarity,
             sources_gate,
             text,

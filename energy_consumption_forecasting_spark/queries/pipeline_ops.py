@@ -262,3 +262,87 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         nat.alias("nat_frac"),
         ((F.lit(1).cast("double") / F.col("n_langs")) / nat).alias("multiplier"),
     )
+
+
+# --- substring-level (passage) dedup -------------------------------------------
+SUBSTR_WINDOW = 20
+
+
+@query(
+    "pipeline_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS a FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             md5(array_to_string(a[i : i + {SUBSTR_WINDOW - 1}], ' ')) AS h
+      FROM toks, LATERAL unnest(
+             generate_series(1, len(a) - {SUBSTR_WINDOW - 1})) AS t(i)
+      WHERE len(a) >= {SUBSTR_WINDOW}
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ), hits AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      FROM wins w JOIN dup USING (h) GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.a) - {SUBSTR_WINDOW - 1} AS BIGINT) AS n_windows,
+           COALESCE(h.n_dup_windows, 0) AS n_dup_windows,
+           CAST(COALESCE(h.n_dup_windows, 0) AS DOUBLE)
+             / (len(t.a) - {SUBSTR_WINDOW - 1}) AS dup_ratio
+    FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE len(t.a) >= {SUBSTR_WINDOW}
+    """,
+)
+def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup signal (the substring-dedup shape of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public method): every 20-token sliding window is hashed;
+    windows whose hash occurs in MORE THAN ONE document mark repeated
+    passages, and each document reports its duplicated-window ratio —
+    the score a pipeline thresholds to cut boilerplate.  Plan: window
+    hashes (16 bytes) are the only thing shuffled; the dup-hash set is
+    the HAVING>1 aggregate, broadcast back; per-doc re-agg + one left
+    join for zero-hit docs."""
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("a"))
+        .filter(F.size("a") >= SUBSTR_WINDOW)
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - (SUBSTR_WINDOW - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("a"), i, SUBSTR_WINDOW), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = (
+        wins.join(F.broadcast(dup), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_windows"))
+    )
+    n_windows = (F.size("a") - (SUBSTR_WINDOW - 1)).cast("long")
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_windows.alias("n_windows"),
+            F.coalesce(F.col("hit_windows"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            (
+                F.coalesce(F.col("hit_windows"), F.lit(0)).cast("double")
+                / n_windows
+            ).alias("dup_ratio"),
+        )
+    )
