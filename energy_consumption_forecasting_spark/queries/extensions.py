@@ -245,3 +245,42 @@ def stream_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_attribution_available_now(
         spark, sf_dir.rstrip("/"), glob="events.parquet"
     )
+
+
+# --- JSON column extraction (events.props) -------------------------------------
+@query(
+    "f_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events payload column is a JSON
+    string; ``from_json`` with an explicit schema (the scalable path —
+    schema'd parse compiles to a typed struct getter, vs
+    get_json_object re-parsing per field) feeds integer aggregates.
+    Exact-int outputs keep both engines bit-identical."""
+    from pyspark.sql import types as T
+
+    ev = tbl(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            "props", T.StructType([T.StructField("k", T.LongType())])
+        )["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
