@@ -174,3 +174,136 @@ def topk_numpy(
         partial.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- Product quantization (PQ) tier ---------------------------------------------
+def train_pq_codebooks(
+    emb: DataFrame,
+    vec_col: str = "v",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ codebooks on a driver-side SAMPLE — the standard
+    (FAISS-style) recipe: codebooks are tiny (m × k × dim/m floats) and
+    training needs only a representative sample, so the full corpus is
+    never collected.  Deterministic: seeded sample order (sorted
+    limit), seeded init, fixed Lloyd iteration count.
+
+    Returns codebooks of shape (m, k, sub_dim)."""
+    rows = (
+        emb.select(vec_col)
+        .limit(sample)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    X = np.asarray(rows, dtype=np.float64)
+    n, dim = X.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        cent = Xj[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = Xj[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray, vec_col: str = "v",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode every vector to its m-byte PQ code (nearest centroid per
+    subspace) — one Arrow-batched pass; the code column is what an
+    index would store (8 bytes vs 256 for the raw float32[64])."""
+    spark = emb.sparkSession
+    b = spark.sparkContext.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bb = b.value
+        m, _, sub = bb.shape
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = ((Xj[:, None, :] - bb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "code": list(codes)})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    return emb.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: np.ndarray,
+    query_ids: list[int],
+    books: np.ndarray,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC (asymmetric distance) search: each query precomputes its
+    (m × k) subspace distance table; scoring a code is m table lookups
+    — no float vector is ever touched at query time.  Per-batch local
+    top-k prunes before the shuffle (same discipline as topk_numpy);
+    the final per-query top-k is a window over ≤ batches×k rows."""
+    from pyspark.sql import Window
+
+    spark = encoded.sparkSession
+    m, kc, sub = books.shape
+    # (Q, m, kc) distance tables
+    tables = np.stack(
+        [
+            ((books[j][None, :, :] - queries[:, None, j * sub : (j + 1) * sub])
+             ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    bt = spark.sparkContext.broadcast((tables, np.asarray(query_ids)))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs, qids = bt.value
+        for pdf in batches:
+            C = np.asarray(pdf["code"].tolist(), dtype=np.int64)  # (B, m)
+            out_q, out_v, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                # gather: sum over subspaces of table[j, code[:, j]]
+                d = np.zeros(len(C))
+                for j in range(tabs.shape[1]):
+                    d += tabs[qi, j, C[:, j]]
+                top = np.argsort(d, kind="stable")[:k_neighbors]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(pdf[id_col].to_numpy()[top].tolist())
+                out_d.extend(d[top].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_v, "adc_dist": out_d}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+    partial = encoded.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+    )

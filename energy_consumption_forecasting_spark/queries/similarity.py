@@ -293,3 +293,31 @@ def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
     return topk_numpy(e, queries, k=TOP_K)
+
+
+# --- product quantization ANN — rows-only -------------------------------------------
+@query("sim_pq_topk")
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN (operators/ann.py): 8 subspaces x 16 centroids trained
+    on a driver sample (the FAISS recipe — codebooks are KB-sized),
+    vectors encoded to 8-byte codes in one Arrow pass, queries scored
+    by table lookups only.  The index column is 32x smaller than the
+    raw float32[64] — the memory story that makes billion-vector search
+    fit a cluster.  Rows-only: codebooks are solver-dependent."""
+    import numpy as np
+
+    from ..operators.ann import pq_encode, pq_topk, train_pq_codebooks
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    books = train_pq_codebooks(e, m=8, k=16)
+    encoded = pq_encode(e, books).persist()
+    qrows = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    qids = [q[0] for q in qrows]
+    qmat = np.asarray([q[1] for q in qrows], dtype=np.float64)
+    out = pq_topk(encoded, qmat, qids, books, k_neighbors=TOP_K)
+    return out.select("query_id", "vec_id", "adc_dist", "rank")

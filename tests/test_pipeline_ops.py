@@ -114,3 +114,42 @@ def test_rollup_partition_pruning_and_exactness(spark):
     a = sorted(map(tuple, direct.collect()))
     b = sorted(map(tuple, via_daily.collect()))
     assert a == b and len(a) > 0
+
+
+def test_pq_ann_recall_vs_exact(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ann import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    books = train_pq_codebooks(e, m=8, k=16)
+    encoded = pq_encode(e, books)
+
+    rows = sorted((r.vec_id, np.array(r.v)) for r in e.collect())
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    qn = 5
+    out = pq_topk(encoded, X[:qn], ids[:qn].tolist(), books, k_neighbors=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+
+    hits = total = 0
+    for qi in range(qn):
+        exact = ids[np.argsort(((X - X[qi]) ** 2).sum(axis=1), kind="stable")[:5]]
+        assert len(got[ids[qi]]) == 5
+        hits += len(set(exact.tolist()) & set(got[ids[qi]]))
+        total += 5
+    recall = hits / total
+    # PQ on random (worst-case) data: require self-match + real overlap
+    assert recall >= 0.2, f"recall {recall}"
+    for qi in range(qn):
+        assert ids[qi] in got[ids[qi]]  # own vector must be retrieved
