@@ -518,3 +518,220 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# --- derived partsupp analog (enables Q2/Q9/Q11 shapes) -------------------------
+# The schema has no partsupp table; the (part, supplier) relation with a
+# cost measure is derived from lineitem: ps_supplycost := the MINIMUM
+# line price (exact 2-decimal money) ever charged for that (part,
+# supplier).  MIN is selection over exact decimals — bit-identical on
+# both engines.  (A unit-price quotient was rejected: casting the
+# double quotient to decimal hits midpoint values like x/8 where
+# Spark's toString+HALF_UP and DuckDB's rounding disagree.)
+_PARTSUPP_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "ps_supplycost"
+        )
+    )
+
+
+# --- TPC-H Q2: minimum-cost supplier per part ----------------------------------
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost
+      FROM partsupp JOIN eu_supp ON ps_suppkey = s_suppkey
+    ),
+    best AS (
+      SELECT ps_partkey AS bp, MIN(ps_supplycost) AS bc
+      FROM costs GROUP BY 1
+    )
+    SELECT p_partkey, p_name, s_name, n_name, ps_supplycost AS cost
+    FROM costs
+    JOIN best ON bp = ps_partkey AND ps_supplycost = bc
+    JOIN part ON p_partkey = ps_partkey
+    JOIN eu_supp ON s_suppkey = ps_suppkey
+    WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 on the derived partsupp: cheapest EUROPE supplier per
+    LARGE part in five size classes.  The correlated MIN becomes a per-part
+    aggregate joined back on (part, exact-double cost equality —
+    safe because the min is selected, never recomputed); region/
+    nation/supplier legs broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    supp = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = tbl(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    costs = ps.join(
+        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    best = costs.groupBy(F.col("ps_partkey").alias("bp")).agg(
+        F.min("ps_supplycost").alias("bc")
+    )
+    part = tbl(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("bp") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("bc")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("ps_supplycost").alias("cost"),
+        )
+    )
+
+
+# --- TPC-H Q9: product-line profit by nation and year ---------------------------
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))
+                    - ps_supplycost
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 on the derived partsupp: national profit on STANDARD parts by
+    year.  The cost measure is an exact decimal selection, so the
+    whole profit sum stays exact decimal end to end.  partsupp is
+    itself an aggregate of lineitem: Spark plans
+    fact⋈fact as two shuffles on the same (partkey, suppkey)-derived
+    keys; everything else broadcasts."""
+    li = tbl(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# --- TPC-H Q11: important stock concentration -----------------------------------
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    nat_ps AS (
+      SELECT ps_partkey,
+             ps_supplycost * CAST(2 AS DECIMAL(4,0)) AS value_dec
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_5', 'NATION_6')
+    ),
+    tot AS (SELECT SUM(value_dec) AS total FROM nat_ps)
+    SELECT ps_partkey,
+           CAST(SUM(value_dec) AS DOUBLE) AS part_value
+    FROM nat_ps, tot
+    GROUP BY ps_partkey, tot.total
+    HAVING CAST(SUM(value_dec) AS DOUBLE)
+           > 0.001 * CAST(tot.total AS DOUBLE)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 on the derived partsupp (availqty has no analog — a
+    constant 2 stands in, keeping the shape: value = cost × qty):
+    parts whose two-nation stock value exceeds 0.1% of the national
+    total.  The total is a one-row aggregate broadcast back; the
+    HAVING compares doubles derived from exact decimal sums via the
+    identical division/multiply sequence on both engines."""
+    ps = _partsupp(spark, sf_dir)
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = tbl(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6")
+    )
+    nat_ps = (
+        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.lit(2).cast("decimal(4,0)")).alias(
+                "value_dec"
+            ),
+        )
+    )
+    tot = nat_ps.agg(F.sum("value_dec").alias("total"))
+    return (
+        nat_ps.crossJoin(F.broadcast(tot))
+        .groupBy("ps_partkey", "total")
+        .agg(F.sum("value_dec").cast("double").alias("part_value"))
+        .filter(
+            F.col("part_value") > 0.001 * F.col("total").cast("double")
+        )
+        .select("ps_partkey", "part_value")
+    )
