@@ -208,3 +208,47 @@ def test_exact_avg_property(spark, decs):
     # python exact: sum of scaled ints
     want = float(sum(int(round(v * 100)) for v in vals)) / 100 / len(vals)
     assert math.isclose(got, want, rel_tol=0, abs_tol=0)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_two_pass_rank_property(spark, rows):
+    """operators/ranking.global_row_number must equal a single-partition
+    orderBy rank on any data — including heavy ties and skew — and
+    lag_by_rank must equal F.lag over the same total order."""
+    from pyspark.sql import Window
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_row_number,
+        lag_by_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "uid long, k long, v long"
+    ).repartition(7)
+    ranked, total = global_row_number(df, ["k", "uid"], rn_col="rn")
+    assert total == len(rows)
+    got = [(r.k, r.uid) for r in ranked.orderBy("rn").collect()]
+    assert got == sorted((k, i) for i, (k, _) in enumerate(rows))
+    rns = sorted(r.rn for r in ranked.collect())
+    assert rns == list(range(1, len(rows) + 1))
+
+    lagged = lag_by_rank(ranked, "rn", "v", [1])
+    w = Window.orderBy("k", "uid")
+    expect = {
+        (r.k, r.uid): r.lv
+        for r in df.withColumn("lv", F.lag("v").over(w)).collect()
+        if r.lv is not None
+    }
+    got_l = {(r.k, r.uid): r.lag_1 for r in lagged.collect()}
+    assert got_l == expect

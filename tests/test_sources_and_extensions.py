@@ -271,3 +271,36 @@ def test_attribution_stream_equals_batch(spark):
     b = sorted(map(tuple, batch.select(*cols).collect()))
     s = sorted(map(tuple, stream.select(*cols).collect()))
     assert b == s
+
+
+def test_stream_checkpoint_no_reprocessing(spark, tmp_path):
+    """A second availableNow drain over an UNCHANGED directory with the
+    SAME checkpoint must process nothing — the file-source offset log
+    is what makes incremental ingest exactly-once at scale.  (Memory
+    sinks don't support checkpoint recovery; the parquet sink — the
+    realistic shape — does.)"""
+    from energy_consumption_forecasting_spark.streaming import (
+        pinned_stream_partitions,
+    )
+    from energy_consumption_forecasting_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    counts = []
+    with pinned_stream_partitions(spark, 4):
+        for _ in range(2):
+            q = (
+                dedup_stream(spark, SF_SMALL, "documents.parquet")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            counts.append(spark.read.parquet(out).count())
+    assert counts[0] > 0
+    assert counts[1] == counts[0]  # second drain appended nothing
