@@ -193,3 +193,88 @@ def s9_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, float(v[0]), float(v[1])) for k, v in sorted(loaded.items())],
         "l_returnflag string, qmin double, qmax double",
     )
+
+
+_BAD_CSV = (
+    "id,v\n"
+    "1,10.5\n"
+    "2,oops\n"
+    "3,7.25\n"
+    "bad,row,extra\n"
+    "4,2.0\n"
+)
+BAD_DIR = f"{STAGE_DIR}/s2_badrecords"
+
+
+def _ensure_bad_fixture() -> None:
+    os.makedirs(BAD_DIR, exist_ok=True)
+    p = os.path.join(BAD_DIR, "feed.csv")
+    if not os.path.exists(p) or open(p).read() != _BAD_CSV:
+        with open(p, "w") as f:
+            f.write(_BAD_CSV)
+
+
+_ensure_bad_fixture()
+
+
+@query(
+    "s2_csv_badrecords",
+    oracle=f"""
+    WITH raw AS (
+      SELECT line
+      FROM read_csv('{BAD_DIR}/feed.csv', header=false, delim='|', quote='',
+                    columns={{'line': 'VARCHAR'}})
+    ),
+    parsed AS (
+      SELECT string_split(line, ',') AS f FROM raw WHERE line <> 'id,v'
+    ),
+    judged AS (
+      SELECT f,
+             len(f) = 2
+             AND TRY_CAST(f[1] AS BIGINT) IS NOT NULL
+             AND TRY_CAST(f[2] AS DOUBLE) IS NOT NULL AS ok
+      FROM parsed
+    )
+    SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN ok
+                         THEN CAST(TRY_CAST(f[2] AS DOUBLE) AS DECIMAL(18,2))
+                         END) AS DOUBLE) AS sum_v
+    FROM judged
+    """,
+)
+def s2_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record policy: PERMISSIVE parse with a corrupt-record
+    column — bad rows (unparsable type, wrong arity) are counted, not
+    silently dropped and not fatal; good rows aggregate.  The oracle
+    re-states the SAME policy explicitly over raw lines (arity == 2
+    and both fields TRY_CAST-parse) — engine-native lenient modes were
+    rejected: DuckDB's ignore_errors keeps a type-bad row as NULL
+    where Spark quarantines it, so the policy must be spelled out, not
+    inherited.  At scale
+    this is the quarantine pattern: route `_corrupt_record IS NOT
+    NULL` rows to a dead-letter sink instead of failing the feed."""
+    _ensure_bad_fixture()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{BAD_DIR}/feed.csv")
+        .cache()
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),
+        F.sum(F.when(~bad, F.col("v").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sum_v"),
+    )

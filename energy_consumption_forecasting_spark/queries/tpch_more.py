@@ -735,3 +735,72 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", "part_value")
     )
+
+
+# --- TPC-H Q20: dominant suppliers of a part class ------------------------------
+@query(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    part_tot AS (
+      SELECT l_partkey AS tp, SUM(q) AS tq FROM shipped GROUP BY 1
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM shipped
+      JOIN part_tot ON tp = l_partkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND CAST(q AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN dominant ON l_suppkey = s_suppkey
+    """,
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's semi-join-chain shape with shipped share standing in for
+    the absent availqty: suppliers who shipped >50% of some PROMO
+    part's 1997 volume.  Two aggregations over the same filtered scan
+    share the (partkey, suppkey) shuffle; the dominance test compares
+    doubles derived from exact decimal sums via the identical op
+    sequence; the supplier leg is a broadcast semi join."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01"))
+        & (F.col("l_shipdate") < _TS("1998-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("q").alias("tq")
+    )
+    promo = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    dominant = (
+        shipped.join(part_tot, F.col("tp") == F.col("l_partkey"))
+        .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("q").cast("double") > 0.5 * F.col("tq").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
