@@ -346,3 +346,72 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --- apply the mixture: deterministic replication/thinning ----------------------
+@query(
+    "pipeline_apply_mixture",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM per_lang
+    ), mult AS (
+      SELECT lang,
+             (CAST(1 AS DOUBLE) / n_langs)
+               / (CAST(n_docs AS DOUBLE) / total) AS m
+      FROM per_lang, tot
+    ), gated AS (
+      SELECT d.doc_id, d.lang,
+             CAST(FLOOR(m) AS INT)
+             + CASE WHEN (
+                   (strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5(d.text), 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(d.text), 4, 1)) - 1)
+               ) / 65536.0 < m - FLOOR(m) THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN mult USING (lang)
+    )
+    SELECT doc_id, lang, CAST(c AS INT) AS copy_id
+    FROM gated, LATERAL unnest(generate_series(1, n_copies)) AS t(c)
+    """,
+)
+def pipeline_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforce the mixture plan (pipeline_mixture_weights) on the
+    corpus: each document is replicated floor(multiplier) times plus
+    one more iff its content-hash fraction falls under the fractional
+    part — deterministic stochastic rounding, so the resampled corpus
+    hits the target mixture in expectation AND is bit-reproducible
+    (same doc -> same copy count on any engine, run, or partitioning).
+    The multiplier table is langs-sized -> broadcast; replication is a
+    row-local explode."""
+    docs = tbl(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    mult = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (
+            (F.lit(1).cast("double") / F.col("n_langs"))
+            / (F.col("n_docs").cast("double") / F.col("total"))
+        ).alias("m"),
+    )
+    h16 = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+    n_copies = F.floor("m").cast("int") + F.when(
+        (h16 / F.lit(65536.0)) < (F.col("m") - F.floor("m")), 1
+    ).otherwise(0)
+    gated = docs.join(F.broadcast(mult), "lang").select(
+        "doc_id", "lang", n_copies.alias("n_copies")
+    )
+    return (
+        gated.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+        )
+        .select("doc_id", "lang", F.col("copy_id").cast("int").alias("copy_id"))
+    )
