@@ -537,3 +537,53 @@ def w20_signed_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("value") - 10.0 < 0, "red").otherwise("blue").alias("sign_class"),
     )
+
+
+# --- interval RANGE-frame rolling window ---------------------------------------
+@query(
+    "w_range_rolling_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             CAST(l_shipdate AS DATE) AS d,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS epoch_day,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT l_returnflag, d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+           CAST(SUM(qty) OVER w AS DOUBLE) AS rolling_qty
+    FROM daily
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY epoch_day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_range_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-DAY rolling sum with a RANGE frame over the actual
+    calendar distance — unlike a ROWS frame, missing days do not pull
+    older rows into the window, which is the correct trailing-week
+    semantics on gappy series.  The window partitions per series
+    (returnflag) over the pre-aggregated daily table; the frame key is
+    an integer epoch-day so both engines bound the range identically."""
+    from pyspark.sql import Window
+
+    li = tbl(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.to_date("l_shipdate").alias("d"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "d",
+        F.count("*").over(w).alias("n_days"),
+        F.sum("qty").over(w).cast("double").alias("rolling_qty"),
+    )
