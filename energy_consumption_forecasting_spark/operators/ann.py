@@ -307,3 +307,71 @@ def pq_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_neighbors)
     )
+
+
+def ivfpq_topk(
+    encoded_with_cell: DataFrame,
+    queries: np.ndarray,
+    query_ids: list[int],
+    books: np.ndarray,
+    probe_cells: dict[int, list[int]],
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ composite: each query scores ONLY vectors whose coarse
+    cell is in its probe list (cell filter), by ADC table lookups (PQ
+    scores) — the candidate-pruning and the compression compose, which
+    is how billion-scale indexes are actually built.  (Codes are over
+    raw vectors, not cell residuals — documented simplification; the
+    plan shape is identical.)"""
+    from pyspark.sql import Window
+
+    spark = encoded_with_cell.sparkSession
+    m, kc, sub = books.shape
+    tables = np.stack(
+        [
+            ((books[j][None, :, :] - queries[:, None, j * sub : (j + 1) * sub])
+             ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    probe_sets = {int(q): frozenset(c) for q, c in probe_cells.items()}
+    bt = spark.sparkContext.broadcast((tables, np.asarray(query_ids), probe_sets))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs, qids, probes = bt.value
+        for pdf in batches:
+            C = np.asarray(pdf["code"].tolist(), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cells, list(probes[int(qid)]))
+                if not mask.any():
+                    continue
+                Cm, idm = C[mask], ids[mask]
+                d = np.zeros(len(Cm))
+                for j in range(tabs.shape[1]):
+                    d += tabs[qi, j, Cm[:, j]]
+                top = np.argsort(d, kind="stable")[:k_neighbors]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(idm[top].tolist())
+                out_d.extend(d[top].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_v, "adc_dist": out_d}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+    partial = encoded_with_cell.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+    )

@@ -415,3 +415,79 @@ def pipeline_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("copy_id").cast("int").alias("copy_id"))
     )
+
+
+# --- the full corpus-prep pipeline, end to end ----------------------------------
+@query(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ), cleaned AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN survivors USING (doc_id)
+      WHERE d.n_chars >= 50
+    ), sampled AS (
+      SELECT doc_id, lang, text FROM cleaned
+      WHERE substring(md5(text), 1, 4) <
+            CASE lang WHEN 'en' THEN '4000' ELSE '8000' END
+    ), toks AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS a FROM sampled
+    ), sized AS (
+      SELECT doc_id, lang, a,
+             GREATEST(1, CAST(CEIL((len(a) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                              AS INT) + 1) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(i AS INT) AS chunk_idx,
+           md5(array_to_string(
+               a[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+               ' ')) AS chunk_hash
+    FROM sized, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus-prep pipeline a pretraining run would
+    materialize, as one lazy composition: exact dedup (canonical
+    survivor per content hash) → quality gate (length) → deterministic
+    stratified sampling (content-hash gate, en thinned) → overlapping
+    {CHUNK_SIZE}-token chunking.  Every stage is the registered
+    operator's logic verbatim, so the oracle is their CTE composition.
+    Plan: one hash-groupBy + one semi join up front (the only
+    shuffles); sampling and chunking are row-local, so the whole tail
+    is a single narrow stage — at 100 TB this pipeline is two shuffles
+    of 16-byte keys plus a map-only pass, with chunk hashes (not
+    text) as the output."""
+    docs = tbl(spark, sf_dir, "documents")
+    survivors = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    cleaned = docs.join(survivors, "doc_id", "left_semi").filter(
+        F.col("n_chars") >= 50
+    )
+    thr = F.when(F.col("lang") == "en", F.lit("4000")).otherwise(F.lit("8000"))
+    sampled = cleaned.filter(F.substring(F.md5("text"), 1, 4) < thr).select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("a")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("a") - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast("int")
+        + 1,
+    )
+    exploded = sampled.select(
+        "doc_id",
+        "lang",
+        "a",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    chunk = F.slice(F.col("a"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        "lang",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

@@ -321,3 +321,43 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmat = np.asarray([q[1] for q in qrows], dtype=np.float64)
     out = pq_topk(encoded, qmat, qids, books, k_neighbors=TOP_K)
     return out.select("query_id", "vec_id", "adc_dist", "rank")
+
+
+# --- IVF+PQ composite ANN — rows-only ----------------------------------------------
+@query("sim_ivfpq_topk")
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index: IVF coarse cells prune candidates, PQ/ADC
+    scores the survivors (operators/ann.py::ivfpq_topk) — pruning x
+    compression, the billion-vector shape.  Probe lists are computed
+    on the driver from the KB-sized centroid matrix (query set is
+    bounded by contract, N_QUERIES)."""
+    import numpy as np
+
+    from ..operators.ann import (
+        build_ivf,
+        ivfpq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    assigned, model = build_ivf(e, n_cells=16)
+    books = train_pq_codebooks(e, m=8, k=16)
+    encoded = pq_encode(e, books).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    qrows = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    qids = [q[0] for q in qrows]
+    qmat = np.asarray([q[1] for q in qrows], dtype=np.float64)
+    cents = np.asarray(model.clusterCenters())
+    probe = {
+        int(qid): np.argsort(((cents - qmat[i]) ** 2).sum(axis=1))[:4].tolist()
+        for i, qid in enumerate(qids)
+    }
+    out = ivfpq_topk(encoded, qmat, qids, books, probe, k_neighbors=TOP_K)
+    return out.select("query_id", "vec_id", "adc_dist", "rank")

@@ -153,3 +153,38 @@ def test_pq_ann_recall_vs_exact(spark):
     assert recall >= 0.2, f"recall {recall}"
     for qi in range(qn):
         assert ids[qi] in got[ids[qi]]  # own vector must be retrieved
+
+
+def test_ivfpq_retrieves_own_vector(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ann import (
+        build_ivf,
+        ivfpq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    assigned, model = build_ivf(e, n_cells=8)
+    books = train_pq_codebooks(e, m=8, k=16)
+    encoded = pq_encode(e, books).join(assigned.select("vec_id", "cell"), "vec_id")
+    qrows = [(r.vec_id, np.array(r.v)) for r in e.filter(F.col("vec_id") < 3).collect()]
+    qids = [q[0] for q in qrows]
+    qmat = np.stack([q[1] for q in qrows])
+    cents = np.asarray(model.clusterCenters())
+    probe = {
+        int(qid): np.argsort(((cents - qmat[i]) ** 2).sum(axis=1))[:3].tolist()
+        for i, qid in enumerate(qids)
+    }
+    out = ivfpq_topk(encoded, qmat, qids, books, probe, k_neighbors=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    for qid in qids:
+        assert 1 <= len(got[qid]) <= 5
+        assert qid in got[qid]  # own cell is always probed -> own vector found
