@@ -224,6 +224,31 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_digests.select("doc_id", sig.alias("sig"))
 
 
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — N_BANDS band buckets per doc, row-local
+    from the signature array (bucket = md5 of the band's 2 slices)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.element_at("sig", b * 2 + 1),
+                            F.element_at("sig", b * 2 + 2),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -261,25 +286,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inflated size stats can't demote them to sort-merge (the failure
     # mode that made a naive persist slower — see ARCHITECTURE.md).
     sigs = _minhash_sigs(spark, sf_dir).persist()
-    # 4 band buckets per doc, row-local from the signature array.
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.element_at("sig", b * 2 + 1),
-                            F.element_at("sig", b * 2 + 2),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_rows = _band_rows(sigs)
     members = (
         band_rows.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))

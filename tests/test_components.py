@@ -1,0 +1,63 @@
+"""Connected-components dedup clustering (queries/components.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.queries.components import (
+    connected_components,
+    dedup_connected_components,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _cc(spark, n_nodes, edges):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "v long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    out = connected_components(nodes, e).collect()
+    return {r.v: r.comp for r in out}
+
+
+def test_cc_chain_and_singletons(spark):
+    # chain 0-1-2-3 (diameter 3, exercises multi-round propagation),
+    # pair 5-6, singletons 4 and 7
+    comp = _cc(spark, 8, [(0, 1), (1, 2), (2, 3), (5, 6)])
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_cc_long_path_converges(spark):
+    # path of 33 nodes: diameter 32 >> MAX_CC_ROUNDS, so convergence
+    # relies on pointer jumping's distance doubling.
+    n = 33
+    comp = _cc(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert set(comp.values()) == {0}
+
+
+def test_cc_merges_two_cliques_via_bridge(spark):
+    edges = (
+        [(0, 1), (0, 2), (1, 2)]
+        + [(10, 11), (10, 12), (11, 12)]
+        + [(2, 10)]  # bridge
+    )
+    comp = _cc(spark, 13, edges)
+    assert comp[12] == 0 and comp[11] == 0
+    # untouched middle nodes are their own components
+    assert all(comp[i] == i for i in range(3, 10))
+
+
+def test_cc_gate_query_covers_every_doc_once(spark):
+    out = dedup_connected_components(spark, SF_SMALL)
+    rows = out.collect()
+    n_docs = out.sparkSession.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    # component label is the min doc_id of its members; csize consistent
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.doc_id for m in members)
+        assert all(m.csize == len(members) for m in members)
