@@ -57,14 +57,18 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             dedup,
             extensions,
             joins,
+            layout,
+            lm,
             ml_queries,
             more_relational,
             pipeline_ops,
+            quality,
             relational,
             reshape,
             rollup_gate,
             scale_ops,
             similarity,
+            smoothing,
             sources_gate,
             text,
             timeseries,

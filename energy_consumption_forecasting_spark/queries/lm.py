@@ -1,0 +1,115 @@
+"""Corpus-language-model familiarity scoring (training-data pipeline).
+
+A perplexity-style quality filter without a neural LM: train a bigram
+model ON the corpus itself (distributed count tables), then score every
+document by how "familiar" its bigrams are to the corpus.  This is the
+classic KenLM-filter shape from public LLM-data pipelines (CCNet /
+RefinedWeb style), re-expressed so the whole thing is three hash
+aggregations and two equi-joins — no model artifact, no UDF.
+
+Determinism contract: per-document aggregation of *floating* log-probs
+is order-dependent across engines, so the score is defined on exact
+integer aggregates instead — Σ c(w1,w2) and Σ c(w1) over the document's
+bigram occurrences — with ONE double division at the end.  Same quality
+ordering as mean conditional probability, bit-stable everywhere.
+
+Scale shape (100 TB): the unigram/bigram count tables are produced by
+map-side-combinable hash aggs over row-local expansions; the scoring
+joins are hash joins keyed on the n-gram string.  Hot n-grams ("of the")
+are one build row each — probe-side skew only, which AQE skew-split
+handles.  Nothing is collected or broadcast by assumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+from .text import _toks
+
+_TOKS_SQL = """
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+      FROM documents
+"""
+
+
+def _doc_bigram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, bigram) — one row per bigram OCCURRENCE, row-local
+    expansion from the token array."""
+    toks = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", _toks(F.lower(F.col("text"))).alias("a"))
+        .filter(F.size("a") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("a") - 1),
+        lambda i: F.struct(
+            F.element_at("a", i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("a", i), F.element_at("a", i + 1)
+            ).alias("bigram"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram")
+    )
+
+
+@query(
+    "text_lm_familiarity",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
+      FROM toks WHERE len(a) >= 2
+    ),
+    ucnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1
+    ),
+    bcnt AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM occ GROUP BY 1
+    ),
+    scored AS (
+      SELECT occ.doc_id, bcnt.c2, ucnt.c1
+      FROM occ JOIN bcnt USING (bigram) JOIN ucnt ON occ.w1 = ucnt.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity,
+           CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+    FROM scored GROUP BY 1
+    """,
+)
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score = Σ corpus-count(bigram) / Σ corpus-count(first word): the
+    exact-integer analog of mean conditional bigram probability.
+    ``novel_frac`` is the share of a document's bigrams that occur
+    nowhere else in the corpus — high novel_frac + low familiarity is
+    the low-quality / gibberish band a corpus filter drops."""
+    occ = _doc_bigram_occurrences(spark, sf_dir)
+    uni = (
+        tbl(spark, sf_dir, "documents")
+        .select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    bg = occ.groupBy("bigram").agg(F.count("*").alias("c2"))
+    scored = occ.join(bg, "bigram").join(uni, occ.w1 == uni.w)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum("c2").cast("double") / F.sum("c1").cast("double")
+        ).alias("familiarity"),
+        (
+            F.sum(F.when(F.col("c2") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("novel_frac"),
+    )

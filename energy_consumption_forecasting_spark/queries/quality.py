@@ -1,0 +1,156 @@
+"""Data-quality operators: rolling z-score anomaly flags + table profiling.
+
+``ts_anomaly_zscore`` is the monitoring query an energy-demand stack
+runs continuously: each day scored against its own 31-day centered
+window.  The z statistic is algebraically rearranged so every
+intermediate is an exact integer —
+
+    z = (n·x − S1) / sqrt(n·S2 − S1²)        (≡ (x − μ)/σ, σ = pop. std)
+
+with x in cents, S1 = Σx, S2 = Σx² over the window.  The only float ops
+are one cast, one sqrt, one division — identical IEEE sequence on both
+engines, so the oracle hash is strict.  (S2 fits 64-bit up to the bench
+SF; Spark carries it in DECIMAL(38,0) and DuckDB in HUGEINT so the
+exactness headroom is 1e38 either way.)
+
+``profile_documents`` is the one-pass column profiler (null rate,
+distinct count, min/max) every ingestion gate runs before accepting a
+drop of new data.  Single scan: all 5 columns' aggregates in ONE agg
+(Spark plans multi-distinct via expand), then an unpivot to one row per
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+_DAILY_CENTS_SQL = """
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS xc
+      FROM orders GROUP BY 1
+"""
+
+WINDOW_N = 31
+Z_FLAG = 2.0
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    win AS (
+      SELECT d, xc,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(xc AS HUGEINT)) OVER w AS s1,
+             SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) OVER w AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)
+    ),
+    full_win AS (
+      SELECT d, xc, s1, s2,
+             CAST({WINDOW_N} * xc - s1 AS DOUBLE) AS num,
+             CAST({WINDOW_N} * s2 - s1 * s1 AS DOUBLE) AS den2
+      FROM win WHERE n = {WINDOW_N}
+    )
+    SELECT d, CAST(xc AS DOUBLE) / 100.0 AS demand,
+           num / sqrt(den2) AS z,
+           CASE WHEN abs(num / sqrt(den2)) > {Z_FLAG} THEN TRUE ELSE FALSE END
+             AS is_anomaly
+    FROM full_win WHERE den2 > 0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily demand scored against its 31-day centered window; full
+    windows only (statsmodels-style NaN edges dropped).
+
+    The global date-ordered window is bounded by the calendar (one row
+    per day after the pre-aggregation), the same justified shape as
+    m7/j3 — the heavy table was already reduced by the groupBy."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("xc")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-15, 15)
+    xd = F.col("xc").cast("decimal(19,0)")
+    win = daily.select(
+        "d",
+        "xc",
+        F.count("*").over(w).alias("n"),
+        F.sum(xd).over(w).alias("s1"),
+        F.sum(xd * xd).over(w).alias("s2"),
+    ).filter(F.col("n") == WINDOW_N)
+    num = (F.lit(WINDOW_N) * F.col("xc") - F.col("s1")).cast("double")
+    den2 = (F.lit(WINDOW_N) * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    z = num / F.sqrt(den2)
+    return (
+        win.filter(den2 > 0)
+        .select(
+            "d",
+            (F.col("xc").cast("double") / F.lit(100.0)).alias("demand"),
+            z.alias("z"),
+            (F.abs(z) > Z_FLAG).alias("is_anomaly"),
+        )
+    )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_documents",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+      SELECT '{c}' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             substr(CAST(MIN({c}) AS VARCHAR), 1, 32) AS min_val,
+             substr(CAST(MAX({c}) AS VARCHAR), 1, 32) AS max_val
+      FROM documents
+    """
+        for c in _PROFILE_COLS
+    )
+    + ")",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table in one scan: the aggregates
+    for all columns are computed in a single ``agg`` and unpivoted with
+    ``stack`` — at 100 TB this is one pass over the data, not one scan
+    per column (the oracle's UNION ALL form is for clarity; DuckDB CSE
+    merges the scans anyway)."""
+    d = tbl(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.substring(F.min(c).cast("string"), 1, 32).alias(f"{c}__min"),
+            F.substring(F.max(c).cast("string"), 1, 32).alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    )

@@ -1,0 +1,139 @@
+"""Holt linear-trend exponential smoothing, per series.
+
+The reference's forecasting tier (SURVEY §2.7: AR/ARIMA M9, GBT M10,
+LSTM M11) lacks the classical smoothing baseline every energy-demand
+stack ships; this adds Holt's double exponential smoothing as a grouped
+operator: one independent recursion per series, fitted one-step-ahead
+values alongside level/trend state.
+
+Spark-first shape: ``applyInPandas`` over the series key — each group is
+a bounded calendar-length array (here ~80 months; at 100 TB you have
+millions of *series*, not longer ones, so groups stay cache-sized and
+the stage is embarrassingly parallel with zero cross-group shuffle
+beyond the one groupBy).
+
+Cross-engine determinism: the recursion is evaluated as the *same IEEE
+double op sequence* on both engines — Python loop here, recursive CTE in
+DuckDB — starting from identical doubles (CAST of exact DECIMAL month
+sums).  Smoothing constants are dyadic rationals (α=0.5, β=0.25) so the
+literals are bit-exact in both parsers; every step is mul/add in the
+same order, so the driver's strict value hash matches with no rounding.
+
+Reference anchor: the naive/persistence baseline in
+``src/scripts/evaluation.py`` (metrics vs lag-1) is the M14 spine; Holt
+is the standard next rung on that baseline ladder.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+ALPHA = 0.5  # level smoothing — dyadic, bit-exact literal in SQL + Python
+BETA = 0.25  # trend smoothing
+
+_MONTHLY_PRIO_SQL = """
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS demand
+      FROM orders GROUP BY 1, 2
+"""
+
+_OUT_SCHEMA = (
+    "priority string, month date, level double, trend double, fitted double"
+)
+
+
+def holt_smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One series: Holt recursion over month order.
+
+    l_1 = y_1, b_1 = y_2 - y_1 (0 for singleton series); for t >= 2:
+      fitted_t = l_{t-1} + b_{t-1}
+      l_t = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+      b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+    """
+    pdf = pdf.sort_values("month").reset_index(drop=True)
+    # Arrow hands DECIMAL as objects; float() is correctly-rounded, the
+    # same value as SQL CAST(demand AS DOUBLE).
+    ys = [float(v) for v in pdf["demand"]]
+    n = len(ys)
+    levels = [0.0] * n
+    trends = [0.0] * n
+    fitted: list[float | None] = [None] * n
+    l = ys[0]
+    b = ys[1] - ys[0] if n > 1 else 0.0
+    levels[0], trends[0] = l, b
+    for t in range(1, n):
+        f = l + b
+        fitted[t] = f
+        newl = ALPHA * ys[t] + (1.0 - ALPHA) * (l + b)
+        newb = BETA * (newl - l) + (1.0 - BETA) * b
+        l, b = newl, newb
+        levels[t], trends[t] = l, b
+    return pd.DataFrame(
+        {
+            "priority": pdf["priority"],
+            "month": pdf["month"],
+            "level": levels,
+            "trend": trends,
+            "fitted": pd.array(fitted, dtype="float64"),
+        }
+    )
+
+
+@query(
+    "m20_holt_smoothing",
+    oracle=f"""
+    WITH RECURSIVE monthly AS ({_MONTHLY_PRIO_SQL}),
+    idx AS (
+      SELECT priority, month, demand,
+             row_number() OVER (PARTITION BY priority ORDER BY month) AS t
+      FROM monthly
+    ),
+    hw(priority, t, l, b, fitted) AS (
+      SELECT i1.priority, 1,
+             CAST(i1.demand AS DOUBLE),
+             COALESCE(CAST(i2.demand AS DOUBLE) - CAST(i1.demand AS DOUBLE), 0.0),
+             CAST(NULL AS DOUBLE)
+      FROM idx i1 LEFT JOIN idx i2 ON i1.priority = i2.priority AND i2.t = 2
+      WHERE i1.t = 1
+      UNION ALL
+      SELECT hw.priority, hw.t + 1,
+             {ALPHA} * CAST(i.demand AS DOUBLE) + {1.0 - ALPHA} * (hw.l + hw.b),
+             {BETA} * (({ALPHA} * CAST(i.demand AS DOUBLE)
+                        + {1.0 - ALPHA} * (hw.l + hw.b)) - hw.l)
+               + {1.0 - BETA} * hw.b,
+             hw.l + hw.b
+      FROM hw JOIN idx i ON i.priority = hw.priority AND i.t = hw.t + 1
+    )
+    SELECT hw.priority AS priority, idx.month AS month,
+           hw.l AS level, hw.b AS trend, hw.fitted AS fitted
+    FROM hw JOIN idx ON idx.priority = hw.priority AND idx.t = hw.t
+    """,
+)
+def m20_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority monthly demand smoothed with Holt's linear trend.
+
+    The oracle evaluates the identical recursion as a recursive CTE (one
+    iteration advances every series by one step), so the comparison is a
+    strict bit-level check of the smoothing recursion itself."""
+    monthly = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("demand")
+        )
+    )
+    return monthly.groupBy("priority").applyInPandas(holt_smooth, _OUT_SCHEMA)

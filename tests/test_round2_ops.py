@@ -1,0 +1,140 @@
+"""Round-2 operators: Holt smoothing, LM familiarity, z-order layout,
+rolling z-score anomaly, table profiling."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from energy_consumption_forecasting_spark.queries.layout import (
+    BUCKET_SHIFT,
+    morton_code,
+    scale_zorder_layout,
+)
+from energy_consumption_forecasting_spark.queries.lm import text_lm_familiarity
+from energy_consumption_forecasting_spark.queries.quality import (
+    profile_documents,
+    ts_anomaly_zscore,
+)
+from energy_consumption_forecasting_spark.queries.smoothing import (
+    holt_smooth,
+    m20_holt_smoothing,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# --- Holt smoothing -----------------------------------------------------------------
+def test_holt_recursion_hand_computed():
+    pdf = pd.DataFrame(
+        {
+            "priority": ["P"] * 4,
+            "month": pd.to_datetime(["2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01"]),
+            "demand": [10.0, 14.0, 12.0, 20.0],
+        }
+    )
+    out = holt_smooth(pdf)
+    # l1=10, b1=4; t2: fitted=14, l=.5*14+.5*14=14, b=.25*4+.75*4=4
+    # t3: fitted=18, l=.5*12+.5*18=15, b=.25*1+.75*4=3.25
+    # t4: fitted=18.25, l=.5*20+.5*18.25=19.125, b=.25*4.125+.75*3.25=3.46875
+    assert out["level"].tolist() == [10.0, 14.0, 15.0, 19.125]
+    assert out["trend"].tolist() == [4.0, 4.0, 3.25, 3.46875]
+    assert math.isnan(out["fitted"][0])
+    assert out["fitted"].tolist()[1:] == [14.0, 18.0, 18.25]
+
+
+def test_holt_singleton_series():
+    pdf = pd.DataFrame(
+        {"priority": ["P"], "month": pd.to_datetime(["2020-01-01"]), "demand": [7.0]}
+    )
+    out = holt_smooth(pdf)
+    assert out["level"].tolist() == [7.0] and out["trend"].tolist() == [0.0]
+
+
+def test_holt_gate_one_fitted_gap_per_series(spark):
+    out = m20_holt_smoothing(spark, SF_SMALL).collect()
+    by_prio: dict[str, list] = {}
+    for r in out:
+        by_prio.setdefault(r.priority, []).append(r)
+    assert len(by_prio) >= 2
+    for rows in by_prio.values():
+        rows.sort(key=lambda r: r.month)
+        assert rows[0].fitted is None
+        assert all(r.fitted is not None for r in rows[1:])
+
+
+# --- LM familiarity -----------------------------------------------------------------
+def test_lm_familiarity_bounds(spark):
+    out = {r.doc_id: r for r in text_lm_familiarity(spark, SF_SMALL).collect()}
+    assert out  # docs with >=2 tokens exist
+    for r in out.values():
+        assert r.n_bigrams >= 1
+        assert 0.0 < r.familiarity  # bigram counts are positive
+        assert 0.0 <= r.novel_frac <= 1.0
+
+
+# --- z-order ------------------------------------------------------------------------
+def test_morton_code_known_values(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(
+        morton_code(F.lit(3), F.lit(5)).alias("a"),
+        morton_code(F.lit(0), F.lit(0)).alias("b"),
+        morton_code(F.lit(1023), F.lit(1023)).alias("c"),
+    )
+    r = df.collect()[0]
+    # x=0b011 (even positions), y=0b101 (odd): 1 + 2 + 4 + 32 = 39
+    assert r.a == 39
+    assert r.b == 0
+    assert r.c == (1 << 20) - 1
+
+
+def test_zorder_bucket_bbox_bounded(spark):
+    out = scale_zorder_layout(spark, SF_SMALL).collect()
+    side = 1 << (BUCKET_SHIFT // 2)  # low bits per dim within a bucket
+    for r in out:
+        assert r.x_max - r.x_min + 1 <= side
+        assert r.y_max - r.y_min + 1 <= side
+        assert r.bbox_area <= side * side
+
+
+# --- anomaly z-score ----------------------------------------------------------------
+def test_zscore_matches_numpy(spark):
+    import numpy as np
+
+    rows = ts_anomaly_zscore(spark, SF_SMALL).collect()
+    assert rows
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d", "o_totalprice")
+        .groupBy("d")
+        .agg({"o_totalprice": "sum"})
+        .collect()
+    )
+    series = {r.d: r["sum(o_totalprice)"] for r in daily}
+    ds = sorted(series)
+    vals = np.array([series[d] for d in ds])
+    idx = {d: i for i, d in enumerate(ds)}
+    checked = 0
+    for r in rows[:50]:
+        i = idx[r.d]
+        w = vals[i - 15 : i + 16]
+        if len(w) != 31:
+            continue
+        z = (vals[i] - w.mean()) / w.std()
+        assert r.z == pytest.approx(z, rel=1e-6, abs=1e-6)
+        checked += 1
+    assert checked > 10
+
+
+# --- profiling ----------------------------------------------------------------------
+def test_profile_shape_and_counts(spark):
+    out = {r.col_name: r for r in profile_documents(spark, SF_SMALL).collect()}
+    n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert set(out) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r.n_rows == n for r in out.values())
+    assert out["doc_id"].n_distinct == n
+    assert out["doc_id"].n_null == 0
+    assert len(out["text"].min_val) <= 32
