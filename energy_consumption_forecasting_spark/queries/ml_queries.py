@@ -349,7 +349,9 @@ def m10_gbt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir).select(
         "d", F.col("demand").cast("double").alias("demand")
     )
-    fc = GBTLagForecaster(lags=[1, 2, 3, 7], max_iter=10, fit_partitions=8).fit(daily, "d", "demand")
+    # fit_partitions=2: the assembled frame is one aggregated calendar
+    # series (~2.5k rows) — per-iteration task scheduling dominates at 8.
+    fc = GBTLagForecaster(lags=[1, 2, 3, 7], max_iter=10, fit_partitions=2).fit(daily, "d", "demand")
     preds = fc.forecast(spark, steps=7)
     return spark.createDataFrame(
         [(i + 1, float(v)) for i, v in enumerate(preds)], "step int, forecast double"
