@@ -56,6 +56,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             components,
             dedup,
             extensions,
+            geo,
             joins,
             layout,
             lm,
@@ -68,6 +69,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             rollup_gate,
             scale_ops,
             similarity,
+            sinks_gate,
             smoothing,
             sources_gate,
             text,

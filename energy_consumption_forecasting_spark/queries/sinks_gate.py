@@ -1,0 +1,62 @@
+"""S7 sink gate: hive-partitioned parquet write → pruned read-back.
+
+r1 left the parquet/CSV sink (SURVEY §2.1 S7) exercised only in pytest.
+This registers the full write path on the gate: the query writes the
+documents table to a hive-partitioned directory (``lang=<v>/``), reads
+it back through the partition-discovery scan with a partition filter,
+and the oracle computes the same projection+filter from the ORIGINAL
+table — so a pass proves the sink round-trips every value bit-exactly
+AND that partition values survive the directory-encoding round-trip.
+
+Scale: partitioned writes are the 100-TB layout primitive (one
+directory per partition value, each file append-only); the read-back
+filter prunes to matching directories before any IO
+(``PartitionFilters`` in the scan node — asserted in
+tests/test_round2_ops.py, not just eyeballed).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+SINK_DIR = "/root/repo/.stage/s7_partitioned"
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """S7 partitioned parquet sink (overwrite)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+@query(
+    "s7_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT doc_id, source, n_chars, text, lang
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    """,
+)
+def s7_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents partitioned by ``lang``, read back only the
+    ``en``/``de`` directories.  The oracle never sees the sink — equality
+    means the write+partition-discovery+prune path preserved the data."""
+    docs = tbl(spark, sf_dir, "documents")
+    # per-SF subdir: the gate and tests run at different SFs; never let
+    # one SF's sink satisfy another's read-back.
+    path = f"{SINK_DIR}/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    # partition columns come back typed as read; cast to the original
+    # string type explicitly so the schema comparison is exact.
+    return back.select(
+        "doc_id", "source", "n_chars", "text", F.col("lang").cast("string").alias("lang")
+    )

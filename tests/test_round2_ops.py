@@ -138,3 +138,55 @@ def test_profile_shape_and_counts(spark):
     assert out["doc_id"].n_distinct == n
     assert out["doc_id"].n_null == 0
     assert len(out["text"].min_val) <= 32
+
+
+# --- S7 partitioned sink + geohash join ---------------------------------------------
+def test_s7_readback_plan_prunes_partitions(spark):
+    from energy_consumption_forecasting_spark.queries.sinks_gate import (
+        s7_partitioned_sink_roundtrip,
+    )
+
+    df = s7_partitioned_sink_roundtrip(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    # only en/de directories survive pruning
+    assert set(r.lang for r in df.select("lang").distinct().collect()) <= {"en", "de"}
+
+
+def _py_geohash(key: int) -> str:
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    latq = (key * 7919) % 18000
+    lonq = (key * 104729) % 36000
+    lat15 = latq * 32768 // 18000
+    lon15 = lonq * 32768 // 36000
+    code = 0
+    for i in range(15):
+        code += ((lon15 >> (14 - i)) & 1) << (29 - 2 * i)
+        code += ((lat15 >> (14 - i)) & 1) << (28 - 2 * i)
+    return "".join(b32[(code >> (25 - 5 * k)) & 31] for k in range(6))
+
+
+def test_geohash_matches_independent_python(spark):
+    from energy_consumption_forecasting_spark.queries.geo import (
+        _LAT_SQL,
+        _LON_SQL,
+        _SPARK,
+        geohash_sql,
+    )
+
+    keys = [1, 7, 42, 1023, 99991]
+    gh = geohash_sql(_LAT_SQL.format(k="id"), _LON_SQL.format(k="id"), _SPARK)
+    df = spark.createDataFrame([(k,) for k in keys], "id long").selectExpr(
+        "id", f"{gh} AS h"
+    )
+    got = {r.id: r.h for r in df.collect()}
+    assert got == {k: _py_geohash(k) for k in keys}
+
+
+def test_geohash_join_pairs_share_cell(spark):
+    from energy_consumption_forecasting_spark.queries.geo import geo_geohash_join
+
+    rows = geo_geohash_join(spark, SF_SMALL).collect()
+    for r in rows:
+        assert _py_geohash(r.custkey)[:2] == r.cell == _py_geohash(r.suppkey)[:2]
+        assert r.d2_q >= 0
