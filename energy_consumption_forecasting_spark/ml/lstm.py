@@ -13,8 +13,10 @@ import-gated.  What IS Spark-native and implemented here:
 * ``to_numpy_dataset`` — Arrow-batched export to (X, y) ndarrays for a
   single-node trainer (at scale: ``TorchDistributor`` would consume the
   same DataFrame).
-* ``lstm_train`` — the reference trainer contract; raises with a clear
-  message unless torch is installed.
+* ``NumpyLSTM`` / ``lstm_train`` — a real in-container trainer: numpy
+  forward + full BPTT + Adam for the same single-layer shape (gradient-
+  checked in tests/test_lstm_numpy.py); the torch/TorchDistributor
+  route stays the GPU-cluster parity path.
 """
 
 from __future__ import annotations
@@ -116,23 +118,143 @@ def export_sequences(seq_df: DataFrame, path: str, shards: int | None = None) ->
     out.write.mode("overwrite").parquet(path)
 
 
+class NumpyLSTM:
+    """Library-free single-layer LSTM regressor: numpy forward + full
+    BPTT + Adam.  Standard published equations (Hochreiter &
+    Schmidhuber '97 cell; Kingma & Ba '15 optimizer) — closes the r1
+    gap where M11's trainer existed only behind the absent torch gate.
+
+    Gate order in the packed weight matrix: [i, f, g, o].  Weights are
+    W ∈ R^{(D+H)×4H} over concat(x_t, h_{t-1}), bias b ∈ R^{4H}, linear
+    head (Wy ∈ R^{H×1}, by).  Forget-gate bias starts at 1.0 (standard
+    initialization, keeps early memory open).  Deterministic under the
+    seed: same data → same weights, any platform with IEEE doubles."""
+
+    def __init__(self, n_features: int, hidden: int = 8, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        D, H = n_features, hidden
+        s_in = 1.0 / np.sqrt(D + H)
+        self.D, self.H = D, H
+        self.W = rng.uniform(-s_in, s_in, (D + H, 4 * H))
+        self.b = np.zeros(4 * H)
+        self.b[H : 2 * H] = 1.0  # forget bias
+        self.Wy = rng.uniform(-1.0 / np.sqrt(H), 1.0 / np.sqrt(H), (H, 1))
+        self.by = np.zeros(1)
+        self._adam = None
+
+    @staticmethod
+    def _sigmoid(x: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def _forward(self, X: np.ndarray):
+        """X: (N, L, D) → prediction (N,), caches for BPTT."""
+        N, L, D = X.shape
+        H = self.H
+        h = np.zeros((N, H))
+        c = np.zeros((N, H))
+        cache = []
+        for t in range(L):
+            xt = X[:, t, :]
+            z = np.concatenate([xt, h], axis=1) @ self.W + self.b
+            i = self._sigmoid(z[:, :H])
+            f = self._sigmoid(z[:, H : 2 * H])
+            g = np.tanh(z[:, 2 * H : 3 * H])
+            o = self._sigmoid(z[:, 3 * H :])
+            c_new = f * c + i * g
+            h_new = o * np.tanh(c_new)
+            cache.append((xt, h, c, i, f, g, o, c_new))
+            h, c = h_new, c_new
+        pred = (h @ self.Wy + self.by).ravel()
+        return pred, h, cache
+
+    def _backward(self, X, y, pred, h_last, cache):
+        """MSE loss gradients for every parameter (full BPTT)."""
+        N, L, D = X.shape
+        H = self.H
+        dpred = (2.0 / N) * (pred - y)  # d MSE
+        dWy = h_last.T @ dpred[:, None]
+        dby = dpred.sum(keepdims=True)
+        dh = dpred[:, None] @ self.Wy.T
+        dc = np.zeros((N, H))
+        dW = np.zeros_like(self.W)
+        db = np.zeros_like(self.b)
+        for t in range(L - 1, -1, -1):
+            xt, h_prev, c_prev, i, f, g, o, c_new = cache[t]
+            tc = np.tanh(c_new)
+            do = dh * tc
+            dc = dc + dh * o * (1.0 - tc * tc)
+            di = dc * g
+            df = dc * c_prev
+            dg = dc * i
+            dz = np.concatenate(
+                [
+                    di * i * (1.0 - i),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - g * g),
+                    do * o * (1.0 - o),
+                ],
+                axis=1,
+            )
+            inp = np.concatenate([xt, h_prev], axis=1)
+            dW += inp.T @ dz
+            db += dz.sum(axis=0)
+            dh = dz @ self.W[D:, :].T
+            dc = dc * f
+        return {"W": dW, "b": db, "Wy": dWy, "by": dby}
+
+    def _adam_step(self, grads: dict, lr: float) -> None:
+        if self._adam is None:
+            self._adam = {
+                k: (np.zeros_like(getattr(self, k)), np.zeros_like(getattr(self, k)))
+                for k in grads
+            }
+            self._t = 0
+        self._t += 1
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for k, g in grads.items():
+            m, v = self._adam[k]
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            self._adam[k] = (m, v)
+            mh = m / (1 - b1**self._t)
+            vh = v / (1 - b2**self._t)
+            setattr(self, k, getattr(self, k) - lr * mh / (np.sqrt(vh) + eps))
+
+    def fit(
+        self, X: np.ndarray, y: np.ndarray, epochs: int = 60, lr: float = 0.005
+    ) -> list[float]:
+        """Full-batch Adam; returns the per-epoch MSE history."""
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        history = []
+        for _ in range(epochs):
+            pred, h_last, cache = self._forward(X)
+            history.append(float(np.mean((pred - y) ** 2)))
+            grads = self._backward(X, y, pred, h_last, cache)
+            self._adam_step(grads, lr)
+        return history
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        pred, _, _ = self._forward(np.asarray(X, np.float64))
+        return pred
+
+
 def lstm_train(X: np.ndarray, y: np.ndarray, params: dict | None = None):
-    """Train the reference LSTM (torch required).
+    """Train an LSTM on the (X, y) tensors from ``to_numpy_dataset``.
 
-    The data path above is fully functional without torch; only the
-    gradient-descent step needs the library."""
-    if not _HAS_TORCH:
-        raise NotImplementedError(
-            "torch is not installed in this environment; sequence_dataset/"
-            "to_numpy_dataset produce the training tensors — install torch "
-            "(or run under TorchDistributor on a GPU cluster) to train the "
-            "reference LSTM (src/scripts/LSTM.py:14-123)."
-        )
-    # Single-node reference trainer (kept minimal; the Spark-side work is
-    # the dataset construction above).
-    import torch
-    from torch import nn
-
+    torch present → the reference architecture is the parity path
+    (LSTM.py:14-123; TorchDistributor at cluster scale).  torch absent
+    (this container) → the numpy trainer runs the same single-layer
+    shape for real: full BPTT, Adam, deterministic seed.  Returns
+    ``(model, history)`` where ``model.predict(X)`` works either way."""
     p = {**DEFAULT_PARAMS, **(params or {})}
-    model = nn.Sequential()  # placeholder for the gated path
-    raise NotImplementedError("full torch trainer intentionally out of scope")
+    if _HAS_TORCH:  # pragma: no cover — torch absent in this container
+        raise NotImplementedError(
+            "torch parity trainer not wired in this environment; use the "
+            "numpy tier or TorchDistributor on a real cluster"
+        )
+    model = NumpyLSTM(
+        n_features=X.shape[2], hidden=int(p["hidden_size"]), seed=42
+    )
+    history = model.fit(X, y, epochs=int(p.get("epochs", 60)), lr=float(p["lr"]))
+    return model, history

@@ -191,6 +191,48 @@ def m11_lstm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select("d", F.size("x").alias("x_len"), "y")
 
 
+# --- M11 (trained): numpy-LSTM recursive forecast (rows-only) -----------------------
+@query("m11_lstm_forecast")
+def m11_lstm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 end-to-end IN-CONTAINER (r1 left the trainer torch-gated):
+    distributed W8 window prep → Arrow-batched export → numpy LSTM
+    (full BPTT + Adam, ml/lstm.py::NumpyLSTM) → recursive 7-step
+    forecast, min-max scaled like the reference (LSTM.py:30-46).
+    Rows-only: gradient descent is solver-shaped."""
+    from ..ml.lstm import lstm_train, sequence_dataset, to_numpy_dataset
+
+    seq_len = 14
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("demand"))
+    )
+    lo, hi = daily.agg(F.min("demand"), F.max("demand")).collect()[0]
+    scaled = daily.select(
+        "d", ((F.col("demand") - lo) / (hi - lo)).alias("v")
+    )
+    seq = sequence_dataset(scaled, "d", ["v"], "v", seq_length=seq_len)
+    X, y = to_numpy_dataset(seq, n_features=1)
+    model, history = lstm_train(
+        X, y, {"epochs": 40, "hidden_size": 8, "lr": 0.01}
+    )
+    window = list(X[-1, :, 0].astype(float))
+    import numpy as np
+
+    preds = []
+    for _ in range(7):
+        p = float(model.predict(np.array(window[-seq_len:])[None, :, None])[0])
+        preds.append(p)
+        window.append(p)
+    return spark.createDataFrame(
+        [
+            (i + 1, lo + (hi - lo) * p, float(history[0]), float(history[-1]))
+            for i, p in enumerate(preds)
+        ],
+        "step int, forecast double, mse_first double, mse_last double",
+    )
+
+
 # --- M15: permutation importance (rows-only) ----------------------------------------
 @query("m15_permutation_importance")
 def m15_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
