@@ -284,12 +284,16 @@ class GBTLagForecaster:
         max_iter: int = 20,
         seed: int = 42,
         max_depth: int = 5,
+        step_size: float = 0.1,
+        subsample: float = 1.0,
         fit_partitions: int | None = None,
     ):
         self.lags = lags
         self.max_iter = max_iter
         self.seed = seed
         self.max_depth = max_depth
+        self.step_size = step_size
+        self.subsample = subsample
         # Every boosting iteration launches jobs over the feature
         # partitioning; when the caller knows the series is small
         # (aggregated calendar data), coalescing away the session's
@@ -327,6 +331,8 @@ class GBTLagForecaster:
             featuresCol="features",
             maxIter=self.max_iter,
             maxDepth=self.max_depth,
+            stepSize=self.step_size,
+            subsamplingRate=self.subsample,
             seed=self.seed,
         )
         try:

@@ -483,12 +483,18 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def objective(x) -> float:
         n_lags, depth = int(round(float(x[0]))), int(round(float(x[1])))
+        step, sub = float(x[2]), float(x[3])
         lags = list(range(1, n_lags + 1))
         maes = []
         for cut in cutoffs:
             fc = (
                 GBTLagForecaster(
-                    lags, max_iter=4, max_depth=depth, fit_partitions=2
+                    lags,
+                    max_iter=4,
+                    max_depth=depth,
+                    step_size=step,
+                    subsample=sub,
+                    fit_partitions=2,
                 )
                 .fit(train_sets[cut], "d", "demand")
                 .forecast(spark, horizon)
@@ -500,16 +506,33 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return sum(maes) / len(maes)
 
-    res = bayes_opt(objective, bounds=[(1.0, 8.0), (2.0, 6.0)], n_init=2, n_iter=2)
+    # 4-dim box mirroring the reference's XGB space (eta≙stepSize,
+    # subsample≙subsamplingRate, max_depth, lag count — optimization.py
+    # tunes the same families over 8 XGB knobs).
+    res = bayes_opt(
+        objective,
+        bounds=[(1.0, 8.0), (2.0, 6.0), (0.05, 0.5), (0.5, 1.0)],
+        n_init=2,
+        n_iter=2,
+    )
     rows = [
-        (int(round(x[0])), int(round(x[1])), float(v), bool(a))
+        (
+            int(round(x[0])),
+            int(round(x[1])),
+            float(x[2]),
+            float(x[3]),
+            float(v),
+            bool(a),
+        )
         for (x, v), a in zip(res["history"], res["accepted"])
     ]
     for t in train_sets.values():
         t.unpersist()
     daily.unpersist()
     return spark.createDataFrame(
-        rows, "n_lags int, max_depth int, cv_mae double, accepted boolean"
+        rows,
+        "n_lags int, max_depth int, step_size double, subsample double, "
+        "cv_mae double, accepted boolean",
     )
 
 

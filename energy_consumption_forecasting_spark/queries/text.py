@@ -381,3 +381,93 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("w").alias("top_term"), "score")
     )
+
+
+# --- repetition quality signals (Gopher-style) --------------------------------------
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+      FROM toks WHERE len(a) >= 2
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a) - 1),
+                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+      FROM toks WHERE len(a) >= 3
+    ),
+    bstat AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total_bg, CAST(MAX(n) AS BIGINT) AS top_bg
+      FROM (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1
+    ),
+    tstat AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total_tg,
+             CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tg
+      FROM (SELECT doc_id, g, COUNT(*) AS n FROM tg GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT b.doc_id AS doc_id,
+           b.total_bg AS n_bigrams,
+           CAST(b.top_bg AS DOUBLE) / CAST(b.total_bg AS DOUBLE) AS top_bigram_frac,
+           t.total_tg AS n_trigrams,
+           CAST(t.dup_tg AS DOUBLE) / CAST(t.total_tg AS DOUBLE) AS dup_trigram_frac
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: share of the document taken by
+    its single most frequent bigram, and the fraction of trigram
+    occurrences that are within-document duplicates.  High values mark
+    boilerplate/keyword-stuffed text a corpus filter drops.
+
+    Exact-integer counts; ONE double division per metric (the
+    cross-engine float rule).  Scale: the per-(doc, gram) aggregation
+    is map-side combinable and keyed by doc_id — no corpus-wide
+    frequency table needed, so the operator is a single shuffle of
+    per-doc gram counts regardless of corpus size."""
+
+    def grams(n: int):
+        toks = tbl(spark, sf_dir, "documents").select(
+            "doc_id", _toks(F.lower(F.col("text"))).alias("a")
+        ).filter(F.size("a") >= n)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("a") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("a", i + k) for k in range(n)]
+            ),
+        )
+        return toks.select("doc_id", F.explode(g).alias("g"))
+
+    bstat = (
+        grams(2)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("total_bg"), F.max("n").alias("top_bg"))
+    )
+    tstat = (
+        grams(3)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total_tg"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_tg"),
+        )
+    )
+    return bstat.join(tstat, "doc_id").select(
+        "doc_id",
+        F.col("total_bg").alias("n_bigrams"),
+        (F.col("top_bg").cast("double") / F.col("total_bg").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        F.col("total_tg").alias("n_trigrams"),
+        (F.col("dup_tg").cast("double") / F.col("total_tg").cast("double")).alias(
+            "dup_trigram_frac"
+        ),
+    )
