@@ -71,3 +71,50 @@ def write_stage(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer.option("header", True).csv(path)
     else:
         writer.parquet(path)
+
+
+def fetch_http_to_stage(
+    spark: SparkSession,
+    urls: list[str],
+    stage_dir: str,
+    timeout: float = 30.0,
+) -> list[str]:
+    """S1: stage HTTP CSVs for scanning (reference fetches per-year CSVs
+    over HTTP, ETL.py:56-77).
+
+    The fetch runs ON THE EXECUTORS — the URL list is parallelized and
+    each task streams its file to ``stage_dir`` with urllib (stdlib; no
+    extra deps).  On a real cluster ``stage_dir`` must be shared storage
+    (HDFS/S3/NFS) so the staged files are visible to the subsequent
+    scan; driver-only fetch would serialize the download of thousands
+    of files through one machine.  Returns the staged paths; feed the
+    directory glob to ``read_csv``.
+
+    Download is idempotent (atomic rename over a temp file), so retried
+    tasks are safe."""
+    import os
+
+    sc = spark.sparkContext
+    os.makedirs(stage_dir, exist_ok=True)
+
+    def fetch(url: str) -> str:
+        import os
+        import urllib.request
+
+        name = url.rstrip("/").rsplit("/", 1)[-1]
+        dest = os.path.join(stage_dir, name)
+        if not os.path.exists(dest):
+            tmp = f"{dest}.part-{os.getpid()}"
+            with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                tmp, "wb"
+            ) as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            os.replace(tmp, dest)
+        return dest
+
+    n = max(1, len(urls))
+    return sc.parallelize(urls, n).map(fetch).collect()
