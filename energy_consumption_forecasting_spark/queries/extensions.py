@@ -284,3 +284,43 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# --- Structured Streaming trailing z-score anomaly ----------------------------------
+@query(
+    "stream_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS xc
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, d, xc,
+             COUNT(*) OVER w AS n,
+             MIN(d) OVER w AS d_min, MAX(d) OVER w AS d_max,
+             SUM(CAST(xc AS HUGEINT)) OVER w AS s1,
+             SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, CAST(xc AS DOUBLE) / 100.0 AS day_total,
+           CAST(7 * xc - s1 AS DOUBLE) / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE)) AS z
+    FROM win
+    WHERE n = 7 AND d_min = d - 7 AND d_max = d - 1 AND (7 * s2 - s1 * s1) > 0
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily totals scored against the trailing 7 observed days
+    INSIDE the streaming engine (applyInPandasWithState; streaming/
+    anomaly_stream.py), drained availableNow.  The oracle recomputes the
+    identical exact-integer z in SQL — a strict bit-level check that the
+    stateful streaming path equals batch semantics, including the
+    contiguity condition (all 7 prior days present)."""
+    from ..session import ensure_utc
+    from ..streaming.anomaly_stream import run_anomaly_available_now
+
+    ensure_utc(spark)
+    return run_anomaly_available_now(spark, sf_dir.rstrip("/"), glob="events.parquet")

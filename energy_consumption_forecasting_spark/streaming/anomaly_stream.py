@@ -1,0 +1,164 @@
+"""Streaming trailing z-score anomaly detection — applyInPandasWithState.
+
+The streaming twin of ``ts_anomaly_zscore`` (queries/quality.py): per
+event_type, each day's total is scored against the trailing 7 fully-
+observed days.  A centered window needs the future; the trailing window
+is the streaming-natural form, and the z statistic keeps the exact-
+integer rearrangement
+
+    z = (K·x − S1) / sqrt(K·S2 − S1²),   K = 7 trailing days
+
+so the streamed result is bit-identical to the batch/oracle SQL: Python
+big-int arithmetic inside the state handler, one float cast + sqrt +
+division at the end — the same IEEE sequence as the engines'
+HUGEINT/DECIMAL algebra.
+
+State per key = {epoch_day: cents} for a bounded horizon (watermark-
+style eviction below keeps only ``KEEP_DAYS``), so the store size is
+O(types × days-horizon) regardless of event rate.  Every batch emits
+the score for every currently-complete day it can see; late data
+re-emits a corrected score (update semantics) — consumers keep the
+latest row per (event_type, day), which the drain harness does.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from datetime import date, timedelta
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .daily_rollup import EVENTS_STREAM_SCHEMA
+
+K = 7  # trailing window (events testdata spans 30 days)
+KEEP_DAYS = 64  # state horizon per key
+
+STATE_SCHEMA = "days ARRAY<LONG>, cents ARRAY<LONG>"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("day_total", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+_EPOCH = date(1970, 1, 1)
+
+
+def _score(day_cents: dict[int, int]) -> list[tuple[int, int, float]]:
+    """(day, cents, z) for every day whose 7 prior days are all present
+    and non-degenerate — exact big-int algebra, floats only at the end."""
+    out = []
+    for d, x in day_cents.items():
+        prior = [day_cents.get(d - k) for k in range(1, K + 1)]
+        if any(p is None for p in prior):
+            continue
+        s1 = sum(prior)
+        s2 = sum(p * p for p in prior)
+        den2 = K * s2 - s1 * s1
+        if den2 <= 0:
+            continue
+        z = float(K * x - s1) / math.sqrt(float(den2))
+        out.append((d, x, z))
+    return out
+
+
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.hasTimedOut:  # pragma: no cover — drain harness uses NoTimeout
+        state.remove()
+        return
+    days, cents = state.get if state.exists else ([], [])
+    day_cents = dict(zip(days, cents))
+    for pdf in pdfs:
+        day = (pdf["ts_us"] // 86_400_000_000).astype("int64")
+        c = pdf["value"].mul(100).round().astype("int64")
+        for d, s in c.groupby(day).sum().items():
+            day_cents[int(d)] = day_cents.get(int(d), 0) + int(s)
+    if day_cents:
+        horizon = max(day_cents) - KEEP_DAYS
+        day_cents = {d: v for d, v in day_cents.items() if d > horizon}
+    state.update((list(day_cents), [day_cents[d] for d in day_cents]))
+    scored = _score(day_cents)
+    if scored:
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "d": [_EPOCH + timedelta(days=d) for d, _, _ in scored],
+                "day_total": [x / 100.0 for _, x, _ in scored],
+                "z": [z for _, _, z in scored],
+            }
+        )
+
+
+def anomaly_stream(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.parquet(events_dir)
+        .select(
+            "event_type",
+            F.expr("ts div 1000").alias("ts_us"),
+            "value",
+        )
+    )
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_anomaly_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the static directory; keep the LATEST emission per
+    (event_type, day) — update-mode consumers' contract."""
+    import tempfile
+    import uuid
+
+    from . import pinned_stream_partitions
+
+    sink = f"anom_{uuid.uuid4().hex[:8]}"
+    with pinned_stream_partitions(spark):
+        q = (
+            anomaly_stream(spark, events_dir, glob, max_files_per_trigger)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_anom_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    pdf = spark.table(sink).toPandas()
+    if len(pdf):
+        pdf = pdf.drop_duplicates(subset=["event_type", "d"], keep="last")
+    return spark.createDataFrame(pdf, OUTPUT_SCHEMA)
