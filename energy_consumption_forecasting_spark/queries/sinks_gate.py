@@ -60,3 +60,28 @@ def s7_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.select(
         "doc_id", "source", "n_chars", "text", F.col("lang").cast("string").alias("lang")
     )
+
+
+@query(
+    "s10_snapshot_time_travel",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def s10_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned sink (sources/versioned.py): commit v1 = the
+    English slice, then v2 = the full table, then time-travel read
+    v1.  Matching the oracle's English-only result proves the AS-OF
+    read returns the superseded snapshot, not the latest one."""
+    import shutil
+
+    from ..sources.versioned import commit_snapshot, read_snapshot
+
+    table = f"{SINK_DIR}_tt/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    v1 = commit_snapshot(docs.filter(F.col("lang") == "en"), table, "en slice")
+    commit_snapshot(docs, table, "full table")
+    return read_snapshot(spark, table, version=v1)

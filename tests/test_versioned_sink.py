@@ -1,0 +1,35 @@
+"""Snapshot-versioned sink: commit/read/time-travel semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from energy_consumption_forecasting_spark.sources.versioned import (
+    commit_snapshot,
+    read_snapshot,
+    versions,
+)
+
+TABLE = "/root/repo/.stage/versioned_test"
+
+
+def test_commit_read_time_travel(spark):
+    shutil.rmtree(TABLE, ignore_errors=True)
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(9).withColumnRenamed("id", "k")
+    v1 = commit_snapshot(df1, TABLE, "five")
+    v2 = commit_snapshot(df2, TABLE, "nine")
+    assert (v1, v2) == (1, 2)
+    assert versions(TABLE) == [1, 2]
+    assert read_snapshot(spark, TABLE).count() == 9  # latest
+    assert read_snapshot(spark, TABLE, version=1).count() == 5  # AS OF
+    with pytest.raises(ValueError, match="version 7"):
+        read_snapshot(spark, TABLE, version=7)
+
+
+def test_empty_table_raises(spark):
+    shutil.rmtree(TABLE + "_none", ignore_errors=True)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, TABLE + "_none")
