@@ -171,3 +171,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("comp").alias("component")
     ).withColumn("csize", F.count("*").over(w))
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part↔supplier supply graph derived
+    from lineitem (edges both directions, so rank flows between the
+    node classes).  Rows-only: double power iteration is aggregation-
+    order-dependent in the last bits; the operator itself is verified
+    against a driver-side reference implementation in
+    tests/test_pagerank.py."""
+    from ..operators.pagerank import pagerank
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = li.union(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # fixed iteration count, no convergence probes: each probe is a
+    # join+agg job, and 10 damped rounds are plenty for a stable top-50
+    ranks = pagerank(edges, max_iter=10, tol=None)
+    return ranks.select(
+        "v", F.round("rank", 9).alias("rank_r9")
+    ).orderBy(F.desc("rank_r9"), "v").limit(50)
