@@ -11,7 +11,7 @@ and any two cluster runs — agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -490,4 +490,42 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("i").cast("int").alias("chunk_idx"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+# --- exact-k per-stratum hash reservoir ---------------------------------------
+@query(
+    "pipeline_reservoir_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def pipeline_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k=20 documents per language, deterministically: rank by
+    md5 of the key inside each stratum and keep the first k — the
+    distributed form of per-stratum reservoir sampling.  Unlike the
+    rate-based hash filter (pipeline_stratified_sample) the output size
+    is exact, which is what curriculum mixes with hard per-source quotas
+    need.  One shuffle on the stratum key; the md5 ranking makes the
+    choice reproducible across engines, partitionings, and reruns —
+    never ORDER BY rand()."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
     )

@@ -154,3 +154,56 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
         )
     )
+
+
+# --- sweep-line interval concurrency ------------------------------------------------
+@query(
+    "w_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders
+    ),
+    deltas AS (
+      SELECT s AS d, CAST(COUNT(*) AS BIGINT) AS delta FROM iv GROUP BY 1
+      UNION ALL
+      SELECT e AS d, -CAST(COUNT(*) AS BIGINT) AS delta FROM iv GROUP BY 1
+    ),
+    daily AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM deltas GROUP BY 1
+    )
+    SELECT d,
+           CAST(SUM(delta) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_open
+    FROM daily
+    """,
+)
+def w_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are 'open' each day, treating every order as a
+    [orderdate, orderdate+7d) interval — the sweep-line algorithm:
+    ±1 deltas at interval endpoints, aggregate per day, prefix-sum over
+    the calendar.  The naive form (interval × day-grid join) is
+    O(rows × span); this is one hash agg plus a prefix sum over the
+    BOUNDED calendar spine — the same shape at any table size, which is
+    why sweep-line is the interval-analytics primitive at 100 TB.  The
+    calendar-bounded global window follows the m7/j3 justification."""
+    iv = tbl(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("e"),
+    )
+    deltas = (
+        iv.groupBy(F.col("s").alias("d"))
+        .agg(F.count("*").alias("delta"))
+        .union(
+            iv.groupBy(F.col("e").alias("d")).agg(
+                (-F.count("*")).alias("delta")
+            )
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("delta").over(w).cast("long").alias("n_open")
+    )
