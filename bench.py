@@ -41,6 +41,14 @@ HEADLINE = [
     "pipeline_chunk_documents",
     "pipeline_contamination",
     "rollup_monthly_from_daily",
+    # round-2 wave 2: smoothing, anomaly, layout, geo, corpus quality
+    "m20_holt_smoothing",
+    "ts_anomaly_zscore",
+    "scale_zorder_layout",
+    "geo_geohash_join",
+    "text_repetition_score",
+    "pipeline_reservoir_topk",
+    "w_concurrency_sweep",
 ]
 
 
