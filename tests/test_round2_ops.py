@@ -211,3 +211,42 @@ def test_runtime_bloom_filter_injected(spark):
     # equivalence: the bloom filter only prunes, never changes results
     plain = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand").count()
     assert expected == plain.count()
+
+
+# --- AQE skew-join split ------------------------------------------------------------
+def test_aqe_splits_skewed_join_partition(spark):
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on ONE key vs a uniform tail — a textbook hot key
+        skewed = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise(F.col("id") % 2_000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(2_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = skewed.join(dim, "k")
+        # collect() executes THIS QueryExecution, so the final adaptive
+        # plan is inspectable afterwards (count() would spawn its own)
+        assert len(j.collect()) == 220_000  # every row matches one dim key
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # AQE split the hot partition instead of letting one task sort it
+        assert "skew=true" in plan and "isFinalPlan=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
