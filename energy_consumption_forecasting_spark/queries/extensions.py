@@ -324,3 +324,33 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     return run_anomaly_available_now(spark, sf_dir.rstrip("/"), glob="events.parquet")
+
+
+# --- streaming incremental rollup into a snapshot-versioned store -------------------
+@query(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental materialization: each micro-batch folds
+    its delta into the re-aggregable daily state and commits a snapshot
+    (streaming/incremental_rollup.py).  The final snapshot must equal
+    the one-shot batch aggregate — additive-state exactness across any
+    batch split (the multi-batch case is pytest-proven)."""
+    import os
+    import shutil
+
+    from ..session import ensure_utc
+    from ..streaming.incremental_rollup import run_incremental_rollup
+
+    ensure_utc(spark)
+    table = f"/root/repo/.stage/incr_rollup/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    out = run_incremental_rollup(spark, sf_dir.rstrip("/"), table)
+    return out.select("d", "event_type", "n", "sum_cents")

@@ -1,0 +1,75 @@
+"""Streaming incremental rollup: multi-batch merges compose exactly and
+every micro-batch boundary is a queryable snapshot."""
+
+from __future__ import annotations
+
+import glob as g
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.streaming.incremental_rollup import (
+    run_incremental_rollup,
+)
+from energy_consumption_forecasting_spark.sources.versioned import (
+    read_snapshot,
+    versions,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SPLIT_DIR = "/root/repo/.stage/incr_split"
+TABLE = "/root/repo/.stage/incr_table_test"
+
+
+@pytest.fixture(scope="module")
+def split_events(spark):
+    shutil.rmtree(SPLIT_DIR, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    os.makedirs(f"{SPLIT_DIR}/files", exist_ok=True)
+    for part, parity in (("a", 0), ("b", 1)):
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(
+            f"{SPLIT_DIR}/tmp_{part}"
+        )
+        src = g.glob(f"{SPLIT_DIR}/tmp_{part}/part-*.parquet")[0]
+        shutil.copy(src, f"{SPLIT_DIR}/files/{part}.parquet")
+    return f"{SPLIT_DIR}/files"
+
+
+def _batch_truth(spark):
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    return {
+        (r.d, r.event_type): (r.n, r.sum_cents)
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+        .collect()
+    }
+
+
+def test_two_batch_merge_equals_batch_aggregate(spark, split_events):
+    shutil.rmtree(TABLE, ignore_errors=True)
+    final = run_incremental_rollup(
+        spark, split_events, TABLE, glob="*.parquet", max_files_per_trigger=1
+    )
+    got = {
+        (r.d, r.event_type): (r.n, r.sum_cents) for r in final.collect()
+    }
+    assert got == _batch_truth(spark)
+    # one snapshot per micro-batch, both queryable
+    assert versions(TABLE) == [1, 2]
+    v1 = read_snapshot(spark, TABLE, version=1)
+    # the first snapshot holds exactly the first file's contribution:
+    # strictly fewer events than the final state, same state schema
+    n1 = v1.agg(F.sum("n")).collect()[0][0]
+    n2 = final.agg(F.sum("n")).collect()[0][0]
+    assert 0 < n1 < n2
