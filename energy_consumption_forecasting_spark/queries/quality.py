@@ -207,3 +207,102 @@ def w_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", F.sum("delta").over(w).cast("long").alias("n_open")
     )
+
+
+# --- calendar gap detection ---------------------------------------------------------
+@query(
+    "ts_missing_days",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT priority, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT priority, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    )
+    SELECT s.priority AS priority, s.d AS d
+    FROM spine s LEFT JOIN daily USING (priority, d)
+    WHERE daily.d IS NULL
+    """,
+)
+def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days absent from each series between its own first and last
+    observation — the backfill worklist every ingestion pipeline needs
+    before gap-fill windows run.  Calendar spine via F.sequence over
+    per-series bounds (row-local expansion, bounded by the calendar),
+    then an anti-join against the observed days."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .distinct()
+    )
+    spine = (
+        daily.groupBy("priority")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "priority",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    return spine.join(daily, ["priority", "d"], "left_anti")
+
+
+# --- exact rolling median -----------------------------------------------------------
+@query(
+    "w_rolling_median7",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    win AS (
+      SELECT d, xc,
+             COUNT(*) OVER w AS n,
+             CAST(median(xc) OVER w AS DOUBLE) AS med_c
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(xc AS DOUBLE) / 100.0 AS demand,
+           med_c / 100.0 AS rolling_median
+    FROM win WHERE n = 7
+    """,
+)
+def w_rolling_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day exact rolling MEDIAN of daily demand — the robust
+    smoother a mean-based window can't provide.  Exactness: the window
+    values are integer cents collected into a bounded (7-element)
+    array, sorted, and the median read positionally — odd window, so it
+    is ONE exact integer; both engines then do the identical /100.0.
+    The per-row array is bounded by the frame, so this stays row-local
+    work over the calendar-bounded daily series."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("xc")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("xc").over(w))
+    return (
+        daily.select(
+            "d",
+            "xc",
+            F.count("*").over(w).alias("n"),
+            F.element_at(arr, 4).alias("med_c"),
+        )
+        .filter(F.col("n") == 7)
+        .select(
+            "d",
+            (F.col("xc").cast("double") / F.lit(100.0)).alias("demand"),
+            (F.col("med_c").cast("double") / F.lit(100.0)).alias("rolling_median"),
+        )
+    )

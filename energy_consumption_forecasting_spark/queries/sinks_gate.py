@@ -85,3 +85,35 @@ def s10_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = commit_snapshot(docs.filter(F.col("lang") == "en"), table, "en slice")
     commit_snapshot(docs, table, "full table")
     return read_snapshot(spark, table, version=v1)
+
+
+@query(
+    "s11_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+    FROM documents
+    """,
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old writer produced (doc_id, lang),
+    a newer one added n_chars; ``mergeSchema`` unifies the footers and
+    back-fills the missing column with NULL.  The oracle derives the
+    same even/odd split from the original table — equality proves the
+    evolved read loses nothing and invents nothing."""
+    import shutil
+
+    docs = tbl(spark, sf_dir, "documents")
+    path = f"{SINK_DIR}_evo/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        f"{path}/gen1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.parquet(f"{path}/gen2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/gen1", f"{path}/gen2")
+        .select("doc_id", "lang", "n_chars")
+    )
