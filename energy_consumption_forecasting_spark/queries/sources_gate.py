@@ -278,3 +278,42 @@ def s2_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_v"),
     )
+
+
+@query(
+    "s12_dly_datasource",
+    oracle=f"""
+    WITH raw AS (
+      SELECT line
+      FROM read_csv('{DLY_DIR}/*.dly', header=false, delim='|', quote='',
+                    columns={{'line': 'VARCHAR'}})
+    ),
+    melted AS (
+      SELECT substr(line, 1, 11) AS id,
+             CAST(substr(line, 12, 4) AS INT) AS year,
+             CAST(substr(line, 16, 2) AS INT) AS month,
+             trim(substr(line, 18, 4)) AS element,
+             d AS day,
+             TRY_CAST(trim(substr(line, 22 + (d - 1) * 8, 5)) AS DOUBLE) AS v,
+             nullif(trim(substr(line, 27 + (d - 1) * 8, 1)), '') AS mflag,
+             nullif(trim(substr(line, 28 + (d - 1) * 8, 1)), '') AS qflag,
+             nullif(trim(substr(line, 29 + (d - 1) * 8, 1)), '') AS sflag
+      FROM raw, (SELECT UNNEST(generate_series(1, 31)) AS d)
+    )
+    SELECT id, year, month, element, CAST(day AS INT) AS day,
+           CASE WHEN v = -9999 THEN NULL ELSE v END AS value,
+           mflag, qflag, sflag
+    FROM melted
+    """,
+)
+def s12_dly_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 via the Spark 4 Python DataSource API: ``format("dly")``
+    emits the normalized long form (one row per day, sentinel nulled)
+    with one input partition per file.  The oracle re-melts the same
+    bytes in SQL — a strict check of a fully custom source
+    implementation."""
+    from ..sources.dly_datasource import register
+
+    _ensure_fixtures()
+    register(spark)
+    return spark.read.format("dly").load(f"{DLY_DIR}/*.dly")

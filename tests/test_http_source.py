@@ -72,3 +72,31 @@ def test_http_fetch_idempotent(spark, http_url):
     again = fetch_http_to_stage(spark, urls, STAGE_DIR)
     assert again == first
     assert os.path.getmtime(first[0]) == mtime  # no re-download
+
+
+def test_dly_datasource_matches_wide_reader(spark):
+    """format('dly') long form ≡ melt of the substring-projection reader."""
+    import energy_consumption_forecasting_spark.queries.sources_gate as sg
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.sources.dly_datasource import register
+    from energy_consumption_forecasting_spark.sources.fixed_width import read_dly
+
+    register(spark)
+    long_df = spark.read.format("dly").load(f"{sg.DLY_DIR}/*.dly")
+    wide = read_dly(spark, f"{sg.DLY_DIR}/*.dly")
+    n_lines = wide.count()
+    assert long_df.count() == n_lines * 31
+    # spot-check one known cell: VALUE5 of each line equals long day=5
+    wide_v5 = {
+        (r.ID, r.YEAR, r.MONTH, r.ELEMENT): r.VALUE5 for r in wide.collect()
+    }
+    for r in long_df.filter(F.col("day") == 5).collect():
+        w = wide_v5[(r.id, r.year, r.month, r.element)]
+        expect = None if w == -9999.0 else w
+        assert r.value == expect
+    # one partition per input file
+    reader_parts = long_df.rdd.getNumPartitions()
+    import glob as g
+
+    assert reader_parts == len(g.glob(f"{sg.DLY_DIR}/*.dly"))
