@@ -529,3 +529,65 @@ def pipeline_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+# --- SCD Type-2 merge ---------------------------------------------------------------
+@query(
+    "pipeline_scd2_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey,
+             'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS new_segment
+      FROM customer WHERE c_custkey % 10 = 3
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           DATE '1995-01-01' AS valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '1998-01-01' END
+             AS valid_to,
+           ch.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN changes ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_segment, DATE '1998-01-01', CAST(NULL AS DATE), TRUE
+    FROM changes
+    """,
+)
+def pipeline_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: a change batch closes the
+    affected rows (valid_to = effective date, no longer current) and
+    appends new current rows, while untouched rows pass through — full
+    history stays queryable by validity range, the warehouse-standard
+    complement to the Type-1 CDC upsert (pipeline_incremental_merge).
+
+    Scale: one left join on the dim key (changes side is batch-sized →
+    broadcast) + one append; history never rewrites unaffected rows.
+    The change batch is derived deterministically from the key so both
+    engines build the identical scenario."""
+    eff = F.lit("1998-01-01").cast("date")
+    epoch = F.lit("1995-01-01").cast("date")
+    cust = tbl(spark, sf_dir, "customer")
+    changes = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "new_segment"
+        ),
+    )
+    marked = cust.join(
+        F.broadcast(changes.select("c_custkey", F.lit(True).alias("chg"))),
+        "c_custkey",
+        "left",
+    )
+    closed = marked.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        epoch.alias("valid_from"),
+        F.when(F.col("chg"), eff).alias("valid_to"),
+        F.col("chg").isNull().alias("is_current"),
+    )
+    opened = changes.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("new_segment").alias("segment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened)

@@ -306,3 +306,79 @@ def w_rolling_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("med_c").cast("double") / F.lit(100.0)).alias("rolling_median"),
         )
     )
+
+
+# --- rolling correlation (exact-integer algebra) ------------------------------------
+_DAILY_XY_SQL = """
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS xc,
+             CAST(COUNT(*) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "w_rolling_corr31",
+    oracle=f"""
+    WITH daily AS ({_DAILY_XY_SQL}),
+    win AS (
+      SELECT d,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(xc AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(yc AS HUGEINT)) OVER w AS sy,
+             SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) OVER w AS sxx,
+             SUM(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) OVER w AS syy,
+             SUM(CAST(xc AS HUGEINT) * CAST(yc AS HUGEINT)) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           CAST(31 * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(31 * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(31 * syy - sy * sy AS DOUBLE))) AS corr31
+    FROM win
+    WHERE n = 31 AND (31 * sxx - sx * sx) > 0 AND (31 * syy - sy * sy) > 0
+    """,
+)
+def w_rolling_corr31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 31-day Pearson correlation between daily demand (cents)
+    and daily order count — rearranged to exact integer sums with three
+    float ops at the end (cast, two sqrts, divide), identical on both
+    engines.  The same contract as ts_anomaly_zscore extended to a
+    bivariate statistic."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("xc"),
+            F.count("*").alias("yc"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-30, 0)
+    xd = F.col("xc").cast("decimal(19,0)")
+    yd = F.col("yc").cast("decimal(19,0)")
+    win = daily.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+        F.sum(xd * yd).over(w).alias("sxy"),
+    ).filter(F.col("n") == 31)
+    cxx = F.lit(31) * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.lit(31) * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.lit(31) * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        win.filter((cxx > 0) & (cyy > 0))
+        .select(
+            "d",
+            (
+                cxy.cast("double")
+                / (F.sqrt(cxx.cast("double")) * F.sqrt(cyy.cast("double")))
+            ).alias("corr31"),
+        )
+    )
