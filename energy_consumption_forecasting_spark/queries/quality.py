@@ -382,3 +382,84 @@ def w_rolling_corr31(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr31"),
         )
     )
+
+
+# --- data-contract validation (expectations) ----------------------------------------
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders.o_orderkey.not_null' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+           )) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_totalprice.non_negative',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.ref_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_quantity.range_1_50',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-contract validation: each check reports
+    its violation count (0 = contract holds) — not-null, uniqueness,
+    value range, and a referential check (orphan lineitems via a
+    LEFT-ANTI join, never a correlated subquery per row).  This is the
+    ingestion gate that runs BEFORE data enters the lakehouse; every
+    check is one aggregate or one anti-join, all map-side-combinable."""
+    orders = tbl(spark, sf_dir, "orders")
+    lineitem = tbl(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders.o_orderkey.not_null",
+            orders.filter(F.col("o_orderkey").isNull()).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        one(
+            "orders.o_orderkey.unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count("*").alias("n")),
+        ),
+        one(
+            "orders.o_totalprice.non_negative",
+            orders.filter(F.col("o_totalprice") < 0).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "lineitem.l_orderkey.ref_orders",
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "lineitem.l_quantity.range_1_50",
+            lineitem.filter(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ).agg(F.count("*").alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -83,3 +83,29 @@ def read_snapshot(
 
 def versions(table_dir: str) -> list[int]:
     return [e["version"] for e in _read_manifest(table_dir)]
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshots.
+
+    Order of operations makes this safe under concurrent readers of
+    RETAINED versions: the manifest is rewritten (atomic replace) to
+    the surviving entries FIRST, then the orphaned data directories are
+    deleted — a reader holding the old manifest can at worst get a
+    missing-file error for an already-vacuumed version, never a torn
+    snapshot.  Returns the dropped version numbers."""
+    import shutil
+
+    manifest = _read_manifest(table_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(manifest) <= keep_last:
+        return []
+    dropped, kept = manifest[:-keep_last], manifest[-keep_last:]
+    tmp = _manifest_path(table_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(kept, f, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))
+    for e in dropped:
+        shutil.rmtree(os.path.join(table_dir, e["dir"]), ignore_errors=True)
+    return [e["version"] for e in dropped]

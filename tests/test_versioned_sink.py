@@ -33,3 +33,24 @@ def test_empty_table_raises(spark):
     shutil.rmtree(TABLE + "_none", ignore_errors=True)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, TABLE + "_none")
+
+
+def test_vacuum_keeps_recent_versions(spark):
+    import os
+
+    from energy_consumption_forecasting_spark.sources.versioned import vacuum
+
+    shutil.rmtree(TABLE + "_vac", ignore_errors=True)
+    t = TABLE + "_vac"
+    for n in (3, 4, 5, 6):
+        commit_snapshot(spark.range(n), t)
+    assert versions(t) == [1, 2, 3, 4]
+    dropped = vacuum(t, keep_last=2)
+    assert dropped == [1, 2]
+    assert versions(t) == [3, 4]
+    assert read_snapshot(spark, t).count() == 6  # latest intact
+    assert read_snapshot(spark, t, version=3).count() == 5
+    assert not os.path.exists(f"{t}/v=1")
+    with pytest.raises(ValueError):
+        read_snapshot(spark, t, version=1)
+    assert vacuum(t, keep_last=5) == []  # nothing to drop
