@@ -317,3 +317,51 @@ def s12_dly_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_fixtures()
     register(spark)
     return spark.read.format("dly").load(f"{DLY_DIR}/*.dly")
+
+
+STATIONS_DIR = f"{STAGE_DIR}/s3_stations"
+
+_STATIONS_FILE = (
+    "US000000001  40.0000  -90.0000  200.0    SPRINGFIELD                   AAA BBB CCCCC\n"
+    "CA000000002  50.1234  -80.5000  150.5    TORONTO                       XXX YYY ZZZZZ\n"
+    "MX000000003  19.4300  -99.1300 2240.0    MEXICO CITY                   MMM NNN OOOOO\n"
+)
+
+
+def _ensure_stations() -> None:
+    os.makedirs(STATIONS_DIR, exist_ok=True)
+    p = os.path.join(STATIONS_DIR, "ghcnd-stations.txt")
+    if not os.path.exists(p) or open(p).read() != _STATIONS_FILE:
+        with open(p, "w") as f:
+            f.write(_STATIONS_FILE)
+
+
+_ensure_stations()
+
+
+@query(
+    "s3_stations_parse",
+    oracle=f"""
+    WITH raw AS (
+      SELECT line
+      FROM read_csv('{STATIONS_DIR}/ghcnd-stations.txt', header=false,
+                    delim='|', quote='', columns={{'line': 'VARCHAR'}})
+    )
+    SELECT substr(line, 1, 11) AS id,
+           TRY_CAST(trim(substr(line, 13, 8)) AS DOUBLE) AS lat,
+           TRY_CAST(trim(substr(line, 22, 9)) AS DOUBLE) AS long,
+           TRY_CAST(trim(substr(line, 32, 6)) AS DOUBLE) AS elev,
+           trim(substr(line, 42, 30)) AS city
+    FROM raw
+    """,
+)
+def s3_stations_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: ghcnd-stations fixed-width parse (sources/fixed_width.py
+    STATIONS_SPEC) vs DuckDB substr slicing of the identical bytes."""
+    from ..sources.fixed_width import read_stations
+
+    _ensure_stations()
+    df = read_stations(spark, os.path.join(STATIONS_DIR, "ghcnd-stations.txt"))
+    return df.select(
+        F.col("ID").alias("id"), "lat", "long", "elev", "city"
+    )
