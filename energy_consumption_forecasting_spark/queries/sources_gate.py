@@ -365,3 +365,52 @@ def s3_stations_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("ID").alias("id"), "lat", "long", "elev", "city"
     )
+
+
+PARAMS_DIR = f"{STAGE_DIR}/s8_params"
+
+
+@query(
+    "s8_params_roundtrip",
+    oracle=f"""
+    SELECT CAST(lags AS INT) AS lags,
+           CAST(max_depth AS INT) AS max_depth,
+           CAST(objective AS DOUBLE) AS objective,
+           model
+    FROM read_json('{PARAMS_DIR}/grid.jsonl',
+                   columns={{'lags': 'INT', 'max_depth': 'INT',
+                             'objective': 'DOUBLE', 'model': 'VARCHAR'}},
+                   format='newline_delimited')
+    """,
+)
+def s8_params_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: hyperparameter-grid artifact as JSON lines — written with the
+    params sink (ml/params), read back through Spark's JSON source with
+    an explicit schema; DuckDB parses the same bytes.  The grid is
+    deterministic so the file content is byte-stable."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    os.makedirs(PARAMS_DIR, exist_ok=True)
+    path = os.path.join(PARAMS_DIR, "grid.jsonl")
+    rows = [
+        {"lags": l, "max_depth": d, "objective": round(1000.0 / (l + d), 6),
+         "model": f"gbt_l{l}_d{d}"}
+        for l in (1, 3, 7) for d in (2, 4)
+    ]
+    content = "\n".join(_json.dumps(r, sort_keys=True) for r in rows) + "\n"
+    if not os.path.exists(path) or open(path).read() != content:
+        with open(path, "w") as f:
+            f.write(content)
+    schema = T.StructType(
+        [
+            T.StructField("lags", T.IntegerType()),
+            T.StructField("max_depth", T.IntegerType()),
+            T.StructField("objective", T.DoubleType()),
+            T.StructField("model", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path).select(
+        "lags", "max_depth", "objective", "model"
+    )
