@@ -26,8 +26,6 @@ is the standard next rung on that baseline ladder.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
