@@ -62,6 +62,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             lm,
             ml_queries,
             more_relational,
+            ols,
             pipeline_ops,
             quality,
             relational,

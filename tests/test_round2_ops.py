@@ -250,3 +250,36 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- exact distributed OLS ----------------------------------------------------------
+def test_degree_day_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.queries.ols import (
+        m21_degree_day_ols,
+    )
+
+    row = m21_degree_day_ols(spark, SF_SMALL).collect()[0]
+    # rebuild the same design matrix driver-side
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS d",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc",
+        )
+        .groupBy("d")
+        .sum("yc")
+        .collect()
+    )
+    t10 = lambda doy: 400 - abs(doy * 1000 // 366 - 500)
+    X, y = [], []
+    for r in daily:
+        doy = r.d.timetuple().tm_yday
+        t = t10(doy)
+        X.append([1.0, max(0, 180 - t), max(0, t - 180)])
+        y.append(float(r["sum(yc)"]))
+    beta, *_ = np.linalg.lstsq(np.array(X), np.array(y), rcond=None)
+    assert row.intercept_c == pytest.approx(beta[0], rel=1e-9)
+    assert row.beta_hdd_c == pytest.approx(beta[1], rel=1e-9)
+    assert row.beta_cdd_c == pytest.approx(beta[2], rel=1e-9)
