@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -135,3 +135,125 @@ def m20_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return monthly.groupBy("priority").applyInPandas(holt_smooth, _OUT_SCHEMA)
+
+
+def _holt_sae(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per series: sequentially-accumulated sum of |y - fitted| over the
+    Holt recursion (same op order as the oracle's recursive CTE)."""
+    out = holt_smooth(pdf).sort_values("month").reset_index(drop=True)
+    ys = [float(v) for v in pdf.sort_values("month")["demand"]]
+    sae = 0.0
+    n_fit = 0
+    for t in range(1, len(ys)):
+        sae = sae + abs(ys[t] - float(out["fitted"][t]))
+        n_fit += 1
+    return pd.DataFrame(
+        {"priority": [pdf["priority"].iloc[0]], "sae": [sae], "n_fit": [n_fit]}
+    )
+
+
+@query(
+    "m22_backtest_leaderboard",
+    oracle=f"""
+    WITH RECURSIVE monthly AS ({_MONTHLY_PRIO_SQL}),
+    idx AS (
+      SELECT priority, month, demand,
+             row_number() OVER (PARTITION BY priority ORDER BY month) AS t
+      FROM monthly
+    ),
+    naive AS (
+      SELECT priority, 'naive' AS model,
+             CAST(COUNT(p) AS BIGINT) AS n,
+             CAST(SUM(ABS(demand - p)) AS DOUBLE) / COUNT(p) AS mae
+      FROM (SELECT priority, demand,
+                   lag(demand) OVER (PARTITION BY priority ORDER BY month) AS p
+            FROM idx)
+      GROUP BY 1
+    ),
+    snaive AS (
+      SELECT priority, 'seasonal_naive' AS model,
+             CAST(COUNT(p) AS BIGINT) AS n,
+             CAST(SUM(ABS(demand - p)) AS DOUBLE) / COUNT(p) AS mae
+      FROM (SELECT priority, demand,
+                   lag(demand, 12) OVER (PARTITION BY priority ORDER BY month) AS p
+            FROM idx)
+      GROUP BY 1
+    ),
+    hw(priority, t, l, b, sae) AS (
+      SELECT i1.priority, 1,
+             CAST(i1.demand AS DOUBLE),
+             COALESCE(CAST(i2.demand AS DOUBLE) - CAST(i1.demand AS DOUBLE), 0.0),
+             CAST(0.0 AS DOUBLE)
+      FROM idx i1 LEFT JOIN idx i2 ON i1.priority = i2.priority AND i2.t = 2
+      WHERE i1.t = 1
+      UNION ALL
+      SELECT hw.priority, hw.t + 1,
+             {ALPHA} * CAST(i.demand AS DOUBLE) + {1.0 - ALPHA} * (hw.l + hw.b),
+             {BETA} * (({ALPHA} * CAST(i.demand AS DOUBLE)
+                        + {1.0 - ALPHA} * (hw.l + hw.b)) - hw.l)
+               + {1.0 - BETA} * hw.b,
+             hw.sae + abs(CAST(i.demand AS DOUBLE) - (hw.l + hw.b))
+      FROM hw JOIN idx i ON i.priority = hw.priority AND i.t = hw.t + 1
+    ),
+    holt AS (
+      SELECT hw.priority, 'holt' AS model,
+             CAST(hw.t - 1 AS BIGINT) AS n,
+             hw.sae / (hw.t - 1) AS mae
+      FROM hw
+      JOIN (SELECT priority, MAX(t) AS tmax FROM hw GROUP BY 1) last
+        ON hw.priority = last.priority AND hw.t = last.tmax
+      WHERE hw.t > 1
+    )
+    SELECT * FROM naive
+    UNION ALL SELECT * FROM snaive
+    UNION ALL SELECT * FROM holt
+    """,
+)
+def m22_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest MAE per (priority, model) for the three
+    classical baselines: naive (lag-1), seasonal naive (lag-12), Holt
+    linear trend.  Error sums are exact decimals for the lag models and
+    a sequentially-accumulated double INSIDE the Holt recursion (same
+    IEEE order as the oracle's recursive CTE), so the whole leaderboard
+    is strict-hash comparable — the M14 metric spine generalized to a
+    model-comparison table."""
+    monthly = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("demand")
+        )
+    )
+
+    def lag_model(name: str, k: int) -> DataFrame:
+        w = Window.partitionBy("priority").orderBy("month")
+        scored = monthly.select(
+            "priority", "demand", F.lag("demand", k).over(w).alias("p")
+        ).filter(F.col("p").isNotNull())
+        return scored.groupBy("priority").agg(
+            F.lit(name).alias("model"),
+            F.count("*").alias("n"),
+            (
+                F.sum(F.abs(F.col("demand") - F.col("p"))).cast("double")
+                / F.count("*")
+            ).alias("mae"),
+        ).select("priority", "model", "n", "mae")
+
+    holt = (
+        monthly.groupBy("priority")
+        .applyInPandas(_holt_sae, "priority string, sae double, n_fit long")
+        .select(
+            "priority",
+            F.lit("holt").alias("model"),
+            F.col("n_fit").alias("n"),
+            (F.col("sae") / F.col("n_fit")).alias("mae"),
+        )
+    )
+    return lag_model("naive", 1).unionByName(
+        lag_model("seasonal_naive", 12)
+    ).unionByName(holt)
