@@ -257,3 +257,64 @@ def m22_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_model("naive", 1).unionByName(
         lag_model("seasonal_naive", 12)
     ).unionByName(holt)
+
+
+@query(
+    "pipeline_forecast_e2e",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MAX(d) AS hi FROM daily),
+    scored AS (
+      SELECT d, yc, lag(yc) OVER (ORDER BY d) AS pc
+      FROM daily
+    ),
+    test AS (
+      SELECT s.d, s.yc, s.pc
+      FROM scored s, bounds b
+      WHERE s.pc IS NOT NULL AND s.d > b.hi - 30
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(ABS(CAST(yc AS HUGEINT) - pc)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS mae,
+           CAST(SUM(ABS(CAST(yc AS HUGEINT) - pc)) AS DOUBLE)
+             / CAST(SUM(CAST(yc AS HUGEINT)) AS DOUBLE) AS wmape
+    FROM test
+    """,
+)
+def pipeline_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's evaluation workflow end to end in ONE declarative
+    plan: aggregate the facts to the daily series, hold out the final
+    30 days, score the walk-forward naive forecast, and report
+    MAE/WMAPE on the holdout — integer-cents algebra throughout (the
+    m14 contract), so the whole composition hash-matches strictly.
+    Swap the naive scorer for m9/m10/m11 to reproduce the reference's
+    model comparisons; the split boundary comes from one tiny MAX
+    aggregate, never a global sort of the facts."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    hi = daily.agg(F.max("d")).collect()[0][0]
+    w = Window.orderBy("d")
+    scored = daily.select(
+        "d", "yc", F.lag("yc").over(w).alias("pc")
+    ).filter(F.col("pc").isNotNull() & (F.col("d") > F.date_sub(F.lit(hi), 30)))
+    ae = F.abs(F.col("yc").cast("decimal(19,0)") - F.col("pc"))
+    return scored.agg(
+        F.count("*").alias("n_test"),
+        (F.sum(ae).cast("double") / F.lit(100.0) / F.count("*")).alias("mae"),
+        (
+            F.sum(ae).cast("double")
+            / F.sum(F.col("yc").cast("decimal(19,0)")).cast("double")
+        ).alias("wmape"),
+    )
