@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..functions.vectors import as_double, cosine
-from ._util import tbl
+from ._util import fanout, tbl
 
 MAX_DOC_FREQ = 100  # stop-shingle cap for candidate generation
 N_HASHES = 8
@@ -48,7 +48,9 @@ _SHINGLES_SQL = """
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tbl(spark, sf_dir, "documents").select(
+    # fanout: the md5-heavy sketch projections downstream must not run
+    # as one task on the single-row-group testdata (see _util.fanout).
+    return fanout(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("a"),
     )
@@ -441,7 +443,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         with_norm(
-            tbl(spark, sf_dir, "embeddings").select(
+            # fanout: the 16-plane signature + norm math is row-local
+            # and heavy — spread the single-row-group scan first.
+            fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
                 "vec_id", as_double("embedding").alias("v")
             )
         )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import fanout, tbl
 from .text import _toks
 
 _TOKS_SQL = """
@@ -40,7 +40,7 @@ def _doc_bigram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w1, bigram) — one row per bigram OCCURRENCE, row-local
     expansion from the token array."""
     toks = (
-        tbl(spark, sf_dir, "documents")
+        fanout(tbl(spark, sf_dir, "documents"))
         .select("doc_id", _toks(F.lower(F.col("text"))).alias("a"))
         .filter(F.size("a") >= 2)
     )
@@ -96,7 +96,7 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the low-quality / gibberish band a corpus filter drops."""
     occ = _doc_bigram_occurrences(spark, sf_dir)
     uni = (
-        tbl(spark, sf_dir, "documents")
+        fanout(tbl(spark, sf_dir, "documents"))
         .select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..functions.vectors import as_double, cosine
-from ._util import tbl
+from ._util import fanout, tbl
 
 N_QUERIES = 5
 TOP_K = 5

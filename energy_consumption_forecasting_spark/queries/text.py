@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import fanout, tbl
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -432,7 +432,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc gram counts regardless of corpus size."""
 
     def grams(n: int):
-        toks = tbl(spark, sf_dir, "documents").select(
+        toks = fanout(tbl(spark, sf_dir, "documents")).select(
             "doc_id", _toks(F.lower(F.col("text"))).alias("a")
         ).filter(F.size("a") >= n)
         g = F.transform(
