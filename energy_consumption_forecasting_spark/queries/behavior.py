@@ -1,0 +1,199 @@
+"""Event-behavior analytics: multi-stage funnel conversion over the
+event stream, and a Count-Min-Sketch heavy-hitter estimate over the
+document token stream.
+
+Both follow the registry's exactness discipline: every emitted number
+is an integer (counts, microsecond deltas) or a deterministic cast of
+one, so the DuckDB oracle hash-matches bit-for-bit.
+
+* Funnel (view -> click -> purchase): the classic product-analytics
+  query.  Each stage is a conditional ``min(ts)`` bounded below by the
+  previous stage's timestamp — expressed as filter + equi-join on
+  ``user_id`` + groupBy-min, never a window over the whole event table,
+  so the plan shuffles on the user key only (events partition cleanly
+  by user at any scale).
+* CMS heavy hitters: 4 salted md5 rows x 256 buckets.  The sketch is
+  the standard streaming frequency summary (Cormode & Muthukrishnan,
+  J.Algorithms 2005); here each row is ONE groupBy over the exploded
+  token stream (map-side combinable, 256-row result), and the estimate
+  for a probe token is the min over its 4 bucket counts — overestimate
+  == collision mass, never under.  Bucket keys stay hex *strings*
+  (first two md5 chars), sidestepping any cross-engine int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import fanout, tbl
+
+_STAGES = ("view", "click", "purchase")
+
+_CMS_SALTS = ("s0", "s1", "s2", "s3")
+_CMS_TOPK = 10
+
+
+# --- funnel: view -> click -> purchase ------------------------------------------
+@query(
+    "w_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(v.v_ts AS DATE) AS first_view_date,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS INT) AS funnel_stage,
+           CAST(epoch_us(CAST(p.p_ts AS TIMESTAMP))
+                - epoch_us(CAST(v.v_ts AS TIMESTAMP)) AS BIGINT)
+               AS view_to_purchase_us
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel depth: first view, first click at-or-after that
+    view, first purchase at-or-after that click; stage reached (1-3)
+    and exact view->purchase latency in microseconds.
+
+    Each stage narrows before it shuffles: the event table is filtered
+    to one event type, then equi-joined to the (already tiny) previous
+    stage frame on ``user_id`` and min-aggregated.  Nothing here is a
+    global window; at 100 TB the three stage frames are user-cardinality
+    tables and every shuffle is on the natural user key.  Latency stays
+    an exact BIGINT of microseconds (the loader truncates the parquet
+    nanos to micros identically on both engines)."""
+    ev = tbl(spark, sf_dir, "events")
+
+    def stage(evt: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == evt)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = stage("click", v, "v_ts", "c_ts")
+    p = stage("purchase", c.select("user_id", "c_ts"), "c_ts", "p_ts")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.to_date("v_ts").alias("first_view_date"),
+            (
+                F.lit(1)
+                + F.col("c_ts").isNotNull().cast("int")
+                + F.col("p_ts").isNotNull().cast("int")
+            ).alias("funnel_stage"),
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias(
+                "view_to_purchase_us"
+            ),
+        )
+    )
+
+
+# --- Count-Min-Sketch heavy hitters over the token stream -----------------------
+_CMS_SALT_SQL = "', '".join(_CMS_SALTS)
+
+
+@query(
+    "sketch_cms_heavyhitters",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    truec AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM occ GROUP BY w
+    ),
+    top AS (
+      SELECT w, true_cnt FROM truec
+      ORDER BY true_cnt DESC, w LIMIT {_CMS_TOPK}
+    ),
+    salts AS (SELECT unnest(['{_CMS_SALT_SQL}']) AS salt),
+    cms AS (
+      SELECT salt, substr(md5(salt || ':' || w), 1, 2) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS bucket_cnt
+      FROM occ CROSS JOIN salts
+      GROUP BY salt, substr(md5(salt || ':' || w), 1, 2)
+    ),
+    est AS (
+      SELECT t.w, t.true_cnt, MIN(c.bucket_cnt) AS cms_est
+      FROM top t CROSS JOIN salts s
+      JOIN cms c ON c.salt = s.salt
+                AND c.bucket = substr(md5(s.salt || ':' || t.w), 1, 2)
+      GROUP BY t.w, t.true_cnt
+    )
+    SELECT w, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - true_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the corpus's true
+    top-{_CMS_TOPK} tokens: 4 salted hash rows x 256 buckets, estimate
+    = min over rows, compared against the exact count.
+
+    The sketch build is ONE map-side-combinable groupBy over the
+    (token-occurrence x 4 salts) stream producing <=1024 rows — the
+    whole point of a CMS at 100 TB: the shuffle payload collapses to
+    the sketch size, not the token-cardinality.  Probing broadcasts
+    the 1024-row sketch against the top-k list.  Bucket ids are the
+    first two md5 hex chars of ``salt:token`` — engine-portable string
+    keys, no integer-hash conversion anywhere."""
+    occ = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w"))
+    )
+    truec = occ.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge of k-sized heaps) — no single-partition
+    # window anywhere near the vocabulary table.
+    top = truec.orderBy(F.desc("true_cnt"), "w").limit(_CMS_TOPK)
+    salts = F.explode(F.array(*[F.lit(s) for s in _CMS_SALTS])).alias("salt")
+
+    def bucket(salt_col, w_col):
+        return F.substring(F.md5(F.concat(salt_col, F.lit(":"), w_col)), 1, 2)
+
+    cms = (
+        occ.select("w", salts)
+        .groupBy("salt", bucket(F.col("salt"), F.col("w")).alias("bucket"))
+        .agg(F.count("*").alias("bucket_cnt"))
+    )
+    probes = top.select("w", "true_cnt", salts).withColumn(
+        "bucket", bucket(F.col("salt"), F.col("w"))
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["salt", "bucket"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("bucket_cnt").alias("cms_est"))
+    )
+    return est.select(
+        "w",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+    )

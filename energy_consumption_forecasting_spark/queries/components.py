@@ -194,3 +194,118 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "v", F.round("rank", 9).alias("rank_r9")
     ).orderBy(F.desc("rank_r9"), "v").limit(50)
+
+
+# --- exact triangle counting on the co-supply graph ------------------------------
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(a.s, b.s) AS u, GREATEST(a.s, b.s) AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      GROUP BY n
+    ),
+    oriented AS (
+      -- orient each edge from the lower-(degree, id) endpoint: every
+      -- triangle is produced by exactly one (a,b,c) ordering
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+      FROM edges e
+      JOIN deg du ON du.n = e.u
+      JOIN deg dv ON dv.n = e.v
+    ),
+    od AS (
+      SELECT o.a, o.b, da.d AS d_a, db.d AS d_b
+      FROM oriented o JOIN deg da ON da.n = o.a JOIN deg db ON db.n = o.b
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM od e1
+      JOIN od e2 ON e2.a = e1.a
+                AND (e1.d_b, e1.b) < (e2.d_b, e2.b)
+      JOIN od e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the supplier co-supply graph (edge =
+    two suppliers ship the same part, from distinct lineitem
+    (part, supplier) pairs).
+
+    Scale shape is the degree-ordered compact-forward algorithm
+    (Latapy 2008; also MR "node-iterator++"): every edge is oriented
+    from its lower-(degree, id) endpoint, and wedges are enumerated
+    only from that endpoint, bounding the join fan-out by
+    O(m^(3/2)) total wedges instead of sum(deg^2) — the difference
+    between a skewed hub exploding the plan and a balanced one.  All
+    steps are equi-joins/groupBys: edge derivation is a self-equi-join
+    on partkey, degrees one groupBy, orientation two (node, degree)
+    lookups, and the wedge-close step an equi-join on the (b, c) pair.
+    No driver state; adjacency never materializes row-locally."""
+    ps = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(
+            F.least("a.s", "b.s").alias("u"), F.greatest("a.s", "b.s").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    tagged = (
+        edges.join(du, F.col("u") == F.col("du.n"))
+        .join(dv, F.col("v") == F.col("dv.n"))
+        .select("u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"))
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    od = tagged.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("d_u")).otherwise(F.col("d_v")).alias("d_a"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
+    )
+    e1, e2, e3 = od.alias("e1"), od.alias("e2"), od.alias("e3")
+    lt = (F.col("e1.d_b") < F.col("e2.d_b")) | (
+        (F.col("e1.d_b") == F.col("e2.d_b")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e2.a") == F.col("e1.a")) & lt)
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    counts = edges.agg(
+        F.count("*").alias("n_edges"),
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", F.col("n_tri").cast("long").alias("n_triangles")
+        )
+    )
