@@ -471,3 +471,129 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_trigram_frac"
         ),
     )
+
+
+# --- BM25 retrieval: exact-rational scoring, fixed-order sum --------------------
+_BM25_TERMS = ("spark", "hash", "window", "merge")
+_BM25_K = 15
+
+# k1 = 1.2 = 6/5, b = 0.75 = 3/4.  With integer tf, dl, N (docs),
+# L (total corpus tokens), df:
+#   idf      = (N - df + 1/2)/(df + 1/2)            = (2N-2df+1)/(2df+1)
+#   tf_norm  = tf(k1+1)/(tf + k1(1-b) + k1*b*dl*N/L)
+#            = 22*tf*L / (10*tf*L + 3*L + 9*dl*N)   (x 10L/10L)
+# so each term's contribution is a ratio of two BIGINTs and the only
+# floating op is ONE double division per term plus a fixed-arity sum.
+
+_BM25_IN = "', '".join(_BM25_TERMS)
+_BM25_TF_COLS = ",\n             ".join(
+    "COALESCE(MAX(CASE WHEN w = '" + t + "' THEN tf END), 0) AS tf_" + t
+    for t in _BM25_TERMS
+)
+_BM25_TERM_SQL = " + ".join(
+    "(CAST((2*n.n - 2*COALESCE(df_{t}.d, 0) + 1) * 22 * p.tf_{t} * l.l AS DOUBLE)"
+    " / CAST((2*COALESCE(df_{t}.d, 0) + 1)"
+    " * (10 * p.tf_{t} * l.l + 3 * l.l + 9 * dl.dl * n.n) AS DOUBLE))".format(t=t)
+    for t in _BM25_TERMS
+)
+_BM25_DF_JOINS = " ".join(
+    "LEFT JOIN dfs df_{t} ON df_{t}.w = '{t}'".format(t=t) for t in _BM25_TERMS
+)
+
+_BM25_ORACLE = f"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS l FROM occ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+      WHERE w IN ('{_BM25_IN}') GROUP BY doc_id, w
+    ),
+    piv AS (
+      SELECT doc_id,
+             {_BM25_TF_COLS}
+      FROM tf GROUP BY doc_id
+    ),
+    dfs AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM tf GROUP BY w
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             {_BM25_TERM_SQL} AS score
+      FROM piv p
+      JOIN dls dl ON dl.doc_id = p.doc_id
+      CROSS JOIN n CROSS JOIN l
+      {_BM25_DF_JOINS}
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    """
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_K} documents for the fixed query
+    {_BM25_TERMS} with k1=1.2, b=0.75 and a RATIONAL idf
+    ((N-df+0.5)/(df+0.5), the log dropped — log is monotone per term;
+    with multi-term sums this is the documented log-free BM25 variant,
+    chosen so every term contribution is a ratio of two exact BIGINTs).
+
+    Cross-engine exactness: integer-only numerators/denominators, ONE
+    double division per term, and the per-document sum written as a
+    fixed-arity left-to-right expression — never a double SUM()
+    aggregate whose order the engine picks.  Scale shape: tf is a
+    filtered groupBy (query terms only — the scan's predicate prunes
+    everything else), corpus stats (N, L, df) are scalar broadcasts,
+    and the final top-k is orderBy+limit (per-partition heaps, no
+    global sort materialization)."""
+    docs = fanout(tbl(spark, sf_dir, "documents")).select(
+        "doc_id", _toks().alias("a")
+    )
+    occ = docs.select("doc_id", F.explode("a").alias("w"))
+    dls = docs.select("doc_id", F.size("a").cast("long").alias("dl"))
+    n_df = docs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size("a")).cast("long").alias("l"),
+    )
+    tf = (
+        occ.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    piv = tf.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("w") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    dfs = tf.groupBy("w").agg(F.count("*").cast("long").alias("d"))
+    # one-row frames: per-term df as columns, alongside N and L
+    df_row = dfs.groupBy().pivot("w", list(_BM25_TERMS)).agg(F.first("d"))
+    stats = n_df.crossJoin(df_row)
+    scored = piv.join(dls, "doc_id").crossJoin(F.broadcast(stats))
+
+    def term_score(t: str):
+        d = F.coalesce(F.col(t), F.lit(0))
+        tf_c = F.col(f"tf_{t}")
+        num = ((2 * F.col("n") - 2 * d + 1) * 22 * tf_c * F.col("l")).cast("double")
+        den = (
+            (2 * d + 1)
+            * (10 * tf_c * F.col("l") + 3 * F.col("l") + 9 * F.col("dl") * F.col("n"))
+        ).cast("double")
+        return num / den
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_K)
+    )
