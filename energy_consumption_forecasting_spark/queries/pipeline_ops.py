@@ -591,3 +591,81 @@ def pipeline_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(opened)
+
+
+# --- weak-supervision quality classifier (fasttext-filter analog) ----------------
+@query("pipeline_quality_classifier")
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality classifier in the CCNet/fastText-filter shape:
+    train a logistic model on WEAK labels (a cheap heuristic rule), then
+    score every document — the standard bootstrap when no human labels
+    exist at corpus scale.
+
+    Distributed shape, both directions: features are pure column
+    expressions (one scan), MLlib LogisticRegression trains on the
+    assembled vectors (distributed L-BFGS), and inference does NOT go
+    back through the model object — the fitted coefficients (a tiny
+    driver-side array) are re-applied as a closed-form sigmoid column
+    expression, so scoring is a codegen'd projection that an executor
+    fleet runs at scan speed, with no Python or JVM-model call per row.
+
+    Rows-only gate: L-BFGS converges to solver-precision doubles.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from .text import STOPWORDS
+
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text", toks.alias("a"))
+        .select(
+            "doc_id",
+            F.size("a").cast("double").alias("n_tokens"),
+            (
+                F.size(F.filter("a", lambda w: w.isin(STOPWORDS)))
+                / F.greatest(F.size("a"), F.lit(1))
+            ).alias("stop_ratio"),
+            (
+                F.size(F.array_distinct("a"))
+                / F.greatest(F.size("a"), F.lit(1))
+            ).alias("distinct_ratio"),
+            (
+                F.length(F.regexp_replace("text", r"[^0-9]", ""))
+                / F.greatest(F.length("text"), F.lit(1))
+            ).alias("digit_frac"),
+        )
+    )
+    # Weak label: "high quality" = has a sane stopword ratio AND is not
+    # dominated by repeats — a rule a human would write in 5 minutes.
+    labeled = docs.withColumn(
+        "label",
+        (
+            (F.col("stop_ratio") >= 0.05) & (F.col("distinct_ratio") >= 0.5)
+        ).cast("double"),
+    )
+    feat_cols = ["n_tokens", "stop_ratio", "distinct_ratio", "digit_frac"]
+    assembled = VectorAssembler(
+        inputCols=feat_cols, outputCol="features"
+    ).transform(labeled)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=25,
+        regParam=0.01,
+        standardization=True,
+    )
+    model = lr.fit(assembled)
+    coefs = [float(c) for c in model.coefficients]
+    b = float(model.intercept)
+    margin = F.lit(b)
+    for c, col in zip(coefs, feat_cols):
+        margin = margin + F.lit(c) * F.col(col)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return labeled.select(
+        "doc_id",
+        F.col("label").cast("int").alias("weak_label"),
+        F.round(p, 6).alias("p_high_quality"),
+        (p >= 0.5).cast("int").alias("pred"),
+    )
