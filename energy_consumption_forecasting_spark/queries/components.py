@@ -201,11 +201,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
     WITH ps AS (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
     edges AS (
-      SELECT DISTINCT LEAST(a.s, b.s) AS u, GREATEST(a.s, b.s) AS v
-      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      SELECT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+      FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ),
     deg AS (
       SELECT n, CAST(COUNT(*) AS BIGINT) AS d
@@ -238,9 +239,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count on the supplier co-supply graph (edge =
-    two suppliers ship the same part, from distinct lineitem
-    (part, supplier) pairs).
+    """Exact triangle count on the part co-purchase graph (edge = two
+    parts appear together in >= 2 orders — the market-basket graph
+    with the classic support threshold; per-order fan-out is bounded
+    by the ~4-line order size and the support cut drops the
+    single-co-occurrence noise floor, so the graph stays sparse at
+    every SF, unlike a co-supplier graph which densifies).
 
     Scale shape is the degree-ordered compact-forward algorithm
     (Latapy 2008; also MR "node-iterator++"): every edge is oriented
@@ -254,23 +258,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     No driver state; adjacency never materializes row-locally."""
     ps = (
         tbl(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
     a, b = ps.alias("a"), ps.alias("b")
     edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(
-            F.least("a.s", "b.s").alias("u"), F.greatest("a.s", "b.s").alias("v")
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
         )
-        .distinct()
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
     )
+    # edges feeds FIVE consumers (deg, tagging, n_edges, and both sides
+    # of the wedge join via od) — without a persist the pair-expansion
+    # self-join re-runs for each; with it the support-pruned edge set
+    # (tiny) is computed once.  Downstream joins that must broadcast
+    # carry explicit hints (persist inflates size stats; ROUND_LOG #5).
+    edges = edges.persist()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
+    # deg is node-cardinality — NOT broadcast (at 100 TB that table is
+    # large); the equi-join shuffles on the node key, which AQE will
+    # downgrade to a broadcast on its own when the graph is small.
+    deg = deg.persist()
     du, dv = deg.alias("du"), deg.alias("dv")
     tagged = (
         edges.join(du, F.col("u") == F.col("du.n"))
