@@ -87,16 +87,31 @@ def bayes_opt(
     y: list[float] = []
     history: list[tuple[list[float], float, bool]] = []
 
-    def consider(x: np.ndarray) -> None:
-        v = float(objective(x))
+    def record(x: np.ndarray, v: float) -> None:
         accepted = not y or v <= outlier_factor * max(y)
         history.append((list(map(float, x)), v, accepted))
         if accepted:
             X.append(np.asarray(x))
             y.append(v)
 
-    for x in lo + rng.rand(n_init, dim) * (hi - lo):
-        consider(x)
+    def consider(x: np.ndarray) -> None:
+        record(x, float(objective(x)))
+
+    # The init design is embarrassingly parallel (no surrogate exists
+    # yet): evaluate all points concurrently, then apply the forsake
+    # rule in the original order so acceptance is identical to the
+    # sequential loop.  Only the BO iterations are inherently serial.
+    init_pts = list(lo + rng.rand(n_init, dim) * (hi - lo))
+    if len(init_pts) > 1:
+        from multiprocessing.pool import ThreadPool
+
+        with ThreadPool(len(init_pts)) as tp:
+            init_vals = tp.map(lambda x: float(objective(x)), init_pts)
+        for x, v in zip(init_pts, init_vals):
+            record(x, v)
+    else:
+        for x in init_pts:
+            consider(x)
 
     for _ in range(n_iter):
         Xf = np.array(X)

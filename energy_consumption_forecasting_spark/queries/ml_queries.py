@@ -481,28 +481,36 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cut in cutoffs
     }
 
+    def _cut_mae(cut, lags, depth, step, sub) -> float:
+        fc = (
+            GBTLagForecaster(
+                lags,
+                max_iter=4,
+                max_depth=depth,
+                step_size=step,
+                subsample=sub,
+                fit_partitions=2,
+            )
+            .fit(train_sets[cut], "d", "demand")
+            .forecast(spark, horizon)
+        )
+        idx = days.index(cut)
+        actual = [series[d] for d in days[idx + 1 : idx + 1 + horizon]]
+        return sum(abs(p - a) for p, a in zip(fc, actual)) / len(actual)
+
     def objective(x) -> float:
         n_lags, depth = int(round(float(x[0]))), int(round(float(x[1])))
         step, sub = float(x[2]), float(x[3])
         lags = list(range(1, n_lags + 1))
-        maes = []
-        for cut in cutoffs:
-            fc = (
-                GBTLagForecaster(
-                    lags,
-                    max_iter=4,
-                    max_depth=depth,
-                    step_size=step,
-                    subsample=sub,
-                    fit_partitions=2,
-                )
-                .fit(train_sets[cut], "d", "demand")
-                .forecast(spark, horizon)
-            )
-            idx = days.index(cut)
-            actual = [series[d] for d in days[idx + 1 : idx + 1 + horizon]]
-            maes.append(
-                sum(abs(p - a) for p, a in zip(fc, actual)) / len(actual)
+        # the per-cutoff fits are independent 2-partition jobs on a
+        # 32-slot scheduler — submit them concurrently (Spark actions
+        # are thread-safe; the BO loop itself is inherently sequential,
+        # so this is the only free parallelism in the eval)
+        from multiprocessing.pool import ThreadPool
+
+        with ThreadPool(len(cutoffs)) as tp:
+            maes = tp.map(
+                lambda cut: _cut_mae(cut, lags, depth, step, sub), cutoffs
             )
         return sum(maes) / len(maes)
 
