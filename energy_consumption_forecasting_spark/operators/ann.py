@@ -375,3 +375,90 @@ def ivfpq_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_neighbors)
     )
+
+
+def train_opq_rotation(
+    emb: DataFrame,
+    vec_col: str = "v",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    opq_iters: int = 5,
+    kmeans_iters: int = 6,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al., CVPR'13): learn an
+    orthogonal rotation R that redistributes variance across the PQ
+    subspaces before quantizing, by alternating
+
+      1. codebooks <- k-means per subspace of the rotated sample X·R
+      2. R <- argmin_R ||X·R − Y||_F  over orthogonal R (orthogonal
+         Procrustes: SVD of Xᵀ·Y), Y = the quantized reconstruction
+
+    which monotonically decreases quantization error.  Same driver-side
+    sample recipe as ``train_pq_codebooks`` — R is dim×dim (KBs) and
+    codebooks are m×k×(dim/m); neither grows with the corpus, and the
+    full-corpus encode stays a broadcast-and-map pass.
+
+    Returns ``(R, books)``; encode/search use ``x·R`` everywhere plain
+    PQ used ``x``."""
+    rows = emb.select(vec_col).limit(sample).toPandas()[vec_col].tolist()
+    X = np.asarray(rows, dtype=np.float64)
+    n, dim = X.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+
+    def _kmeans(Xj: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        for _ in range(kmeans_iters):
+            d = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = Xj[mask].mean(axis=0)
+        return cent
+
+    books = np.empty((m, k, sub))
+    for it in range(opq_iters):
+        Xr = X @ R
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            Xj = Xr[:, j * sub : (j + 1) * sub]
+            if it == 0:
+                cent = Xj[rng.choice(n, size=k, replace=False)]
+            else:
+                cent = books[j]
+            books[j] = _kmeans(Xj, cent.copy())
+            d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            Y[:, j * sub : (j + 1) * sub] = books[j][d.argmin(axis=1)]
+        # orthogonal Procrustes: rotate X toward its own reconstruction
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    return R, books
+
+
+def rotate_vectors(
+    emb: DataFrame, R: np.ndarray, vec_col: str = "v", id_col: str = "vec_id"
+) -> DataFrame:
+    """Apply the OPQ rotation corpus-wide: one Arrow-batched matmul per
+    batch (R rides a broadcast; no shuffle — row-local projection)."""
+    spark = emb.sparkSession
+    br = spark.sparkContext.broadcast(R)
+
+    def rot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Rv = br.value
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(X @ Rv)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return emb.select(id_col, vec_col).mapInPandas(rot, schema=schema)

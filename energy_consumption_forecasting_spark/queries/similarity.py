@@ -361,3 +361,39 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out = ivfpq_topk(encoded, qmat, qids, books, probe, k_neighbors=TOP_K)
     return out.select("query_id", "vec_id", "adc_dist", "rank")
+
+
+# --- OPQ (rotated product quantization) ANN — rows-only -----------------------------
+@query("sim_opq_topk")
+def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ/ADC ANN: Ge et al.'s optimized PQ — an orthogonal rotation
+    learned on the training sample (alternating per-subspace k-means /
+    orthogonal-Procrustes, operators/ann.py::train_opq_rotation)
+    equalizes subspace variance before the same 8x16 PQ encode, cutting
+    quantization error vs sim_pq_topk at identical index size.  The
+    rotation is a dim x dim broadcast applied as one Arrow matmul per
+    batch; everything downstream (encode, ADC tables, per-batch top-k
+    prune) is the plain PQ path on rotated vectors.  Rows-only:
+    codebooks and rotation are solver-dependent."""
+    import numpy as np
+
+    from ..operators.ann import (
+        pq_encode,
+        pq_topk,
+        rotate_vectors,
+        train_opq_rotation,
+    )
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    R, books = train_opq_rotation(e, m=8, k=16)
+    encoded = pq_encode(rotate_vectors(e, R), books).persist()
+    qrows = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    qids = [q[0] for q in qrows]
+    qmat = np.asarray([q[1] for q in qrows], dtype=np.float64) @ R
+    out = pq_topk(encoded, qmat, qids, books, k_neighbors=TOP_K)
+    return out.select("query_id", "vec_id", "adc_dist", "rank")

@@ -188,3 +188,42 @@ def test_ivfpq_retrieves_own_vector(spark):
     for qid in qids:
         assert 1 <= len(got[qid]) <= 5
         assert qid in got[qid]  # own cell is always probed -> own vector found
+
+
+def test_opq_rotation_orthogonal_and_lowers_error(spark):
+    """OPQ invariants: R is orthogonal (distances preserved), and the
+    alternating optimization does not increase sample quantization
+    error vs plain PQ with the same (m, k, sample)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ann import (
+        train_opq_rotation,
+        train_pq_codebooks,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    R, opq_books = train_opq_rotation(e, m=8, k=16, sample=512)
+    dim = R.shape[0]
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-8)
+
+    pq_books = train_pq_codebooks(e, m=8, k=16, sample=512)
+    X = np.asarray(
+        e.select("v").limit(512).toPandas()["v"].tolist(), dtype=np.float64
+    )
+
+    def quant_err(Xm, books):
+        m, k, sub = books.shape
+        err = 0.0
+        for j in range(m):
+            Xj = Xm[:, j * sub : (j + 1) * sub]
+            d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    e_pq = quant_err(X, pq_books)
+    e_opq = quant_err(X @ R, opq_books)
+    assert e_opq <= e_pq * 1.001
