@@ -354,3 +354,29 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table, ignore_errors=True)
     out = run_incremental_rollup(spark, sf_dir.rstrip("/"), table)
     return out.select("d", "event_type", "n", "sum_cents")
+
+
+# --- Structured Streaming stream-static enrichment join -----------------------------
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joined to
+    the customer dimension per micro-batch (no join state — only the
+    downstream (segment, type) aggregate holds state), drained
+    availableNow (streaming/enrich_stream.py).  The canonical
+    enrich-at-ingest topology; equals the batch join+agg, which the
+    oracle asserts with exact decimal sums."""
+    from ..session import ensure_utc
+    from ..streaming.enrich_stream import run_enrich_available_now
+
+    ensure_utc(spark)
+    customer = tbl(spark, sf_dir, "customer")
+    return run_enrich_available_now(spark, sf_dir.rstrip("/"), customer)
