@@ -380,3 +380,34 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     customer = tbl(spark, sf_dir, "customer")
     return run_enrich_available_now(spark, sf_dir.rstrip("/"), customer)
+
+
+# --- VariantType schema-less extraction ---------------------------------------------
+@query(
+    "f_variant_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+             AS k_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-LESS semi-structured extraction via Spark 4's VARIANT
+    type: ``parse_json`` encodes the payload once into the binary
+    variant format (shreddable, columnar-friendly — the open lakehouse
+    answer to schema-on-read JSON), ``variant_get`` pulls typed paths
+    with no declared struct schema.  Complements f_json_extract (which
+    is the declared-schema ``from_json`` path): variant is what you use
+    when payloads drift and you cannot pin a schema at ingest.  Exact
+    integer outputs (band = k // 10) keep the hash strict."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(F.floor(k / 10).cast("long").alias("k_band"), k.alias("k"))
+        .groupBy("k_band")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
