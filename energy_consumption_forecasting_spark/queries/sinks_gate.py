@@ -117,3 +117,57 @@ def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{path}/gen1", f"{path}/gen2")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "s13_manifest_skipping",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS od,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01'
+                                        AND DATE '1997-12-31'
+    GROUP BY 1
+    """,
+)
+def s13_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping (sources/versioned.py): commit the
+    orders table range-clustered on order date with per-file min/max
+    recorded in the manifest (read from parquet FOOTERS at commit — the
+    Iceberg/Delta recipe), then answer a one-year band query reading
+    only the overlapping files.  The oracle computes the same band from
+    the ORIGINAL table, so a pass proves skipping is loss-free; that it
+    actually skips files is asserted in tests/test_versioned_sink.py.
+
+    At 100 TB this is the difference between a full-table scan and
+    touching ~1/Nth of the files for any clustered-predicate query —
+    the manifest consult costs one JSON read, no footer IO at query
+    time."""
+    import shutil
+
+    from ..sources.versioned import (
+        commit_snapshot_with_stats,
+        read_snapshot_pruned,
+    )
+
+    table = f"{SINK_DIR}_skip/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = tbl(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od"), "o_totalprice"
+    )
+    commit_snapshot_with_stats(orders, table, stats_cols=["od"], cluster_files=4)
+    df, _read, _total = read_snapshot_pruned(
+        spark, table, "od", "1997-01-01", "1997-12-31"
+    )
+    return (
+        df.filter(F.col("od").between("1997-01-01", "1997-12-31"))
+        .groupBy("od")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -109,3 +109,114 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     for e in dropped:
         shutil.rmtree(os.path.join(table_dir, e["dir"]), ignore_errors=True)
     return [e["version"] for e in dropped]
+
+
+def _file_stats(data_dir: str, stats_cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``stats_cols`` read from the parquet FOOTERS
+    (pyarrow metadata — no data pages touched, no Spark job).  This is
+    the Iceberg/Delta manifest-stats idea: the writer pays one footer
+    scan at commit time so every future reader can skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(data_dir, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in stats_cols:
+            if c not in names:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(names[c]).statistics
+                if s is None or not s.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if mins:
+                stats[c] = [min(mins), max(maxs)]
+        out.append({"file": os.path.basename(f), "stats": _jsonify(stats)})
+    return out
+
+
+def _jsonify(stats: dict) -> dict:
+    import datetime
+
+    def conv(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    return {k: [conv(v[0]), conv(v[1])] for k, v in stats.items()}
+
+
+def commit_snapshot_with_stats(
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: list[str],
+    cluster_files: int = 4,
+    note: str = "",
+) -> int:
+    """Commit a snapshot whose files are RANGE-CLUSTERED on
+    ``stats_cols[0]`` and whose manifest carries per-file min/max for
+    ``stats_cols`` — the two halves of data skipping: clustering makes
+    the per-file ranges narrow, the stats make them visible without
+    opening the file.  ``repartitionByRange`` gives disjoint ranges per
+    file (sampled split points, one extra job), so a point/band read
+    touches ~1 file instead of all of them."""
+    clustered = df.repartitionByRange(cluster_files, *stats_cols[:1]).sortWithinPartitions(
+        *stats_cols[:1]
+    )
+    version = commit_snapshot(clustered, table_dir, note=note)
+    manifest = _read_manifest(table_dir)
+    entry = next(e for e in manifest if e["version"] == version)
+    entry["files"] = _file_stats(os.path.join(table_dir, entry["dir"]), stats_cols)
+    tmp = _manifest_path(table_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))
+    return version
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-stats file skipping: read only the snapshot files whose
+    [min, max] for ``col`` overlaps [lo, hi] (stringified bounds compare
+    lexicographically for dates/strings — the formats used here sort
+    correctly).  Returns (df, files_read, files_total); the caller still
+    applies the row-level filter — skipping is a superset guarantee,
+    exactly like Iceberg manifest pruning."""
+    manifest = _read_manifest(table_dir)
+    if not manifest:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    entry = manifest[-1] if version is None else next(
+        e for e in manifest if e["version"] == version
+    )
+    files = entry.get("files") or []
+    if not files:
+        raise ValueError("snapshot has no manifest stats; use read_snapshot")
+    lo_s, hi_s = str(lo), str(hi)
+    keep = [
+        f["file"]
+        for f in files
+        if col not in f["stats"]
+        or not (str(f["stats"][col][1]) < lo_s or str(f["stats"][col][0]) > hi_s)
+    ]
+    base = os.path.join(table_dir, entry["dir"])
+    paths = [os.path.join(base, f) for f in keep]
+    if not paths:
+        # empty selection: preserve schema by reading zero rows
+        df = read_snapshot(spark, table_dir, entry["version"]).limit(0)
+        return df, 0, len(files)
+    return spark.read.parquet(*paths), len(keep), len(files)

@@ -54,3 +54,69 @@ def test_vacuum_keeps_recent_versions(spark):
     with pytest.raises(ValueError):
         read_snapshot(spark, t, version=1)
     assert vacuum(t, keep_last=5) == []  # nothing to drop
+
+
+def test_manifest_skipping_prunes_files_and_is_lossless(spark):
+    """The band read must (a) skip at least one file via manifest stats
+    and (b) return exactly the rows a full-scan filter returns."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        commit_snapshot_with_stats,
+        read_snapshot,
+        read_snapshot_pruned,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    table = "/root/repo/.stage/test_manifest_skip"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    commit_snapshot_with_stats(orders, table, stats_cols=["od"], cluster_files=4)
+
+    lo, hi = "1997-01-01", "1997-12-31"
+    pruned, files_read, files_total = read_snapshot_pruned(
+        spark, table, "od", lo, hi
+    )
+    assert files_total == 4
+    assert 0 < files_read < files_total  # actually skipped something
+
+    got = sorted(
+        r["o_orderkey"]
+        for r in pruned.filter(F.col("od").between(lo, hi)).collect()
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in read_snapshot(spark, table)
+        .filter(F.col("od").between(lo, hi))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_manifest_skipping_empty_band_keeps_schema(spark):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        commit_snapshot_with_stats,
+        read_snapshot_pruned,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    table = "/root/repo/.stage/test_manifest_skip_empty"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    commit_snapshot_with_stats(orders, table, stats_cols=["od"], cluster_files=3)
+    df, files_read, files_total = read_snapshot_pruned(
+        spark, table, "od", "2050-01-01", "2050-12-31"
+    )
+    assert files_read == 0 and files_total == 3
+    assert df.count() == 0
+    assert set(df.columns) == {"od", "o_orderkey"}
