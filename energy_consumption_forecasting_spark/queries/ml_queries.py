@@ -623,3 +623,96 @@ def m19_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster") == 3)
         .orderBy("cluster", "vec_id")
     )
+
+
+# --- M23: exact AUC via the rank-sum identity ---------------------------------------
+@query(
+    "m23_auc_exact",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    scored AS (
+      SELECT (lang = 'en')::INT AS pos,
+             CAST(len(list_filter(a,
+                x -> list_contains(['the','a','of','to','and','in','is','for'], x)))
+               AS DOUBLE) / len(a) AS score
+      FROM t WHERE len(a) > 0
+    ),
+    per_score AS (
+      SELECT score,
+             CAST(COUNT(*) FILTER (pos = 1) AS BIGINT) AS np,
+             CAST(COUNT(*) FILTER (pos = 0) AS BIGINT) AS nn
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM per_score
+    ),
+    agg AS (
+      SELECT CAST(SUM(2 * np * neg_below + np * nn) AS BIGINT) AS num2,
+             CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(nn) AS BIGINT) AS n
+      FROM cum
+    )
+    SELECT num2, p, n,
+           CAST(num2 AS DOUBLE) / CAST(2 * p * n AS DOUBLE) AS auc
+    FROM agg
+    """,
+)
+def m23_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the English-stopword-ratio score as an is-English
+    classifier, via the Mann-Whitney rank-sum identity:
+
+        AUC = (#concordant + #ties/2) / (P*N)
+            = (2*C + T) / (2*P*N)  — all integers until one division.
+
+    Scale shape: scores are grouped FIRST (groupBy score -> per-score
+    pos/neg counts), so the ordering window runs over the distinct-score
+    table — score-cardinality, not corpus-cardinality (the same
+    bounded-aggregate discipline as the daily-series windows; a raw
+    rank-the-whole-corpus window would be the flagged single-partition
+    shape).  Both engines compute score as one IEEE division of exact
+    ints, so group keys match bit-for-bit, and num2/p/n are exact
+    BIGINTs — the emitted AUC is a single identical double op."""
+    from .text import STOPWORDS, _toks
+
+    t = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _toks().alias("a"))
+        .filter(F.size("a") > 0)
+    )
+    scored = t.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (
+            F.size(F.filter("a", lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.size("a")
+        ).alias("score"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum(2 * F.col("np") * F.col("neg_below") + F.col("np") * F.col("nn"))
+        .cast("long")
+        .alias("num2"),
+        F.sum("np").cast("long").alias("p"),
+        F.sum("nn").cast("long").alias("n"),
+    )
+    return agg.select(
+        "num2",
+        "p",
+        "n",
+        (
+            F.col("num2").cast("double") / (2 * F.col("p") * F.col("n")).cast("double")
+        ).alias("auc"),
+    )

@@ -463,3 +463,75 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- two-sample chi-square drift detection ------------------------------------------
+@query(
+    "dq_drift_chi2",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(n_chars // 50 AS BIGINT) AS bin,
+             CAST(doc_id % 2 AS BIGINT) AS slice
+      FROM documents
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (slice = 0) AS BIGINT) AS o0,
+             CAST(COUNT(*) FILTER (slice = 1) AS BIGINT) AS o1
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(o0) AS BIGINT) AS t0, CAST(SUM(o1) AS BIGINT) AS t1
+      FROM cells
+    )
+    SELECT bin, o0, o1,
+           -- chi2 contribution of this bin, both slices, as ONE double
+           -- expression over exact integers: sum_s (o_s - e_s)^2/e_s
+           -- with e_s = rowtot*t_s/grand; multiplied out so numerator
+           -- and denominator are BIGINT products.
+           CAST((o0 * (t0 + t1) - (o0 + o1) * t0)
+                * (o0 * (t0 + t1) - (o0 + o1) * t0) AS DOUBLE)
+             / CAST((o0 + o1) * t0 * (t0 + t1) AS DOUBLE)
+           + CAST((o1 * (t0 + t1) - (o0 + o1) * t1)
+                  * (o1 * (t0 + t1) - (o0 + o1) * t1) AS DOUBLE)
+             / CAST((o0 + o1) * t1 * (t0 + t1) AS DOUBLE) AS chi2_bin
+    FROM cells CROSS JOIN tot
+    """,
+)
+def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square drift check between two corpus slices
+    (here: doc_id parity standing in for "yesterday vs today"), binned
+    on document length — the monitoring query a production pipeline
+    runs per ingest drop to catch distribution shift before training.
+
+    Exactness: expected counts e = rowtot*coltot/grand are RATIONAL, so
+    each bin's (o-e)^2/e is multiplied out to a ratio of BIGINT
+    products and evaluated as two double divisions + one add in fixed
+    order — no double SUM() whose accumulation order an engine picks.
+    Per-bin rows (not a global statistic) keep it that way AND give the
+    analyst the which-bin-drifted answer a scalar chi2 hides.  One
+    groupBy + a broadcast 1-row totals join; scales as a count."""
+    binned = tbl(spark, sf_dir, "documents").select(
+        F.floor(F.col("n_chars") / 50).cast("long").alias("bin"),
+        (F.col("doc_id") % 2).cast("long").alias("slice"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("o0"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("o1"),
+    )
+    tot = cells.agg(
+        F.sum("o0").cast("long").alias("t0"), F.sum("o1").cast("long").alias("t1")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    grand = F.col("t0") + F.col("t1")
+    rowtot = F.col("o0") + F.col("o1")
+    d0 = F.col("o0") * grand - rowtot * F.col("t0")
+    d1 = F.col("o1") * grand - rowtot * F.col("t1")
+    chi2 = (d0 * d0).cast("double") / (rowtot * F.col("t0") * grand).cast(
+        "double"
+    ) + (d1 * d1).cast("double") / (rowtot * F.col("t1") * grand).cast("double")
+    return j.select("bin", "o0", "o1", chi2.alias("chi2_bin"))
