@@ -93,3 +93,60 @@ def lag_by_rank(
         )
         out = out.join(shifted, rn_col, "inner")
     return out
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global running sum of ``value_col`` (inclusive) over the
+    total order ``order_cols`` — the prefix-sum twin of
+    ``global_row_number``, same two-pass shape:
+
+    1. range-shuffle on the order key (contiguous key ranges),
+    2. per-partition PARTIAL sums (one tiny job, ≤ #partitions rows),
+    3. exclusive offsets broadcast back; within-partition running sum
+       + offset = exact global prefix.
+
+    Works for any associative integer sum; callers keep ``value_col``
+    integral (cents / token counts) so the prefix is exact.  Returns
+    ``(df_with_cum, grand_total)``."""
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    partials = sorted(
+        (r[_PID], r["s"])
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in partials:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    total = acc
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, {_OFF} long")
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        ranged.join(off_df, _PID)
+        .withColumn(
+            cum_col,
+            (F.sum(F.col(value_col)).over(w) + F.col(_OFF)).cast("long"),
+        )
+        .drop(_PID, _OFF)
+    )
+    return out, total

@@ -326,3 +326,82 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
     )
+
+
+# --- Pareto / ABC classification over part revenue ----------------------------------
+@query(
+    "a_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                    AS BIGINT))) AS BIGINT)
+               AS rev_e4
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT p, rev_e4,
+             SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT CAST(SUM(rev_e4) AS BIGINT) FROM rev) AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT *,
+             CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4,
+           CAST(SUM(rev_e4) AS DOUBLE) / CAST(MIN(total) AS DOUBLE) AS rev_share
+    FROM classed GROUP BY abc
+    """,
+)
+def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by exact
+    revenue, class A = top sellers covering 80% of revenue, B to 95%,
+    C the tail — the classic skew diagnostic (and, for a corpus, the
+    same query classifies sources by token contribution).
+
+    Revenue is integer 1e-4-dollar units (cents x (100 - discount
+    cents)) so every cumulative value is an exact BIGINT, and the class
+    boundaries are integer comparisons (5*cum <= 4*total), never a
+    double threshold.  The ranked running total uses
+    ``operators/ranking.global_prefix_sum`` over (revenue DESC, part) —
+    the part table is dimension-sized here but grows with the catalog,
+    so the cumsum gets the same two-pass distributed shape as the
+    corpus-sized packing query, not a single-partition window."""
+    from ..operators.ranking import global_prefix_sum
+
+    li = tbl(spark, sf_dir, "lineitem")
+    # decimal(18,2) first — a direct double->long cast TRUNCATES in
+    # Spark but ROUNDS in DuckDB; the decimal cast rounds identically
+    # on both engines (the repo-wide exact-cents rule).
+    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(rev_line).cast("long").alias("rev_e4")
+    )
+    cum, total = global_prefix_sum(
+        rev, [F.col("rev_e4").desc(), F.col("p")], "rev_e4", cum_col="cum"
+    )
+    abc = (
+        F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
+        .when(20 * F.col("cum") <= 19 * F.lit(total), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.groupBy(abc.alias("abc"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_e4").cast("long").alias("class_rev_e4"),
+            (
+                F.sum("rev_e4").cast("double") / F.lit(float(total))
+            ).alias("rev_share"),
+        )
+    )

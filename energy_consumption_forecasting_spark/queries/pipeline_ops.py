@@ -669,3 +669,60 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_high_quality"),
         (p >= 0.5).cast("int").alias("pred"),
     )
+
+
+PACK_CAPACITY = 512
+
+
+# --- sequence packing (concat-and-split) -------------------------------------------
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY 1
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training efficiency: documents are
+    concatenated in a fixed order and cut into {PACK_CAPACITY}-token
+    training sequences (the GPT-style "concat-and-split" packed-dataset
+    layout); each document is assigned to the bin where its first token
+    lands.  The output is the shard plan: docs / tokens / doc-range per
+    bin.
+
+    The global running token count — the packing decision — is
+    ``operators/ranking.global_prefix_sum``: range-shuffle on doc_id,
+    per-partition partials, broadcast offsets.  NO single-partition
+    window anywhere, which is what makes this plannable over a 100-TB
+    corpus (the naive cumsum-over-everything window is the flagged
+    scale-killer shape)."""
+    from ..operators.ranking import global_prefix_sum
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    cum, _total = global_prefix_sum(toks, ["doc_id"], "n_tokens", cum_col="cum")
+    start = F.col("cum") - F.col("n_tokens")
+    return (
+        cum.groupBy(F.floor(start / PACK_CAPACITY).cast("long").alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
