@@ -252,3 +252,34 @@ def test_two_pass_rank_property(spark, rows):
     }
     got_l = {(r.k, r.uid): r.lag_1 for r in lagged.collect()}
     assert got_l == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 1000)),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_global_prefix_sum_property(spark, rows):
+    """operators/ranking.global_prefix_sum must equal a single-partition
+    running sum over the same total order, on any data (ties, skew)."""
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "uid long, k long, v long"
+    ).repartition(7)
+    summed, total = global_prefix_sum(df, ["k", "uid"], "v", cum_col="cum")
+    assert total == sum(v for _, v in rows)
+    got = {(r.k, r.uid): r.cum for r in summed.collect()}
+    acc = 0
+    for i, (k, v) in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0])):
+        acc += v
+        assert got[(k, i)] == acc
