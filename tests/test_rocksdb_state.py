@@ -75,3 +75,43 @@ def test_rocksdb_stateful_session_windows(spark):
     with rocksdb_state_store(spark):
         rocks = drain()
     assert rocks == base
+
+
+def test_rocksdb_changelog_checkpointing(spark):
+    """Changelog checkpointing (write the per-batch delta, snapshot
+    lazily) is the low-latency commit mode for RocksDB state at scale;
+    pin that it engages without breaking results."""
+    from energy_consumption_forecasting_spark.session import ensure_utc
+    from energy_consumption_forecasting_spark.streaming import rocksdb_state_store
+
+    ensure_utc(spark)
+    key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    base = _rollup_result(spark)
+    with rocksdb_state_store(spark):
+        spark.conf.set(key, "true")
+        try:
+            got = _rollup_result(spark)
+        finally:
+            spark.conf.unset(key)
+    assert got == base
+
+
+def test_observation_metrics_piggyback(spark):
+    """df.observe(): ingest-quality counters collected DURING the main
+    action — no second scan; the pattern for pipeline metrics at scale."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    obs = Observation("ingest")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    n = observed.count()
+    m = obs.get
+    assert m["n_rows"] == n and m["null_text"] == 0 and m["max_chars"] > 0
