@@ -397,3 +397,120 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmat = np.asarray([q[1] for q in qrows], dtype=np.float64) @ R
     out = pq_topk(encoded, qmat, qids, books, k_neighbors=TOP_K)
     return out.select("query_id", "vec_id", "adc_dist", "rank")
+
+
+# --- k-NN graph construction over LSH candidates ------------------------------------
+KNN_K = 3
+
+
+def _knn_oracle() -> str:
+    from .dedup import COS_BAND_BITS, COS_BANDS, _planes16_sql
+
+    return f"""
+    WITH planes AS (SELECT {_planes16_sql()} AS ps),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (SELECT string_agg(
+                CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                     THEN '1' ELSE '0' END, '' ORDER BY j)
+              FROM (SELECT unnest(ps) AS p,
+                           generate_subscripts(ps, 1) AS j
+                    FROM planes) t) AS sig
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             substr(sig, CAST(b * {COS_BAND_BITS} + 1 AS INT), {COS_BAND_BITS})
+               AS bucket
+      FROM sig, range({COS_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT src, dst,
+             list_dot_product(sa.v, sb.v)
+               / (sqrt(list_dot_product(sa.v, sa.v))
+                  * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+      FROM cand
+      JOIN sig sa ON src = sa.vec_id
+      JOIN sig sb ON dst = sb.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos_sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rank
+      FROM scored
+    )
+    SELECT src, dst, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+@query("sim_knn_graph", oracle=_knn_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH (every vector -> its top-{KNN_K}
+    neighbors among LSH candidates) — the all-vectors variant of top-k
+    search that feeds graph clustering, kNN-classification, and
+    connected-components dedup.  A brute-force kNN graph is the O(N²)
+    matrix nobody can afford at corpus scale; here candidates come from
+    the same 16-plane banded signatures as dedup_embedding_cosine
+    (row-local sigs -> band-bucket equi-join, both directions), scored
+    exactly, and the per-source top-k is a window over each source's
+    bounded candidate set — partitioned by src, so no global sort
+    anywhere."""
+    from pyspark.sql import Window
+
+    from .dedup import COS_BAND_BITS, COS_BANDS, _cos_sig16
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = (
+        with_norm(
+            fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
+                "vec_id", as_double("embedding").alias("v")
+            )
+        )
+        .withColumn("sig", _cos_sig16(F.col("v")))
+        .persist()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("sig", b * COS_BAND_BITS + 1, COS_BAND_BITS).alias(
+                "bucket"
+            ),
+        )
+        for b in range(COS_BANDS)
+    ]
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") != F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("src"), F.col("bb.vec_id").alias("dst"))
+        .distinct()
+    )
+    ea, eb = e.alias("ea"), e.alias("eb")
+    cos = cosine_prenormed(
+        F.col("ea.v"), F.col("eb.v"), F.col("ea.nrm"), F.col("eb.nrm")
+    )
+    scored = (
+        cand.join(F.broadcast(ea), F.col("src") == F.col("ea.vec_id"))
+        .join(F.broadcast(eb), F.col("dst") == F.col("eb.vec_id"))
+        .select("src", "dst", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
