@@ -1,0 +1,97 @@
+"""Distributed BPE merge learning (Sennrich, Haddow & Birch, ACL 2016).
+
+The working set is the DISTINCT-word table with corpus counts as
+weights, so each round is vocabulary-sized work regardless of corpus
+size: one weighted pair-count groupBy (map-side combinable), a
+driver-side argmax over the tiny pair table, and a row-local symbol
+rewrite.  The only driver state is the chosen merge pair per round —
+a few bytes — never token data.
+
+The merge rewrite is the reference left-to-right, non-overlapping
+fold: ``[a, b, c]`` with merge (a,b) -> ``[ab, c]``; ``[a, a, a]``
+with merge (a,a) -> ``[aa, a]``.  Implemented with ``F.aggregate``
+over the symbol array (interpreted HOF, but per-element work is one
+string compare — and the array is word-length-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _merge_pair(symbols, left: str, right: str):
+    """Column expr: fold ``symbols`` merging adjacent (left, right)
+    left-to-right without overlap."""
+    merged = F.lit(left + right)
+
+    def step(acc, s):
+        # acc.done = output so far; acc.armed = previous symbol was an
+        # unconsumed `left` (merge fires if s == right)
+        fire = acc["armed"] & (s == F.lit(right))
+        flushed = F.when(
+            acc["armed"] & ~fire, F.concat(acc["done"], F.array(F.lit(left)))
+        ).otherwise(acc["done"])
+        return F.struct(
+            F.when(fire, F.concat(flushed, F.array(merged)))
+            .otherwise(
+                F.when(s == F.lit(left), flushed).otherwise(
+                    F.concat(flushed, F.array(s))
+                )
+            )
+            .alias("done"),
+            (~fire & (s == F.lit(left))).alias("armed"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"), F.lit(False).alias("armed")
+    )
+    return F.aggregate(
+        symbols,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["armed"], F.concat(acc["done"], F.array(F.lit(left)))
+        ).otherwise(acc["done"]),
+    )
+
+
+def learn_bpe(
+    words: DataFrame, n_merges: int, word_col: str = "w", count_col: str = "cnt"
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, count) table.
+
+    Returns [(left, right, weighted_pair_count), ...] in merge order.
+    """
+    state = words.select(
+        F.split(F.col(word_col), "").alias("syms"), F.col(count_col).alias("cnt")
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = state.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        state = state.filter(F.size("syms") >= 2).select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "cnt"
+        )
+        state = state.localCheckpoint(eager=False)
+    return merges

@@ -113,3 +113,99 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("novel_frac"),
     )
+
+
+# --- BPE vocabulary induction ------------------------------------------------------
+BPE_TOP_PAIRS = 20
+BPE_MERGES = 5
+
+
+@query(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    alpha AS (SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+                                    AND len(w) >= 2),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2)))
+               AS pair
+      FROM alpha
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE statistics: adjacent-symbol (character bigram) counts
+    over the alphabetic token stream — the candidate table the first
+    byte-pair-encoding merge picks from.  Row-local expansion (one
+    scan, no text shuffled — 2-char pairs only), map-side-combinable
+    count, orderBy+limit top-{BPE_TOP_PAIRS}."""
+    words = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+@query("pipeline_bpe_merges")
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_MERGES} rounds of byte-pair-encoding merge learning (Sennrich
+    et al. 2016), the vocabulary-induction loop of every modern
+    tokenizer, run as a distributed iteration:
+
+    * corpus state = (symbols array, word count) per DISTINCT word —
+      aggregation shrinks the working set to vocabulary size (the
+      standard BPE trick: corpus frequency rides as a weight);
+    * each round: one groupBy for weighted pair counts, a
+      deterministic driver argmax (count desc, pair asc — a few bytes
+      collected), then a row-local HOF fold rewrites each word's
+      symbol array merging the chosen pair (left-to-right,
+      non-overlapping — the reference semantics);
+    * localCheckpoint per round truncates the growing lineage (same
+      discipline as connected components).
+
+    Rows-only gate (the loop is deterministic but 5 rounds of
+    recursive-CTE SQL is not a reasonable oracle); the merge table +
+    a hand-computed pytest pin the semantics."""
+    from ..operators.bpe import learn_bpe
+
+    words = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = learn_bpe(words, n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
+        "round int, left string, right string, pair_count long",
+    )

@@ -227,3 +227,20 @@ def test_opq_rotation_orthogonal_and_lowers_error(spark):
     e_pq = quant_err(X, pq_books)
     e_opq = quant_err(X @ R, opq_books)
     assert e_opq <= e_pq * 1.001
+
+
+def test_bpe_merges_hand_computed(spark):
+    """learn_bpe on a tiny corpus must reproduce the hand-derived merge
+    sequence: ab (w=5) -> aa (tie broken by pair order) -> aa+ab."""
+    from energy_consumption_forecasting_spark.operators.bpe import (
+        _merge_pair,
+        learn_bpe,
+    )
+
+    df = spark.createDataFrame([("aaab", 2), ("ab", 3)], "w string, cnt long")
+    assert learn_bpe(df, 3) == [("a", "b", 5), ("a", "a", 2), ("aa", "ab", 2)]
+
+    # non-overlapping left-to-right merge: aaa + (a,a) -> [aa, a]
+    d = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    got = d.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).collect()
+    assert got[0]["m"] == ["aa", "a"]
