@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .daily_rollup import EVENTS_STREAM_SCHEMA
+from .source import events_stream
 
 K = 7  # trailing window (events testdata spans 30 days)
 KEEP_DAYS = 64  # state horizon per key
@@ -108,19 +108,16 @@ def anomaly_stream(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", glob
+    # events_stream probes the on-disk schema and hands back a
+    # normalized TimestampType ts whatever the files hold; the state
+    # handler keys on integer micros, hence unix_micros here.
+    src = events_stream(
+        spark, events_dir, glob, maxFilesPerTrigger=max_files_per_trigger
     )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = (
-        reader.parquet(events_dir)
-        .select(
-            "event_type",
-            F.expr("ts div 1000").alias("ts_us"),
-            "value",
-        )
+    stream = src.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
     )
     return stream.groupBy("event_type").applyInPandasWithState(
         _update,

@@ -20,19 +20,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .daily_rollup import EVENTS_STREAM_SCHEMA
+from .source import events_stream
 
 ATTRIBUTION_WINDOW = "1 hour"
 
 
 def _read(spark: SparkSession, events_dir: str, glob: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return events_stream(spark, events_dir, glob)
 
 
 def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:

@@ -17,18 +17,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see tables.load_table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from .source import events_stream
 
 
 def daily_rollup_stream(
@@ -37,14 +27,9 @@ def daily_rollup_stream(
     """Streaming DataFrame: per-day per-type counts + exact-decimal mean.
 
     ``events_dir`` must be a directory (FileStreamSource requirement);
-    ``glob`` selects the event files inside it."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ``glob`` selects the event files inside it.  The stream schema is
+    probed from the files (streaming/source.py), never hardcoded."""
+    stream = events_stream(spark, events_dir, glob)
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")

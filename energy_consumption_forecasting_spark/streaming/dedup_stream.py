@@ -21,18 +21,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-DOCS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see tables.load_table)
-        T.StructField("source", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("n_chars", T.IntegerType()),
-        T.StructField("lang", T.StringType()),
-    ]
-)
+from .source import docs_stream
 
 
 def dedup_stream(
@@ -41,14 +31,13 @@ def dedup_stream(
     glob: str = "documents.parquet",
     lateness: str = "1 hour",
 ) -> DataFrame:
-    """Streaming DataFrame of first-seen documents per content hash."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(DOCS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(docs_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("text_hash", F.md5("text"))
+    """Streaming DataFrame of first-seen documents per content hash.
+
+    Schema is probed from the files; ``docs_stream`` synthesizes a
+    deterministic event-time when the table carries none (the current
+    testdata's documents table has no ts column)."""
+    stream = docs_stream(spark, docs_dir, glob).withColumn(
+        "text_hash", F.md5("text")
     )
     return (
         stream.withWatermark("ts", lateness)

@@ -21,7 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .daily_rollup import EVENTS_STREAM_SCHEMA
+from .source import events_stream
 
 
 def enriched_segment_agg(events: DataFrame, customer: DataFrame) -> DataFrame:
@@ -48,13 +48,7 @@ def enrich_stream(
     customer: DataFrame,
     glob: str = "events.parquet",
 ) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, events_dir, glob)
     return enriched_segment_agg(stream, customer)
 
 

@@ -28,16 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.versioned import commit_snapshot, read_snapshot, versions
-from .daily_rollup import EVENTS_STREAM_SCHEMA
+from .source import events_stream
 
 _STATE_COLS = ("d", "event_type", "n", "sum_cents")
 
 
 def _batch_state(batch: DataFrame) -> DataFrame:
-    """Per-day per-type additive state for one micro-batch."""
+    """Per-day per-type additive state for one micro-batch.
+
+    ``batch`` already carries a normalized TimestampType ``ts``
+    (streaming/source.py probes the on-disk type)."""
     return (
-        batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        batch.groupBy(F.to_date("ts").alias("d"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum(
@@ -69,13 +71,9 @@ def run_incremental_rollup(
     per micro-batch; returns the final rollup state (latest snapshot)."""
     from . import pinned_stream_partitions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", glob
+    stream = events_stream(
+        spark, events_dir, glob, maxFilesPerTrigger=max_files_per_trigger
     )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(events_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         delta = _batch_state(batch)

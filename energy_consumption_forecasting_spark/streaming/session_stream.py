@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .daily_rollup import EVENTS_STREAM_SCHEMA
+from .source import events_stream
 
 SESSION_GAP = "30 minutes"
 
@@ -53,13 +53,7 @@ def session_agg(events: DataFrame) -> DataFrame:
 def session_window_stream(
     spark: SparkSession, events_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, events_dir, glob)
     return session_agg(stream.withWatermark("ts", "1 hour"))
 
 

@@ -4,10 +4,33 @@
 star-schema testdata; reading Parquet directly keeps Catalyst's column
 pruning and predicate pushdown intact (check ``PushedFilters`` in
 ``df.explain``).
+
+Timestamp contract (the round-2 lesson): the driver regenerates the
+testdata between rounds and the physical type of ``events.ts`` has
+changed once already (parquet TIMESTAMP(NANOS) in round 1, plain
+``timestamp[us]`` since round 2).  Nothing downstream may assume a
+physical type — ``load_events`` probes the parquet footer with pyarrow
+(one driver-side footer read, no scan) and adapts:
+
+* ``timestamp[ns]`` (no tz) — Spark's vectorized reader rejects
+  TIMESTAMP(NANOS); enable ``nanosAsLong``, read the raw int64, rebuild
+  a micros timestamp with exact integer arithmetic (no double
+  round-trip — 1e18 ns overflows a 53-bit mantissa).
+* ``timestamp[us|ms|s]`` without tz — Spark infers TIMESTAMP_NTZ; cast
+  to TIMESTAMP (sessions run with ``spark.sql.session.timeZone=UTC``,
+  so the wall clock is preserved and downstream date arithmetic is
+  unchanged).
+* ``timestamp`` with tz — already TIMESTAMP; pass through.
+* plain ``int64`` — the historical contract was epoch nanos; rebuild.
+
+Engine-facing invariant (pinned by tests/test_testdata_contract.py):
+``load_table(...).schema["ts"]`` is always TimestampType regardless of
+what the files hold.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,20 +51,69 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def probe_arrow_schema(path: str):
+    """Arrow schema of a parquet file or directory-of-part-files.
+
+    Footer-only read on the driver — O(KB), no data scan.  For a
+    directory, the first part file is taken as representative (Spark's
+    own schema inference does the same unless mergeSchema is set).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            _glob.glob(os.path.join(path, "part-*"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return pq.read_schema(parts[0])
+    return pq.read_schema(path)
+
+
+def _ts_kind(arrow_type) -> str:
+    """Classify an arrow type for timestamp normalization.
+
+    Returns one of ``nanos`` (TIMESTAMP(NANOS), needs the long-read
+    workaround), ``ntz`` (micro/milli/second timestamp without tz),
+    ``tz`` (instant-semantics timestamp), ``long`` (raw int64 —
+    historical epoch-nanos contract), ``other``.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(arrow_type):
+        if arrow_type.unit == "ns" and arrow_type.tz is None:
+            return "nanos"
+        return "tz" if arrow_type.tz is not None else "ntz"
+    if pa.types.is_int64(arrow_type):
+        return "long"
+    return "other"
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Type-adaptive events scan — see module docstring for the contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    kind = _ts_kind(probe_arrow_schema(path).field("ts").type)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = spark.read.parquet(path)
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-        # Spark reader rejects; read the raw int64 nanos and rebuild a
-        # micros timestamp with exact integer arithmetic (no double
-        # round-trip — 1e18 ns overflows a 53-bit mantissa).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return load_events(spark, path)
     return spark.read.parquet(path)
 
 

@@ -22,8 +22,8 @@ def split_events(spark):
     """events split into two files by event_id parity: every day's total
     arrives half in batch 1, half in batch 2."""
     shutil.rmtree(SPLIT_DIR, ignore_errors=True)
-    # keep ts as raw nanos LONG — the stream schema expects it that way
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # raw read/rewrite preserves the on-disk ts type; the stream reader
+    # probes whatever lands here (streaming/source.py)
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     for part, pred in (("a", 0), ("b", 1)):
         ev.filter(F.col("event_id") % 2 == pred).coalesce(1).write.parquet(
@@ -57,9 +57,11 @@ def test_incomplete_windows_not_scored(spark):
     # first 7 calendar days can never have 7 prior observed days
     days = sorted({r.d for r in out})
     assert len(days) > 0
+    from energy_consumption_forecasting_spark.tables import load_table
+
     first_day = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .select(F.min(F.to_date(F.timestamp_micros(F.expr("ts div 1000")))))
+        load_table(spark, SF_SMALL, "events")
+        .select(F.min(F.to_date("ts")))
         .collect()[0][0]
     )
     assert (min(days) - first_day).days >= 7

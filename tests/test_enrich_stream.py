@@ -21,7 +21,6 @@ SPLIT_DIR = "/root/repo/.stage/enrich_split"
 @pytest.fixture(scope="module")
 def split_events(spark):
     shutil.rmtree(SPLIT_DIR, ignore_errors=True)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     import glob as g
     import os

@@ -27,7 +27,6 @@ TABLE = "/root/repo/.stage/incr_table_test"
 @pytest.fixture(scope="module")
 def split_events(spark):
     shutil.rmtree(SPLIT_DIR, ignore_errors=True)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     os.makedirs(f"{SPLIT_DIR}/files", exist_ok=True)
     for part, parity in (("a", 0), ("b", 1)):

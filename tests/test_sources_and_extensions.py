@@ -150,8 +150,8 @@ def test_stateful_user_stats_matches_batch(spark):
     import tempfile, uuid
 
     from energy_consumption_forecasting_spark.session import ensure_utc
-    from energy_consumption_forecasting_spark.streaming.daily_rollup import (
-        EVENTS_STREAM_SCHEMA,
+    from energy_consumption_forecasting_spark.streaming.source import (
+        events_stream,
     )
     from energy_consumption_forecasting_spark.streaming.stateful import (
         user_running_stats,
@@ -159,13 +159,7 @@ def test_stateful_user_stats_matches_batch(spark):
     from energy_consumption_forecasting_spark.tables import load_table
 
     ensure_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMALL)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, SF_SMALL, "events.parquet")
     sink = f"ustats_{uuid.uuid4().hex[:8]}"
     q = (
         user_running_stats(stream)
