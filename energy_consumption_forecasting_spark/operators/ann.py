@@ -462,3 +462,245 @@ def rotate_vectors(
         ]
     )
     return emb.select(id_col, vec_col).mapInPandas(rot, schema=schema)
+
+
+# --- blocked query-table path (no driver collect) -------------------------------
+#
+# The r2 registry shipped the matmul/PQ tiers with driver-collected
+# query sets (`.collect()` into plan literals / broadcast variables) —
+# bounded at Q=5 but the wrong shape the moment the query set is a
+# TABLE.  The blocked path keeps BOTH sides as DataFrames end-to-end:
+#
+#   pack corpus rows into matrix blocks (one row per Arrow batch)
+#   pack query rows into matrix blocks
+#   corpus_blocks CROSS JOIN broadcast(query_blocks)   <- plan shows a
+#       BroadcastNestedLoopJoin over block COUNTS, not row counts
+#   one BLAS kernel per block pair, per-pair top-k prune
+#   global per-query top-k window
+#
+# Block-pair fan-out is (N/B)·(Q/B) rows each carrying its payload
+# once, so the Arrow transfer is the data itself, not data × queries.
+# Scales to a query TABLE: the query side stops being special — at
+# large Q drop the broadcast hint and let AQE pick the join.
+
+
+def pack_blocks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    rows_per_block: int = 4096,
+    prefix: str = "",
+) -> DataFrame:
+    """Pack (id, vector) rows into matrix blocks: one output row per
+    chunk of ``rows_per_block`` inside each Arrow batch —
+    (ids array<long>, vecs array<array<double>>)."""
+    ids_c, vecs_c = f"{prefix}ids", f"{prefix}vecs"
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), rows_per_block):
+                chunk = pdf.iloc[lo : lo + rows_per_block]
+                if not len(chunk):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        ids_c: [chunk[id_col].tolist()],
+                        vecs_c: [chunk[vec_col].tolist()],
+                    }
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField(ids_c, T.ArrayType(T.LongType())),
+            T.StructField(vecs_c, T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(pack, schema=schema)
+
+
+def _topk_window(partial: DataFrame, k: int, order_col: str, asc: bool,
+                 id_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    key = F.col(order_col) if asc else F.col(order_col).desc()
+    w = Window.partitionBy("query_id").orderBy(key, id_col)
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_blocked(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Exact cosine top-k with a query TABLE — blocked matmul join.
+
+    Returns (query_id, neighbor_id, cos_sim, rank); self-matches
+    (same id) are excluded, matching sim_topk_bruteforce semantics."""
+    eb = pack_blocks(emb, id_col, vec_col, rows_per_block, prefix="e_")
+    qb = pack_blocks(queries, id_col, vec_col, rows_per_block, prefix="q_")
+    pairs = eb.crossJoin(F.broadcast(qb))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                E = np.stack(row["e_vecs"]).astype(np.float64)
+                Q = np.stack(row["q_vecs"]).astype(np.float64)
+                eids = np.asarray(row["e_ids"], dtype=np.int64)
+                qids = np.asarray(row["q_ids"], dtype=np.int64)
+                En = E / np.linalg.norm(E, axis=1, keepdims=True)
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                S = En @ Qn.T  # (blockN, blockQ)
+                out_q, out_n, out_s = [], [], []
+                kk = min(k + 1, S.shape[0])
+                top_all = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                for j in range(S.shape[1]):
+                    for i in top_all[:, j]:
+                        if eids[i] != qids[j]:
+                            out_q.append(int(qids[j]))
+                            out_n.append(int(eids[i]))
+                            out_s.append(float(S[i, j]))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+                )
+
+    partial = pairs.mapInPandas(kernel, schema=schema)
+    return _topk_window(partial, k, "cos_sim", asc=False, id_col="neighbor_id")
+
+
+def pack_code_blocks(
+    encoded: DataFrame,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cell_col: str | None = None,
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Pack PQ codes (and optionally IVF cell ids) into blocks."""
+    cols = {"e_ids": id_col, "e_codes": code_col}
+    if cell_col:
+        cols["e_cells"] = cell_col
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), rows_per_block):
+                chunk = pdf.iloc[lo : lo + rows_per_block]
+                if not len(chunk):
+                    continue
+                yield pd.DataFrame(
+                    {out: [chunk[src].tolist()] for out, src in cols.items()}
+                )
+
+    fields = [
+        T.StructField("e_ids", T.ArrayType(T.LongType())),
+        T.StructField("e_codes", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    ]
+    if cell_col:
+        fields.append(T.StructField("e_cells", T.ArrayType(T.IntegerType())))
+    sel = [id_col, code_col] + ([cell_col] if cell_col else [])
+    return encoded.select(*sel).mapInPandas(
+        pack, schema=T.StructType(fields)
+    )
+
+
+def pq_topk_table(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    rotation: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC search with a query TABLE: code blocks x broadcast query
+    blocks; each kernel call builds the (blockQ, m, kc) distance tables
+    from the query block and the KB-sized broadcast codebooks, then
+    scores codes by table lookups.
+
+    ``rotation`` (OPQ) rotates the query block before table build;
+    ``centroids`` (IVF+PQ over ``e_cells``) restricts each query to its
+    ``nprobe`` nearest coarse cells — both computed inside the kernel,
+    never on the driver."""
+    cb = pack_code_blocks(
+        encoded,
+        id_col=id_col,
+        cell_col="cell" if centroids is not None else None,
+    )
+    qb = pack_blocks(queries, id_col, vec_col, prefix="q_")
+    pairs = cb.crossJoin(F.broadcast(qb))
+
+    spark = encoded.sparkSession
+    bt = spark.sparkContext.broadcast((books, rotation, centroids))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks, R, cents = bt.value
+        m, kc, sub = bks.shape
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                C = np.stack(row["e_codes"]).astype(np.int64)
+                eids = np.asarray(row["e_ids"], dtype=np.int64)
+                Q = np.stack(row["q_vecs"]).astype(np.float64)
+                qids = np.asarray(row["q_ids"], dtype=np.int64)
+                if R is not None:
+                    Q = Q @ R
+                # (blockQ, m, kc) ADC tables
+                tabs = np.stack(
+                    [
+                        ((bks[j][None, :, :]
+                          - Q[:, None, j * sub : (j + 1) * sub]) ** 2
+                         ).sum(axis=2)
+                        for j in range(m)
+                    ],
+                    axis=1,
+                )
+                cells = (
+                    np.asarray(row["e_cells"], dtype=np.int64)
+                    if cents is not None
+                    else None
+                )
+                out_q, out_v, out_d = [], [], []
+                for qi in range(len(qids)):
+                    Cq, idq = C, eids
+                    if cents is not None:
+                        cd = ((cents - Q[qi]) ** 2).sum(axis=1)
+                        probe = set(np.argsort(cd)[:nprobe].tolist())
+                        mask = np.isin(cells, list(probe))
+                        if not mask.any():
+                            continue
+                        Cq, idq = C[mask], eids[mask]
+                    d = np.zeros(len(Cq))
+                    for j in range(m):
+                        d += tabs[qi, j, Cq[:, j]]
+                    top = np.argsort(d, kind="stable")[:k_neighbors]
+                    out_q.extend([int(qids[qi])] * len(top))
+                    out_v.extend(idq[top].tolist())
+                    out_d.extend(d[top].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, id_col: out_v, "adc_dist": out_d}
+                )
+
+    partial = pairs.mapInPandas(kernel, schema=schema)
+    return _topk_window(partial, k_neighbors, "adc_dist", asc=True,
+                        id_col=id_col)

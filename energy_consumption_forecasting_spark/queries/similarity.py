@@ -276,23 +276,47 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- vectorized numpy top-k — rows-only -------------------------------------------
-@query("sim_topk_numpy")
+# --- vectorized blocked-matmul top-k (query TABLE, exact) --------------------------
+@query(
+    "sim_topk_numpy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos_sim
+      FROM q, e c
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
 def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-k via one numpy matmul per Arrow batch
-    (operators/ann.py::topk_numpy) — the BLAS-throughput scale variant
-    of sim_topk_bruteforce with per-batch top-k pruning before the
-    shuffle."""
-    from ..operators.ann import topk_numpy
+    """Brute-force top-k as a blocked matmul JOIN — both sides are
+    DataFrames (operators/ann.py::topk_blocked): corpus and query rows
+    are packed into matrix blocks, the (small) query blocks broadcast
+    against the corpus blocks, one BLAS matmul per block pair with a
+    per-pair top-k prune.  No driver collect on the query path (the r2
+    registry shipped ``.collect()``-into-literals here); the query set
+    can be an arbitrarily large table — at large Q drop the broadcast
+    hint and let AQE pick the join.  Exact: same oracle as
+    sim_topk_bruteforce."""
+    from ..operators.ann import topk_blocked
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    queries = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
-    return topk_numpy(e, queries, k=TOP_K)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return topk_blocked(e, q, k=TOP_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
 
 
 # --- product quantization ANN — rows-only -------------------------------------------
@@ -304,22 +328,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by table lookups only.  The index column is 32x smaller than the
     raw float32[64] — the memory story that makes billion-vector search
     fit a cluster.  Rows-only: codebooks are solver-dependent."""
-    import numpy as np
-
-    from ..operators.ann import pq_encode, pq_topk, train_pq_codebooks
+    from ..operators.ann import pq_encode, pq_topk_table, train_pq_codebooks
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
     books = train_pq_codebooks(e, m=8, k=16)
-    encoded = pq_encode(e, books).persist()
-    qrows = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
-    qids = [q[0] for q in qrows]
-    qmat = np.asarray([q[1] for q in qrows], dtype=np.float64)
-    out = pq_topk(encoded, qmat, qids, books, k_neighbors=TOP_K)
+    encoded = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    out = pq_topk_table(encoded, q, books, k_neighbors=TOP_K)
     return out.select("query_id", "vec_id", "adc_dist", "rank")
 
 
@@ -327,16 +344,17 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ivfpq_topk")
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed index: IVF coarse cells prune candidates, PQ/ADC
-    scores the survivors (operators/ann.py::ivfpq_topk) — pruning x
-    compression, the billion-vector shape.  Probe lists are computed
-    on the driver from the KB-sized centroid matrix (query set is
-    bounded by contract, N_QUERIES)."""
+    scores the survivors — pruning x compression, the billion-vector
+    shape.  Queries stay a DataFrame end-to-end
+    (operators/ann.py::pq_topk_table): probe lists are computed inside
+    the scoring kernel from the KB-sized broadcast centroid matrix,
+    never on the driver."""
     import numpy as np
 
     from ..operators.ann import (
         build_ivf,
-        ivfpq_topk,
         pq_encode,
+        pq_topk_table,
         train_pq_codebooks,
     )
 
@@ -348,18 +366,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = pq_encode(e, books).join(
         assigned.select("vec_id", "cell"), "vec_id"
     )
-    qrows = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
-    qids = [q[0] for q in qrows]
-    qmat = np.asarray([q[1] for q in qrows], dtype=np.float64)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
     cents = np.asarray(model.clusterCenters())
-    probe = {
-        int(qid): np.argsort(((cents - qmat[i]) ** 2).sum(axis=1))[:4].tolist()
-        for i, qid in enumerate(qids)
-    }
-    out = ivfpq_topk(encoded, qmat, qids, books, probe, k_neighbors=TOP_K)
+    out = pq_topk_table(
+        encoded, q, books, k_neighbors=TOP_K, centroids=cents, nprobe=4
+    )
     return out.select("query_id", "vec_id", "adc_dist", "rank")
 
 
@@ -375,11 +386,9 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; everything downstream (encode, ADC tables, per-batch top-k
     prune) is the plain PQ path on rotated vectors.  Rows-only:
     codebooks and rotation are solver-dependent."""
-    import numpy as np
-
     from ..operators.ann import (
         pq_encode,
-        pq_topk,
+        pq_topk_table,
         rotate_vectors,
         train_opq_rotation,
     )
@@ -388,14 +397,9 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     R, books = train_opq_rotation(e, m=8, k=16)
-    encoded = pq_encode(rotate_vectors(e, R), books).persist()
-    qrows = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
-    qids = [q[0] for q in qrows]
-    qmat = np.asarray([q[1] for q in qrows], dtype=np.float64) @ R
-    out = pq_topk(encoded, qmat, qids, books, k_neighbors=TOP_K)
+    encoded = pq_encode(rotate_vectors(e, R), books)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    out = pq_topk_table(encoded, q, books, k_neighbors=TOP_K, rotation=R)
     return out.select("query_id", "vec_id", "adc_dist", "rank")
 
 
