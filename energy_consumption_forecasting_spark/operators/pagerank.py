@@ -2,20 +2,31 @@
 
 Together with connected components (queries/components.py) this covers
 the two standard iterative-graph shapes: label fixpoints and weighted
-power iteration.  No GraphFrames dependency: each iteration is
+power iteration.  No GraphFrames dependency.
 
-    contribs = edges ⋈ ranks  →  groupBy(dst).sum  →  damping update
+Per-iteration plan (the round-3 rework — r2 spent 3 joins a round):
 
-i.e. one hash join + one aggregation, both shuffling on bounded-width
-id columns.  ``localCheckpoint`` truncates lineage each round
-(iterative plans otherwise grow exponentially); dangling-node mass is
-redistributed uniformly (the standard correction) via one scalar agg.
+    contribs = weighted_edges ⋈ ranks  →  groupBy(dst).sum  →  update
 
-Scale: the rank and out-degree tables are (id, double) — tiny relative
-to edges; the per-iteration cost is the edge-table shuffle.  At 100 TB
-of edges you pre-partition ``edges`` by src so the join with ranks is
-co-partitioned across iterations and only the contribution aggregation
-re-shuffles.
+exactly ONE join + ONE aggregation per round.  The out-degree weight
+``w = 1/deg`` is folded into the static edge table once up front, so
+the rank state is a bare (v, rank) pair and never re-joins the degree
+table.  Nodes without inflow (and the dangling-mass scalar) are
+detected ONCE before the loop; graphs where every node has an in-edge
+(any symmetrized graph) skip the per-round nodes rejoin entirely.
+
+``localCheckpoint`` truncates lineage each round (iterative plans
+otherwise grow exponentially) and preserves partitioning: the edge
+table is persisted hash-partitioned on ``src`` and ranks exit each
+round partitioned on the aggregation key, so consecutive iterations
+reuse both sides' partitioning instead of re-shuffling the edges.
+
+Scale: the rank table is (id, double) — tiny relative to edges; the
+per-iteration cost is the contribution aggregation's shuffle of
+(dst, share) pairs, never the edge payload.  At 100 TB of edges the
+src-partitioned persist is the co-location strategy; dangling-node
+mass redistribution (the standard correction) costs one scalar agg per
+round only on graphs that actually have dangling nodes.
 """
 
 from __future__ import annotations
@@ -34,62 +45,106 @@ def pagerank(
     """(src, dst) directed edges → (v, rank); ranks sum to 1.
 
     Driver-side scalar jobs are the iteration tax, so they are kept off
-    the hot path: whether the graph HAS dangling nodes is detected once
-    up front (a dangling-free graph — e.g. any symmetrized one — skips
-    the per-iteration mass collect entirely), and the L1-delta
-    convergence probe runs every ``check_every`` rounds (``tol=None``
-    disables it for fixed-iteration runs)."""
-    nodes = (
-        edges.select(F.col("src").alias("v"))
-        .union(edges.select(F.col("dst").alias("v")))
+    the hot path: dangling detection and the no-inflow node set are
+    computed once up front, and the L1-delta convergence probe runs
+    every ``check_every`` rounds (``tol=None`` disables it for
+    fixed-iteration runs)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # ONE pass over the (persisted) edge table builds every piece of
+    # node metadata the algorithm needs — r2 ran a separate driver job
+    # per structure probe, each re-deriving the edge table, and the
+    # setup cost dwarfed the iterations on mid-sized graphs.
+    e = edges.persist()
+    deg_tbl = e.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("deg")
+    )
+    in_tbl = (
+        e.select(F.col("dst").alias("v"))
         .distinct()
+        .withColumn("has_in", F.lit(True))
+    )
+    meta = deg_tbl.join(in_tbl, "v", "full").persist()
+    stats = meta.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("deg").isNull(), 1)).alias("n_dangling"),
+        F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_no_inflow"),
+        F.sum("deg").alias("n_edges"),
+    ).collect()[0]
+    n = stats["n"]
+    has_dangling = stats["n_dangling"] > 0
+    all_have_inflow = stats["n_no_inflow"] == 0
+    n_edges = stats["n_edges"] or 0
+
+    # size the per-iteration parallelism to the graph, not the session
+    # default: 10 rounds x 32 near-empty tasks is pure scheduler latency
+    # on a small graph, while a 100-TB edge table gets the full width
+    iter_n = max(4, min(shuffle_n, int(n_edges) // 20_000 + 1))
+
+    nodes = meta.select("v")
+    dangling_nodes = (
+        meta.filter(F.col("deg").isNull()).select("v")
+        if has_dangling
+        else None
+    )
+    # fold 1/deg into the edge table once; persist partitioned on src so
+    # every iteration's join reuses this layout without an exchange
+    we = (
+        e.join(
+            meta.filter(F.col("deg").isNotNull()).select(
+                F.col("v").alias("src"), "deg"
+            ),
+            "src",
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(iter_n, "src")
         .persist()
     )
-    n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    has_dangling = nodes.join(
-        out_deg, nodes.v == out_deg.src, "left_anti"
-    ).limit(1).count() > 0
-    ranks = nodes.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
-    e = edges.persist()
+    # no eager count: the first iteration materializes the persist —
+    # same work, one fewer driver-side job barrier
+
+    # initial ranks stay lazy — lineage is one hop off the persisted
+    # meta table; the round-1 checkpoint truncates it
+    ranks = nodes.select("v", F.lit(1.0 / n).alias("rank"))
     try:
+        # pin loop shuffles (the contribs agg) to the graph-sized width;
+        # restored in the finally block
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_n))
         for it in range(max_iter):
-            with_deg = ranks.join(
-                out_deg, ranks.v == out_deg.src, "left"
-            ).select("v", "rank", "deg")
-            # mass sitting on dangling nodes (no out-edges) — spread it
             dangling = (
-                with_deg.filter(F.col("deg").isNull())
+                ranks.join(dangling_nodes, "v")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .collect()[0][0]
                 if has_dangling
                 else 0.0
             )
-            contribs = (
-                e.join(
-                    with_deg.filter(F.col("deg").isNotNull()).select(
-                        F.col("v").alias("src"),
-                        (F.col("rank") / F.col("deg")).alias("share"),
-                    ),
-                    "src",
-                )
-                .groupBy("dst")
-                .agg(F.sum("share").alias("inflow"))
-            )
             base = (1.0 - damping) / n + damping * dangling / n
-            new = (
-                nodes.join(contribs, nodes.v == contribs.dst, "left")
-                .select(
-                    "v",
-                    (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            # a checkpointed rank table has no Catalyst size stats, so
+            # hint the broadcast ourselves while the node set is small:
+            # the edge table then never shuffles (map-side hash join +
+            # partial agg); past the threshold it degrades gracefully
+            # to the co-partitioned sort-merge join
+            rank_side = ranks.withColumnRenamed("v", "src")
+            if n * 48 < 64 << 20:  # ~48B/row vs 64MB broadcast budget
+                rank_side = F.broadcast(rank_side)
+            contribs = (
+                we.join(rank_side, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
             )
+            updated = contribs.select(
+                F.col("dst").alias("v"),
+                (
+                    F.lit(base) + F.lit(damping) * F.col("inflow")
+                ).alias("rank"),
+            )
+            if not all_have_inflow:
+                # nodes with no in-edges restart at the base mass
+                updated = nodes.join(updated, "v", "left").select(
+                    "v", F.coalesce("rank", F.lit(base)).alias("rank")
+                )
+            new = updated.localCheckpoint(eager=True)
             if tol is not None and (it + 1) % check_every == 0:
                 delta = (
                     new.join(ranks.withColumnRenamed("rank", "old"), "v")
@@ -101,6 +156,7 @@ def pagerank(
             ranks = new
         return ranks
     finally:
-        nodes.unpersist()
-        out_deg.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
         e.unpersist()
+        meta.unpersist()
+        we.unpersist()
