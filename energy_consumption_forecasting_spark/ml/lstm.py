@@ -66,19 +66,12 @@ def sequence_dataset(
     )
 
 
-def to_numpy_dataset(
-    seq_df: DataFrame, n_features: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Batched export to (n, seq_len, n_features) X and (n,) y.
+def _packed_blobs(seq_df: DataFrame) -> DataFrame:
+    """(n, xb, yb) — one contiguous float32 blob per Arrow batch.
 
-    Scale-clean shape (r1 used a whole-table ``toPandas``): each worker
-    packs its Arrow batches into contiguous float32 buffers via
-    ``mapInPandas`` — the per-sequence double-list rows never exist on
-    the driver, which concatenates ~#batches compact byte blobs (4
-    bytes/element, no pandas object overhead).  A single-node trainer
-    ultimately holds (X, y) in RAM by definition; when even that is too
-    big, ``export_sequences`` writes sharded parquet for per-worker
-    streaming (TorchDistributor / mapInPandas inference, SURVEY M11)."""
+    The per-sequence double-list rows never exist on the driver: each
+    worker packs its batches into compact byte buffers (4 bytes/element,
+    no pandas object overhead)."""
     import pandas as pd
 
     def pack(batches):
@@ -91,21 +84,51 @@ def to_numpy_dataset(
                 {"n": [len(pdf)], "xb": [X.tobytes()], "yb": [y.tobytes()]}
             )
 
-    rows = (
-        seq_df.select("x", "y")
-        .mapInPandas(pack, "n long, xb binary, yb binary")
-        .collect()
+    return seq_df.select("x", "y").mapInPandas(
+        pack, "n long, xb binary, yb binary"
     )
-    if not rows:
+
+
+def iter_numpy_batches(seq_df: DataFrame, n_features: int):
+    """Stream (X, y) chunks to the driver one blob at a time.
+
+    ``toLocalIterator`` pulls one partition's blobs at a time, so the
+    driver's resident set is a single chunk, not the dataset — the
+    streaming feed for ``NumpyLSTM.fit_stream`` (r2 collected the whole
+    packed dataset before training; the driver-memory cliff is gone).
+    """
+    packed = _packed_blobs(seq_df)
+    for r in packed.toLocalIterator(prefetchPartitions=True):
+        X = np.frombuffer(r["xb"], np.float32).reshape(r["n"], -1, n_features)
+        y = np.frombuffer(r["yb"], np.float32)
+        yield X, y
+
+
+def to_numpy_dataset(
+    seq_df: DataFrame, n_features: int, max_bytes: int = 2 << 30
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched export to (n, seq_len, n_features) X and (n,) y.
+
+    A single-node trainer ultimately holds (X, y) in RAM by definition,
+    so the materialization is bounded: assembly streams chunk-by-chunk
+    (``iter_numpy_batches``) and raises once ``max_bytes`` of tensor is
+    exceeded instead of silently OOM-ing the driver.  Past the bound,
+    either train chunked (``NumpyLSTM.fit_stream``) or hand the sharded
+    parquet from ``export_sequences`` to a distributed trainer
+    (TorchDistributor / mapInPandas inference, SURVEY M11)."""
+    xs, ys, total = [], [], 0
+    for X, y in iter_numpy_batches(seq_df, n_features):
+        total += X.nbytes + y.nbytes
+        if total > max_bytes:
+            raise MemoryError(
+                f"sequence dataset exceeds max_bytes={max_bytes}; "
+                "use iter_numpy_batches/fit_stream or export_sequences"
+            )
+        xs.append(X)
+        ys.append(y)
+    if not xs:
         return np.empty((0, 0, n_features), np.float32), np.empty(0, np.float32)
-    X = np.concatenate(
-        [
-            np.frombuffer(r["xb"], np.float32).reshape(r["n"], -1, n_features)
-            for r in rows
-        ]
-    )
-    y = np.concatenate([np.frombuffer(r["yb"], np.float32) for r in rows])
-    return X, y
+    return np.concatenate(xs), np.concatenate(ys)
 
 
 def export_sequences(seq_df: DataFrame, path: str, shards: int | None = None) -> None:
@@ -232,6 +255,31 @@ class NumpyLSTM:
             history.append(float(np.mean((pred - y) ** 2)))
             grads = self._backward(X, y, pred, h_last, cache)
             self._adam_step(grads, lr)
+        return history
+
+    def fit_stream(
+        self, batches, epochs: int = 60, lr: float = 0.005
+    ) -> list[float]:
+        """Chunked Adam over a re-iterable source of (X, y) chunks.
+
+        ``batches`` is a zero-arg callable returning an iterator (e.g.
+        ``lambda: iter_numpy_batches(seq_df, D)``) so every epoch can
+        re-stream.  One forward/BPTT/Adam step per chunk — with a
+        single chunk this is numerically identical to ``fit``; with
+        many it is plain mini-batch training, the driver holding one
+        chunk at a time.  Returns per-epoch sample-weighted MSE."""
+        history = []
+        for _ in range(epochs):
+            sse, n_total = 0.0, 0
+            for X, y in batches():
+                X = np.asarray(X, np.float64)
+                y = np.asarray(y, np.float64)
+                pred, h_last, cache = self._forward(X)
+                sse += float(np.sum((pred - y) ** 2))
+                n_total += len(y)
+                grads = self._backward(X, y, pred, h_last, cache)
+                self._adam_step(grads, lr)
+            history.append(sse / max(n_total, 1))
         return history
 
     def predict(self, X: np.ndarray) -> np.ndarray:

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from energy_consumption_forecasting_spark.ml.lstm import NumpyLSTM, lstm_train
 
@@ -69,3 +70,67 @@ def test_m11_forecast_gate(spark):
     assert len(rows) == 7
     assert all(np.isfinite(r.forecast) for r in rows)
     assert rows[0].mse_last < rows[0].mse_first  # training moved the loss
+
+
+def test_fit_stream_single_chunk_equals_fit():
+    """fit_stream over one chunk is bit-identical to full-batch fit."""
+    rng = np.random.RandomState(5)
+    X = rng.randn(64, 8, 2)
+    y = rng.randn(64)
+    a = NumpyLSTM(n_features=2, hidden=4, seed=1)
+    ha = a.fit(X, y, epochs=12, lr=0.01)
+    b = NumpyLSTM(n_features=2, hidden=4, seed=1)
+    hb = b.fit_stream(lambda: iter([(X, y)]), epochs=12, lr=0.01)
+    assert np.array_equal(a.W, b.W) and np.array_equal(a.Wy, b.Wy)
+    assert ha == pytest.approx(hb)
+
+
+def test_fit_stream_chunked_learns():
+    rng = np.random.RandomState(7)
+    N, L = 200, 10
+    sig = np.sin(np.arange(N + L) / 3.0)
+    X = np.stack([sig[i : i + L] for i in range(N)])[:, :, None]
+    y = sig[L : N + L]
+    chunks = [(X[i : i + 50], y[i : i + 50]) for i in range(0, N, 50)]
+    model = NumpyLSTM(n_features=1, hidden=8, seed=42)
+    history = model.fit_stream(lambda: iter(chunks), epochs=40, lr=0.02)
+    assert history[-1] < history[0] * 0.2
+
+
+def test_iter_numpy_batches_matches_collected(spark):
+    """Streamed chunk assembly == the bounded one-shot export."""
+    from energy_consumption_forecasting_spark.ml.lstm import (
+        iter_numpy_batches,
+        sequence_dataset,
+        to_numpy_dataset,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("demand"))
+    )
+    seq = sequence_dataset(ev, "d", ["demand"], "demand", seq_length=7)
+    X0, y0 = to_numpy_dataset(seq, n_features=1)
+    xs, ys = zip(*iter_numpy_batches(seq, n_features=1))
+    assert np.array_equal(np.concatenate(xs), X0)
+    assert np.array_equal(np.concatenate(ys), y0)
+    assert X0.shape[1:] == (7, 1)
+
+
+def test_to_numpy_dataset_enforces_bound(spark):
+    from energy_consumption_forecasting_spark.ml.lstm import (
+        sequence_dataset,
+        to_numpy_dataset,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("demand"))
+    )
+    seq = sequence_dataset(ev, "d", ["demand"], "demand", seq_length=7)
+    with pytest.raises(MemoryError):
+        to_numpy_dataset(seq, n_features=1, max_bytes=16)
