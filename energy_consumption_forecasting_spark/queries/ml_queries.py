@@ -317,7 +317,14 @@ def m9_arima_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ARIMA(3,1,4)+exog — the reference's best single model order
     (ARIMA_params.json:1, evaluation.ipynb:187-191) — fit per series via
     Hannan–Rissanen CSS (ml/forecast.py::_arma_fit_forecast), 14-step.
-    Rows-only: iterative least-squares coefficients are solver-shaped."""
+    Rows-only: iterative least-squares coefficients are solver-shaped.
+
+    ESTIMATOR SUBSTITUTION: the reference fits by statsmodels exact
+    MLE (Kalman likelihood); Hannan–Rissanen CSS fits the same (3,1,4)
+    order but coefficients — and thus forecasts — will NOT numerically
+    reproduce the reference's 8,982-MWh-MAE run.  The statsmodels
+    parity path is import-gated in ml/forecast.py for environments
+    that have it."""
     from ..ml.forecast import ar_forecast_grouped
 
     daily = (
@@ -343,7 +350,13 @@ def m9_arima_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("m10_gbt_forecast")
 def m10_gbt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive lag-feature GBT forecast, 7 steps ahead (M10)."""
+    """Recursive lag-feature GBT forecast, 7 steps ahead (M10).
+
+    ESTIMATOR SUBSTITUTION: the reference's regressor is XGBRegressor
+    (xgb.ipynb:37,557-576); MLlib GBTRegressor is the public-stack
+    stand-in — same recursive-lag loop shape, different tree learner
+    (no second-order leaf weights / column subsampling), so predicted
+    values differ from an XGB run at identical hyperparameters."""
     from ..ml.forecast import GBTLagForecaster
 
     daily = _daily(spark, sf_dir).select(
@@ -361,7 +374,13 @@ def m10_gbt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("m5_dtw_kmedoids")
 def m5_dtw_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW k-medoids over per-month daily-demand series (M5 exact tier):
-    distributed pairwise DTW, driver medoid assignment (≤105² matrix)."""
+    distributed pairwise DTW, driver medoid assignment (≤105² matrix).
+
+    CENTROID SUBSTITUTION: the reference's tslearn TimeSeriesKMeans
+    (ts_kmeans_base.ipynb:1942-1944) updates centroids by DTW
+    barycenter averaging (DBA); k-medoids restricts centroids to
+    observed series, so cluster assignments can differ near
+    boundaries.  Same DTW metric, same k."""
     from ..ml.clustering import dtw_distance_matrix, kmedoids_from_distances
 
     daily = _daily(spark, sf_dir)
@@ -452,7 +471,9 @@ def m13_bayesopt_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation a blocked time-split CV MAE computed by Spark-fitted
     models — the reference's loop shape (optimization.py:112-151: BO
     over XGB hyperparams × lags, surrogate on the driver, objective on
-    the engine), with M10's GBTLagForecaster standing in for XGB.
+    the engine), with M10's GBTLagForecaster standing in for XGB —
+    see m10_gbt_forecast for the estimator-substitution caveat (MLlib
+    GBT, not XGBRegressor; CV MAEs won't numerically match an XGB run).
     Rows-only: GBT fits are solver-shaped.  The history table shows the
     GP exploring the (n_lags, max_depth) grid + the forsake flag."""
     from ..ml.bayesopt import bayes_opt

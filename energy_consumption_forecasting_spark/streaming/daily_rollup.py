@@ -54,7 +54,15 @@ def run_available_now(
 ) -> DataFrame:
     """Drain the (static) directory through the streaming engine once and
     return the final aggregate as a batch DataFrame — the batch-equiv
-    harness for the correctness gate."""
+    harness for the correctness gate.
+
+    GATE-ONLY pattern: complete-mode + memory sink re-emits the whole
+    result table per trigger and holds it on the driver — fine for a
+    bounded drain of (days x types) rows, wrong for an unbounded
+    keyspace.  Production streams route through the foreachBatch
+    merge in incremental_rollup.py (update-semantics upsert into a
+    versioned store); tests/test_incremental_rollup.py asserts the two
+    paths agree on the final state."""
     from . import pinned_stream_partitions
 
     sink = f"rollup_{uuid.uuid4().hex[:8]}"

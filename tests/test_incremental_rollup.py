@@ -72,3 +72,28 @@ def test_two_batch_merge_equals_batch_aggregate(spark, split_events):
     n1 = v1.agg(F.sum("n")).collect()[0][0]
     n2 = final.agg(F.sum("n")).collect()[0][0]
     assert 0 < n1 < n2
+
+
+def test_incremental_state_equals_complete_mode_drain(spark):
+    """The two streaming rollup paths — gate-only complete-mode memory
+    sink (daily_rollup.py) and the production foreachBatch merge
+    (incremental_rollup.py) — agree on the final state."""
+    import tempfile
+
+    from energy_consumption_forecasting_spark.streaming.daily_rollup import (
+        run_available_now,
+    )
+
+    table = tempfile.mkdtemp(prefix="ecf_incr_equiv_")
+    incr = run_incremental_rollup(spark, SF_SMALL, table)
+    complete = run_available_now(spark, SF_SMALL)
+    got_incr = {
+        (r.d, r.event_type): (r.n, round(r.sum_cents / 100.0 / r.n, 9))
+        for r in incr.collect()
+    }
+    got_complete = {
+        (r.d, r.event_type): (r.n, round(r.avg_value, 9))
+        for r in complete.collect()
+    }
+    assert got_incr == got_complete
+    assert len(got_incr) > 0
