@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 _PID = "__rank_pid"
 _OFF = "__rank_off"
 
+# Bounded cache of persisted range-shuffled intermediates: repeated
+# rank/prefix-sum calls in one session (bench sweeps, multi-query
+# sessions) were stacking persisted tables nobody ever unpersisted.
+# Keeping the last two (rank + prefix-sum can be live together) bounds
+# executor-storage growth; a caller that re-ranks an evicted input just
+# recomputes the shuffle.
+_RANGED_KEEP = 2
+_ranged_cache: list[DataFrame] = []
+
+
+def _track_persisted(df: DataFrame) -> None:
+    _ranged_cache.append(df)
+    while len(_ranged_cache) > _RANGED_KEEP:
+        _ranged_cache.pop(0).unpersist()
+
 
 def global_row_number(
     df: DataFrame,
@@ -53,6 +68,7 @@ def global_row_number(
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
+    _track_persisted(ranged)
     counts = sorted(
         (r[_PID], r["cnt"])
         for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
@@ -122,6 +138,7 @@ def global_prefix_sum(
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
+    _track_persisted(ranged)
     partials = sorted(
         (r[_PID], r["s"])
         for r in ranged.groupBy(_PID)

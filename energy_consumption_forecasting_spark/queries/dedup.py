@@ -706,3 +706,73 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# --- semantic dedup (SemDeDup shape) ------------------------------------------------
+SEMDEDUP_TAU = COS_THRESHOLD  # keep policy threshold, shared with oracle
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dom AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}
+    )
+    SELECT e.vec_id, e.label
+    FROM e LEFT JOIN dom ON e.vec_id = dom.vec_id
+    WHERE dom.vec_id IS NULL
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540 — no reference analog; LLM-pipeline extension):
+    embeddings are bucketed by a coarse cluster id (the stored
+    ``label``, standing in for a k-means/IVF cell computed over the
+    corpus), and within each bucket a vector is DROPPED when an earlier
+    (lower vec_id) bucket member sits at cosine ≥ τ.  The paper's
+    greedy chain is replaced by this dominance rule so the operator is
+    deterministic and exactly oracle-able; survivors are returned.
+
+    Scale: candidate pairs come from the label equi-join — bucket-local
+    ~(N/cells)² work per bucket, never a corpus cross join; the
+    dominance set is a narrow distinct of ids and the survivor filter
+    is a broadcast-able anti-join.  At 100 TB, labels are the IVF cell
+    assignment (operators/ann.py::build_ivf) computed once and reused
+    by the ANN tiers."""
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+    )
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
+    )
+    dominated = (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            cosine_prenormed(
+                F.col("a_v"), F.col("b_v"), F.col("a_n"), F.col("b_n")
+            )
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
