@@ -95,3 +95,52 @@ def learn_bpe(
         )
         state = state.localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "w"
+) -> DataFrame:
+    """Encode each distinct word with a learned merge list → token array.
+
+    The standard apply loop (Sennrich §2 / every production tokenizer):
+    split to characters, then repeatedly merge the adjacent pair with
+    the LOWEST merge rank until none applies.  Ranks ride a broadcast
+    dict (KB-sized — the vocabulary artifact); the UDF is Arrow-batched
+    and the input is the DISTINCT-word table, so encode work is
+    vocabulary-sized regardless of corpus size — documents join the
+    encoded vocabulary afterwards (see queries/lm.py::pipeline_bpe_encode).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = words.sparkSession
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+    br = spark.sparkContext.broadcast(ranks)
+
+    def encode(batches):
+        rk = br.value
+        for pdf in batches:
+            out = []
+            for w in pdf[word_col]:
+                syms = list(w)
+                while len(syms) >= 2:
+                    best, best_i = None, -1
+                    for i in range(len(syms) - 1):
+                        r = rk.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, best_i = r, i
+                    if best is None:
+                        break
+                    syms[best_i : best_i + 2] = [
+                        syms[best_i] + syms[best_i + 1]
+                    ]
+                out.append(syms)
+            yield pd.DataFrame({word_col: pdf[word_col], "tokens": out})
+
+    schema = T.StructType(
+        [
+            T.StructField(word_col, T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+    return words.select(word_col).mapInPandas(encode, schema=schema)

@@ -209,3 +209,48 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
         "round int, left string, right string, pair_count long",
     )
+
+
+@query("pipeline_bpe_encode")
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with LEARNED BPE merges — the apply half of
+    the tokenizer story (pipeline_bpe_merges learns the vocabulary;
+    this encodes with it, the corpus-prep step every LLM train run
+    performs at full scale).
+
+    Scale shape: the iterative merge loop runs once per DISTINCT word
+    (vocabulary-sized Arrow-batched UDF work, merge ranks broadcast as
+    a KB dict — operators/bpe.py::bpe_encode_words); documents then
+    join the encoded vocabulary on the word hash, so corpus-sized work
+    is one explode + one equi-join + one count-agg, all JVM-side.
+    Output: per-document token statistics.  Rows-only gate (iterative
+    merge application has no reasonable SQL oracle); the encode
+    semantics are pinned by a hand-computed pytest
+    (tests/test_pipeline_ops.py)."""
+    from ..operators.bpe import bpe_encode_words, learn_bpe
+
+    doc_words = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    vocab = doc_words.groupBy("w").agg(F.count("*").alias("cnt"))
+    merges = learn_bpe(vocab, n_merges=BPE_MERGES)
+    encoded = bpe_encode_words(vocab, merges)
+    return (
+        doc_words.join(F.broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(F.col("n_tokens") / F.col("n_words"), 9),
+        )
+    )

@@ -244,3 +244,44 @@ def test_bpe_merges_hand_computed(spark):
     d = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
     got = d.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).collect()
     assert got[0]["m"] == ["aa", "a"]
+
+
+def test_bpe_encode_hand_example(spark):
+    """Encode applies merges lowest-rank-first until none applies —
+    each case below hand-traced in the asserts."""
+    from energy_consumption_forecasting_spark.operators.bpe import (
+        bpe_encode_words,
+    )
+
+    words = spark.createDataFrame(
+        [("lower",), ("follow",), ("xyz",), ("lo",)], "w string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    got = {
+        r["w"]: list(r["tokens"])
+        for r in bpe_encode_words(words, merges).collect()
+    }
+    # lower: l,o,w,e,r -> lo,w,e,r -> low,e,r
+    assert got["lower"] == ["low", "e", "r"]
+    # follow: f,o,l,l,o,w -> f,o,l,lo,w -> f,o,l,low
+    assert got["follow"] == ["f", "o", "l", "low"]
+    # no applicable merge: stays characters
+    assert got["xyz"] == ["x", "y", "z"]
+    # whole word becomes one token
+    assert got["lo"] == ["lo"]
+
+
+def test_bpe_encode_respects_rank_order(spark):
+    """When two merges both apply, the LOWER rank fires first even if
+    it appears later in the word."""
+    from energy_consumption_forecasting_spark.operators.bpe import (
+        bpe_encode_words,
+    )
+
+    words = spark.createDataFrame([("abab",)], "w string")
+    # rank0 merges the second pair's symbols; rank1 would merge (a,b)
+    merges = [("b", "a"), ("a", "b")]
+    got = list(bpe_encode_words(words, merges).collect()[0]["tokens"])
+    # a,b,a,b -> (b,a) at idx 1 fires first: a,ba,b -> no (b,a) left;
+    # (a,b)? pairs now (a,ba),(ba,b) — neither is (a,b): done
+    assert got == ["a", "ba", "b"]
