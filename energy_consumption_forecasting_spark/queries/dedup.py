@@ -47,18 +47,25 @@ _SHINGLES_SQL = """
 """
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fanout: the md5-heavy sketch projections downstream must not run
-    # as one task on the single-row-group testdata (see _util.fanout).
-    return fanout(tbl(spark, sf_dir, "documents")).select(
+def tokens_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, a: array<string>) whitespace tokens — works on any frame
+    with (doc_id, text), batch or streaming (shared by
+    streaming/minhash_stream.py so stream sketches are bit-identical)."""
+    return docs.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("a"),
     )
 
 
-def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fanout: the md5-heavy sketch projections downstream must not run
+    # as one task on the single-row-group testdata (see _util.fanout).
+    return tokens_frame(fanout(tbl(spark, sf_dir, "documents")))
+
+
+def shingle_arrays_frame(toks: DataFrame) -> DataFrame:
     """(doc_id, shs: array<string>) — distinct 3-word shingles, row-local."""
-    toks = _tokens(spark, sf_dir).filter(F.size("a") >= 3)
+    toks = toks.filter(F.size("a") >= 3)
     idx = F.sequence(F.lit(1), F.size("a") - 2)
     sh = F.transform(
         idx,
@@ -70,6 +77,10 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return toks.select("doc_id", F.array_distinct(sh).alias("shs"))
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_arrays_frame(_tokens(spark, sf_dir))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,13 +213,12 @@ _MINHASH_SQL = f"""
 """
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_sigs_frame(arrays: DataFrame) -> DataFrame:
     """(doc_id, sig: array<string>[8]) — fully row-local signatures.
 
     Two md5 digests per shingle, sliced into 8 hex windows; signature
     element h is the array-min over the doc's shingles.  No explode, no
     aggregation — a doc's sketch never leaves its row."""
-    arrays = _shingle_arrays(spark, sf_dir)
     md5s0 = F.transform("shs", lambda s: F.md5(s))
     md5s1 = F.transform("shs", lambda s: F.md5(F.concat(F.lit("x"), s)))
     with_digests = arrays.select(
@@ -224,6 +234,10 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return with_digests.select("doc_id", sig.alias("sig"))
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_sigs_frame(_shingle_arrays(spark, sf_dir))
 
 
 def _band_rows(sigs: DataFrame) -> DataFrame:

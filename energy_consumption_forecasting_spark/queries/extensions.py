@@ -411,3 +411,39 @@ def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_band")
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+# --- Structured Streaming MinHash near-dup ------------------------------------------
+def _minhash_stream_oracle() -> str:
+    from .dedup import _MINHASH_SQL, _SHINGLES_SQL
+
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    firsts AS (
+      SELECT band, bucket, MIN(doc_id) AS first, COUNT(*) AS n
+      FROM bands GROUP BY band, bucket
+    )
+    SELECT b.doc_id, CAST(MIN(f.first) AS BIGINT) AS dup_of
+    FROM bands b JOIN firsts f ON b.band = f.band AND b.bucket = f.bucket
+    WHERE f.n >= 2 AND b.doc_id <> f.first
+    GROUP BY b.doc_id
+    """
+
+
+@query("stream_minhash_dedup", oracle=_minhash_stream_oracle())
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-duplicate detection: MinHash banding sketched
+    row-local ON the stream (bit-identical expressions to
+    dedup_minhash_lsh) with first-writer-wins state per LSH bucket
+    (streaming/minhash_stream.py).  On a static single-batch drain the
+    per-doc verdict equals the batch banding truth — exactly what the
+    oracle asserts; multi-batch arrival semantics are pinned in
+    tests/test_minhash_stream.py."""
+    from ..session import ensure_utc
+    from ..streaming.minhash_stream import run_minhash_dedup_available_now
+
+    ensure_utc(spark)
+    return run_minhash_dedup_available_now(
+        spark, sf_dir.rstrip("/"), glob="documents.parquet"
+    )

@@ -128,7 +128,10 @@ def events_stream(
 
 
 def docs_stream(
-    spark: SparkSession, docs_dir: str, glob: str = "documents.parquet"
+    spark: SparkSession,
+    docs_dir: str,
+    glob: str = "documents.parquet",
+    **options: str,
 ) -> DataFrame:
     """Streaming documents; synthesizes ``ts`` if the table has none.
 
@@ -140,7 +143,7 @@ def docs_stream(
     from epoch 0 matters: a row AT the initial watermark value of
     1970-01-01T00:00:00 is dropped as late.)
     """
-    df = stream_source(spark, docs_dir, glob)
+    df = stream_source(spark, docs_dir, glob, **options)
     if "ts" not in df.columns:
         base_us = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
         df = df.withColumn(
