@@ -426,50 +426,88 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/keyword-stuffed text a corpus filter drops.
 
     Exact-integer counts; ONE double division per metric (the
-    cross-engine float rule).  Scale: the per-(doc, gram) aggregation
-    is map-side combinable and keyed by doc_id — no corpus-wide
-    frequency table needed, so the operator is a single shuffle of
-    per-doc gram counts regardless of corpus size."""
+    cross-engine float rule).  Scale (r3 rework): ZERO shuffles — both
+    metrics are per-document, so each row sorts its own gram array and
+    a run-length fold extracts (total, max-run, duplicated-mass) in one
+    JVM-side pass; the r2 shape exploded grams into two corpus-sized
+    shuffles plus a join for what is row-local arithmetic."""
 
-    def grams(n: int):
-        toks = fanout(tbl(spark, sf_dir, "documents")).select(
-            "doc_id", _toks(F.lower(F.col("text"))).alias("a")
-        ).filter(F.size("a") >= n)
-        g = F.transform(
-            F.sequence(F.lit(1), F.size("a") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("a", i + k) for k in range(n)]
+    def gram_array(a, n: int):
+        return F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(a, i + k) for k in range(n)]
+                ),
+            )
+        )
+
+    def run_stats(sorted_arr):
+        """struct(maxrun, dup): longest equal-run and total mass of
+        runs ≥ 2 over a SORTED array — the frequency stats without a
+        frequency table."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+
+        def step(acc, s):
+            cont = acc["prev"].isNotNull() & (s == acc["prev"])
+            run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            flush_max = F.greatest(acc["maxrun"], acc["run"])
+            flush_dup = acc["dup"] + F.when(
+                acc["run"] >= 2, acc["run"]
+            ).otherwise(F.lit(0).cast("long"))
+            return F.struct(
+                s.alias("prev"),
+                run.alias("run"),
+                F.when(cont, acc["maxrun"]).otherwise(flush_max).alias("maxrun"),
+                F.when(cont, acc["dup"]).otherwise(flush_dup).alias("dup"),
+            )
+
+        return F.aggregate(
+            sorted_arr,
+            init,
+            step,
+            lambda acc: F.struct(
+                F.greatest(acc["maxrun"], acc["run"]).alias("maxrun"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] >= 2, acc["run"]).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("dup"),
             ),
         )
-        return toks.select("doc_id", F.explode(g).alias("g"))
 
-    bstat = (
-        grams(2)
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").alias("total_bg"), F.max("n").alias("top_bg"))
+    toks = fanout(tbl(spark, sf_dir, "documents")).select(
+        "doc_id", _toks(F.lower(F.col("text"))).alias("a")
     )
-    tstat = (
-        grams(3)
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("n"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("total_tg"),
-            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_tg"),
+    staged = (
+        toks.filter(F.size("a") >= 3)
+        .select(
+            "doc_id",
+            gram_array(F.col("a"), 2).alias("bg"),
+            gram_array(F.col("a"), 3).alias("tg"),
+        )
+        .select(
+            "doc_id",
+            F.size("bg").cast("long").alias("total_bg"),
+            run_stats(F.col("bg")).alias("bs"),
+            F.size("tg").cast("long").alias("total_tg"),
+            run_stats(F.col("tg")).alias("ts"),
         )
     )
-    return bstat.join(tstat, "doc_id").select(
+    return staged.select(
         "doc_id",
         F.col("total_bg").alias("n_bigrams"),
-        (F.col("top_bg").cast("double") / F.col("total_bg").cast("double")).alias(
-            "top_bigram_frac"
-        ),
+        (F.col("bs.maxrun").cast("double") / F.col("total_bg").cast("double"))
+        .alias("top_bigram_frac"),
         F.col("total_tg").alias("n_trigrams"),
-        (F.col("dup_tg").cast("double") / F.col("total_tg").cast("double")).alias(
-            "dup_trigram_frac"
-        ),
+        (F.col("ts.dup").cast("double") / F.col("total_tg").cast("double"))
+        .alias("dup_trigram_frac"),
     )
 
 
