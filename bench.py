@@ -55,6 +55,10 @@ HEADLINE = [
     "text_bm25_topk",
     "pipeline_pack_sequences",
     "a_pareto_abc",
+    # round-3 additions: semantic dedup, query-table ANN, BPE encode
+    "dedup_semantic",
+    "sim_topk_numpy",
+    "pipeline_bpe_encode",
 ]
 
 

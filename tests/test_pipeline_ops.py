@@ -285,3 +285,56 @@ def test_bpe_encode_respects_rank_order(spark):
     # a,b,a,b -> (b,a) at idx 1 fires first: a,ba,b -> no (b,a) left;
     # (a,b)? pairs now (a,ba),(ba,b) — neither is (a,b): done
     assert got == ["a", "ba", "b"]
+
+
+def test_ann_index_roundtrip(spark, tmp_path):
+    """Persisted index (codes parquet + meta.json) answers identically
+    to the in-session build, and IVF codes are cell-partitioned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+    )
+    from energy_consumption_forecasting_spark.operators.ann import (
+        build_ivf,
+        pq_encode,
+        pq_topk_table,
+        train_pq_codebooks,
+    )
+    from energy_consumption_forecasting_spark.sources.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    idx = str(tmp_path / "ann_idx")
+    build_ann_index(e, idx, n_cells=8)
+    q = e.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["adc_dist"], 9))
+        for r in search_ann_index(spark, idx, q, k_neighbors=4).collect()
+    }
+
+    # same quantizers (deterministic seeds) built in-session
+    import numpy as np
+
+    books = train_pq_codebooks(e, m=8, k=16)
+    assigned, model = build_ivf(e, n_cells=8)
+    encoded = pq_encode(e, books).join(assigned.select("vec_id", "cell"), "vec_id")
+    cents = np.asarray(model.clusterCenters())
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["adc_dist"], 9))
+        for r in pq_topk_table(
+            encoded, q, books, k_neighbors=4, centroids=cents
+        ).collect()
+    }
+    assert got == want and len(got) == 12
+    # cell-partitioned layout on disk (partition pruning at the scan)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(idx, "codes"))
+    )
