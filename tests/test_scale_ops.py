@@ -140,3 +140,51 @@ def test_dedup_cosine_lsh_subset_and_plan(spark):
     if strong:
         got = len(strong & set(lsh)) / len(strong)
         assert got >= 0.5, f"recall on strong pairs too low: {got:.2f}"
+
+
+def test_topk_blocked_large_query_table(spark):
+    """The blocked ANN path with Q=100 (a query TABLE, not literals):
+    results equal the JVM fold-cosine reference for sampled queries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from energy_consumption_forecasting_spark.operators.ann import (
+        topk_blocked,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 5 == 0)  # 100 of 500
+    got = topk_blocked(e, q, k=3, rows_per_block=128)
+    assert got.count() == 100 * 3
+
+    # reference for a handful of queries via the broadcast-join shape
+    sample_ids = [0, 105, 250]
+    qs = e.filter(F.col("vec_id").isin(sample_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.join(F.broadcast(qs), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    got_map = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in got.filter(F.col("query_id").isin(sample_ids)).collect()
+    }
+    assert got_map == want

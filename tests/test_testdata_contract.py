@@ -98,3 +98,31 @@ def test_docs_stream_has_event_time(spark):
     stream = docs_stream(spark, SF_DIRS[0], "documents.parquet")
     assert "ts" in stream.columns
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+
+
+def test_non_utc_session_date_grouping(spark):
+    """The driver hands an arbitrary session; a non-UTC timezone must
+    not shift date-grouped events results (ensure_utc in _util.tbl is
+    the guard — this pins it)."""
+    from energy_consumption_forecasting_spark.queries import load_all
+
+    qs, _ = load_all()
+
+    def run():
+        daily = {
+            r["ship_date"]: round(r["avg_qty"], 9)
+            for r in qs["a1_daily_mean"](spark, SF_DIRS[0]).collect()
+        }
+        pivot = {
+            tuple(r) for r in qs["a3_pivot"](spark, SF_DIRS[0]).collect()
+        }
+        return daily, pivot
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == ny and len(utc[0]) > 0 and len(utc[1]) > 0
