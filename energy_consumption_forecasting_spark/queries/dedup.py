@@ -790,3 +790,100 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return e.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# --- cross-source corpus overlap ---------------------------------------------------
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS a
+      FROM documents
+    ),
+    ssh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(a) - 1),
+                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS sh
+      FROM toks WHERE len(a) >= 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap matrix: exact shingle-set Jaccard
+    between every pair of sources — the measurement behind corpus
+    mixing decisions (is src3 a re-crawl of src7?) and train/eval
+    split hygiene, run BEFORE any dedup pass.  No reference analog;
+    LLM-pipeline extension alongside pipeline_mixture_weights.
+
+    Scale shape: state collapses to DISTINCT (source, shingle) — the
+    shuffle key is the shingle, the value a source id; the pair join
+    is per-shingle with fan-out ≤ #sources² (10² here, bounded by the
+    source vocabulary, never by document count), and set sizes ride a
+    source-sized broadcast.  Exact integers + one final division per
+    pair (the cross-engine float rule)."""
+    ssh = (
+        tokens_frame(fanout(tbl(spark, sf_dir, "documents"))
+                     .select(F.col("source").alias("doc_id"), "text"))
+        .filter(F.size("a") >= 3)
+        .select(
+            F.col("doc_id").alias("source"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("a") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("a", i),
+                            F.element_at("a", i + 1),
+                            F.element_at("a", i + 2),
+                        ),
+                    )
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
+    a = ssh.select(F.col("source").alias("source_a"), "sh")
+    b = ssh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
