@@ -136,3 +136,138 @@ def kmedoids_from_distances(
         medoids = new_medoids
     labels = np.argmin(D[:, medoids], axis=1)
     return {ids[i]: int(labels[i]) for i in range(n)}
+
+
+# --- TimeSeriesKMeans with DBA centroids (closes the r2 M5 substitution gap) -----
+def _dtw_path(a: np.ndarray, b: np.ndarray) -> list[tuple[int, int]]:
+    """DTW alignment path (i, j) pairs for the optimal warping of a→b."""
+    n, m = len(a), len(b)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        cost = np.abs(a[i - 1] - b)
+        for j in range(1, m + 1):
+            D[i, j] = cost[j - 1] + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+            )
+    path = []
+    i, j = n, m
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        step = int(
+            np.argmin([D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]])
+        )
+        if step == 0:
+            i, j = i - 1, j - 1
+        elif step == 1:
+            i -= 1
+        else:
+            j -= 1
+    return path[::-1]
+
+
+def _dba(series: list[np.ndarray], init: np.ndarray, iters: int = 5) -> np.ndarray:
+    """DTW Barycenter Averaging (Petitjean, Ketterlin & Gançarski,
+    Pattern Recognition 44(3), 2011): repeat {align every series to the
+    current barycenter, average the values warped onto each barycenter
+    position}.  The tslearn centroid update the reference uses
+    (TimeSeriesKMeans(metric="dtw"))."""
+    center = init.astype(np.float64).copy()
+    for _ in range(iters):
+        sums = np.zeros(len(center))
+        counts = np.zeros(len(center))
+        for s in series:
+            for j, i in _dtw_path(s, center):
+                sums[i] += s[j]
+                counts[i] += 1
+        mask = counts > 0
+        center[mask] = sums[mask] / counts[mask]
+    return center
+
+
+def tskmeans_dba(
+    series_df: DataFrame,
+    k: int = 6,
+    n_iter: int = 5,
+    dba_iters: int = 3,
+    seed: int = 42,
+) -> tuple[dict, np.ndarray]:
+    """TimeSeriesKMeans(metric="dtw") with true DBA centroid updates,
+    Spark-shaped: per-iteration the ASSIGNMENT step is an Arrow-batched
+    map with the k×L centroid matrix on a broadcast (each series scores
+    k DTWs row-locally), and the CENTROID step is one applyInPandas per
+    cluster (series of a cluster never leave the executors; only the k
+    new centroids — KB — return to the driver).  Initialization:
+    k seeded series (deterministic).
+
+    Requires equal-length series (the reference's monthly windows are).
+    Returns ({series_id: cluster}, centroids array)."""
+    spark = series_df.sparkSession
+    first = series_df.select(
+        "series_id", "series"
+    ).orderBy("series_id").limit(k).collect()
+    centroids = np.asarray(
+        [list(r["series"]) for r in first], dtype=np.float64
+    )
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("series_id", series_df.schema["series_id"].dataType),
+            T.StructField("series", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    cent_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    assignment: dict = {}
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            cents = bc.value
+            for pdf in batches:
+                out_c = []
+                for s in pdf["series"]:
+                    sa = np.asarray(s, dtype=np.float64)
+                    out_c.append(
+                        int(np.argmin([_dtw(sa, c) for c in cents]))
+                    )
+                yield pd.DataFrame(
+                    {
+                        "series_id": pdf["series_id"],
+                        "series": pdf["series"],
+                        "cluster": out_c,
+                    }
+                )
+
+        assigned = series_df.select("series_id", "series").mapInPandas(
+            assign, schema=assign_schema
+        )
+
+        def update(pdf: pd.DataFrame) -> pd.DataFrame:
+            c = int(pdf["cluster"].iloc[0])
+            series = [
+                np.asarray(s, dtype=np.float64) for s in pdf["series"]
+            ]
+            center = _dba(series, bc.value[c], iters=dba_iters)
+            return pd.DataFrame(
+                {"cluster": [c], "centroid": [center.tolist()]}
+            )
+
+        new_cents = (
+            assigned.groupBy("cluster")
+            .applyInPandas(update, schema=cent_schema)
+            .collect()
+        )
+        for r in new_cents:
+            centroids[r["cluster"]] = np.asarray(r["centroid"])
+        assignment = {
+            r["series_id"]: int(r["cluster"])
+            for r in assigned.select("series_id", "cluster").collect()
+        }
+    return assignment, centroids

@@ -342,3 +342,32 @@ def test_shapley_efficiency_nonlinear(spark):
     ef = sum(f(*b) for b in bg_rows) / len(bg_rows)
     assert totals["a"] == pytest.approx(f(2.0, 5.0, 1.0) - ef, abs=1e-9)
     assert totals["b"] == pytest.approx(f(-1.0, 0.5, 3.0) - ef, abs=1e-9)
+
+
+def test_dba_fixed_point_and_recovery(spark):
+    """DBA of identical series is that series; DBA k-means recovers
+    well-separated synthetic clusters."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.clustering import (
+        _dba,
+        tskmeans_dba,
+    )
+
+    s = np.array([1.0, 2.0, 3.0, 2.0, 1.0])
+    out = _dba([s, s, s], s.copy(), iters=3)
+    assert np.allclose(out, s)
+
+    # two separated shapes, 6 series each, equal length 8
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(6):
+        rows.append((f"a{i}", (np.sin(np.arange(8)) + 10 + rng.randn(8) * 0.01).tolist()))
+        rows.append((f"b{i}", (np.cos(np.arange(8)) - 10 + rng.randn(8) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "series_id string, series array<double>")
+    assignment, cents = tskmeans_dba(df, k=2, n_iter=3, dba_iters=2)
+    a_clusters = {assignment[f"a{i}"] for i in range(6)}
+    b_clusters = {assignment[f"b{i}"] for i in range(6)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    assert cents.shape == (2, 8)
