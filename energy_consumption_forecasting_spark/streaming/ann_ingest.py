@@ -1,0 +1,117 @@
+"""Incremental ANN index maintenance — streaming vector ingest.
+
+Completes the index lifecycle (sources/ann_index.py builds it once):
+new vectors arrive as a stream and must become searchable without a
+full rebuild.  The standard production split applies:
+
+* the QUANTIZERS (PQ codebooks, OPQ rotation, IVF centroids) are
+  trained on the initial corpus and FROZEN — retraining them would
+  invalidate every stored code, so drift is handled by periodic
+  rebuilds, not per-batch updates (the FAISS/Milvus convention);
+* each micro-batch is encoded row-locally against the broadcast
+  quantizers (one Arrow pass: subspace argmin + nearest-cell assign)
+  and appended to the cell-partitioned codes parquet — an append-only
+  sink, no state store, no shuffle beyond the partitioned write.
+
+Searches running against the index directory see new vectors on their
+next scan; `search_ann_index` needs no changes.  Equivalence contract
+(tests/test_ann_ingest.py): streaming the corpus into an empty index
+yields exactly the codes a one-shot batch build produces with the same
+frozen quantizers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def encode_with_meta(batch: DataFrame, meta: dict) -> DataFrame:
+    """(vec_id, code[, cell]) for a batch of vectors under FROZEN
+    quantizers — one Arrow-batched pass, quantizers on a broadcast."""
+    spark = batch.sparkSession
+    b = spark.sparkContext.broadcast(
+        (
+            meta["codebooks"],
+            meta.get("rotation"),
+            meta.get("centroids"),
+        )
+    )
+    has_cells = meta.get("centroids") is not None
+
+    def encode(batches):
+        books, R, cents = b.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Xr = X @ R if R is not None else X
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = Xr[:, j * sub : (j + 1) * sub]
+                d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            out = {"vec_id": pdf["vec_id"], "code": list(codes)}
+            if cents is not None:
+                # IVF cell on the RAW vector (build_ivf trains unrotated)
+                cd = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                out["cell"] = cd.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("code", T.ArrayType(T.IntegerType())),
+    ]
+    if has_cells:
+        fields.append(T.StructField("cell", T.IntegerType()))
+    return batch.select("vec_id", "v").mapInPandas(
+        encode, schema=T.StructType(fields)
+    )
+
+
+def ingest_vectors_available_now(
+    spark: SparkSession,
+    index_dir: str,
+    vectors_dir: str,
+    glob: str = "*.parquet",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain a directory of vector parquet files into the index."""
+    import os
+    import tempfile
+
+    from ..sources.ann_index import load_ann_index
+    from . import pinned_stream_partitions
+    from .source import stream_source
+
+    _, meta = load_ann_index(spark, index_dir)
+    codes_dir = os.path.join(index_dir, "codes")
+    partitioned = meta.get("centroids") is not None
+
+    stream = stream_source(
+        spark, vectors_dir, glob, maxFilesPerTrigger=max_files_per_trigger
+    ).select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def append(batch: DataFrame, batch_id: int) -> None:
+        encoded = encode_with_meta(batch, meta)
+        w = encoded.write.mode("append")
+        if partitioned:
+            w = w.partitionBy("cell")
+        w.parquet(codes_dir)
+
+    with pinned_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(append)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ecf_annin_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
