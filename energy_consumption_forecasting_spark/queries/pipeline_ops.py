@@ -726,3 +726,37 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- deterministic epoch shuffle ---------------------------------------------------
+@query(
+    "pipeline_epoch_shuffle",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY md5('ep1:' || doc_id), doc_id)
+                AS BIGINT) AS position,
+           doc_id
+    FROM documents
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every document gets a
+    pseudo-random but REPRODUCIBLE global position (order by
+    md5(seed || doc_id)) — the standard shuffle-before-epoch step of a
+    training-data pipeline, seeded so re-runs and resumed jobs see the
+    identical order.
+
+    The global position is the two-pass distributed rank
+    (operators/ranking.py): range-shuffle on the hash key, local
+    row_number, broadcast offsets — never a single-partition window.
+    Downstream, pipeline_pack_sequences can consume this order instead
+    of doc_id order to decorrelate neighboring documents."""
+    from ..operators.ranking import global_row_number
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    ranked, _n = global_row_number(docs, ["hk", "doc_id"], rn_col="position")
+    return ranked.select(F.col("position").cast("long"), "doc_id")
