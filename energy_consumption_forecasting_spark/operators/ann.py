@@ -21,6 +21,7 @@ per-element Catalyst fold becomes CPU-bound.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -563,16 +564,36 @@ def topk_blocked(
                 qids = np.asarray(row["q_ids"], dtype=np.int64)
                 En = E / np.linalg.norm(E, axis=1, keepdims=True)
                 Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-                S = En @ Qn.T  # (blockN, blockQ)
+                S = En @ Qn.T  # (blockN, blockQ) — selection only
                 out_q, out_n, out_s = [], [], []
                 kk = min(k + 1, S.shape[0])
                 top_all = np.argpartition(-S, kk - 1, axis=0)[:kk]
+
+                # Exact rescoring of the selected candidates: BLAS picks
+                # the top-k, but its pairwise-summed dot products differ
+                # from the engines' sequential fold in the last ULP —
+                # recompute each kept pair left-to-right (k·Q pairs per
+                # block, negligible) so emitted cosines are bit-equal to
+                # the fold/oracle algebra: dot/(sqrt(na)·sqrt(nb)).
+                def seq_dot(a, b):
+                    acc = 0.0
+                    for x, y in zip(a.tolist(), b.tolist()):
+                        acc += x * y
+                    return acc
+
+                enorm = {}
                 for j in range(S.shape[1]):
+                    qv = Q[j]
+                    qn = math.sqrt(seq_dot(qv, qv))
                     for i in top_all[:, j]:
                         if eids[i] != qids[j]:
+                            if i not in enorm:
+                                enorm[i] = math.sqrt(seq_dot(E[i], E[i]))
                             out_q.append(int(qids[j]))
                             out_n.append(int(eids[i]))
-                            out_s.append(float(S[i, j]))
+                            out_s.append(
+                                seq_dot(E[i], qv) / (qn * enorm[i])
+                            )
                 yield pd.DataFrame(
                     {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
                 )

@@ -30,20 +30,17 @@ from pyspark.sql import functions as F
 _PID = "__rank_pid"
 _OFF = "__rank_off"
 
-# Bounded cache of persisted range-shuffled intermediates: repeated
-# rank/prefix-sum calls in one session (bench sweeps, multi-query
-# sessions) were stacking persisted tables nobody ever unpersisted.
-# Keeping the last two (rank + prefix-sum can be live together) bounds
-# executor-storage growth; a caller that re-ranks an evicted input just
-# recomputes the shuffle.
-_RANGED_KEEP = 2
-_ranged_cache: list[DataFrame] = []
-
-
-def _track_persisted(df: DataFrame) -> None:
-    _ranged_cache.append(df)
-    while len(_ranged_cache) > _RANGED_KEEP:
-        _ranged_cache.pop(0).unpersist()
+# Materialization rule: the range-shuffled intermediate is
+# ``localCheckpoint(eager=True)``, NOT ``persist()``.  The offsets are
+# collected from one physical partitioning; if a persisted intermediate
+# is ever evicted and recomputed (or AQE re-plans the exchange), the
+# recomputed partition ids can disagree with the collected offsets and
+# the "exact" rank silently shifts at partition boundaries — observed
+# as fold-boundary flips under a vanilla 200-partition session.  A
+# checkpoint freezes the partitioning for the DataFrame's lifetime, and
+# its blocks are freed by the ContextCleaner when the plan is GC'd, so
+# repeated rank calls don't accumulate storage the way r2's persist
+# leak did.
 
 
 def global_row_number(
@@ -66,9 +63,8 @@ def global_row_number(
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _track_persisted(ranged)
     counts = sorted(
         (r[_PID], r["cnt"])
         for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
@@ -136,9 +132,8 @@ def global_prefix_sum(
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _track_persisted(ranged)
     partials = sorted(
         (r[_PID], r["s"])
         for r in ranged.groupBy(_PID)
