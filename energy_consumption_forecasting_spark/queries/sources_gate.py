@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 from . import query
+from ._util import tbl
 
 STAGE_DIR = "/root/repo/.stage"
 CSV_DIR = f"{STAGE_DIR}/s2_csv"
@@ -413,4 +414,93 @@ def s8_params_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.read.schema(schema).json(path).select(
         "lags", "max_depth", "objective", "model"
+    )
+
+
+# --- S13: ORC scan/sink roundtrip ---------------------------------------------------
+ORC_DIR = f"{STAGE_DIR}/s13_orc"
+
+
+@query(
+    "s13_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def s13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: ORC scan + sink (Spark's second built-in columnar format).
+    A deterministic lineitem slice is written as ORC and re-read; the
+    aggregate over the roundtrip must equal the same aggregate straight
+    off parquet (the oracle) — any fidelity loss in the format hop
+    (decimal/date/string encoding) breaks the hash.  Predicate pushdown
+    and column pruning work on the ORC scan exactly as on parquet
+    (same DataSource V1 path)."""
+    out = os.path.join(ORC_DIR, os.path.basename(sf_dir.rstrip("/")))
+    (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# --- S14: JSON-lines ingest (the LLM corpus interchange format) --------------------
+JSONL_DIR = f"{STAGE_DIR}/s14_jsonl"
+
+
+@query(
+    "s14_jsonl_ingest",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_len
+    FROM documents
+    GROUP BY source
+    """,
+)
+def s14_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: JSON-lines roundtrip — the interchange format most raw LLM
+    corpora actually arrive in.  documents is written as .jsonl and
+    re-read WITH AN EXPLICIT SCHEMA (schema inference on JSON costs a
+    full extra pass at 100 TB and types drift per file; a declared
+    schema is the only scalable contract), then aggregated per source;
+    the oracle computes the same off parquet, so any text-escaping or
+    type fidelity loss in the JSON hop breaks the hash."""
+    out = os.path.join(JSONL_DIR, os.path.basename(sf_dir.rstrip("/")))
+    tbl(spark, sf_dir, "documents").write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(out)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
     )
