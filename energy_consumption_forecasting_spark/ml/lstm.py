@@ -306,3 +306,41 @@ def lstm_train(X: np.ndarray, y: np.ndarray, params: dict | None = None):
     )
     history = model.fit(X, y, epochs=int(p.get("epochs", 60)), lr=float(p["lr"]))
     return model, history
+
+
+def predict_distributed(
+    seq_df: DataFrame, model: "NumpyLSTM", n_features: int
+) -> DataFrame:
+    """Corpus-scale inference for a trained NumpyLSTM: weights (KB)
+    ride a broadcast, each Arrow batch runs the numpy forward pass
+    row-locally — training is single-node by design, scoring is not.
+    Input is a ``sequence_dataset`` frame; output adds ``pred``.
+
+    (The torch equivalent on a GPU cluster is mapInPandas with a
+    broadcast state_dict — same shape, swap the kernel.)"""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = seq_df.sparkSession
+    bw = spark.sparkContext.broadcast(
+        (model.W, model.b, model.Wy, model.by, model.D, model.H)
+    )
+    out_fields = list(seq_df.schema.fields) + [
+        T.StructField("pred", T.DoubleType())
+    ]
+
+    def infer(batches):
+        W, b, Wy, by, D, H = bw.value
+        m = NumpyLSTM.__new__(NumpyLSTM)
+        m.W, m.b, m.Wy, m.by, m.D, m.H = W, b, Wy, by, D, H
+        m._adam = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+            X = X.reshape(len(pdf), -1, D)
+            out = pdf.copy()
+            out["pred"] = m.predict(X)
+            yield out
+
+    return seq_df.mapInPandas(infer, schema=T.StructType(out_fields))
