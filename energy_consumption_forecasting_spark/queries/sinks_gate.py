@@ -171,3 +171,80 @@ def s13_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- snapshot time-travel diff ------------------------------------------------------
+DIFF_DIR = "/root/repo/.stage/s15_snapdiff"
+
+
+@query(
+    "s15_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT * FROM read_parquet('{DIFF_DIR}/SFB/v=1/*.parquet')),
+    v2 AS (SELECT * FROM read_parquet('{DIFF_DIR}/SFB/v=2/*.parquet'))
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.n_chars AS old_n_chars,
+           v2.n_chars AS new_n_chars
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+       OR v1.n_chars <> v2.n_chars
+    """,
+)
+def s15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel DIFF between two committed snapshots — the audit
+    query every versioned table needs ("what changed between v1 and
+    v2?").  Two deterministic snapshots of the documents table are
+    committed through the versioned sink (v1 = docs with doc_id % 3
+    != 0; v2 = every doc, with n_chars doubled for doc_id % 5 == 0),
+    then diffed AS-OF v1 vs AS-OF v2 with a full outer join keyed on
+    doc_id — added / removed / changed rows.  The oracle reads the
+    same snapshot directories straight off disk, so both the manifest
+    resolution and the diff algebra are verified.
+
+    Scale: the diff is one key-equi full outer join between two
+    snapshot scans — shuffle on the join key only; for partitioned
+    tables the join prunes to changed partitions first."""
+    from ..sources.versioned import commit_snapshot, read_snapshot, versions
+
+    tag = "SFB"  # fixed dir: oracle references literal paths
+    table = os.path.join(DIFF_DIR, tag)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # idempotent: rebuild the two snapshots deterministically per run
+    shutil.rmtree(table, ignore_errors=True)
+    commit_snapshot(
+        docs.filter(F.col("doc_id") % 3 != 0), table, note="v1 base"
+    )
+    commit_snapshot(
+        docs.withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("n_chars") * 2
+            ).otherwise(F.col("n_chars")),
+        ),
+        table,
+        note="v2 restatement",
+    )
+    assert versions(table) == [1, 2]
+    v1 = read_snapshot(spark, table, version=1).select(
+        F.col("doc_id").alias("id1"), F.col("n_chars").alias("old_n_chars")
+    )
+    v2 = read_snapshot(spark, table, version=2).select(
+        F.col("doc_id").alias("id2"), F.col("n_chars").alias("new_n_chars")
+    )
+    joined = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    return joined.filter(
+        F.col("id1").isNull()
+        | F.col("id2").isNull()
+        | (F.col("old_n_chars") != F.col("new_n_chars"))
+    ).select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        "old_n_chars",
+        "new_n_chars",
+    )
