@@ -760,3 +760,45 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked, _n = global_row_number(docs, ["hk", "doc_id"], rn_col="position")
     return ranked.select(F.col("position").cast("long"), "doc_id")
+
+
+# --- quality-weighted sampling -----------------------------------------------------
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEAST(1.0, n_chars / 2000.0) AS p
+      FROM documents
+    )
+    SELECT doc_id, lang, p
+    FROM scored
+    WHERE substring(md5('ws:' || doc_id), 1, 4)
+            < printf('%04x', CAST(FLOOR(p * 65535) AS INT))
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document weighted sampling with DETERMINISTIC coin flips:
+    keep a document with probability proportional to its quality
+    weight (here length-based, capped at 1) by comparing a seeded
+    content-hash uniform against the weight — the high-quality-upweight
+    step of corpus curation, reproducible across engines, runs, and
+    partitionings (same property as pipeline_stratified_sample; rand()
+    would be none of those).
+
+    Plan: pure row-local projection + filter — zero shuffles at any
+    scale; the hash gate and the weight threshold are both column
+    expressions shared textually with the oracle."""
+    docs = tbl(spark, sf_dir, "documents")
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(p * 65535).cast("int"))), 4, "0"
+    )
+    u = F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return (
+        docs.withColumn("p", p)
+        .filter(u < thr)
+        .select("doc_id", "lang", "p")
+    )
