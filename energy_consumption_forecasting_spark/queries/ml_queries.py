@@ -766,3 +766,146 @@ def m23_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num2").cast("double") / (2 * F.col("p") * F.col("n")).cast("double")
         ).alias("auc"),
     )
+
+
+# --- M24: ROC curve points (exact, per distinct score) ------------------------------
+_SCORED_SQL = """
+    t AS (
+      SELECT (lang = 'en')::INT AS pos,
+             CAST(len(list_filter(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 x -> list_contains(['the','a','of','to','and','in','is','for'], x)))
+               AS DOUBLE)
+               / len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '')) AS score
+      FROM documents
+      WHERE len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) > 0
+    )
+"""
+
+
+@query(
+    "m24_roc_curve",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    per_score AS (
+      SELECT score, SUM(pos) AS np, SUM(1 - pos) AS nn FROM t GROUP BY score
+    ),
+    tot AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM per_score),
+    cum AS (
+      SELECT score,
+             SUM(np) OVER (ORDER BY score DESC) AS tp,
+             SUM(nn) OVER (ORDER BY score DESC) AS fp
+      FROM per_score
+    )
+    SELECT score,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tp AS DOUBLE) / p AS tpr,
+           CAST(fp AS DOUBLE) / n AS fpr
+    FROM cum, tot
+    """,
+)
+def m24_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve for the stopword-fraction language scorer (the
+    curve behind m23's AUC scalar): one point per distinct score =
+    classification at threshold "score >= s".  TP/FP are exact integer
+    cumulative sums over the per-score counts; TPR/FPR are single
+    final divisions (the cross-engine float rule).
+
+    Scale: the state collapses to (distinct score, np, nn) before any
+    ordered work, so the window runs over value cardinality — bounded
+    by the score's rational support, not the corpus (same argument as
+    m23)."""
+    from .text import STOPWORDS, _toks
+
+    t = (
+        tbl(spark, sf_dir, "documents")
+        .select("lang", _toks(F.lower(F.col("text"))).alias("a"))
+        .filter(F.size("a") > 0)
+    )
+    scored = t.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (
+            F.size(F.filter("a", lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.size("a")
+        ).alias("score"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
+    )
+    tot = per_score.agg(
+        F.sum("np").alias("p"), F.sum("nn").alias("n")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        "score",
+        F.sum("np").over(w).cast("long").alias("tp"),
+        F.sum("nn").over(w).cast("long").alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / F.col("p")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("n")).alias("fpr"),
+    )
+
+
+# --- M25: calibration (reliability) curve -------------------------------------------
+@query(
+    "m25_calibration_curve",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin, pos, score
+      FROM t
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS frac_positive,
+           SUM(score) / COUNT(*) AS mean_score
+    FROM binned GROUP BY bin
+    """,
+)
+def m25_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the same scorer: decile-binned mean
+    score vs observed positive rate — the calibration check every
+    quality classifier needs before its scores gate a corpus.  Bins
+    are exact integer buckets; per-bin stats are one map-side
+    combinable aggregation (single shuffle at any scale).
+
+    Float note: mean_score sums IEEE doubles — aggregation-order-
+    dependent in principle, but each addend is a small rational with
+    ≤3 significant decimal digits and the driver's 9-digit canon
+    absorbs the last-ULP spread; the strict sweep passes on this data.
+    """
+    from .text import STOPWORDS, _toks
+
+    t = (
+        tbl(spark, sf_dir, "documents")
+        .select("lang", _toks(F.lower(F.col("text"))).alias("a"))
+        .filter(F.size("a") > 0)
+    )
+    scored = t.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (
+            F.size(F.filter("a", lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.size("a")
+        ).alias("score"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        "pos",
+        "score",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (F.sum("pos").cast("double") / F.count("*")).alias("frac_positive"),
+        (F.sum("score") / F.count("*")).alias("mean_score"),
+    )
