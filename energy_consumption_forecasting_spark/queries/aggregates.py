@@ -413,3 +413,47 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_share"),
         )
     )
+
+
+# --- A10: CUBE multi-dimensional aggregate ------------------------------------------
+@query(
+    "a_cube_source_lang",
+    oracle="""
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def a_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregate via CUBE(source, lang): all four
+    grouping sets — (source, lang), (source), (lang), () — in ONE
+    pass, with grouping_id disambiguating real NULL keys from subtotal
+    rows (both engines' GROUPING bit order: first listed column is the
+    high bit).  The OLAP subtotal surface the reference's pandas
+    pivot-margins code paths approximate; Spark computes every set in
+    a single expanded shuffle (Expand node), no per-set rescan.
+
+    Scale: Expand multiplies rows by #grouping-sets (4) BEFORE the
+    map-side combine — the shuffle itself stays aggregated; for
+    high-cardinality cubes prefer explicit GROUPING SETS of the
+    combinations actually consumed."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )
