@@ -447,3 +447,51 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_minhash_dedup_available_now(
         spark, sf_dir.rstrip("/"), glob="documents.parquet"
     )
+
+
+# --- Structured Streaming left-outer stream-stream join ------------------------------
+@query(
+    "stream_abandoned_views",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, view_id
+    FROM v
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+              AND p.p_ts > v.v_ts
+              AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+          )
+      AND v_ts <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+                    - INTERVAL 2 HOUR
+    """,
+)
+def stream_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: views with NO purchase by the
+    same user inside the attribution window (abandoned browses).  The
+    hard half of stream-stream joins — an unmatched row is emitted
+    only once the watermark proves no qualifying match can arrive, so
+    the final rows flush via no-data micro-batches at drain end.
+
+    Oracle = batch NOT EXISTS anti-join, restricted to views at least
+    2 hours (join window + view-side watermark delay) before the last
+    event: a later view's no-match outcome is not yet PROVABLE when
+    the stream ends, so the engine correctly withholds it — the
+    cutoff IS the watermark-finalization semantics, verified equal
+    row-for-row."""
+    from ..session import ensure_utc
+    from ..streaming.attribution_stream import run_abandoned_available_now
+
+    ensure_utc(spark)
+    return run_abandoned_available_now(
+        spark, sf_dir.rstrip("/"), glob="events.parquet"
+    ).filter(
+        F.col("view_id").isNotNull()  # no-op projection keeps names aligned
+    )

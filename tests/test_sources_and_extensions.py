@@ -298,3 +298,41 @@ def test_stream_checkpoint_no_reprocessing(spark, tmp_path):
             counts.append(spark.read.parquet(out).count())
     assert counts[0] > 0
     assert counts[1] == counts[0]  # second drain appended nothing
+
+
+def test_stream_abandoned_views_matches_batch_cutoff(spark):
+    """Left-outer stream-stream join == batch NOT EXISTS restricted to
+    the watermark-provable horizon (max_ts - join window - delay)."""
+    from energy_consumption_forecasting_spark.session import ensure_utc
+    from energy_consumption_forecasting_spark.streaming.attribution_stream import (
+        run_abandoned_available_now,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    ensure_utc(spark)
+    got = {
+        (r.user_id, r.view_id)
+        for r in run_abandoned_available_now(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    matched = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    want = {
+        (r.user_id, r.view_id)
+        for r in v.join(matched.select("view_id"), "view_id", "left_anti")
+        .filter(F.col("v_ts") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOUR"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
