@@ -504,3 +504,45 @@ def s14_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_len"),
         )
     )
+
+
+# --- S16: Python STREAMING DataSource (Spark 4) -------------------------------------
+@query(
+    "s16_tick_stream_source",
+    oracle="""
+    WITH ticks AS (
+      SELECT i AS tick_id,
+             CAST(i % 8 AS INT) AS series,
+             ((i * 2654435761) % 1000) / 100.0 AS value
+      FROM generate_series(0, 999) t(i)
+    )
+    SELECT series,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(tick_id) AS BIGINT) AS sum_ids,
+           SUM(value) AS total
+    FROM ticks GROUP BY series
+    """,
+)
+def s16_tick_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: custom Python STREAMING DataSource
+    (sources/tick_datasource.py, Spark 4 SimpleDataSourceStreamReader)
+    drained through real micro-batches and aggregated per series.
+    Every row is a pure function of its global index, so the drained
+    aggregate equals a closed-form generate_series oracle — proving
+    offset bookkeeping delivered each row exactly once across batch
+    boundaries (any skip or replay breaks n / sum_ids).
+
+    Float note: per-series value totals sum 2-decimal rationals in
+    arbitrary order; the 9-digit canon absorbs the last-ULP spread.
+    Scale: a production reader would shard ``read(start, end)`` ranges
+    across partitions (DataSourceStreamReader.partitions); the Simple
+    variant is single-feed by design — right for sources whose
+    bottleneck is the upstream API, not Spark."""
+    from ..sources.tick_datasource import drain_ticks
+
+    df = drain_ticks(spark, rows_per_batch=137, max_rows=1000)
+    return df.groupBy("series").agg(
+        F.count("*").alias("n"),
+        F.sum("tick_id").alias("sum_ids"),
+        F.sum("value").alias("total"),
+    )
