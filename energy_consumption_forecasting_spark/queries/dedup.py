@@ -962,12 +962,23 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
     prefixes = ordered.select(
         "doc_id",
+        n.alias("n"),
         F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
     )
+    # length filter (PPJoin): Jaccard >= tau forces min(|x|,|y|) >=
+    # tau * max(|x|,|y|) — applied INSIDE the candidate join so skewed
+    # posting lists shed size-incompatible pairs before the distinct.
+    # Lossless like the prefix filter; the oracle pins both.
     cand = (
         prefixes.alias("pa")
         .join(prefixes.alias("pb"), "tok")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .filter(
+            (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                F.least(F.col("pa.n"), F.col("pb.n"))
+                >= F.lit(PREFIX_TAU) * F.greatest(F.col("pa.n"), F.col("pb.n"))
+            )
+        )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
