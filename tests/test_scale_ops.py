@@ -188,3 +188,38 @@ def test_topk_blocked_large_query_table(spark):
         for r in got.filter(F.col("query_id").isin(sample_ids)).collect()
     }
     assert got_map == want
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must prune fact
+    partitions via DPP — the scan's PartitionFilters carries a
+    dynamicpruning subquery, and the join result equals the statically
+    pruned equivalent."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    fact_dir = str(tmp_path / "dpp_fact")
+    li.withColumn("y", F.year("l_shipdate")).write.partitionBy("y").parquet(
+        fact_dir
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [(1996, "keep"), (1997, "drop")], "y int, tag string"
+    )
+    j = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "y")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
+    want = (
+        fact.filter(F.col("y") == 1996)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .collect()[0]["q"]
+    )
+    assert j.collect()[0]["q"] == want
