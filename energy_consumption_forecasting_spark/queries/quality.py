@@ -535,3 +535,91 @@ def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) + (d1 * d1).cast("double") / (rowtot * F.col("t1") * grand).cast("double")
     return j.select("bin", "o0", "o1", chi2.alias("chi2_bin"))
+
+
+# --- lead-lag cross-correlation -----------------------------------------------------
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS xc
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    e AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS yc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    aligned AS (
+      SELECT lag, xc, yc
+      FROM lags, o JOIN e ON e.d = o.d + CAST(lag || ' days' AS INTERVAL)
+    ),
+    stats AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy,
+             CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
+             CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+             CAST(SUM(yc * yc) AS DOUBLE) AS syy
+      FROM aligned GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+    FROM stats WHERE n >= 2
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag detection between two daily series (view value vs
+    purchase value): Pearson r at every alignment offset in ±7 days —
+    the "does demand lead consumption?" question the reference's
+    analysis notebooks ask of weather vs load.  Exact-integer cents feed the
+    moment sums, so both engines aggregate identical BIGINTs and the r
+    formula is one shared IEEE sequence (the cross-engine float rule).
+
+    Plan: two calendar-bounded pre-aggregations, a 15-row lag grid
+    cross join against one side, an equi-join on the shifted date, and
+    a per-lag moment aggregation — every join key is (date, lag), no
+    window over raw data, corpus-size-independent state."""
+    ev = tbl(spark, sf_dir, "events")
+    o = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("xc")
+        )
+    )
+    e = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    aligned = (
+        o.crossJoin(F.broadcast(lags))
+        .join(
+            e.select(F.col("d").alias("ed"), "yc"),
+            F.col("ed") == F.date_add(F.col("d"), F.col("lag")),
+        )
+    )
+    stats = aligned.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.filter(n >= 2).select("lag", "n", r.alias("r"))
