@@ -55,10 +55,13 @@ HEADLINE = [
     "text_bm25_topk",
     "pipeline_pack_sequences",
     "a_pareto_abc",
-    # round-3 additions: semantic dedup, query-table ANN, BPE encode
+    # round-3 additions: semantic dedup, query-table ANN, BPE encode,
+    # lossless prefix-filter join, lead-lag correlation
     "dedup_semantic",
     "sim_topk_numpy",
     "pipeline_bpe_encode",
+    "dedup_prefix_filter_join",
+    "ts_cross_correlation",
 ]
 
 
