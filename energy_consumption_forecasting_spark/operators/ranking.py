@@ -63,7 +63,9 @@ def global_row_number(
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the counts collect below materializes the checkpoint —
+        # one pass instead of eager's two, same frozen partitioning
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r[_PID], r["cnt"])
@@ -132,7 +134,7 @@ def global_prefix_sum(
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     partials = sorted(
         (r[_PID], r["s"])
