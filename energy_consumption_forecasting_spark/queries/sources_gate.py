@@ -519,7 +519,7 @@ def s14_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT series,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(tick_id) AS BIGINT) AS sum_ids,
-           SUM(value) AS total
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM ticks GROUP BY series
     """,
 )
@@ -532,8 +532,8 @@ def s16_tick_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset bookkeeping delivered each row exactly once across batch
     boundaries (any skip or replay breaks n / sum_ids).
 
-    Float note: per-series value totals sum 2-decimal rationals in
-    arbitrary order; the 9-digit canon absorbs the last-ULP spread.
+    Totals follow the exact-decimal rule (DECIMAL sum, one double
+    cast), so the hash is strict-exact regardless of batch order.
     Scale: a production reader would shard ``read(start, end)`` ranges
     across partitions (DataSourceStreamReader.partitions); the Simple
     variant is single-feed by design — right for sources whose
@@ -544,5 +544,5 @@ def s16_tick_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("series").agg(
         F.count("*").alias("n"),
         F.sum("tick_id").alias("sum_ids"),
-        F.sum("value").alias("total"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
