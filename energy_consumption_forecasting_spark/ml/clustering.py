@@ -224,10 +224,7 @@ def tskmeans_dba(
         ]
     )
 
-    assignment: dict = {}
-    for _ in range(n_iter):
-        bc = spark.sparkContext.broadcast(centroids)
-
+    def _assigned_for(bc):
         def assign(batches):
             cents = bc.value
             for pdf in batches:
@@ -245,9 +242,16 @@ def tskmeans_dba(
                     }
                 )
 
-        assigned = series_df.select("series_id", "series").mapInPandas(
+        return series_df.select("series_id", "series").mapInPandas(
             assign, schema=assign_schema
         )
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(centroids)
+        # One k-DTW assignment pass per iteration: persist so the
+        # centroid-update action doesn't recompute it (the pre-fix
+        # version ran the full assignment twice per iteration).
+        assigned = _assigned_for(bc).persist()
 
         def update(pdf: pd.DataFrame) -> pd.DataFrame:
             c = int(pdf["cluster"].iloc[0])
@@ -264,10 +268,15 @@ def tskmeans_dba(
             .applyInPandas(update, schema=cent_schema)
             .collect()
         )
+        assigned.unpersist()
         for r in new_cents:
             centroids[r["cluster"]] = np.asarray(r["centroid"])
-        assignment = {
-            r["series_id"]: int(r["cluster"])
-            for r in assigned.select("series_id", "cluster").collect()
-        }
+
+    # Final assignment against the UPDATED centroids (tslearn-consistent:
+    # labels always reflect the returned cluster centers).
+    bc = spark.sparkContext.broadcast(centroids)
+    assignment = {
+        r["series_id"]: int(r["cluster"])
+        for r in _assigned_for(bc).select("series_id", "cluster").collect()
+    }
     return assignment, centroids

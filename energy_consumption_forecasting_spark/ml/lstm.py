@@ -15,8 +15,11 @@ import-gated.  What IS Spark-native and implemented here:
   same DataFrame).
 * ``NumpyLSTM`` / ``lstm_train`` — a real in-container trainer: numpy
   forward + full BPTT + Adam for the same single-layer shape (gradient-
-  checked in tests/test_lstm_numpy.py); the torch/TorchDistributor
-  route stays the GPU-cluster parity path.
+  checked in tests/test_lstm_numpy.py).
+* ``TorchLSTM`` — the reference-architecture trainer used automatically
+  when torch IS importable (multi-layer + dropout + linear head, Adam,
+  same ``(model, history)`` contract; per-worker body for
+  ``TorchDistributor`` on a GPU cluster).  Torch-gated test skips here.
 """
 
 from __future__ import annotations
@@ -287,23 +290,96 @@ class NumpyLSTM:
         return pred
 
 
+class TorchLSTM:
+    """Torch parity trainer, reference architecture: ``nn.LSTM`` with
+    ``num_layers`` (dropout between layers), a linear head on the last
+    timestep, MSE + Adam (reference `src/scripts/LSTM.py:14-123` —
+    `DLConsumptionForecaster` + `ConsumptionForecasterTrainer`).
+
+    Same contract as ``NumpyLSTM``: ``fit(X, y) -> history`` and
+    ``predict(X) -> (n,) ndarray``.  Single-process here; on a GPU
+    cluster the same class is the per-worker body for
+    ``pyspark.ml.torch.distributor.TorchDistributor``."""
+
+    def __init__(
+        self,
+        n_features: int,
+        hidden: int = 8,
+        num_layers: int = 2,
+        dropout: float = 0.3,
+        bidirectional: bool = False,
+        seed: int = 42,
+    ):
+        import torch
+        from torch import nn
+
+        torch.manual_seed(seed)
+        d = 2 if bidirectional else 1
+        self._lstm = nn.LSTM(
+            n_features,
+            hidden_size=hidden,
+            num_layers=num_layers,
+            batch_first=True,
+            # torch warns (and ignores) dropout on a 1-layer LSTM
+            dropout=dropout if num_layers > 1 else 0.0,
+            bidirectional=bidirectional,
+        )
+        self._head = nn.Linear(hidden * d, 1)
+
+    def _module_forward(self, xb):
+        out, _ = self._lstm(xb)
+        return self._head(out[:, -1, :]).squeeze(-1)
+
+    def fit(
+        self, X: np.ndarray, y: np.ndarray, epochs: int = 60, lr: float = 0.005
+    ) -> list[float]:
+        import torch
+
+        xb = torch.as_tensor(np.asarray(X, np.float32))
+        yb = torch.as_tensor(np.asarray(y, np.float32))
+        params = list(self._lstm.parameters()) + list(self._head.parameters())
+        opt = torch.optim.Adam(params, lr=lr)
+        loss_fn = torch.nn.MSELoss()
+        self._lstm.train(), self._head.train()
+        history = []
+        for _ in range(epochs):
+            opt.zero_grad()
+            loss = loss_fn(self._module_forward(xb), yb)
+            loss.backward()
+            opt.step()
+            history.append(float(loss.detach()))
+        return history
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        import torch
+
+        self._lstm.eval(), self._head.eval()
+        with torch.no_grad():
+            xb = torch.as_tensor(np.asarray(X, np.float32))
+            return self._module_forward(xb).numpy().astype(np.float64)
+
+
 def lstm_train(X: np.ndarray, y: np.ndarray, params: dict | None = None):
     """Train an LSTM on the (X, y) tensors from ``to_numpy_dataset``.
 
-    torch present → the reference architecture is the parity path
+    torch present → ``TorchLSTM``, the reference architecture
     (LSTM.py:14-123; TorchDistributor at cluster scale).  torch absent
     (this container) → the numpy trainer runs the same single-layer
     shape for real: full BPTT, Adam, deterministic seed.  Returns
     ``(model, history)`` where ``model.predict(X)`` works either way."""
     p = {**DEFAULT_PARAMS, **(params or {})}
     if _HAS_TORCH:  # pragma: no cover — torch absent in this container
-        raise NotImplementedError(
-            "torch parity trainer not wired in this environment; use the "
-            "numpy tier or TorchDistributor on a real cluster"
+        model = TorchLSTM(
+            n_features=X.shape[2],
+            hidden=int(p["hidden_size"]),
+            num_layers=int(p.get("num_layers", 1)),
+            dropout=float(p.get("dropout", 0.3)),
+            seed=42,
         )
-    model = NumpyLSTM(
-        n_features=X.shape[2], hidden=int(p["hidden_size"]), seed=42
-    )
+    else:
+        model = NumpyLSTM(
+            n_features=X.shape[2], hidden=int(p["hidden_size"]), seed=42
+        )
     history = model.fit(X, y, epochs=int(p.get("epochs", 60)), lr=float(p["lr"]))
     return model, history
 

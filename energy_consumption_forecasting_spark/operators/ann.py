@@ -567,7 +567,13 @@ def topk_blocked(
                 S = En @ Qn.T  # (blockN, blockQ) — selection only
                 out_q, out_n, out_s = [], [], []
                 kk = min(k + 1, S.shape[0])
-                top_all = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                # Selection boundary: BLAS cosines can differ from the
+                # sequential-fold rescoring in the last ULP, and exact
+                # duplicates tie at the boundary. Keep EVERY candidate
+                # within a small slack of the kk-th BLAS value so the
+                # final deterministic window (cos DESC, neighbor ASC)
+                # sees all contenders; rescoring below is exact.
+                thr = -np.partition(-S, kk - 1, axis=0)[kk - 1]  # (blockQ,)
 
                 # Exact rescoring of the selected candidates: BLAS picks
                 # the top-k, but its pairwise-summed dot products differ
@@ -585,7 +591,8 @@ def topk_blocked(
                 for j in range(S.shape[1]):
                     qv = Q[j]
                     qn = math.sqrt(seq_dot(qv, qv))
-                    for i in top_all[:, j]:
+                    cand = np.nonzero(S[:, j] >= thr[j] - 1e-12)[0]
+                    for i in cand:
                         if eids[i] != qids[j]:
                             if i not in enorm:
                                 enorm[i] = math.sqrt(seq_dot(E[i], E[i]))
@@ -684,6 +691,11 @@ def pq_topk_table(
                 eids = np.asarray(row["e_ids"], dtype=np.int64)
                 Q = np.stack(row["q_vecs"]).astype(np.float64)
                 qids = np.asarray(row["q_ids"], dtype=np.int64)
+                # IVF cells are assigned on the RAW vector at build time
+                # (build_ivf trains unrotated; ann_ingest assigns raw), so
+                # the coarse probe below must use the UN-rotated query.
+                # Only the ADC tables see the OPQ-rotated space.
+                Qraw = Q
                 if R is not None:
                     Q = Q @ R
                 # (blockQ, m, kc) ADC tables
@@ -705,7 +717,7 @@ def pq_topk_table(
                 for qi in range(len(qids)):
                     Cq, idq = C, eids
                     if cents is not None:
-                        cd = ((cents - Q[qi]) ** 2).sum(axis=1)
+                        cd = ((cents - Qraw[qi]) ** 2).sum(axis=1)
                         probe = set(np.argsort(cd)[:nprobe].tolist())
                         mask = np.isin(cells, list(probe))
                         if not mask.any():

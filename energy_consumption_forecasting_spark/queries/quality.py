@@ -558,10 +558,11 @@ def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT lag, COUNT(*) AS n,
-             CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy,
-             CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
-             CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
-             CAST(SUM(yc * yc) AS DOUBLE) AS syy
+             CAST(SUM(CAST(xc AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yc AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS syy
       FROM aligned GROUP BY lag
     )
     SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
@@ -609,13 +610,19 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ed") == F.date_add(F.col("d"), F.col("lag")),
         )
     )
+    # Moment sums ride DECIMAL(38,0) (DuckDB: HUGEINT) — int64 products
+    # of cent totals can overflow LongType, which Spark wraps silently
+    # under non-ANSI while DuckDB raises. Same pattern as the rolling
+    # correlation above: exact integers in, one double division out.
+    xw = F.col("xc").cast("decimal(19,0)")
+    yw = F.col("yc").cast("decimal(19,0)")
     stats = aligned.groupBy("lag").agg(
         F.count("*").alias("n"),
-        F.sum("xc").cast("double").alias("sx"),
-        F.sum("yc").cast("double").alias("sy"),
-        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
-        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
-        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+        F.sum(xw).cast("double").alias("sx"),
+        F.sum(yw).cast("double").alias("sy"),
+        F.sum(xw * yw).cast("double").alias("sxy"),
+        F.sum(xw * xw).cast("double").alias("sxx"),
+        F.sum(yw * yw).cast("double").alias("syy"),
     )
     n = F.col("n")
     r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (

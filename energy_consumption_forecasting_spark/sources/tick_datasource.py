@@ -122,4 +122,13 @@ def drain_ticks(
     finally:
         q.stop()
         q.awaitTermination()
+    drained = spark.table(sink).count()
+    if drained < max_rows:
+        # Fail loudly with the real cause: a partially-drained table
+        # would otherwise surface downstream as a confusing row-count
+        # mismatch in the s16 gate.
+        raise TimeoutError(
+            f"tick stream drained only {drained}/{max_rows} rows "
+            f"within {timeout_s}s (sink table '{sink}')"
+        )
     return spark.table(sink)

@@ -338,3 +338,37 @@ def test_ann_index_roundtrip(spark, tmp_path):
     assert any(
         d.startswith("cell=") for d in os.listdir(os.path.join(idx, "codes"))
     )
+
+
+def test_opq_plus_ivf_probes_raw_cells(spark, tmp_path):
+    """OPQ + IVF together: IVF cells are assigned on RAW vectors at
+    build time, so the coarse probe must use the UN-rotated query.
+
+    Regression for the bug where pq_topk_table rotated Q before the
+    probe: a corpus vector used as its own query then probed the wrong
+    cell (~1/n_cells self-recall at nprobe=1). With raw probing, a
+    corpus query's nearest raw cell IS its assigned cell, so the query
+    itself is always in the candidate set and self-recall@4 is high."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+    )
+    from energy_consumption_forecasting_spark.sources.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    idx = str(tmp_path / "ann_opq_ivf")
+    build_ann_index(e, idx, opq=True, n_cells=8)
+
+    q = e.filter(F.col("vec_id") < 20)
+    hits = search_ann_index(spark, idx, q, k_neighbors=4, nprobe=1)
+    self_hits = hits.filter(
+        F.col("query_id") == F.col("vec_id")
+    ).count()
+    assert self_hits >= 15  # >= 75% self-recall@4; the bug gives ~1/8
