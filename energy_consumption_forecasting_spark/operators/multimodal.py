@@ -94,14 +94,27 @@ def _decode_bytes(payload: bytes, kind: str) -> np.ndarray:
 
 
 def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
-    """mapInPandas decode + feature extraction: mean/std/shape per item.
+    """mapInPandas decode + feature extraction: exact pixel moments +
+    mean/std/shape per item.
+
+    The moments are carried as EXACT int64 sums (``px_sum``,
+    ``px_sumsq`` — pixel values are uint8, so the sums are associative
+    integers), and the float features derive from them in a fixed IEEE
+    sequence: ``mean = s/n``; ``std = sqrt(max(ssq/n - mean*mean, 0))``.
+    A SQL engine computing the same integers and the same three float
+    ops reproduces the doubles bit-for-bit, which is what makes the
+    mm_extract_features gate hash-checkable cross-engine.
 
     Batches iterate as Arrow record batches; each worker decodes its
     partition's payloads without driver involvement."""
+    import math
+
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("kind", T.StringType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_sumsq", T.LongType()),
             T.StructField("feat_mean", T.DoubleType()),
             T.StructField("feat_std", T.DoubleType()),
             T.StructField("decoded_h", T.IntegerType()),
@@ -114,12 +127,20 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
             out = []
             for _, r in pdf.iterrows():
                 px = _decode_bytes(r["payload"], r["kind"])
+                pi = px.astype(np.int64)
+                s = int(pi.sum())
+                ssq = int((pi * pi).sum())
+                npx = pi.size
+                mean = s / npx
+                std = math.sqrt(max(ssq / npx - mean * mean, 0.0))
                 out.append(
                     {
                         "media_id": r["media_id"],
                         "kind": r["kind"],
-                        "feat_mean": float(px.mean()),
-                        "feat_std": float(px.std()),
+                        "px_sum": s,
+                        "px_sumsq": ssq,
+                        "feat_mean": mean,
+                        "feat_std": std,
                         "decoded_h": int(px.shape[0]),
                         "decoded_w": int(px.shape[1]),
                     }

@@ -160,3 +160,96 @@ def pagerank(
         e.unpersist()
         meta.unpersist()
         we.unpersist()
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iters: int = 10,
+    scale: int = 10**15,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """Fixed-point PageRank in EXACT scaled-integer arithmetic — the
+    hash-checkable tier of the operator.
+
+    Double power iteration is aggregation-order-dependent in the last
+    bits, so the float ``pagerank`` above can only be rows-verified
+    cross-engine.  This variant keeps every rank as an int64 scaled by
+    ``scale`` and replaces each float op with integer ops that are
+    associative and order-independent:
+
+    * contribution  ``r_u div deg_u``          (int64 floor division)
+    * inflow        ``SUM(..)``                (exact int64 sum)
+    * update        ``base + (17*inflow) div 20`` with
+      ``base = (3*scale) div (20*n)``          (damping 0.85 = 17/20)
+
+    Any engine computing this recurrence — Spark partial aggregation in
+    any order, DuckDB single-threaded — produces IDENTICAL integers,
+    which is what makes a cross-engine value-hash oracle possible
+    (see queries/components.py::graph_pagerank's unrolled-CTE oracle).
+    The truncation error vs real PageRank is < n·iters ulps of
+    1/scale — invisible at scale=1e15.
+
+    PRECONDITION (asserted): the graph is symmetric-style — every node
+    has out-degree >= 1 and in-degree >= 1 (true for any symmetrized
+    edge set), so there is no dangling mass and no inflow-less node.
+    Overflow headroom: inflow <= scale, so damp_num*inflow <= 1.7e16
+    << 2^63.
+
+    Scale shape matches ``pagerank``: edges persist hash-partitioned on
+    ``src`` with 1/deg (here: deg) folded in once; per iteration the
+    rank side broadcasts while small, one join + one groupBy(dst)
+    shuffle of (dst, int64) pairs, ``localCheckpoint`` truncates the
+    growing lineage."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    e = edges.persist()
+    deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    n = deg.count()
+    n_dst_only = (
+        e.select(F.col("dst").alias("v"))
+        .distinct()
+        .join(deg, "v", "left_anti")
+        .count()
+    )
+    if n == 0 or n_dst_only > 0:
+        raise ValueError(
+            "pagerank_exact requires every node to have out- and "
+            f"in-edges (symmetrized graph); {n_dst_only} sink-only nodes"
+        )
+
+    we = (
+        e.join(deg.withColumnRenamed("v", "src"), "src")
+        .select("src", "dst", "deg")
+    )
+    n_edges = e.count()
+    iter_n = max(4, min(shuffle_n, n_edges // 20_000 + 1))
+    we = we.repartition(iter_n, "src").persist()
+
+    base = (damp_den - damp_num) * scale // (damp_den * n)
+    ranks = deg.select("v", F.lit(scale // n).cast("long").alias("r"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_n))
+        for _ in range(iters):
+            rank_side = ranks.withColumnRenamed("v", "src")
+            if n * 48 < 64 << 20:
+                rank_side = F.broadcast(rank_side)
+            ranks = (
+                we.join(rank_side, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+                .select(
+                    F.col("dst").alias("v"),
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damp_num} * inflow) div {damp_den}")
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("v", F.col("r").alias("rank_scaled"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
+        e.unpersist()
+        we.unpersist()

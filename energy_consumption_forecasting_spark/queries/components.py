@@ -173,27 +173,70 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("csize", F.count("*").over(w))
 
 
-@query("graph_pagerank")
+_PR_SCALE = 10**15
+_PR_ITERS = 10
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled fixed-iteration PageRank in exact scaled-int64 algebra —
+    one CTE per power iteration (DuckDB recursive CTEs can't aggregate
+    over the recursive term, and a fixed iteration count unrolls to a
+    finite chain anyway).  Same recurrence as pagerank_exact:
+    r0 = S div n;  r_{t+1} = (3S) div (20n) + (17*inflow) div 20 with
+    inflow = SUM(r_t div deg) — every op integer, so both engines
+    produce identical BIGINTs regardless of aggregation order."""
+    s = f"CAST({_PR_SCALE} AS BIGINT)"
+    parts = [
+        f"""li AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem),
+    sym AS (SELECT src, dst FROM li UNION ALL SELECT dst, src FROM li),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT v, deg, {s} // n AS r FROM deg CROSS JOIN nn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""r{t} AS (
+      SELECT d.v, d.deg,
+             CAST((3 * {s}) // (20 * n)
+                  + (17 * i.inflow) // 20 AS BIGINT) AS r
+      FROM deg d CROSS JOIN nn
+      JOIN (SELECT e.dst AS v, SUM(p.r // p.deg) AS inflow
+            FROM sym e JOIN r{t - 1} p ON p.v = e.src
+            GROUP BY e.dst) i ON i.v = d.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT v, r AS rank_scaled FROM r{iters}
+    ORDER BY rank_scaled DESC, v LIMIT 50"""
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite part↔supplier supply graph derived
     from lineitem (edges both directions, so rank flows between the
-    node classes).  Rows-only: double power iteration is aggregation-
-    order-dependent in the last bits; the operator itself is verified
-    against a driver-side reference implementation in
+    node classes).
+
+    Hash-checked cross-engine since round 4: runs the EXACT scaled-
+    integer tier (operators/pagerank.py::pagerank_exact — int64 floor-
+    division recurrence, order-independent), against a 10-iteration
+    unrolled-CTE DuckDB oracle computing the same integers.  The float
+    operator keeps its driver-side reference test in
     tests/test_pagerank.py."""
-    from ..operators.pagerank import pagerank
+    from ..operators.pagerank import pagerank_exact
 
     li = tbl(spark, sf_dir, "lineitem").select(
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
     edges = li.union(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # fixed iteration count, no convergence probes: each probe is a
-    # join+agg job, and 10 damped rounds are plenty for a stable top-50
-    ranks = pagerank(edges, max_iter=10, tol=None)
-    return ranks.select(
-        "v", F.round("rank", 9).alias("rank_r9")
-    ).orderBy(F.desc("rank_r9"), "v").limit(50)
+    ranks = pagerank_exact(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    return ranks.orderBy(F.desc("rank_scaled"), "v").limit(50)
 
 
 # --- exact triangle counting on the co-supply graph ------------------------------

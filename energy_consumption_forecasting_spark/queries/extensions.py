@@ -85,21 +85,122 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_extract_features")
+# The fake decoder (operators/multimodal.py::_decode_bytes) is pure
+# byte arithmetic, so DuckDB can recompute it: bytes of the UTF-8
+# payload extracted via hex-digit positions, side = floor(sqrt(min(nb,
+# 1024))) (empty payload → the 4x4 zero frame).  Shared CTE prefix for
+# both mm oracles below.
+_MM_DECODE_SQL = """
+    b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             LEAST(octet_length(encode(text)), 1024) AS nb
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, hx, nb,
+             CASE WHEN nb = 0 THEN 4
+                  ELSE GREATEST(CAST(FLOOR(SQRT(CAST(nb AS DOUBLE))) AS INT), 1)
+             END AS side
+      FROM b
+    )"""
+
+
+@query(
+    "mm_extract_features",
+    oracle=f"""
+    WITH {_MM_DECODE_SQL},
+    idx AS (
+      SELECT doc_id, hx, unnest(range(0, CAST(side AS BIGINT) * side)) AS i
+      FROM dims WHERE nb > 0
+    ),
+    px AS (
+      SELECT doc_id,
+             16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+                + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS v
+      FROM idx
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS ssq
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id, 'image' AS kind,
+           COALESCE(a.s, 0) AS px_sum,
+           COALESCE(a.ssq, 0) AS px_sumsq,
+           CAST(COALESCE(a.s, 0) AS DOUBLE) / (d.side * d.side) AS feat_mean,
+           SQRT(GREATEST(
+             CAST(COALESCE(a.ssq, 0) AS DOUBLE) / (d.side * d.side)
+             - (CAST(COALESCE(a.s, 0) AS DOUBLE) / (d.side * d.side))
+               * (CAST(COALESCE(a.s, 0) AS DOUBLE) / (d.side * d.side)),
+             0.0)) AS feat_std,
+           CAST(d.side AS INT) AS decoded_h,
+           CAST(d.side AS INT) AS decoded_w
+    FROM dims d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode + feature extraction via mapInPandas.  The
     decode kernel is a deterministic fake (media libs absent — see
-    operators/multimodal.py); batching/partitioning/schema are real."""
+    operators/multimodal.py); batching/partitioning/schema are real.
+
+    Hash-checked since round 4: the kernel emits EXACT int64 pixel
+    moments and derives mean/std in a fixed 3-op IEEE sequence, so the
+    DuckDB oracle recomputing the same bytes reproduces every column
+    bit-for-bit (closes the r3 `no_oracle` gap)."""
     media = documents_as_media(tbl(spark, sf_dir, "documents"))
     return extract_features(media)
 
 
-@query("mm_resize")
+@query(
+    "mm_resize",
+    oracle=f"""
+    WITH {_MM_DECODE_SQL},
+    ab AS (
+      SELECT doc_id, hx, nb, side, unnest(range(0, 8)) AS a FROM dims
+    ),
+    idxs AS (
+      -- np.linspace(0, side-1, 8).astype(int): step=(side-1)/7 in
+      -- double, y = a*step truncated — EXCEPT the endpoint, which
+      -- linspace pins to side-1 exactly
+      SELECT doc_id, hx, nb, side,
+             CASE WHEN a = 7 THEN CAST(side - 1 AS BIGINT)
+                  ELSE CAST(FLOOR(a * ((side - 1) / 7.0)) AS BIGINT)
+             END AS ix
+      FROM ab
+    ),
+    cells AS (
+      SELECT r.doc_id, r.hx, r.nb, r.side, r.ix AS ry, c.ix AS cx
+      FROM idxs r JOIN idxs c USING (doc_id)
+    ),
+    vals AS (
+      SELECT doc_id,
+             CASE WHEN nb = 0 THEN 0
+                  ELSE 16 * (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*(ry*side+cx)+1 AS INT), 1)) - 1)
+                          + (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*(ry*side+cx)+2 AS INT), 1)) - 1)
+             END AS v
+      FROM cells
+    )
+    SELECT doc_id AS media_id, CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS px_checksum
+    FROM vals GROUP BY doc_id
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → 8×8 nearest-neighbor resize → array column."""
+    """Decode → 8×8 nearest-neighbor resize → array column; the gate
+    emits the pixel count and the exact integer checksum of the resized
+    frame (pixel values are uint8-exact floats), which the DuckDB
+    oracle recomputes byte-for-byte (closes the r3 `no_oracle` gap)."""
     media = documents_as_media(tbl(spark, sf_dir, "documents"))
     resized = resize_images(media, (8, 8))
-    return resized.select("media_id", F.size("pixels").alias("n_px"))
+    return resized.select(
+        "media_id",
+        F.size("pixels").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
+        ).alias("px_checksum"),
+    )
 
 
 # --- Structured Streaming daily rollup ----------------------------------------------
