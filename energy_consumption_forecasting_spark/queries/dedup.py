@@ -724,15 +724,57 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semantic dedup (SemDeDup shape) ------------------------------------------------
 SEMDEDUP_TAU = COS_THRESHOLD  # keep policy threshold, shared with oracle
+# Target rows per dominance bucket: the (label, sub-bits) refinement
+# below keeps every bucket at <= ~this size, so pair work stays ~N·target
+# (linear in N) instead of (N/cells)^2 (the r3 scale watch-list item).
+# The dominance join is quadratic PER BUCKET, so the default favors
+# bounded work; each refinement bit costs recall ≈ (1-θ/π) on
+# threshold-grade pairs (≈1 for true near-dups) — raise the target for
+# recall-critical corpora.
+SEMDEDUP_TARGET_BUCKET = 50
+
+
+def _semdedup_bits(n: int, c: int, target: int = SEMDEDUP_TARGET_BUCKET) -> int:
+    """Smallest b in [0, 16] with c * target * 2^b >= n — INTEGER-only
+    derivation (no log2: libm rounding at a power-of-two boundary could
+    disagree between engines and silently re-bucket the whole corpus).
+    The SQL oracle computes the identical minimum over range(0, 17)."""
+    for b in range(17):
+        if c * target * (1 << b) >= n:
+            return b
+    return 16
 
 
 @query(
     "dedup_semantic",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH nb AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS c FROM embeddings
+    ),
+    bb AS (
+      SELECT MIN(b) AS b FROM range(0, 17) t(b), nb
+      WHERE c * {SEMDEDUP_TARGET_BUCKET} * (CAST(1 AS BIGINT) << b) >= n
+    ),
+    planes AS (SELECT {_planes16_sql()} AS ps),
+    sig AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             (SELECT string_agg(
+                CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                     THEN '1' ELSE '0' END, '' ORDER BY j)
+              FROM (SELECT unnest(ps) AS p,
+                           generate_subscripts(ps, 1) AS j
+                    FROM planes) t) AS sig
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label, v,
+             substr(sig, 1, (SELECT CAST(b AS INT) FROM bb)) AS sub
+      FROM sig
+    ),
     dom AS (
       SELECT DISTINCT b.vec_id
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}
@@ -752,33 +794,56 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy chain is replaced by this dominance rule so the operator is
     deterministic and exactly oracle-able; survivors are returned.
 
-    Scale: candidate pairs come from the label equi-join — bucket-local
-    ~(N/cells)² work per bucket, never a corpus cross join; the
-    dominance set is a narrow distinct of ids and the survivor filter
-    is a broadcast-able anti-join.  At 100 TB, labels are the IVF cell
-    assignment (operators/ann.py::build_ivf) computed once and reused
-    by the ANN tiers."""
+    CORPUS-SIZED CELLS (round-4 rework of the r3 scale watch-list
+    item): when the stored label set is too coarse — N/C above
+    ``SEMDEDUP_TARGET_BUCKET`` — each label bucket is refined by the
+    first ``b`` sign-bits of the checked-in 16-plane LSH signature
+    (the same PLANES16 the cosine tiers share), with ``b`` the
+    smallest integer making C·target·2^b ≥ N.  Bucket population is
+    thereby bounded at ~target regardless of corpus size, so pair
+    work is ~N·target — LINEAR in N, not (N/C)².  b is derived with
+    integer comparisons only (no float log2) and the oracle computes
+    the identical rule, so the gate stays hash-exact at every SF; at
+    the gate SFs N/C < target ⇒ b = 0 ⇒ the refinement is inert.
+    Hyperplane sub-bucketing is the standard SemDeDup recall trade:
+    near-identical vectors share sign bits with prob 1-θ/π per plane.
+
+    Scale: candidate pairs come from the (label, sub) equi-join —
+    never a corpus cross join; the dominance set is a narrow distinct
+    of ids and the survivor filter is a broadcast-able anti-join.  At
+    100 TB, labels are the IVF cell assignment
+    (operators/ann.py::build_ivf) computed once and reused by the ANN
+    tiers, and the target keeps each cell's dominance pass bounded."""
     from ..functions.vectors import cosine_prenormed, with_norm
 
-    e = with_norm(
-        tbl(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", as_double("embedding").alias("v")
-        )
+    base = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
     )
+    stats = base.agg(
+        F.count("*").alias("n"), F.countDistinct("label").alias("c")
+    ).collect()[0]
+    bits = _semdedup_bits(stats["n"], stats["c"])
+
+    e = with_norm(base)
+    if bits > 0:
+        e = e.withColumn("sub", F.substring(_cos_sig16(F.col("v")), 1, bits))
+    else:
+        e = e.withColumn("sub", F.lit(""))
+    keys = ["label", "sub"]
     a = e.select(
-        F.col("label"),
+        *keys,
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("a_v"),
         F.col("nrm").alias("a_n"),
     )
     b = e.select(
-        F.col("label"),
+        *keys,
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("b_v"),
         F.col("nrm").alias("b_n"),
     )
     dominated = (
-        a.join(b, "label")
+        a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             cosine_prenormed(

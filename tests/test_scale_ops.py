@@ -223,3 +223,48 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         .collect()[0]["q"]
     )
     assert j.collect()[0]["q"] == want
+
+
+def test_semdedup_cells_scale_with_corpus(spark):
+    """The r3 scale watch-list fix: dedup_semantic's dominance buckets
+    are bounded by SEMDEDUP_TARGET_BUCKET regardless of corpus size —
+    the refinement bit count grows with N so pair work is ~N·target
+    (linear), never (N/labels)²."""
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        SEMDEDUP_TARGET_BUCKET as T,
+        _semdedup_bits,
+    )
+
+    # integer-only derivation: smallest b with c*T*2^b >= n
+    assert _semdedup_bits(500, 10, target=50) == 0      # gate SFs: inert
+    assert _semdedup_bits(2000, 10, target=50) == 2     # sf0.1: engaged
+    assert _semdedup_bits(10**9, 10_000, target=2000) == 6
+    assert _semdedup_bits(10**9, 10, target=50) == 16   # capped
+    for n, c in [(1, 1), (10**6, 7), (10**9, 1000)]:
+        b = _semdedup_bits(n, c, target=T)
+        # bound holds (or the 16-bit cap was hit)
+        assert c * T * (1 << b) >= n or b == 16
+        # minimality: one fewer bit would violate the bound
+        assert b == 0 or c * T * (1 << (b - 1)) < n
+
+    # end-to-end: at sf0.1 the (label, sub) buckets are target-bounded
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries._util import tbl
+    from energy_consumption_forecasting_spark.functions.vectors import as_double
+    from energy_consumption_forecasting_spark.queries.dedup import _cos_sig16
+
+    e = tbl(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    n = e.count()
+    c = e.select("label").distinct().count()
+    b = _semdedup_bits(n, c, target=T)
+    assert b > 0  # the refinement actually engages at this SF
+    sizes = (
+        e.withColumn("sub", F.substring(_cos_sig16(F.col("v")), 1, b))
+        .groupBy("label", "sub")
+        .count()
+    )
+    # hyperplane bits split near-evenly; allow 2x headroom over target
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 2 * T
