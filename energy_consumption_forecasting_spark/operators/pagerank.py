@@ -196,36 +196,54 @@ def pagerank_exact(
     Overflow headroom: inflow <= scale, so damp_num*inflow <= 1.7e16
     << 2^63.
 
-    Scale shape matches ``pagerank``: edges persist hash-partitioned on
-    ``src`` with 1/deg (here: deg) folded in once; per iteration the
-    rank side broadcasts while small, one join + one groupBy(dst)
-    shuffle of (dst, int64) pairs, ``localCheckpoint`` truncates the
-    growing lineage."""
+    Scale shape (r4 rework — one shuffle layout reused by ALL rounds):
+    the deg-folded edge table persists hash-partitioned on the
+    iteration's AGGREGATION key — ``dst`` while the rank table is
+    broadcast-sized (the per-round plan is then broadcast-join →
+    partial agg → final agg with NO exchange at all), ``src`` once
+    ranks outgrow the broadcast budget (the sort-merge join then reuses
+    the persisted layout and only the agg shuffles).  Node metadata
+    (n, dangling, no-inflow, edge count) comes from ONE pass over the
+    edge table; ``localCheckpoint`` truncates the growing lineage each
+    round."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     e = edges.persist()
     deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
-    n = deg.count()
-    n_dst_only = (
+    in_tbl = (
         e.select(F.col("dst").alias("v"))
         .distinct()
-        .join(deg, "v", "left_anti")
-        .count()
+        .withColumn("has_in", F.lit(True))
     )
-    if n == 0 or n_dst_only > 0:
+    meta = deg.join(in_tbl, "v", "full")
+    stats = meta.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("deg").isNull(), 1)).alias("n_sink_only"),
+        F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_no_inflow"),
+        F.sum("deg").alias("n_edges"),
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0 or stats["n_sink_only"] > 0 or stats["n_no_inflow"] > 0:
         raise ValueError(
             "pagerank_exact requires every node to have out- and "
-            f"in-edges (symmetrized graph); {n_dst_only} sink-only nodes"
+            f"in-edges (symmetrized graph); {stats['n_sink_only']} "
+            f"sink-only / {stats['n_no_inflow']} source-only nodes"
         )
+    n_edges = stats["n_edges"] or 0
 
+    iter_n = max(4, min(shuffle_n, int(n_edges) // 100_000 + 1))
+    broadcastable = n * 48 < 64 << 20
+    # Partition the static edge table on the key the LOOP needs:
+    # with a broadcast rank side the join preserves partitioning, so
+    # laying out on dst makes groupBy(dst) exchange-free every round.
+    part_key = "dst" if broadcastable else "src"
     we = (
         e.join(deg.withColumnRenamed("v", "src"), "src")
         .select("src", "dst", "deg")
+        .repartition(iter_n, part_key)
+        .persist()
     )
-    n_edges = e.count()
-    iter_n = max(4, min(shuffle_n, n_edges // 20_000 + 1))
-    we = we.repartition(iter_n, "src").persist()
 
     base = (damp_den - damp_num) * scale // (damp_den * n)
     ranks = deg.select("v", F.lit(scale // n).cast("long").alias("r"))
@@ -233,7 +251,7 @@ def pagerank_exact(
         spark.conf.set("spark.sql.shuffle.partitions", str(iter_n))
         for _ in range(iters):
             rank_side = ranks.withColumnRenamed("v", "src")
-            if n * 48 < 64 << 20:
+            if broadcastable:
                 rank_side = F.broadcast(rank_side)
             ranks = (
                 we.join(rank_side, "src")
