@@ -62,6 +62,12 @@ HEADLINE = [
     "pipeline_bpe_encode",
     "dedup_prefix_filter_join",
     "ts_cross_correlation",
+    # round-4 additions: the iterative family — regressions in the
+    # expensive loops (power iteration, label propagation, BPE merge
+    # learning) must be visible per-round, not just in SCALING.md
+    "graph_pagerank",
+    "dedup_connected_components",
+    "pipeline_bpe_merges",
 ]
 
 

@@ -167,6 +167,107 @@ def _hannan_rissanen(
     return c, phi, theta, beta, resid
 
 
+def _css_resid(
+    z: np.ndarray,
+    X: np.ndarray | None,
+    p: int,
+    q: int,
+    c: float,
+    phi: np.ndarray,
+    theta: np.ndarray,
+    beta: np.ndarray,
+) -> np.ndarray:
+    """Innovations of the ARMA(p,q)+exog recursion under the
+    conditional (presample-zero) convention — the residual vector whose
+    sum of squares CSS estimation minimizes."""
+    n = len(z)
+    k = 0 if X is None else X.shape[1]
+    resid = np.zeros(n)
+    for t in range(max(p, q), n):
+        pred = c
+        if p:
+            pred += float(np.dot(phi, z[t - p : t][::-1]))
+        if q:
+            pred += float(np.dot(theta, resid[t - q : t][::-1]))
+        if k:
+            pred += float(np.dot(beta, X[t]))
+        resid[t] = z[t] - pred
+    return resid
+
+
+def _css_refine(
+    z: np.ndarray,
+    X: np.ndarray | None,
+    p: int,
+    q: int,
+    c: float,
+    phi: np.ndarray,
+    theta: np.ndarray,
+    beta: np.ndarray,
+    max_iter: int = 60,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Conditional-sum-of-squares refinement of Hannan–Rissanen starts
+    (the r3 verdict's M9 fidelity step): Levenberg–Marquardt on the CSS
+    residuals with a forward-difference Jacobian — statsmodels'
+    method='css' objective, library-free (scipy is absent from this
+    container; the parameter dimension is p+q+k+1 ≤ ~10 and the series
+    is short, so finite differences are cheap and adequate).
+
+    Monotone by construction (steps are only accepted when the SSE
+    drops), so the result is never worse than the HR start in CSS
+    terms; returns the refined ``(c, phi, theta, beta, resid)``."""
+    k = 0 if X is None else X.shape[1]
+    dim = 1 + p + q + k
+
+    def unpack(v):
+        return (
+            float(v[0]),
+            v[1 : 1 + p],
+            v[1 + p : 1 + p + q],
+            v[1 + p + q :],
+        )
+
+    def resid_of(v):
+        return _css_resid(z, X, p, q, *unpack(v))
+
+    v = np.concatenate([[c], phi, theta, beta])
+    r = resid_of(v)
+    sse = float(r @ r)
+    lam = 1e-3
+    converged = False
+    for _ in range(max_iter):
+        # forward-difference Jacobian of the residual vector
+        J = np.empty((len(z), dim))
+        for j in range(dim):
+            h = 1e-6 * max(1.0, abs(v[j]))
+            vj = v.copy()
+            vj[j] += h
+            J[:, j] = (resid_of(vj) - r) / h
+        g = J.T @ r
+        H = J.T @ J
+        stepped = False
+        for _try in range(8):
+            try:
+                delta = np.linalg.solve(H + lam * np.diag(np.diag(H) + 1e-12), g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            v_new = v - delta
+            r_new = resid_of(v_new)
+            sse_new = float(r_new @ r_new)
+            if np.isfinite(sse_new) and sse_new < sse:
+                converged = (sse - sse_new) / max(sse, 1e-300) < 1e-12
+                v, r, sse = v_new, r_new, sse_new
+                lam = max(lam * 0.3, 1e-12)
+                stepped = True
+                break
+            lam *= 10.0
+        if not stepped or converged or lam > 1e12:
+            break
+    c2, phi2, theta2, beta2 = unpack(v)
+    return c2, phi2, theta2, beta2, r
+
+
 def _arma_fit_forecast(
     y: np.ndarray,
     X: np.ndarray | None,
@@ -178,8 +279,12 @@ def _arma_fit_forecast(
     """Full ARIMA(p,d,q)+exog forecast, library-free (closes the r1 M9
     gap: the reference's best model is order (3,1,4)+exog,
     ARIMA_params.json:1 / evaluation.ipynb:187-191, and q was silently
-    unavailable without statsmodels).  Future innovations are 0 (their
-    conditional mean); future exog held at the last observed row."""
+    unavailable without statsmodels).  Estimation is Hannan–Rissanen
+    starts + conditional-sum-of-squares refinement (``_css_refine`` —
+    statsmodels' method='css' objective; full MLE with exact-likelihood
+    Kalman initialization remains the gated statsmodels parity path).
+    Future innovations are 0 (their conditional mean); future exog held
+    at the last observed row."""
     y = np.asarray(y, dtype=np.float64)
     if q == 0:
         return _arx_fit_forecast(y, X, p, d, steps)
@@ -196,6 +301,9 @@ def _arma_fit_forecast(
     if len(z) <= m + p + q + k + 2:
         return np.repeat(y[-1], steps)
     c, phi, theta, beta, resid = _hannan_rissanen(z, Xz, p, q)
+    c, phi, theta, beta, resid = _css_refine(
+        z, Xz, p, q, c, phi, theta, beta
+    )
     hist = list(z)
     errs = list(resid)
     x_future = Xz[-1] if k else None

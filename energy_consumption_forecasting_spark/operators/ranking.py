@@ -43,11 +43,15 @@ _OFF = "__rank_off"
 # leak did.
 
 
+_BKT = "__rank_bkt"
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str | Column],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    bucket: Column | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach an exact global 1-based ``rn_col`` ordered by ``order_cols``
     (ascending); returns ``(ranked_df, total_rows)``.
@@ -56,8 +60,41 @@ def global_row_number(
     collect instead of a whole-table single-task sort).  The ranked
     intermediate is persisted so the count pass and the ranked output
     share the range shuffle.
-    """
+
+    ``bucket`` (optional, the r4 fast path): an expression that is
+    MONOTONE NON-DECREASING in the order key (e.g. year*100+month of a
+    leading date column) with modest cardinality.  When given, the
+    partition-offset bookkeeping keys on DATA VALUES instead of
+    physical partition ids: per-bucket counts → exclusive offsets →
+    ``row_number`` within each bucket.  That removes BOTH costs of the
+    generic path — the ``repartitionByRange`` sampling pass over the
+    input and the checkpoint that freezes partition ids (bucket values
+    cannot drift under AQE re-planning or block eviction, so no
+    checkpoint is needed).  Two passes over the input, one hash
+    shuffle, zero sampling jobs."""
     spark = df.sparkSession
+    if bucket is not None:
+        tagged = df.withColumn(_BKT, bucket)
+        cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        counts = sorted(
+            (r[_BKT], r["cnt"])
+            for r in tagged.groupBy(_BKT).agg(F.count("*").alias("cnt")).collect()
+        )
+        offsets, acc = [], 0
+        for b, cnt in counts:
+            offsets.append((b, acc))
+            acc += cnt
+        total = acc
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets or [(0, 0)], [_BKT, _OFF])
+        )
+        w = Window.partitionBy(_BKT).orderBy(*cols)
+        ranked = (
+            tagged.join(off_df, _BKT)
+            .withColumn(rn_col, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
+            .drop(_BKT, _OFF)
+        )
+        return ranked, total
     parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
@@ -115,6 +152,7 @@ def global_prefix_sum(
     value_col: str,
     cum_col: str = "cum",
     num_partitions: int | None = None,
+    bucket: Column | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global running sum of ``value_col`` (inclusive) over the
     total order ``order_cols`` — the prefix-sum twin of
@@ -127,8 +165,42 @@ def global_prefix_sum(
 
     Works for any associative integer sum; callers keep ``value_col``
     integral (cents / token counts) so the prefix is exact.  Returns
-    ``(df_with_cum, grand_total)``."""
+    ``(df_with_cum, grand_total)``.
+
+    ``bucket``: same monotone-bucket fast path as ``global_row_number``
+    — data-keyed offsets, no sampling pass, no checkpoint."""
     spark = df.sparkSession
+    if bucket is not None:
+        tagged = df.withColumn(_BKT, bucket)
+        cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        partials = sorted(
+            (r[_BKT], r["s"])
+            for r in tagged.groupBy(_BKT)
+            .agg(F.sum(value_col).cast("long").alias("s"))
+            .collect()
+        )
+        offsets, acc = [], 0
+        for b, s in partials:
+            offsets.append((b, acc))
+            acc += int(s or 0)
+        total = acc
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets or [(0, 0)], [_BKT, _OFF])
+        )
+        w = (
+            Window.partitionBy(_BKT)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            tagged.join(off_df, _BKT)
+            .withColumn(
+                cum_col,
+                (F.sum(F.col(value_col)).over(w) + F.col(_OFF)).cast("long"),
+            )
+            .drop(_BKT, _OFF)
+        )
+        return out, total
     parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (

@@ -147,7 +147,11 @@ def j7_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     ranked, _ = global_row_number(
-        orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"]
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_orderkey"],
+        # integer division is monotone in the key: data-keyed offsets,
+        # no range-shuffle sampling pass, no checkpoint
+        bucket=F.expr("o_orderkey div 16384"),
     )
     a = ranked.select("rn", "o_orderkey")
     b = ranked.select("rn", "o_totalprice")

@@ -715,7 +715,14 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    cum, _total = global_prefix_sum(toks, ["doc_id"], "n_tokens", cum_col="cum")
+    cum, _total = global_prefix_sum(
+        toks,
+        ["doc_id"],
+        "n_tokens",
+        cum_col="cum",
+        # doc_id div is monotone: bucket offsets, no sampling pass
+        bucket=F.expr("doc_id div 8192"),
+    )
     start = F.col("cum") - F.col("n_tokens")
     return (
         cum.groupBy(F.floor(start / PACK_CAPACITY).cast("long").alias("bin_id"))
@@ -758,7 +765,14 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hk"
         ),
     )
-    ranked, _n = global_row_number(docs, ["hk", "doc_id"], rn_col="position")
+    # a string PREFIX is monotone in the string order: the first two
+    # hex chars of the hash key give 256 near-uniform buckets
+    ranked, _n = global_row_number(
+        docs,
+        ["hk", "doc_id"],
+        rn_col="position",
+        bucket=F.substring("hk", 1, 2),
+    )
     return ranked.select(F.col("position").cast("long"), "doc_id")
 
 

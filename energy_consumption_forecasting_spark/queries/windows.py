@@ -106,12 +106,14 @@ def w3_time_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A total sort is only observable through an explicit rank column
     (the correctness gate hashes order-insensitively).  Raw fact table ⇒
     two-pass distributed rank (operators/ranking.py), never a
-    single-partition ``Window.orderBy``."""
+    single-partition ``Window.orderBy`` — on the monotone-bucket fast
+    path (year-month offsets; no sampling pass, no checkpoint)."""
     from ..operators.ranking import global_row_number
 
     ranked, _ = global_row_number(
         tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
         ["o_orderdate", "o_orderkey"],
+        bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
     )
     return ranked.select("o_orderkey", "rn")
 
@@ -138,6 +140,7 @@ def w6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n = global_row_number(
         tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
         ["o_orderdate", "o_orderkey"],
+        bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
     )
     thr = math.ceil(0.85 * n)
     return ranked.select(
@@ -167,7 +170,10 @@ def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 contiguous blocks over time order; last 20% of each block is the
     validation tail (reference utils.py:8-23 BlockingTimeSeriesSplit).
 
-    Scale shape: ONE two-pass distributed rank (operators/ranking.py);
+    Scale shape: ONE two-pass distributed rank (operators/ranking.py)
+    on the MONOTONE-BUCKET fast path — year-month of the order date is
+    monotone in the (date, key) order, so offsets key on data values
+    (no range-shuffle sampling pass, no checkpoint, AQE/eviction-proof);
     the ntile fold, within-fold position, and fold size all derive from
     the global rank via literal boundaries (standard ntile split: first
     n%k folds get ⌈n/k⌉ rows) — no single-partition window and no
@@ -176,7 +182,11 @@ def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 5
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    ranked, n = global_row_number(orders, ["o_orderdate", "o_orderkey"])
+    ranked, n = global_row_number(
+        orders,
+        ["o_orderdate", "o_orderkey"],
+        bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
+    )
     szf, big = divmod(n, k)
     sizes = [szf + 1 if i < big else szf for i in range(k)]
     bounds, acc = [], 0

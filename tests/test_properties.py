@@ -283,3 +283,37 @@ def test_global_prefix_sum_property(spark, rows):
     for i, (k, v) in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0])):
         acc += v
         assert got[(k, i)] == acc
+
+
+def test_bucket_rank_matches_range_rank(spark):
+    """The monotone-bucket fast path produces the identical global rank
+    and prefix sum as the generic range-shuffle path."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_prefix_sum,
+        global_row_number,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 4999).alias("k"),
+        (F.col("id") % 13).cast("long").alias("v"),
+    )
+    base, n0 = global_row_number(df, ["k"], rn_col="rn")
+    fast, n1 = global_row_number(
+        df, ["k"], rn_col="rn", bucket=F.expr("k div 256")
+    )
+    assert n0 == n1 == 5000
+    assert (
+        base.select("k", "rn")
+        .exceptAll(fast.select("k", "rn"))
+        .count()
+        == 0
+    )
+
+    c0, t0 = global_prefix_sum(df, ["k"], "v", cum_col="c")
+    c1, t1 = global_prefix_sum(
+        df, ["k"], "v", cum_col="c", bucket=F.expr("k div 256")
+    )
+    assert t0 == t1
+    assert c0.select("k", "c").exceptAll(c1.select("k", "c")).count() == 0
