@@ -348,6 +348,103 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_substring_dedup_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tokens}} AS a FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             md5(array_to_string(a[i : i + {SUBSTR_WINDOW - 1}], ' ')) AS h
+      FROM toks, LATERAL unnest(
+             generate_series(1, len(a) - {SUBSTR_WINDOW - 1})) AS t(i)
+      WHERE len(a) >= {SUBSTR_WINDOW}
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+    ), seeds AS (
+      SELECT w.doc_id, w.i FROM wins w JOIN dup USING (h)
+    ), marked AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       <= {SUBSTR_WINDOW} THEN 0 ELSE 1 END AS brk
+      FROM seeds
+    ), grp AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {SUBSTR_WINDOW - 1} AS BIGINT) AS span_end,
+           CAST(MAX(i) + {SUBSTR_WINDOW - 1} - MIN(i) + 1 AS BIGINT)
+             AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    """.replace("{tokens}", _TOKENS_SQL),
+)
+def pipeline_substring_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span extraction — the suffix-array tier of Lee
+    et al. 2022's ExactSubstr dedup beside the ratio-only approximation
+    above (r3 verdict item 5).  Output: one row per MAXIMAL duplicated
+    token span (doc_id, span_start, span_end, span_tokens), the ranges
+    ExactSubstr cuts from training data.
+
+    Equivalence to the suffix-array scan, at match resolution
+    L={SUBSTR_WINDOW}: a substring of >= L tokens occurs twice in the
+    corpus iff every one of its length-L windows occurs twice, so the
+    union of duplicated L-window positions IS the exact token coverage
+    of all duplicated substrings >= L — what the suffix array's
+    LCP >= L runs produce.  The distributed shape replaces the
+    monolithic suffix sort with a HASHED-SHARD suffix grouping: each
+    suffix is keyed by the md5 of its first L tokens (the suffix
+    array's depth-L bucket), a corpus-wide count >= 2 (same-doc repeats
+    INCLUDED — the approximation above counts distinct docs only) marks
+    duplicate groups, and a per-doc gaps-and-islands pass (window by
+    doc_id, break when the seed gap exceeds L) merges overlapping or
+    abutting windows into maximal spans.
+
+    Scale: only 16-byte window hashes shuffle (the group key); the
+    islands window partitions by doc_id (document-sized partitions,
+    never corpus-global); seed join is co-keyed with the counting
+    shuffle.  At 100 TB this is 2 hash shuffles + 1 bounded window —
+    no suffix array ever materializes on one machine."""
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("a"))
+        .filter(F.size("a") >= SUBSTR_WINDOW)
+    )
+    wins = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - (SUBSTR_WINDOW - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("a"), i, SUBSTR_WINDOW), " ")
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("i"), "h")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    seeds = wins.join(dup, "h").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") - F.lag("i").over(w_doc) <= SUBSTR_WINDOW, F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = seeds.withColumn("brk", brk).withColumn(
+        "g", F.sum("brk").over(w_doc)
+    )
+    span_end = F.max("i") + (SUBSTR_WINDOW - 1)
+    return grouped.groupBy("doc_id", "g").agg(
+        F.min("i").cast("long").alias("span_start"),
+        span_end.cast("long").alias("span_end"),
+        (span_end - F.min("i") + 1).cast("long").alias("span_tokens"),
+    ).drop("g")
+
+
 # --- apply the mixture: deterministic replication/thinning ----------------------
 @query(
     "pipeline_apply_mixture",

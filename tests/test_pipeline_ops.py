@@ -372,3 +372,46 @@ def test_opq_plus_ivf_probes_raw_cells(spark, tmp_path):
         F.col("query_id") == F.col("vec_id")
     ).count()
     assert self_hits >= 15  # >= 75% self-recall@4; the bug gives ~1/8
+
+
+def test_substring_dedup_exact_spans(spark, tmp_path, monkeypatch):
+    """Hand-built corpus pins the exact-span semantics: maximal merge of
+    overlapping duplicated windows, same-doc repeats counted, unique
+    text produces no span."""
+    import energy_consumption_forecasting_spark.queries.pipeline_ops as po
+
+    L = po.SUBSTR_WINDOW  # 20
+    shared = " ".join(f"tok{i}" for i in range(L + 5))  # 25-token passage
+    uniq_a = " ".join(f"ua{i}" for i in range(7))
+    uniq_b = " ".join(f"ub{i}" for i in range(9))
+    rep = " ".join(f"r{i}" for i in range(L))  # 20 tokens repeated in ONE doc
+    rows = [
+        # doc 1: unique prefix + shared passage  -> span over the passage
+        (1, uniq_a + " " + shared),
+        # doc 2: shared passage + unique suffix  -> span at the front
+        (2, shared + " " + uniq_b),
+        # doc 3: the same 20 tokens twice in one doc (plus separators)
+        (3, rep + " sep0 sep1 sep2 sep3 sep4 " + rep),
+        # doc 4: all-unique filler, >= L tokens, no duplicate window
+        (4, " ".join(f"zz{i}" for i in range(L + 3))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in po.pipeline_substring_dedup_exact(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc1: shared passage occupies tokens 8..32 (7 unique + 25 shared)
+    assert (1, 8, 7 + L + 5) in out
+    # doc2: passage at tokens 1..25
+    assert (2, 1, L + 5) in out
+    # doc3: both copies of the repeated 20-gram are spans; the unique
+    # 5-token separator keeps them apart (gap 25 > L)
+    assert (3, 1, L) in out and (3, L + 6, 2 * L + 5) in out
+    # doc4: no duplicated window at all
+    assert not any(d == 4 for d, *_ in out)
+    assert len(out) == 4
