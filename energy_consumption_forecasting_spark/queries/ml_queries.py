@@ -909,3 +909,36 @@ def m25_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pos").cast("double") / F.count("*")).alias("frac_positive"),
         (F.sum("score") / F.count("*")).alias("mean_score"),
     )
+
+
+# --- M21 (extension): SOM clustering of the monthly series -------------------------
+@query("m21_som_map")
+def m21_som_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kohonen SOM over the monthly demand series — the reference's
+    `ts_SOM_base.ipynb` workload (notebook blob missing from the
+    snapshot; this is the public batch-SOM algorithm at standard
+    fidelity, ml/som.py).  3x2 grid, same 28-day month series as M5;
+    emits each month's best-matching unit coordinates.  Rows-only:
+    float BMU argmins are solver-shaped (like M5/M6)."""
+    from ..ml.som import som_fit
+
+    daily = _daily(spark, sf_dir)
+    series = daily.groupBy(F.trunc("d", "MM").alias("month")).agg(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "demand"))),
+                lambda s: s["demand"].cast("double"),
+            ),
+            1,
+            28,
+        ).alias("series")
+    ).select(
+        F.col("month").cast("string").alias("series_id"), "series"
+    ).filter(F.size("series") == 28)
+    assignment, _codebook = som_fit(series, grid=(3, 2), n_iter=6)
+    rows = [
+        (sid, int(r), int(c)) for sid, (r, c) in sorted(assignment.items())
+    ]
+    return spark.createDataFrame(
+        rows, "month string, bmu_row int, bmu_col int"
+    )

@@ -172,18 +172,41 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- M11: LSTM sequence dataset prep (rows-only; arrays) ---------------------------
-@query("m11_lstm_dataset")
+# --- M11: LSTM sequence dataset prep ----------------------------------------------
+@query(
+    "m11_lstm_dataset",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS demand
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT d,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                            AND CURRENT ROW) AS wlen,
+             CAST(lead(demand) OVER (ORDER BY d) AS DOUBLE) AS y
+      FROM daily
+    )
+    SELECT d, CAST(16 AS INT) AS x_len, y
+    FROM win WHERE wlen = 8 AND y IS NOT NULL
+    """,
+)
 def m11_lstm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 sequence tensors for the LSTM (ml/lstm.py): length-8 windows
-    over 2 features + next-step target; torch consumes the Arrow export."""
+    over 2 features + next-step target; torch consumes the Arrow export.
+
+    Oracle-checked since r4 (was rows-only): the daily demand rides a
+    DECIMAL sum so the target column is exact, and the gate projects
+    (d, x_len, y) — full-window count and next-step target — which the
+    SQL window algebra reproduces bit-for-bit."""
     from ..ml.lstm import sequence_dataset
 
     daily = (
         tbl(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
-            F.sum("o_totalprice").alias("demand"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("demand"),
             F.count("*").alias("n_orders"),
         )
     )

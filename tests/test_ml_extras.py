@@ -413,3 +413,29 @@ def test_css_refine_improves_on_hr_starts():
     c1, phi1, th1, b1, r1 = _css_refine(zx, x, 1, 1, c0, phi0, th0, b0)
     assert float(r1 @ r1) <= float(r0 @ r0) * (1 + 1e-12)
     assert abs(b1[0] - 2.5) < 0.1
+
+
+def test_som_recovers_separated_clusters(spark):
+    """Batch SOM: two well-separated series shapes land on different
+    units, each group on ONE unit, and the quantization error after
+    training beats the seeded init."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.som import (
+        som_fit,
+        som_quantization_error,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(8):
+        rows.append((f"a{i}", (np.sin(np.arange(12)) + 20 + rng.randn(12) * 0.01).tolist()))
+        rows.append((f"b{i}", (np.cos(np.arange(12)) - 20 + rng.randn(12) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "series_id string, series array<double>")
+
+    assignment, codebook = som_fit(df, grid=(2, 2), n_iter=6)
+    assert codebook.shape == (4, 12)
+    a_units = {assignment[f"a{i}"] for i in range(8)}
+    b_units = {assignment[f"b{i}"] for i in range(8)}
+    assert len(a_units) == 1 and len(b_units) == 1 and a_units != b_units
+    assert som_quantization_error(df, codebook) < 1.0  # groups ~0.01 noise
