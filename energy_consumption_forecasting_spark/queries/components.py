@@ -83,6 +83,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select(
         F.col("v"), F.col("v").alias("comp")
     ).localCheckpoint(eager=True)
+    # Convergence probe via the LABEL-SUM invariant (r4): min-label
+    # propagation and pointer jumping only ever DECREASE a node's
+    # label, so Σcomp is strictly decreasing while anything changes and
+    # a fixpoint is exactly Σcomp staying flat.  That turns the
+    # per-round probe from a labels⋈labels join + count job into one
+    # shuffle-free aggregation over the just-checkpointed blocks.
+    # DECIMAL(38,0) so corpus-scale id sums can't wrap.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     try:
         for _ in range(MAX_CC_ROUNDS):
             msgs = sym.join(
@@ -103,14 +116,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 .select("v", F.coalesce("pcomp", "comp").alias("comp"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.join(labels.withColumnRenamed("comp", "old"), "v")
-                .filter(F.col("comp") != F.col("old"))
-                .count()
-            )
+            cur_sum = _label_sum(new)
             labels = new
-            if changed == 0:
+            if cur_sum == prev_sum:
                 return labels
+            prev_sum = cur_sum
         raise RuntimeError(
             f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
         )
