@@ -1009,6 +1009,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
     )
+    # d feeds THREE consumers (the posting explode and both sides of
+    # the verification join) — persist the tokenized form once instead
+    # of re-running split/lower/distinct per consumer.  At 100 TB this
+    # is the standard PPJoin trade: the token-set table is the working
+    # set; spill-to-disk storage level would be the cluster knob.
+    d = d.persist()
     dt = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
     # global rarity order (f asc, tok asc) realized per doc: sort the
