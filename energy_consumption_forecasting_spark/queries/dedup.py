@@ -387,8 +387,11 @@ def _planes16_sql() -> str:
     return f"[{rows}]"
 
 
-def _cos_sig16(vec_col) -> Column:
-    """16-char sign-bit signature over the checked-in PLANES16 set."""
+def _cos_sig16(vec_col, n_bits: int = 16) -> Column:
+    """Sign-bit signature over the first ``n_bits`` of the checked-in
+    PLANES16 set (prefix semantics: ``_cos_sig16(v, b)`` equals
+    ``substr(_cos_sig16(v), 1, b)`` — callers that only bucket on a
+    short prefix skip the other planes' fold-dots entirely)."""
     from ._lsh_planes import PLANES16
     from ..functions.vectors import dot
 
@@ -396,7 +399,7 @@ def _cos_sig16(vec_col) -> Column:
         F.when(dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1").otherwise(
             "0"
         )
-        for row in PLANES16
+        for row in PLANES16[:n_bits]
     ]
     return F.concat(*bits)
 
@@ -826,7 +829,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = with_norm(base)
     if bits > 0:
-        e = e.withColumn("sub", F.substring(_cos_sig16(F.col("v")), 1, bits))
+        # only the first `bits` planes are folded (prefix semantics of
+        # _cos_sig16) — the oracle computes all 16 and substr's, same
+        # string either way
+        e = e.withColumn("sub", _cos_sig16(F.col("v"), bits))
     else:
         e = e.withColumn("sub", F.lit(""))
     keys = ["label", "sub"]
