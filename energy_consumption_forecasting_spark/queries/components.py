@@ -75,6 +75,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     edges; returns (v, comp) with comp = min node id in the component.
 
     Deterministic: the fixpoint is independent of iteration order."""
+    spark = nodes.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = (
         edges.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
         .union(edges.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
@@ -83,6 +85,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select(
         F.col("v"), F.col("v").alias("comp")
     ).localCheckpoint(eager=True)
+    # Size the loop's shuffles to the graph, not the session default
+    # (the pagerank/learn_bpe pattern): each round runs 2 joins + 1
+    # groupBy over edge/label tables that are tiny at gate SF — 32
+    # near-empty reducers per stage is pure scheduling floor, while a
+    # 100-TB pair graph still gets the full width.
+    n_edges = sym.count()
+    loop_n = max(4, min(shuffle_n, n_edges // 50_000 + 1))
     # Convergence probe via the LABEL-SUM invariant (r4): min-label
     # propagation and pointer jumping only ever DECREASE a node's
     # label, so Σcomp is strictly decreasing while anything changes and
@@ -97,6 +106,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     prev_sum = _label_sum(labels)
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_n))
         for _ in range(MAX_CC_ROUNDS):
             msgs = sym.join(
                 labels.select(F.col("v").alias("s"), "comp"), "s"
@@ -125,6 +135,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
         sym.unpersist()
 
 
