@@ -62,25 +62,18 @@ def learn_bpe(
 
     Returns [(left, right, weighted_pair_count), ...] in merge order.
     """
+    from ..session import loop_shuffle_width
+
     spark = words.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     state = words.select(
         F.split(F.col(word_col), "").alias("syms"), F.col(count_col).alias("cnt")
     )
     # The merge loop runs n_merges tiny shuffle jobs over the
     # VOCABULARY-sized state — size the loop's shuffle width to the
-    # vocabulary (one count job), not the session default: 30 rounds of
-    # 32 near-empty reducers is pure scheduling floor at gate SF, while
-    # a 100-TB corpus's multi-million-word vocabulary still gets width.
+    # vocabulary (one count job), not the session default.
     n_words = state.count()
-    loop_n = max(4, min(shuffle_n, n_words // 100_000 + 1))
-    merges: list[tuple[str, str, int]] = []
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_n))
-        merges = _learn_bpe_loop(state, n_merges)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
-    return merges
+    with loop_shuffle_width(spark, n_words, 100_000):
+        return _learn_bpe_loop(state, n_merges)
 
 
 def _learn_bpe_loop(state: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:

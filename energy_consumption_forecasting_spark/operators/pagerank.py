@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import loop_shuffle_width
+
 
 def pagerank(
     edges: DataFrame,
@@ -50,7 +52,6 @@ def pagerank(
     every ``check_every`` rounds (``tol=None`` disables it for
     fixed-iteration runs)."""
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # ONE pass over the (persisted) edge table builds every piece of
     # node metadata the algorithm needs — r2 ran a separate driver job
@@ -77,89 +78,85 @@ def pagerank(
     all_have_inflow = stats["n_no_inflow"] == 0
     n_edges = stats["n_edges"] or 0
 
-    # size the per-iteration parallelism to the graph, not the session
-    # default: 10 rounds x 32 near-empty tasks is pure scheduler latency
-    # on a small graph, while a 100-TB edge table gets the full width
-    iter_n = max(4, min(shuffle_n, int(n_edges) // 20_000 + 1))
-
     nodes = meta.select("v")
     dangling_nodes = (
         meta.filter(F.col("deg").isNull()).select("v")
         if has_dangling
         else None
     )
-    # fold 1/deg into the edge table once; persist partitioned on src so
-    # every iteration's join reuses this layout without an exchange
-    we = (
-        e.join(
-            meta.filter(F.col("deg").isNotNull()).select(
-                F.col("v").alias("src"), "deg"
-            ),
-            "src",
-        )
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition(iter_n, "src")
-        .persist()
-    )
-    # no eager count: the first iteration materializes the persist —
-    # same work, one fewer driver-side job barrier
-
-    # initial ranks stay lazy — lineage is one hop off the persisted
-    # meta table; the round-1 checkpoint truncates it
-    ranks = nodes.select("v", F.lit(1.0 / n).alias("rank"))
+    we = None
     try:
-        # pin loop shuffles (the contribs agg) to the graph-sized width;
-        # restored in the finally block
-        spark.conf.set("spark.sql.shuffle.partitions", str(iter_n))
-        for it in range(max_iter):
-            dangling = (
-                ranks.join(dangling_nodes, "v")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-                if has_dangling
-                else 0.0
-            )
-            base = (1.0 - damping) / n + damping * dangling / n
-            # a checkpointed rank table has no Catalyst size stats, so
-            # hint the broadcast ourselves while the node set is small:
-            # the edge table then never shuffles (map-side hash join +
-            # partial agg); past the threshold it degrades gracefully
-            # to the co-partitioned sort-merge join
-            rank_side = ranks.withColumnRenamed("v", "src")
-            if n * 48 < 64 << 20:  # ~48B/row vs 64MB broadcast budget
-                rank_side = F.broadcast(rank_side)
-            contribs = (
-                we.join(rank_side, "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
-            )
-            updated = contribs.select(
-                F.col("dst").alias("v"),
-                (
-                    F.lit(base) + F.lit(damping) * F.col("inflow")
-                ).alias("rank"),
-            )
-            if not all_have_inflow:
-                # nodes with no in-edges restart at the base mass
-                updated = nodes.join(updated, "v", "left").select(
-                    "v", F.coalesce("rank", F.lit(base)).alias("rank")
+        # pin loop shuffles (the contribs agg) to the graph-sized width
+        with loop_shuffle_width(spark, int(n_edges), 20_000) as iter_n:
+            # fold 1/deg into the edge table once; persist partitioned
+            # on src so every iteration's join reuses this layout
+            # without an exchange
+            we = (
+                e.join(
+                    meta.filter(F.col("deg").isNotNull()).select(
+                        F.col("v").alias("src"), "deg"
+                    ),
+                    "src",
                 )
-            new = updated.localCheckpoint(eager=True)
-            if tol is not None and (it + 1) % check_every == 0:
-                delta = (
-                    new.join(ranks.withColumnRenamed("rank", "old"), "v")
-                    .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+                .repartition(iter_n, "src")
+                .persist()
+            )
+            # no eager count: the first iteration materializes the
+            # persist — same work, one fewer driver-side job barrier
+
+            # initial ranks stay lazy — lineage is one hop off the
+            # persisted meta table; the round-1 checkpoint truncates it
+            ranks = nodes.select("v", F.lit(1.0 / n).alias("rank"))
+            for it in range(max_iter):
+                dangling = (
+                    ranks.join(dangling_nodes, "v")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                     .collect()[0][0]
+                    if has_dangling
+                    else 0.0
                 )
-                if delta < tol:
-                    return new
-            ranks = new
-        return ranks
+                base = (1.0 - damping) / n + damping * dangling / n
+                # a checkpointed rank table has no Catalyst size stats, so
+                # hint the broadcast ourselves while the node set is small:
+                # the edge table then never shuffles (map-side hash join +
+                # partial agg); past the threshold it degrades gracefully
+                # to the co-partitioned sort-merge join
+                rank_side = ranks.withColumnRenamed("v", "src")
+                if n * 48 < 64 << 20:  # ~48B/row vs 64MB broadcast budget
+                    rank_side = F.broadcast(rank_side)
+                contribs = (
+                    we.join(rank_side, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+                )
+                updated = contribs.select(
+                    F.col("dst").alias("v"),
+                    (
+                        F.lit(base) + F.lit(damping) * F.col("inflow")
+                    ).alias("rank"),
+                )
+                if not all_have_inflow:
+                    # nodes with no in-edges restart at the base mass
+                    updated = nodes.join(updated, "v", "left").select(
+                        "v", F.coalesce("rank", F.lit(base)).alias("rank")
+                    )
+                new = updated.localCheckpoint(eager=True)
+                if tol is not None and (it + 1) % check_every == 0:
+                    delta = (
+                        new.join(ranks.withColumnRenamed("rank", "old"), "v")
+                        .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                        .collect()[0][0]
+                    )
+                    if delta < tol:
+                        return new
+                ranks = new
+            return ranks
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
         e.unpersist()
         meta.unpersist()
-        we.unpersist()
+        if we is not None:
+            we.unpersist()
 
 
 def pagerank_exact(
@@ -207,7 +204,6 @@ def pagerank_exact(
     edge table; ``localCheckpoint`` truncates the growing lineage each
     round."""
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     e = edges.persist()
     deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
@@ -232,42 +228,43 @@ def pagerank_exact(
         )
     n_edges = stats["n_edges"] or 0
 
-    iter_n = max(4, min(shuffle_n, int(n_edges) // 100_000 + 1))
     broadcastable = n * 48 < 64 << 20
-    # Partition the static edge table on the key the LOOP needs:
-    # with a broadcast rank side the join preserves partitioning, so
-    # laying out on dst makes groupBy(dst) exchange-free every round.
-    part_key = "dst" if broadcastable else "src"
-    we = (
-        e.join(deg.withColumnRenamed("v", "src"), "src")
-        .select("src", "dst", "deg")
-        .repartition(iter_n, part_key)
-        .persist()
-    )
-
-    base = (damp_den - damp_num) * scale // (damp_den * n)
-    ranks = deg.select("v", F.lit(scale // n).cast("long").alias("r"))
+    we = None
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(iter_n))
-        for _ in range(iters):
-            rank_side = ranks.withColumnRenamed("v", "src")
-            if broadcastable:
-                rank_side = F.broadcast(rank_side)
-            ranks = (
-                we.join(rank_side, "src")
-                .groupBy("dst")
-                .agg(F.sum(F.expr("r div deg")).alias("inflow"))
-                .select(
-                    F.col("dst").alias("v"),
-                    (
-                        F.lit(base)
-                        + F.expr(f"({damp_num} * inflow) div {damp_den}")
-                    ).cast("long").alias("r"),
-                )
-                .localCheckpoint(eager=True)
+        with loop_shuffle_width(spark, int(n_edges), 100_000) as iter_n:
+            # Partition the static edge table on the key the LOOP
+            # needs: with a broadcast rank side the join preserves
+            # partitioning, so laying out on dst makes groupBy(dst)
+            # exchange-free every round.
+            part_key = "dst" if broadcastable else "src"
+            we = (
+                e.join(deg.withColumnRenamed("v", "src"), "src")
+                .select("src", "dst", "deg")
+                .repartition(iter_n, part_key)
+                .persist()
             )
-        return ranks.select("v", F.col("r").alias("rank_scaled"))
+
+            base = (damp_den - damp_num) * scale // (damp_den * n)
+            ranks = deg.select("v", F.lit(scale // n).cast("long").alias("r"))
+            for _ in range(iters):
+                rank_side = ranks.withColumnRenamed("v", "src")
+                if broadcastable:
+                    rank_side = F.broadcast(rank_side)
+                ranks = (
+                    we.join(rank_side, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+                    .select(
+                        F.col("dst").alias("v"),
+                        (
+                            F.lit(base)
+                            + F.expr(f"({damp_num} * inflow) div {damp_den}")
+                        ).cast("long").alias("r"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            return ranks.select("v", F.col("r").alias("rank_scaled"))
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
         e.unpersist()
-        we.unpersist()
+        if we is not None:
+            we.unpersist()

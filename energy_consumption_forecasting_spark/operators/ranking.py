@@ -61,9 +61,12 @@ def global_row_number(
     intermediate is persisted so the count pass and the ranked output
     share the range shuffle.
 
-    ``bucket`` (optional, the r4 fast path): an expression that is
-    MONOTONE NON-DECREASING in the order key (e.g. year*100+month of a
-    leading date column) with modest cardinality.  When given, the
+    ``bucket`` (optional, the r4 fast path): a NON-NULL expression that
+    is MONOTONE NON-DECREASING in the order key (e.g. year*100+month of
+    a leading date column) with modest cardinality.  A NULL bucket is
+    rejected loudly (the offsets join would silently drop those rows);
+    wrap nullable keys in ``coalesce`` or use the generic path.  When
+    given, the
     partition-offset bookkeeping keys on DATA VALUES instead of
     physical partition ids: per-bucket counts → exclusive offsets →
     ``row_number`` within each bucket.  That removes BOTH costs of the
@@ -76,10 +79,14 @@ def global_row_number(
     if bucket is not None:
         tagged = df.withColumn(_BKT, bucket)
         cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-        counts = sorted(
-            (r[_BKT], r["cnt"])
-            for r in tagged.groupBy(_BKT).agg(F.count("*").alias("cnt")).collect()
-        )
+        raw = tagged.groupBy(_BKT).agg(F.count("*").alias("cnt")).collect()
+        if any(r[_BKT] is None for r in raw):
+            raise ValueError(
+                "global_row_number: bucket expression produced NULL — the "
+                "offsets join would drop those rows; coalesce the bucket "
+                "or use the generic range-shuffle path"
+            )
+        counts = sorted((r[_BKT], r["cnt"]) for r in raw)
         offsets, acc = [], 0
         for b, cnt in counts:
             offsets.append((b, acc))
@@ -173,12 +180,18 @@ def global_prefix_sum(
     if bucket is not None:
         tagged = df.withColumn(_BKT, bucket)
         cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-        partials = sorted(
-            (r[_BKT], r["s"])
-            for r in tagged.groupBy(_BKT)
+        raw = (
+            tagged.groupBy(_BKT)
             .agg(F.sum(value_col).cast("long").alias("s"))
             .collect()
         )
+        if any(r[_BKT] is None for r in raw):
+            raise ValueError(
+                "global_prefix_sum: bucket expression produced NULL — the "
+                "offsets join would drop those rows; coalesce the bucket "
+                "or use the generic range-shuffle path"
+            )
+        partials = sorted((r[_BKT], r["s"]) for r in raw)
         offsets, acc = [], 0
         for b, s in partials:
             offsets.append((b, acc))

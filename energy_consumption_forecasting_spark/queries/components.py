@@ -75,8 +75,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     edges; returns (v, comp) with comp = min node id in the component.
 
     Deterministic: the fixpoint is independent of iteration order."""
+    from ..session import loop_shuffle_width
+
     spark = nodes.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = (
         edges.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
         .union(edges.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
@@ -86,56 +87,71 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("v"), F.col("v").alias("comp")
     ).localCheckpoint(eager=True)
     # Size the loop's shuffles to the graph, not the session default
-    # (the pagerank/learn_bpe pattern): each round runs 2 joins + 1
-    # groupBy over edge/label tables that are tiny at gate SF — 32
-    # near-empty reducers per stage is pure scheduling floor, while a
-    # 100-TB pair graph still gets the full width.
+    # (the shared pagerank/learn_bpe pattern — session.py).
     n_edges = sym.count()
-    loop_n = max(4, min(shuffle_n, n_edges // 50_000 + 1))
     # Convergence probe via the LABEL-SUM invariant (r4): min-label
     # propagation and pointer jumping only ever DECREASE a node's
     # label, so Σcomp is strictly decreasing while anything changes and
     # a fixpoint is exactly Σcomp staying flat.  That turns the
     # per-round probe from a labels⋈labels join + count job into one
     # shuffle-free aggregation over the just-checkpointed blocks.
-    # DECIMAL(38,0) so corpus-scale id sums can't wrap.
+    # DECIMAL(38,0) so corpus-scale id sums can't wrap.  The invariant
+    # needs NUMERIC labels (a failed cast would NULL every sum and
+    # None == None would fake convergence after one round), so
+    # non-numeric node ids fall back to the join-based changed count.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["comp"].dataType, NumericType
+    )
+
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_n))
-        for _ in range(MAX_CC_ROUNDS):
-            msgs = sym.join(
-                labels.select(F.col("v").alias("s"), "comp"), "s"
-            ).select(F.col("t").alias("v"), "comp")
-            new = (
-                labels.union(msgs)
-                .groupBy("v")
-                .agg(F.min("comp").alias("comp"))
-            )
-            # Pointer jumping: follow one extra hop through the label
-            # table itself — comp(v) ← comp(comp(v)).
-            parent = new.select(
-                F.col("v").alias("pv"), F.col("comp").alias("pcomp")
-            )
-            new = (
-                new.join(parent, F.col("comp") == F.col("pv"), "left")
-                .select("v", F.coalesce("pcomp", "comp").alias("comp"))
-                .localCheckpoint(eager=True)
-            )
-            cur_sum = _label_sum(new)
-            labels = new
-            if cur_sum == prev_sum:
-                return labels
-            prev_sum = cur_sum
-        raise RuntimeError(
-            f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.join(old.withColumnRenamed("comp", "old"), "v")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
         )
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
+    try:
+        with loop_shuffle_width(spark, n_edges, 50_000):
+            for _ in range(MAX_CC_ROUNDS):
+                msgs = sym.join(
+                    labels.select(F.col("v").alias("s"), "comp"), "s"
+                ).select(F.col("t").alias("v"), "comp")
+                new = (
+                    labels.union(msgs)
+                    .groupBy("v")
+                    .agg(F.min("comp").alias("comp"))
+                )
+                # Pointer jumping: follow one extra hop through the label
+                # table itself — comp(v) ← comp(comp(v)).
+                parent = new.select(
+                    F.col("v").alias("pv"), F.col("comp").alias("pcomp")
+                )
+                new = (
+                    new.join(parent, F.col("comp") == F.col("pv"), "left")
+                    .select("v", F.coalesce("pcomp", "comp").alias("comp"))
+                    .localCheckpoint(eager=True)
+                )
+                if numeric_ids:
+                    cur_sum = _label_sum(new)
+                    converged = cur_sum == prev_sum
+                    prev_sum = cur_sum
+                else:
+                    converged = _changed(new, labels) == 0
+                labels = new
+                if converged:
+                    return labels
+            raise RuntimeError(
+                f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
+            )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
         sym.unpersist()
 
 

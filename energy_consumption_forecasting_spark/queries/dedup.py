@@ -755,7 +755,10 @@ def _semdedup_bits(n: int, c: int, target: int = SEMDEDUP_TARGET_BUCKET) -> int:
       SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS c FROM embeddings
     ),
     bb AS (
-      SELECT MIN(b) AS b FROM range(0, 17) t(b), nb
+      -- COALESCE: when no b in [0,16] satisfies the bound (astronomical
+      -- N), _semdedup_bits caps at 16 — MIN over the empty set is NULL
+      -- and substr(sig,1,NULL) would NULL every sub-bucket
+      SELECT COALESCE(MIN(b), 16) AS b FROM range(0, 17) t(b), nb
       WHERE c * {SEMDEDUP_TARGET_BUCKET} * (CAST(1 AS BIGINT) << b) >= n
     ),
     planes AS (SELECT {_planes16_sql()} AS ps),
@@ -1016,11 +1019,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # d feeds THREE consumers (the posting explode and both sides of
-    # the verification join) — persist the tokenized form once instead
-    # of re-running split/lower/distinct per consumer.  At 100 TB this
-    # is the standard PPJoin trade: the token-set table is the working
-    # set; spill-to-disk storage level would be the cluster knob.
-    d = d.persist()
+    # the verification join) — materialize the tokenized form once
+    # instead of re-running split/lower/distinct per consumer.  A lazy
+    # localCheckpoint, not persist(): the returned DataFrame outlives
+    # this function, and checkpoint blocks are freed by the
+    # ContextCleaner when the plan is GC'd (a persist here would leak
+    # a corpus-sized token table per invocation — the r2 rank-persist
+    # lesson).  At 100 TB this is the standard PPJoin trade: the
+    # token-set table is the working set.
+    d = d.localCheckpoint(eager=False)
     dt = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
     # global rarity order (f asc, tok asc) realized per doc: sort the

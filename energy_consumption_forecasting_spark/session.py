@@ -8,6 +8,7 @@ same configs apply (AQE, Arrow, sensible shuffle partitioning) — only
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -81,3 +82,26 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
     for k, v in _OPTIMIZER_TUNING.items():
         spark.conf.set(k, v)
     return spark
+
+
+@contextmanager
+def loop_shuffle_width(
+    spark: SparkSession, n_rows: int, rows_per_task: int, floor: int = 4
+):
+    """Pin ``spark.sql.shuffle.partitions`` to a data-sized width for an
+    iterative loop, restoring the session value on exit.
+
+    Iterative operators (PageRank, connected components, BPE merge
+    learning) run many tiny shuffle jobs over loop-state tables that
+    are far smaller than the corpus — N rounds of 32 near-empty
+    reducers is pure scheduling floor at gate SF, while a 100-TB input
+    still gets the session's full width through the ``min``.  Yields
+    the chosen width (``max(floor, min(session, n_rows//rows_per_task
+    + 1))``) so callers can also use it for explicit repartitions."""
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_n = max(floor, min(shuffle_n, int(n_rows) // rows_per_task + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_n))
+        yield loop_n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))

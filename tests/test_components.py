@@ -61,3 +61,26 @@ def test_cc_gate_query_covers_every_doc_once(spark):
     for comp, members in by_comp.items():
         assert comp == min(m.doc_id for m in members)
         assert all(m.csize == len(members) for m in members)
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric node ids: the label-sum probe can't run (cast would
+    NULL the sums), so the join-based changed count must kick in and
+    still produce correct components."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries.components import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], ["v"]
+    )
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d")], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r["v"]: r["comp"] for r in connected_components(nodes, edges).collect()
+    }
+    assert comp["b"] == comp["c"] == comp["d"] == "b"
+    assert comp["a"] == "a" and comp["e"] == "e"

@@ -295,8 +295,12 @@ def test_bucket_rank_matches_range_rank(spark):
         global_row_number,
     )
 
+    # k must be UNIQUE: 37 is invertible mod the prime 5003 and
+    # id < 5000 < 5003, so the mapping is injective — a duplicate k
+    # would make the inclusive prefix sum order-nondeterministic at the
+    # tie and the comparison flaky.
     df = spark.range(0, 5000).select(
-        (F.col("id") * 37 % 4999).alias("k"),
+        (F.col("id") * 37 % 5003).alias("k"),
         (F.col("id") % 13).cast("long").alias("v"),
     )
     base, n0 = global_row_number(df, ["k"], rn_col="rn")
@@ -317,3 +321,24 @@ def test_bucket_rank_matches_range_rank(spark):
     )
     assert t0 == t1
     assert c0.select("k", "c").exceptAll(c1.select("k", "c")).count() == 0
+
+
+def test_bucket_rank_rejects_null_bucket(spark):
+    """A NULL bucket would be silently dropped by the offsets join, so
+    the fast path must refuse it loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_prefix_sum,
+        global_row_number,
+    )
+
+    df = spark.range(0, 10).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("k"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_row_number(df, ["k"], bucket=F.col("k") % 2).collect()  # type: ignore[union-attr]
+    with pytest.raises(ValueError, match="NULL"):
+        global_prefix_sum(df, ["k"], "v", bucket=F.col("k") % 2)
