@@ -356,7 +356,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join re-runs for each; with it the support-pruned edge set
     # (tiny) is computed once.  Downstream joins that must broadcast
     # carry explicit hints (persist inflates size stats; ROUND_LOG #5).
-    edges = edges.persist()
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -366,7 +366,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deg is node-cardinality — NOT broadcast (at 100 TB that table is
     # large); the equi-join shuffles on the node key, which AQE will
     # downgrade to a broadcast on its own when the graph is small.
-    deg = deg.persist()
+    deg = deg.localCheckpoint(eager=False)
     du, dv = deg.alias("du"), deg.alias("dv")
     tagged = (
         edges.join(du, F.col("u") == F.col("du.n"))

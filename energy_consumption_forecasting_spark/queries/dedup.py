@@ -168,7 +168,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair path and the row-local sizes both read them, and the size
     # joins below carry explicit broadcast hints so cached-stats
     # inflation can't demote them (see ARCHITECTURE.md).
-    arrays = _shingle_arrays(spark, sf_dir).persist()
+    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
     sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
     sizes = arrays.select("doc_id", F.size("shs").alias("n"))
     members = (
@@ -301,7 +301,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins carry explicit broadcast hints, so the InMemoryRelation's
     # inflated size stats can't demote them to sort-merge (the failure
     # mode that made a naive persist slower — see ARCHITECTURE.md).
-    sigs = _minhash_sigs(spark, sf_dir).persist()
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=False)
     band_rows = _band_rows(sigs)
     members = (
         band_rows.groupBy("band", "bucket")
@@ -467,7 +467,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .withColumn("sig", _cos_sig16(F.col("v")))
-        .persist()
+        # lazy checkpoint, not persist: the returned frame outlives this
+        # function and checkpoint blocks are freed when the plan is GC'd
+        .localCheckpoint(eager=False)
     )
     band_structs = [
         F.struct(

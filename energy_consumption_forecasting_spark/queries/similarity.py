@@ -241,7 +241,7 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
         .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = e.alias("a")
     b = e.alias("b")
     cos = cosine_prenormed(
@@ -477,7 +477,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .withColumn("sig", _cos_sig16(F.col("v")))
-        .persist()
+        # lazy checkpoint, not persist: the returned frame outlives this
+        # function and checkpoint blocks are freed when the plan is GC'd
+        .localCheckpoint(eager=False)
     )
     band_structs = [
         F.struct(
