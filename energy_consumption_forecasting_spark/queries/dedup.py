@@ -1034,8 +1034,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
     # global rarity order (f asc, tok asc) realized per doc: sort the
     # doc's own (f, tok) structs — row-local after one broadcastable join
+    # Explicit broadcast hints below: the checkpointed token table has
+    # no Catalyst size stats (ExistingRDD advertises defaultSizeInBytes),
+    # so without hints every join degrades to sort-merge at gate SF.
+    # At production scale drop them — AQE picks the join from runtime
+    # stats there (same convention as dedup_embedding_cosine).
     ordered = (
-        dt.join(freq, "tok")
+        dt.join(F.broadcast(freq), "tok")
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -1046,10 +1051,20 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
-    prefixes = ordered.select(
-        "doc_id",
-        n.alias("n"),
-        F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
+    # repartition BEFORE the explode+pair-expansion: the per-doc agg
+    # output is tiny, AQE coalesces its exchange to one partition, and
+    # without the spread the hot-token pair expansion chains into that
+    # single task (observed 13s single-task stage vs ~2s spread at
+    # sf0.1).  The KEYED spread also co-locates each posting list.
+    prefixes = (
+        ordered.repartition(
+            ordered.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
+            "doc_id",
+            n.alias("n"),
+            F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
+        )
     )
     # length filter (PPJoin): Jaccard >= tau forces min(|x|,|y|) >=
     # tau * max(|x|,|y|) — applied INSIDE the candidate join so skewed
@@ -1057,7 +1072,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lossless like the prefix filter; the oracle pins both.
     cand = (
         prefixes.alias("pa")
-        .join(prefixes.alias("pb"), "tok")
+        # broadcast one side of the posting-list self-join: without
+        # stats AQE coalesces the SMJ output to one partition and the
+        # hot-token pair expansion runs single-task (observed 13s vs
+        # 2s at sf0.1); with the hint the expansion stays in the
+        # stream side's partitions
+        .join(F.broadcast(prefixes.alias("pb")), "tok")
         .filter(
             (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (
@@ -1069,6 +1089,21 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
         )
+        # EXPLICIT repartition under the distinct: candidate rows are
+        # 16 bytes but each downstream row costs an array_intersect
+        # over two ~100-token sets, so AQE's byte-sized coalescing
+        # packs the dedup + verification into ONE task (observed: a
+        # 13s one-task stage for 1.1M candidates at sf0.1).  A
+        # user-numbered repartition is never coalesced, it satisfies
+        # the distinct's distribution (no extra exchange), and the
+        # hash(doc_a, doc_b) layout carries through the broadcast
+        # verification joins — CPU-bound stages must be spread by
+        # WORK, not bytes.
+        .repartition(
+            prefixes.sparkSession.sparkContext.defaultParallelism,
+            "doc_a",
+            "doc_b",
+        )
         .distinct()
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
@@ -1076,8 +1111,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .select(
             "doc_a",
             "doc_b",
