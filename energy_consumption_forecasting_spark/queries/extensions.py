@@ -596,3 +596,45 @@ def stream_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("view_id").isNotNull()  # no-op projection keeps names aligned
     )
+
+
+# --- streaming sliding-window heavy hitters -----------------------------------------
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d, event_type FROM events
+    ), expanded AS (
+      -- 2-day windows sliding by 1 day: each event lands in the
+      -- window starting on its own day and the one starting a day
+      -- earlier (epoch-aligned, same as Spark's window())
+      SELECT d - k * INTERVAL 1 DAY AS w_start, event_type
+      FROM ev, LATERAL unnest(generate_series(0, 1)) AS t(k)
+    ), counted AS (
+      SELECT CAST(w_start AS DATE) AS w_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM expanded GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY w_start ORDER BY n DESC, event_type) AS r
+      FROM counted
+    )
+    SELECT w_start, CAST(r AS INT) AS rnk, event_type, n
+    FROM ranked WHERE r <= 3
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k through the streaming engine: 2-day windows
+    sliding by 1 day, per-type counts in watermarked streaming state,
+    deterministic top-3 per window (count DESC, type ASC) ranked on
+    the drained aggregate.  Oracle = the identical sliding-window
+    count in batch SQL — the stream==batch parity contract of the
+    other stream gates."""
+    from ..session import ensure_utc
+    from ..streaming.heavy_hitters import run_heavy_hitters_available_now
+
+    ensure_utc(spark)
+    return run_heavy_hitters_available_now(
+        spark, sf_dir.rstrip("/"), glob="events.parquet"
+    )

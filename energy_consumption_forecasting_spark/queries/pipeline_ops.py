@@ -913,3 +913,68 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < thr)
         .select("doc_id", "lang", "p")
     )
+
+
+# --- per-source frequency capping --------------------------------------------------
+SOURCE_CAP = 15  # max documents retained per source/domain
+_CAP_SALTS = 8  # sub-buckets per source in the partial top-k pass
+
+
+@query(
+    "pipeline_source_cap",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(text) || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY k) AS r
+      FROM keyed
+    )
+    SELECT source, CAST(r AS INT) AS keep_rank, doc_id
+    FROM ranked WHERE r <= {SOURCE_CAP}
+    """,
+)
+def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) frequency capping: keep at most
+    {SOURCE_CAP} documents per source, chosen by content-hash order so
+    the kept set is deterministic and stable under re-partitioning and
+    incremental re-runs — the domain-frequency-cap step every
+    web-corpus pipeline applies before mixing (over-crawled domains
+    would otherwise dominate the token budget).
+
+    Plan — skew-safe two-level bounded top-k, NOT a window: a window
+    ``row_number() OVER (PARTITION BY source)`` funnels every row of a
+    mega-domain through one task.  Instead each (source, salt)
+    sub-bucket reduces to its {SOURCE_CAP} smallest keys inside a hash
+    aggregate (partial combines map-side), then one tiny per-source
+    merge of ≤ salts×cap keys picks the global winners; state per
+    final group is O(salts × cap), independent of domain size, and
+    ``_CAP_SALTS`` scales with the expected per-domain row count.  The
+    kept doc_id rides inside the sort key (md5 ‖ zero-padded id), so
+    no join back to the corpus is needed."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.md5("text"),
+            F.lit("-"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ).alias("k"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)).alias("salt"),
+    )
+    partial = docs.groupBy("source", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("k")), 1, SOURCE_CAP).alias("ks")
+    )
+    merged = partial.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ks"))), 1, SOURCE_CAP
+        ).alias("ks")
+    )
+    return merged.select(
+        "source", F.posexplode("ks").alias("pos", "k")
+    ).select(
+        "source",
+        (F.col("pos") + 1).cast("int").alias("keep_rank"),
+        F.substring("k", 34, 12).cast("long").alias("doc_id"),
+    )

@@ -65,3 +65,43 @@ def test_incomplete_windows_not_scored(spark):
         .collect()[0][0]
     )
     assert (min(days) - first_day).days >= 7
+
+
+def test_stream_heavy_hitters_matches_batch(spark):
+    """Stream==batch parity for the sliding-window top-k, plus rank
+    contract: per window, ranks are 1..k and counts non-increasing."""
+    from pyspark.sql import Window
+
+    from energy_consumption_forecasting_spark.queries.extensions import (
+        stream_heavy_hitters,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = stream_heavy_hitters(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r.w_start, []).append((r.rnk, r.n, r.event_type))
+    for w, lst in by_w.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        ns = [x[1] for x in lst]
+        assert ns == sorted(ns, reverse=True)
+
+    # batch twin computed directly on the parquet
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    counted = (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.to_date(F.col("w.start")).alias("w_start"), "event_type", "n")
+    )
+    r = F.row_number().over(
+        Window.partitionBy("w_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    ref = (
+        counted.withColumn("rnk", r.cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("w_start", "rnk", "event_type", F.col("n").cast("long").alias("n"))
+    )
+    assert {tuple(x) for x in rows} == {tuple(x) for x in ref.collect()}

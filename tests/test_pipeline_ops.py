@@ -415,3 +415,60 @@ def test_substring_dedup_exact_spans(spark, tmp_path, monkeypatch):
     # doc4: no duplicated window at all
     assert not any(d == 4 for d, *_ in out)
     assert len(out) == 4
+
+
+def test_source_cap_bounded_and_deterministic(spark):
+    from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+        SOURCE_CAP,
+        pipeline_source_cap,
+    )
+
+    out = pipeline_source_cap(spark, SF_SMALL).collect()
+    assert out, "no rows"
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r.keep_rank)
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    counts = {r.source: r["count"] for r in docs}
+    for src, ranks in per_src.items():
+        # exactly min(cap, available) docs kept, ranks dense from 1
+        assert sorted(ranks) == list(range(1, min(SOURCE_CAP, counts[src]) + 1))
+    # deterministic under re-run
+    out2 = pipeline_source_cap(spark, SF_SMALL).collect()
+    assert {(r.source, r.keep_rank, r.doc_id) for r in out} == {
+        (r.source, r.keep_rank, r.doc_id) for r in out2
+    }
+
+
+def test_source_cap_matches_window_rank(spark):
+    """The salted two-level top-k must equal the straightforward
+    window row_number() formulation (the oracle's shape)."""
+    from pyspark.sql import Window
+
+    from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+        SOURCE_CAP,
+        pipeline_source_cap,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.md5("text"),
+            F.lit("-"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy("k")
+    ref = (
+        docs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= SOURCE_CAP)
+        .select("source", F.col("r").cast("int").alias("keep_rank"), "doc_id")
+    )
+    got = pipeline_source_cap(spark, SF_SMALL)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
