@@ -917,9 +917,11 @@ def m21_som_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kohonen SOM over the monthly demand series — the reference's
     `ts_SOM_base.ipynb` workload (notebook blob missing from the
     snapshot; this is the public batch-SOM algorithm at standard
-    fidelity, ml/som.py).  3x2 grid, same 28-day month series as M5;
-    emits each month's best-matching unit coordinates.  Rows-only:
-    float BMU argmins are solver-shaped (like M5/M6)."""
+    fidelity, ml/som.py).  3x2 grid (shrunk to a 1-row map when the
+    calendar yields fewer than 6 complete months — the sf0.001 smoke
+    slice), same 28-day month series as M5; emits each month's
+    best-matching unit coordinates.  Rows-only: float BMU argmins are
+    solver-shaped (like M5/M6)."""
     from ..ml.som import som_fit
 
     daily = _daily(spark, sf_dir)
@@ -935,7 +937,14 @@ def m21_som_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("month").cast("string").alias("series_id"), "series"
     ).filter(F.size("series") == 28)
-    assignment, _codebook = som_fit(series, grid=(3, 2), n_iter=6)
+    # months-sized frame: the count is a bounded driver scalar
+    n_series = series.count()
+    if n_series == 0:
+        return spark.createDataFrame(
+            [], "month string, bmu_row int, bmu_col int"
+        )
+    grid = (3, 2) if n_series >= 6 else (int(n_series), 1)
+    assignment, _codebook = som_fit(series, grid=grid, n_iter=6)
     rows = [
         (sid, int(r), int(c)) for sid, (r, c) in sorted(assignment.items())
     ]

@@ -520,3 +520,63 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+# --- SQ8 scalar-quantization ANN — oracle-exact -------------------------------------
+@query(
+    "sim_sq8_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      FROM e, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY i
+    ),
+    recon AS (
+      SELECT vec_id, i,
+             mn + CAST(CASE WHEN mx > mn
+                            THEN LEAST(255, GREATEST(0, CAST(FLOOR(
+                                   (v[i] - mn) / (mx - mn) * 255.0 + 0.5)
+                                 AS INT)))
+                            ELSE 0 END AS DOUBLE)
+                  * (mx - mn) / 255.0 AS r
+      FROM e CROSS JOIN dims
+    ),
+    rv AS (SELECT vec_id, list(r ORDER BY i) AS rv FROM recon GROUP BY vec_id),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.rv)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.rv, c.rv))) AS sq_sim
+      FROM q, rv c WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, sq_sim, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sq_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN (operators/ann.py): per-dimension
+    min/max ranges quantize every vector to uint8 codes (4× smaller
+    than float32), queries score asymmetrically against reconstructed
+    corpus vectors.  Unlike the PQ/IVF tiers the quantizer is an exact
+    order-independent aggregate, so this tier is ORACLE-EXACT: the
+    DuckDB SQL mirrors the encode/reconstruct arithmetic textually and
+    the fold dot products match bit-for-bit.  Scale: encode is a pure
+    Catalyst transform over one min/max shuffle of dims × partitions
+    partial rows; search composes with the IVF cell column for the
+    pruned tier."""
+    from ..operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    mins, maxs = sq8_train(e)
+    encoded = sq8_encode(e, mins, maxs)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return sq8_topk(encoded, q, mins, maxs, k=TOP_K)

@@ -472,3 +472,46 @@ def test_source_cap_matches_window_rank(spark):
     )
     got = pipeline_source_cap(spark, SF_SMALL)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """Dequantized vectors deviate from the originals by at most half a
+    quantization step per dimension."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.functions.vectors import as_double
+    from energy_consumption_forecasting_spark.operators.ann import (
+        sq8_encode,
+        sq8_reconstruct,
+        sq8_train,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    mins, maxs = sq8_train(e)
+    enc = sq8_encode(e, mins, maxs)
+    rec = enc.select("vec_id", sq8_reconstruct(F.col("code"), mins, maxs).alias("rv"))
+    joined = e.join(rec, "vec_id").collect()
+    assert joined
+    step = np.array(maxs) - np.array(mins)
+    tol = step / 255.0 / 2.0 + 1e-9
+    for r in joined:
+        err = np.abs(np.array(r.v) - np.array(r.rv))
+        assert (err <= tol).all()
+
+
+def test_sq8_recall_vs_exact(spark):
+    """SQ8 top-5 recalls most of the exact top-5 (64-dim synthetic)."""
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        sim_sq8_topk,
+        sim_topk_bruteforce,
+    )
+
+    sq = sim_sq8_topk(spark, SF_SMALL).collect()
+    ex = sim_topk_bruteforce(spark, SF_SMALL).collect()
+    sq_set = {(r.query_id, r.neighbor_id) for r in sq}
+    ex_set = {(r.query_id, r.neighbor_id) for r in ex}
+    recall = len(sq_set & ex_set) / len(ex_set)
+    assert recall >= 0.8, f"SQ8 recall@5 {recall:.2f}"
