@@ -967,6 +967,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- prefix-filtered set-similarity join (PPJoin family) ----------------------------
 PREFIX_TAU = 0.6
+_BITMAP_VOCAB_MAX = 64  # bitset verify tier: vocab must fit ONE long
 
 
 @query(
@@ -1020,64 +1021,70 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
     )
-    # d feeds THREE consumers (the posting explode and both sides of
-    # the verification join) — materialize the tokenized form once
-    # instead of re-running split/lower/distinct per consumer.  A lazy
-    # localCheckpoint, not persist(): the returned DataFrame outlives
-    # this function, and checkpoint blocks are freed by the
-    # ContextCleaner when the plan is GC'd (a persist here would leak
-    # a corpus-sized token table per invocation — the r2 rank-persist
-    # lesson).  At 100 TB this is the standard PPJoin trade: the
-    # token-set table is the working set.
+    # ONLY d is materialized (lazy localCheckpoint: the vocab-probe
+    # job below and the main job share the tokenize pass, and blocks
+    # free with the plan per the r2 persist-leak lesson).  Everything
+    # downstream stays plain shuffle joins so AQE keeps REAL runtime
+    # stats — the earlier variant that also checkpointed the prefix
+    # table erased them (ExistingRDD advertises no sizes) and needed
+    # a broadcast/repartition hint per join to stay parallel, ending
+    # up slower than this shape at every SF probed.
     d = d.localCheckpoint(eager=False)
     dt = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
-    # global rarity order (f asc, tok asc) realized per doc: sort the
-    # doc's own (f, tok) structs — row-local after one broadcastable join
-    # Explicit broadcast hints below: the checkpointed token table has
-    # no Catalyst size stats (ExistingRDD advertises defaultSizeInBytes),
-    # so without hints every join degrades to sort-merge at gate SF.
-    # At production scale drop them — AQE picks the join from runtime
-    # stats there (same convention as dedup_embedding_cosine).
-    ordered = (
-        dt.join(F.broadcast(freq), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("f", "tok"))),
-                lambda s: s["tok"],
-            ).alias("sorted_toks")
+    # Adaptive verification tier: when the corpus vocabulary fits ONE
+    # 64-bit bitset word, each doc's token set becomes a single LONG
+    # and exact intersection is bit_count(a & b) — one codegen'd
+    # AND+popcount per candidate, cheap enough to verify INSIDE the
+    # candidate join (no candidate shuffle, no per-pair set
+    # intersect).  The count is a 1-row driver scalar off the
+    # vocabulary aggregate; larger vocabularies run the general
+    # set-intersect tier below.  Both tiers are EXACT — the all-pairs
+    # oracle proves the bitmap algebra, not just the pruning.
+    vocab_n = freq.count()
+    bitmap = vocab_n <= _BITMAP_VOCAB_MAX
+    sort_agg = F.transform(
+        F.array_sort(F.collect_list(F.struct("f", "tok"))),
+        lambda s: s["tok"],
+    ).alias("sorted_toks")
+    if bitmap:
+        from pyspark.sql import Window
+
+        # vocabulary-sized frame: the single-partition rank window is
+        # bounded by 64 rows by construction
+        wv = Window.orderBy("f", "tok")
+        freq = freq.withColumn(
+            "tid", (F.row_number().over(wv) - 1).cast("int")
         )
-    )
+        ordered = (
+            dt.join(freq, "tok")
+            .groupBy("doc_id")
+            .agg(sort_agg, F.collect_list("tid").alias("tids"))
+            # tids are distinct per doc, so the sum of 2^tid IS the OR
+            .withColumn(
+                "mask",
+                F.expr("aggregate(tids, 0L, (acc, t) -> acc + shiftleft(1L, t))"),
+            )
+        )
+    else:
+        ordered = (
+            dt.join(freq, "tok").groupBy("doc_id").agg(sort_agg)
+        )
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
-    # repartition BEFORE the explode+pair-expansion: the per-doc agg
-    # output is tiny, AQE coalesces its exchange to one partition, and
-    # without the spread the hot-token pair expansion chains into that
-    # single task (observed 13s single-task stage vs ~2s spread at
-    # sf0.1).  The KEYED spread also co-locates each posting list.
-    prefixes = (
-        ordered.repartition(
-            ordered.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
-        .select(
-            "doc_id",
-            n.alias("n"),
-            F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
-        )
+    prefixes = ordered.select(
+        "doc_id",
+        n.alias("n"),
+        *(["mask"] if bitmap else []),
+        F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
     )
     # length filter (PPJoin): Jaccard >= tau forces min(|x|,|y|) >=
     # tau * max(|x|,|y|) — applied INSIDE the candidate join so skewed
     # posting lists shed size-incompatible pairs before the distinct.
     # Lossless like the prefix filter; the oracle pins both.
-    cand = (
+    pair = (
         prefixes.alias("pa")
-        # broadcast one side of the posting-list self-join: without
-        # stats AQE coalesces the SMJ output to one partition and the
-        # hot-token pair expansion runs single-task (observed 13s vs
-        # 2s at sf0.1); with the hint the expansion stays in the
-        # stream side's partitions
-        .join(F.broadcast(prefixes.alias("pb")), "tok")
+        .join(prefixes.alias("pb"), "tok")
         .filter(
             (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (
@@ -1085,24 +1092,31 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(PREFIX_TAU) * F.greatest(F.col("pa.n"), F.col("pb.n"))
             )
         )
-        .select(
+    )
+    if bitmap:
+        # masks ride the prefix rows: score each candidate in the
+        # join's own partitions, then dedupe only the tau-survivors (a
+        # pair sharing k prefix tokens appears k times with the SAME
+        # jaccard — distinct on the scored triple is exact).
+        inter = F.bit_count(
+            F.col("pa.mask").bitwiseAND(F.col("pb.mask"))
+        )
+        union = F.col("pa.n") + F.col("pb.n") - inter
+        return (
+            pair.select(
+                F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"),
+                (inter.cast("double") / union.cast("double")).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= PREFIX_TAU)
+            .distinct()
+        )
+    cand = (
+        pair.select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
-        )
-        # EXPLICIT repartition under the distinct: candidate rows are
-        # 16 bytes but each downstream row costs an array_intersect
-        # over two ~100-token sets, so AQE's byte-sized coalescing
-        # packs the dedup + verification into ONE task (observed: a
-        # 13s one-task stage for 1.1M candidates at sf0.1).  A
-        # user-numbered repartition is never coalesced, it satisfies
-        # the distinct's distribution (no extra exchange), and the
-        # hash(doc_a, doc_b) layout carries through the broadcast
-        # verification joins — CPU-bound stages must be spread by
-        # WORK, not bytes.
-        .repartition(
-            prefixes.sparkSession.sparkContext.defaultParallelism,
-            "doc_a",
-            "doc_b",
         )
         .distinct()
     )
@@ -1111,8 +1125,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
     return (
-        cand.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -283,3 +283,18 @@ def test_degree_day_ols_matches_numpy_lstsq(spark):
     assert row.intercept_c == pytest.approx(beta[0], rel=1e-9)
     assert row.beta_hdd_c == pytest.approx(beta[1], rel=1e-9)
     assert row.beta_cdd_c == pytest.approx(beta[2], rel=1e-9)
+
+
+def test_ppjoin_fallback_tier_matches_bitmap(spark, monkeypatch):
+    """The large-vocabulary set-intersect tier must produce the same
+    pairs/scores as the single-long bitmap tier (which the oracle
+    pins), so forcing the fallback compares the two directly."""
+    from energy_consumption_forecasting_spark.queries import dedup
+
+    bit = dedup.dedup_prefix_filter_join(spark, SF_SMALL).collect()
+    monkeypatch.setattr(dedup, "_BITMAP_VOCAB_MAX", -1)
+    fb = dedup.dedup_prefix_filter_join(spark, SF_SMALL).collect()
+    assert {(r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in bit} == {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in fb
+    }
+    assert bit, "no survivor pairs at smoke SF"
