@@ -68,6 +68,10 @@ HEADLINE = [
     "graph_pagerank",
     "dedup_connected_components",
     "pipeline_bpe_merges",
+    # round-4 second wave: domain capping + the oracle-exact ANN
+    # compression tier
+    "pipeline_source_cap",
+    "sim_sq8_topk",
 ]
 
 
