@@ -846,3 +846,68 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sq_sim", "rank")
     )
+
+
+def sq8_ivf_topk(
+    encoded_with_cell: DataFrame,
+    queries_df: DataFrame,
+    model,
+    mins: list[float],
+    maxs: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF + SQ8 composite: coarse cells prune candidates, uint8 codes
+    decode AFTER the cell equi-join so only probed cells pay the
+    dequantize — the memory layout (cell, code) is what an executor
+    holds at scale (9 bytes/dim vs 8 bytes/dim... vs 64 for float64).
+    Probe lists ride the broadcast centroid table on RAW query vectors
+    (the OPQ round-4 lesson: never probe in a transformed space the
+    assigner didn't use)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    spark = encoded_with_cell.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probe = (
+        queries_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .join(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= nprobe)
+        .select("query_id", "cell", "qv")
+    )
+    cand = encoded_with_cell.join(F.broadcast(probe), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    rv = sq8_reconstruct(F.col("code"), mins, maxs)
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), rv).alias("sq_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sq_sim", "rank")
+    )

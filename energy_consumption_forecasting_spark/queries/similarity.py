@@ -580,3 +580,26 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = sq8_encode(e, mins, maxs)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return sq8_topk(encoded, q, mins, maxs, k=TOP_K)
+
+
+# --- IVF + SQ8 composite ANN — rows-only --------------------------------------------
+@query("sim_sq8_ivf_topk")
+def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned scalar-quantization tier: IVF coarse cells cut the
+    candidate set (N·nprobe/n_cells per query), SQ8 codes decode only
+    AFTER the cell join — pruning × compression with a deterministic
+    quantizer (operators/ann.py::sq8_ivf_topk).  Rows-only because the
+    KMeans cells are solver-shaped (like sim_ivf_topk); the SQ8 half
+    is oracle-proven by sim_sq8_topk and recall is pytest-pinned."""
+    from ..operators.ann import build_ivf, sq8_encode, sq8_ivf_topk, sq8_train
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    assigned, model = build_ivf(e, n_cells=16)
+    mins, maxs = sq8_train(e)
+    corpus = sq8_encode(e, mins, maxs).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return sq8_ivf_topk(corpus, q, model, mins, maxs, k=TOP_K, nprobe=4)

