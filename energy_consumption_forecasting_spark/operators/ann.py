@@ -851,7 +851,7 @@ def sq8_topk(
 def sq8_ivf_topk(
     encoded_with_cell: DataFrame,
     queries_df: DataFrame,
-    model,
+    centroids,
     mins: list[float],
     maxs: list[float],
     k: int = 5,
@@ -872,10 +872,7 @@ def sq8_ivf_topk(
 
     spark = encoded_with_cell.sparkSession
     cent = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cv array<double>",
     )
     d2 = F.aggregate(

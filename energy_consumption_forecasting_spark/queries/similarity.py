@@ -602,4 +602,6 @@ def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "cell"), "vec_id"
     )
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return sq8_ivf_topk(corpus, q, model, mins, maxs, k=TOP_K, nprobe=4)
+    return sq8_ivf_topk(
+        corpus, q, model.clusterCenters(), mins, maxs, k=TOP_K, nprobe=4
+    )

@@ -40,30 +40,46 @@ def build_ann_index(
     k: int = 16,
     n_cells: int | None = 16,
     opq: bool = False,
+    kind: str = "pq",
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> None:
-    """Train quantizers, encode the corpus, persist the index."""
+    """Train quantizers, encode the corpus, persist the index.
+
+    ``kind="pq"`` (default) stores m-byte PQ codes; ``kind="sq8"``
+    stores per-dimension uint8 scalar-quantized codes — the
+    deterministic tier (exact min/max quantizer, Catalyst-only
+    encode), same codes/meta.json layout."""
     from ..operators.ann import (
         build_ivf,
         pq_encode,
         rotate_vectors,
+        sq8_encode,
+        sq8_train,
         train_opq_rotation,
         train_pq_codebooks,
     )
 
-    meta: dict = {"m": m, "k": k, "opq": opq, "n_cells": n_cells}
-    enc_input = emb
-    R = None
-    if opq:
-        R, books = train_opq_rotation(emb, m=m, k=k)
-        enc_input = rotate_vectors(emb, R)
-        meta["rotation"] = R.tolist()
+    if kind == "sq8":
+        if opq:
+            raise ValueError("OPQ rotation applies to the PQ tier only")
+        mins, maxs = sq8_train(emb, vec_col=vec_col)
+        meta = {"kind": "sq8", "mins": mins, "maxs": maxs, "n_cells": n_cells}
+        encoded = sq8_encode(emb, mins, maxs, vec_col=vec_col, id_col=id_col)
+    elif kind == "pq":
+        meta = {"kind": "pq", "m": m, "k": k, "opq": opq, "n_cells": n_cells}
+        enc_input = emb
+        R = None
+        if opq:
+            R, books = train_opq_rotation(emb, m=m, k=k)
+            enc_input = rotate_vectors(emb, R)
+            meta["rotation"] = R.tolist()
+        else:
+            books = train_pq_codebooks(emb, m=m, k=k)
+        meta["codebooks"] = books.tolist()
+        encoded = pq_encode(enc_input, books, id_col=id_col, vec_col=vec_col)
     else:
-        books = train_pq_codebooks(emb, m=m, k=k)
-    meta["codebooks"] = books.tolist()
-
-    encoded = pq_encode(enc_input, books, id_col=id_col, vec_col=vec_col)
+        raise ValueError(f"unknown index kind {kind!r}")
     writer_cols = [id_col, "code"]
     if n_cells:
         assigned, model = build_ivf(emb, vec_col=vec_col, n_cells=n_cells)
@@ -87,7 +103,8 @@ def load_ann_index(
     """(codes df, meta with ndarrays restored)."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    meta["codebooks"] = np.asarray(meta["codebooks"], dtype=np.float64)
+    if meta.get("codebooks") is not None:
+        meta["codebooks"] = np.asarray(meta["codebooks"], dtype=np.float64)
     if meta.get("rotation") is not None:
         meta["rotation"] = np.asarray(meta["rotation"], dtype=np.float64)
     if meta.get("centroids") is not None:
@@ -105,10 +122,36 @@ def search_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """ADC top-k against a persisted index; queries stay a DataFrame."""
-    from ..operators.ann import pq_topk_table
+    """Top-k against a persisted index; queries stay a DataFrame.
+
+    PQ indexes score via ADC table lookups; SQ8 indexes decode the
+    probed cells and rescore asymmetrically (raw query vs
+    reconstructed corpus)."""
+    from ..operators.ann import pq_topk_table, sq8_ivf_topk, sq8_topk
 
     codes, meta = load_ann_index(spark, index_dir)
+    if meta.get("kind") == "sq8":
+        if meta.get("centroids") is not None:
+            return sq8_ivf_topk(
+                codes,
+                queries,
+                meta["centroids"],
+                meta["mins"],
+                meta["maxs"],
+                k=k_neighbors,
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).withColumnRenamed("neighbor_id", id_col)
+        return sq8_topk(
+            codes,
+            queries,
+            meta["mins"],
+            meta["maxs"],
+            k=k_neighbors,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).withColumnRenamed("neighbor_id", id_col)
     return pq_topk_table(
         codes,
         queries,

@@ -31,28 +31,44 @@ from pyspark.sql import types as T
 
 def encode_with_meta(batch: DataFrame, meta: dict) -> DataFrame:
     """(vec_id, code[, cell]) for a batch of vectors under FROZEN
-    quantizers — one Arrow-batched pass, quantizers on a broadcast."""
+    quantizers — one Arrow-batched pass, quantizers on a broadcast.
+    Handles both index kinds: PQ (subspace argmin) and SQ8 (frozen
+    per-dimension min/max ranges; out-of-range appends clip, exactly
+    like FAISS SQ on drifted data)."""
     spark = batch.sparkSession
+    is_sq8 = meta.get("kind") == "sq8"
     b = spark.sparkContext.broadcast(
         (
-            meta["codebooks"],
+            meta.get("codebooks"),
             meta.get("rotation"),
             meta.get("centroids"),
+            (meta.get("mins"), meta.get("maxs")) if is_sq8 else None,
         )
     )
     has_cells = meta.get("centroids") is not None
 
     def encode(batches):
-        books, R, cents = b.value
-        m, _, sub = books.shape
+        books, R, cents, sq = b.value
         for pdf in batches:
             X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Xr = X @ R if R is not None else X
-            codes = np.empty((len(X), m), dtype=np.int32)
-            for j in range(m):
-                Xj = Xr[:, j * sub : (j + 1) * sub]
-                d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1)
+            if sq is not None:
+                mn = np.asarray(sq[0])
+                mx = np.asarray(sq[1])
+                span = np.where(mx > mn, mx - mn, 1.0)
+                codes = np.clip(
+                    np.floor((X - mn) / span * 255.0 + 0.5), 0, 255
+                ).astype(np.int32)
+                codes[:, mx <= mn] = 0
+            else:
+                Xr = X @ R if R is not None else X
+                m, _, sub = books.shape
+                codes = np.empty((len(X), m), dtype=np.int32)
+                for j in range(m):
+                    Xj = Xr[:, j * sub : (j + 1) * sub]
+                    d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    codes[:, j] = d.argmin(axis=1)
             out = {"vec_id": pdf["vec_id"], "code": list(codes)}
             if cents is not None:
                 # IVF cell on the RAW vector (build_ivf trains unrotated)

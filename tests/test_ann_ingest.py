@@ -86,3 +86,33 @@ def test_search_sees_ingested_vectors(spark, tmp_path):
     q = e.filter(F.col("vec_id") == 499)
     got = search_ann_index(spark, idx, q, k_neighbors=3).collect()
     assert any(r["vec_id"] == 499 for r in got)
+
+
+def test_sq8_streaming_ingest_matches_batch_codes(spark, tmp_path):
+    """Streaming SQ8 ingest under frozen min/max ranges produces the
+    identical codes the batch build writes."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import as_double
+    from energy_consumption_forecasting_spark.sources.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from energy_consumption_forecasting_spark.streaming.ann_ingest import (
+        encode_with_meta,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    idx = str(tmp_path / "sq8_idx")
+    build_ann_index(e, idx, kind="sq8", n_cells=8)
+    codes, meta = load_ann_index(spark, idx)
+    batch_codes = {r.vec_id: (list(r.code), r.cell) for r in codes.collect()}
+
+    stream_codes = {
+        r.vec_id: (list(r.code), r.cell)
+        for r in encode_with_meta(e, meta).collect()
+    }
+    assert stream_codes == batch_codes

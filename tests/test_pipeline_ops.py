@@ -537,3 +537,60 @@ def test_sq8_ivf_recall_vs_exact(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sq8_index_roundtrip(spark, tmp_path):
+    """Persisted SQ8 index: build, reload in a fresh read, self-retrieve."""
+    from energy_consumption_forecasting_spark.functions.vectors import as_double
+    from energy_consumption_forecasting_spark.sources.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        search_ann_index,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    idx = str(tmp_path / "sq8_idx")
+    build_ann_index(e, idx, kind="sq8", n_cells=8)
+    codes, meta = load_ann_index(spark, idx)
+    assert meta["kind"] == "sq8"
+    assert "cell" in codes.columns and len(meta["mins"]) == 64
+    q = e.filter(F.col("vec_id") < 3)
+    out = search_ann_index(spark, idx, q, k_neighbors=3, nprobe=8).collect()
+
+    # numpy expectation: asymmetric cosine of raw queries against the
+    # dequantized corpus, self excluded (the search drops self-matches
+    # like the sim_* queries), top-3 with (sim desc, id asc) ties
+    import numpy as np
+
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.v for r in rows])
+    mn = np.array(meta["mins"])
+    mx = np.array(meta["maxs"])
+    span = np.where(mx > mn, mx - mn, 1.0)
+    code = np.clip(np.floor((X - mn) / span * 255.0 + 0.5), 0, 255)
+    R = mn + code * (mx - mn) / 255.0
+
+    def expect(qid):
+        qv = X[ids == qid][0]
+        sims = (R @ qv) / (np.linalg.norm(R, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            [(s, i) for s, i in zip(sims, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        return [i for _, i in order[:3]]
+
+    for qid in (0, 1, 2):
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == qid]
+        assert got == expect(qid), f"query {qid}: {got}"
+
+    # flat (no-cell) variant agrees with the all-cells-probed search
+    idx2 = str(tmp_path / "sq8_flat")
+    build_ann_index(e, idx2, kind="sq8", n_cells=None)
+    out2 = search_ann_index(spark, idx2, q, k_neighbors=3).collect()
+    assert {(r.query_id, r.rank, r.vec_id) for r in out2} == {
+        (r.query_id, r.rank, r.vec_id) for r in out
+    }
