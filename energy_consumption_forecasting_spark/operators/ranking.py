@@ -249,3 +249,58 @@ def global_prefix_sum(
         .drop(_PID, _OFF)
     )
     return out, total
+
+
+def global_row_number_lazy(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    bucket: Column,
+    rn_col: str = "rn",
+    total_col: str | None = None,
+) -> DataFrame:
+    """The bucket fast path with ZERO driver actions.
+
+    Per-bucket counts, exclusive offsets, and (optionally, as
+    ``total_col``) the grand total are computed as a
+    bucket-cardinality-sized aggregate SUBTREE broadcast back into the
+    main pass — the whole rank is one lazy plan, so callers that need
+    ``n`` only inside column expressions (fold boundaries, split
+    thresholds) skip ``global_row_number``'s counting job entirely.
+
+    The offsets window is a deliberate single-partition window over
+    the per-bucket COUNTS (months / hash prefixes — bounded), the
+    repo's "tiny calendar series" exception, never over the data.
+
+    NULL-bucket contract: matched lazily — a NULL bucket misses the
+    left-joined offsets row and trips ``raise_error`` at runtime
+    instead of silently dropping or mis-ranking the row."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    tagged = df.withColumn(_BKT, bucket)
+    counts = tagged.groupBy(_BKT).agg(F.count("*").alias("__cnt"))
+    w_prior = Window.orderBy(_BKT).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_total = Window.orderBy(_BKT).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col(_BKT),
+        F.coalesce(F.sum("__cnt").over(w_prior), F.lit(0)).alias(_OFF),
+    ]
+    if total_col is not None:
+        off_cols.append(F.sum("__cnt").over(w_total).alias(total_col))
+    offs = counts.select(*off_cols)
+    wl = Window.partitionBy(_BKT).orderBy(*cols)
+    guarded_off = F.coalesce(
+        F.col(_OFF),
+        F.raise_error(
+            F.lit(
+                "global_row_number_lazy: bucket expression produced NULL"
+            )
+        ).cast("long"),
+    )
+    return (
+        tagged.join(F.broadcast(offs), _BKT, "left")
+        .withColumn(rn_col, F.row_number().over(wl) + guarded_off)
+        .drop(_BKT, _OFF, "__cnt")
+    )

@@ -143,14 +143,14 @@ def j7_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no row order, so positional alignment (reference
     ``cluster_map.join(df_all_mean)``) must name its ordering key.
     """
-    from ..operators.ranking import global_row_number
+    from ..operators.ranking import global_row_number_lazy
 
     orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    ranked, _ = global_row_number(
+    ranked = global_row_number_lazy(
         orders.select("o_orderkey", "o_totalprice"),
         ["o_orderkey"],
         # integer division is monotone in the key: data-keyed offsets,
-        # no range-shuffle sampling pass, no checkpoint
+        # no range-shuffle sampling pass, no checkpoint, no count job
         bucket=F.expr("o_orderkey div 16384"),
     )
     a = ranked.select("rn", "o_orderkey")

@@ -854,7 +854,7 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number, broadcast offsets — never a single-partition window.
     Downstream, pipeline_pack_sequences can consume this order instead
     of doc_id order to decorrelate neighboring documents."""
-    from ..operators.ranking import global_row_number
+    from ..operators.ranking import global_row_number_lazy
 
     docs = tbl(spark, sf_dir, "documents").select(
         "doc_id",
@@ -863,8 +863,9 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # a string PREFIX is monotone in the string order: the first two
-    # hex chars of the hash key give 256 near-uniform buckets
-    ranked, _n = global_row_number(
+    # hex chars of the hash key give 256 near-uniform buckets; the
+    # lazy path folds the offsets into the same job (no count action)
+    ranked = global_row_number_lazy(
         docs,
         ["hk", "doc_id"],
         rn_col="position",

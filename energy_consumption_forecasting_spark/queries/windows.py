@@ -108,9 +108,9 @@ def w3_time_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass distributed rank (operators/ranking.py), never a
     single-partition ``Window.orderBy`` — on the monotone-bucket fast
     path (year-month offsets; no sampling pass, no checkpoint)."""
-    from ..operators.ranking import global_row_number
+    from ..operators.ranking import global_row_number_lazy
 
-    ranked, _ = global_row_number(
+    ranked = global_row_number_lazy(
         tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
         ["o_orderdate", "o_orderkey"],
         bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
@@ -133,16 +133,17 @@ def w6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional 85/15 split on a raw fact table: distributed rank +
     a literal boundary (ceil(0.85·n) computed from the rank pass's total
     — same double→ceil arithmetic as the oracle's CEIL(0.85*COUNT(*)))."""
-    import math
+    from ..operators.ranking import global_row_number_lazy
 
-    from ..operators.ranking import global_row_number
-
-    ranked, n = global_row_number(
+    ranked = global_row_number_lazy(
         tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
         ["o_orderdate", "o_orderkey"],
         bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
+        total_col="__n",
     )
-    thr = math.ceil(0.85 * n)
+    # ceil(0.85*n) as a COLUMN (same double->ceil arithmetic as the
+    # oracle's CEIL(0.85*COUNT(*))): no driver-side count job at all
+    thr = F.ceil(0.85 * F.col("__n"))
     return ranked.select(
         "o_orderkey",
         F.when(F.col("rn") <= thr, "train").otherwise("test").alias("split"),
@@ -178,33 +179,43 @@ def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global rank via literal boundaries (standard ntile split: first
     n%k folds get ⌈n/k⌉ rows) — no single-partition window and no
     5-giant-partition window either."""
-    from ..operators.ranking import global_row_number
+    from ..operators.ranking import global_row_number_lazy
 
     k = 5
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    ranked, n = global_row_number(
+    ranked = global_row_number_lazy(
         orders,
         ["o_orderdate", "o_orderkey"],
         bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
+        total_col="__n",
     )
-    szf, big = divmod(n, k)
-    sizes = [szf + 1 if i < big else szf for i in range(k)]
-    bounds, acc = [], 0
-    for sz in sizes:
-        acc += sz
-        bounds.append(acc)  # inclusive upper rank bound of fold i+1
-    fold_case = F.when(F.col("rn") <= bounds[0], 1)
-    start_case = F.when(F.col("rn") <= bounds[0], 0)
-    size_case = F.when(F.col("rn") <= bounds[0], sizes[0])
-    for i in range(1, k):
-        fold_case = fold_case.when(F.col("rn") <= bounds[i], i + 1)
-        start_case = start_case.when(F.col("rn") <= bounds[i], bounds[i - 1])
-        size_case = size_case.when(F.col("rn") <= bounds[i], sizes[i])
-    rank_in_fold = F.col("rn") - start_case
+    # ntile(k) boundaries as COLUMN expressions of (rn, n): the first
+    # n%k folds hold ceil(n/k) rows.  All integer algebra (ceil(a/b) =
+    # (a+b-1) div b), so there is no float boundary to disagree with
+    # the oracle's ntile, and no driver-side count job at all.
+    szf = F.expr(f"__n div {k}")
+    big = F.col("__n") % k
+    cut = big * (szf + 1)  # rows covered by the big folds
+    fold = F.when(
+        F.col("rn") <= cut,
+        F.expr(f"(rn + __n div {k}) div (__n div {k} + 1)"),
+    ).otherwise(
+        big
+        + F.expr(
+            f"(rn - (__n % {k}) * (__n div {k} + 1) + __n div {k} - 1)"
+            f" div (__n div {k})"
+        )
+    )
+    start = (
+        F.least(fold - 1, big) * (szf + 1)
+        + F.greatest(fold - 1 - big, F.lit(0)) * szf
+    )
+    size = szf + F.when(fold <= big, 1).otherwise(0)
+    rank_in_fold = F.col("rn") - start
     return ranked.select(
         "o_orderkey",
-        fold_case.cast("int").alias("fold"),
-        F.when(rank_in_fold > 0.8 * size_case, "val")
+        fold.cast("int").alias("fold"),
+        F.when(rank_in_fold > 0.8 * size, "val")
         .otherwise("train")
         .alias("role"),
     )
