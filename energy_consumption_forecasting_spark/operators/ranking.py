@@ -302,5 +302,5 @@ def global_row_number_lazy(
     return (
         tagged.join(F.broadcast(offs), _BKT, "left")
         .withColumn(rn_col, F.row_number().over(wl) + guarded_off)
-        .drop(_BKT, _OFF, "__cnt")
+        .drop(_BKT, _OFF)
     )

@@ -1038,7 +1038,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND+popcount per candidate, cheap enough to verify INSIDE the
     # candidate join (no candidate shuffle, no per-pair set
     # intersect).  The count is a 1-row driver scalar off the
-    # vocabulary aggregate; larger vocabularies run the general
+    # vocabulary aggregate — an ACTION at DataFrame-construction time,
+    # the price of a data-adaptive physical plan (plan_audit sees the
+    # post-probe plan for this query); larger vocabularies run the general
     # set-intersect tier below.  Both tiers are EXACT — the all-pairs
     # oracle proves the bitmap algebra, not just the pruning.
     vocab_n = freq.count()
@@ -1117,6 +1119,18 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
+        )
+        # spread the candidate set by WORK before the per-pair set
+        # intersects: candidate rows are 16 bytes but each downstream
+        # row costs an array_intersect over two token sets, so AQE's
+        # byte-sized coalescing can pack the dedup + verification into
+        # one task (observed 13s single-task at sf0.1 on a 64-token
+        # corpus forced down this tier).  A user-numbered repartition
+        # is never coalesced and satisfies the distinct's distribution.
+        .repartition(
+            pair.sparkSession.sparkContext.defaultParallelism,
+            "doc_a",
+            "doc_b",
         )
         .distinct()
     )

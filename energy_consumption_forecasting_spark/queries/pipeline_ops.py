@@ -926,7 +926,8 @@ _CAP_SALTS = 8  # sub-buckets per source in the partial top-k pass
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, source,
-             md5(text) || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+             md5(COALESCE(text, '')) || '-'
+               || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
       FROM documents
     ), ranked AS (
       SELECT source, doc_id,
@@ -945,37 +946,38 @@ def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-corpus pipeline applies before mixing (over-crawled domains
     would otherwise dominate the token budget).
 
-    Plan — skew-safe two-level bounded top-k, NOT a window: a window
-    ``row_number() OVER (PARTITION BY source)`` funnels every row of a
-    mega-domain through one task.  Instead each (source, salt)
-    sub-bucket reduces to its {SOURCE_CAP} smallest keys inside a hash
-    aggregate (partial combines map-side), then one tiny per-source
-    merge of ≤ salts×cap keys picks the global winners; state per
-    final group is O(salts × cap), independent of domain size, and
-    ``_CAP_SALTS`` scales with the expected per-domain row count.  The
-    kept doc_id rides inside the sort key (md5 ‖ zero-padded id), so
-    no join back to the corpus is needed."""
+    Plan — skew-spread two-level top-k: level 1 ranks inside
+    (source, salt) sub-buckets and keeps only the {SOURCE_CAP}
+    smallest keys, so a mega-domain's sort is spread across
+    ``_CAP_SALTS`` tasks and each is a SORT-based window (spills to
+    disk under pressure — unlike a collect_list aggregate, which
+    buffers every key in memory before any truncation); level 2 ranks
+    the survivors per source over at most salts × cap rows — a
+    provably tiny partition.  The sort key is md5(text) ‖ zero-padded
+    doc_id (NULL text coalesces to '' on both engines so no row can
+    vanish from one side only).  Exactness: the global top-cap keys
+    each rank ≤ cap within their own sub-bucket, so level 1 never
+    discards a winner."""
+    from pyspark.sql import Window
+
     docs = tbl(spark, sf_dir, "documents").select(
         "source",
+        "doc_id",
         F.concat(
-            F.md5("text"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))),
             F.lit("-"),
             F.lpad(F.col("doc_id").cast("string"), 12, "0"),
         ).alias("k"),
         F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)).alias("salt"),
     )
-    partial = docs.groupBy("source", "salt").agg(
-        F.slice(F.array_sort(F.collect_list("k")), 1, SOURCE_CAP).alias("ks")
+    w1 = Window.partitionBy("source", "salt").orderBy("k")
+    pruned = (
+        docs.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= SOURCE_CAP)
     )
-    merged = partial.groupBy("source").agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("ks"))), 1, SOURCE_CAP
-        ).alias("ks")
-    )
-    return merged.select(
-        "source", F.posexplode("ks").alias("pos", "k")
-    ).select(
-        "source",
-        (F.col("pos") + 1).cast("int").alias("keep_rank"),
-        F.substring("k", 34, 12).cast("long").alias("doc_id"),
+    w2 = Window.partitionBy("source").orderBy("k")
+    return (
+        pruned.withColumn("keep_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("keep_rank") <= SOURCE_CAP)
+        .select("source", "keep_rank", "doc_id")
     )

@@ -65,3 +65,34 @@ def rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def drain_available_now(stream_df, sink_prefix: str, output_mode: str = "complete"):
+    """GATE-ONLY drain: run a (static-source) streaming DataFrame to
+    completion through a memory sink and return the final table.
+
+    Shared by the batch-equivalence gates (daily rollup, sessions,
+    enrichment, heavy hitters) — complete-mode memory sinks re-emit the
+    whole result per trigger and hold it on the driver, fine for
+    bounded aggregates, wrong for unbounded keyspaces; production
+    paths route through the foreachBatch merges instead
+    (incremental_rollup.py)."""
+    import tempfile
+    import uuid
+
+    spark = stream_df.sparkSession
+    sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
+    with pinned_stream_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ecf_stream_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

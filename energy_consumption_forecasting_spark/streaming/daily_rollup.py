@@ -12,9 +12,6 @@ input rate; the watermark bounds retained state to one day + lateness.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,21 +60,8 @@ def run_available_now(
     merge in incremental_rollup.py (update-semantics upsert into a
     versioned store); tests/test_incremental_rollup.py asserts the two
     paths agree on the final state."""
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"rollup_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            daily_rollup_stream(spark, events_dir, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ecf_stream_ckpt_"),
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return drain_available_now(
+        daily_rollup_stream(spark, events_dir, glob), "rollup"
+    )

@@ -15,9 +15,6 @@ the identical batch aggregation == the DuckDB oracle.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,20 +55,8 @@ def run_enrich_available_now(
     customer: DataFrame,
     glob: str = "events.parquet",
 ) -> DataFrame:
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"enrich_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            enrich_stream(spark, events_dir, customer, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_enrich_ckpt_")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return drain_available_now(
+        enrich_stream(spark, events_dir, customer, glob), "enrich"
+    )

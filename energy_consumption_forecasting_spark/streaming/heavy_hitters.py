@@ -20,9 +20,6 @@ groupBy; this op is the exact tier.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -54,24 +51,11 @@ def run_heavy_hitters_available_now(
     GATE-ONLY drain pattern (complete-mode memory sink) shared with
     daily_rollup.py; production routes the same aggregate through the
     foreachBatch upsert of incremental_rollup.py."""
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"hh_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            heavy_hitters_stream(spark, events_dir, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ecf_stream_ckpt_"),
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    drained = spark.table(sink)
+    drained = drain_available_now(
+        heavy_hitters_stream(spark, events_dir, glob), "hh"
+    )
     # bounded frame (windows × types): the rank window partitions on
     # w_start with at most |types| rows per partition — no skew risk.
     r = F.row_number().over(

@@ -17,9 +17,6 @@ sessionizer might use ``>``.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,18 +58,8 @@ def run_sessions_available_now(
     spark: SparkSession, events_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """Drain the static directory once; final per-session rows."""
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            session_window_stream(spark, events_dir, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ecf_sess_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return drain_available_now(
+        session_window_stream(spark, events_dir, glob), "sessions"
+    )
