@@ -457,3 +457,55 @@ def a_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+# --- A11: ROLLUP time-hierarchy subtotals -------------------------------------------
+@query(
+    "a_rollup_time_hierarchy",
+    oracle="""
+    SELECT COALESCE(CAST(y AS VARCHAR), '<all>') AS y,
+           COALESCE(CAST(m AS VARCHAR), '<all>') AS m,
+           CAST(GROUPING(y) * 2 + GROUPING(m) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+             EXTRACT(MONTH FROM o_orderdate) AS m,
+             o_totalprice
+      FROM orders
+    )
+    GROUP BY ROLLUP (y, m)
+    """,
+)
+def a_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy subtotals via ROLLUP(year, month): month rows,
+    year subtotals, and the grand total in ONE Expand pass —
+    the drill-down surface of a reporting layer, with grouping_id
+    separating subtotal rows from real keys and the exact-decimal rule
+    keeping every level's sum bit-identical cross-engine.
+
+    Scale: like CUBE but ×3 rows into the map-side combine instead of
+    ×4; the shuffle carries only aggregated (y, m) cells."""
+    orders = tbl(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    return (
+        orders.rollup("y", "m")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("<all>")).alias("y"),
+            F.coalesce(F.col("m").cast("string"), F.lit("<all>")).alias("m"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -1148,3 +1148,73 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= PREFIX_TAU)
     )
+
+
+# --- directed containment near-dup (sub-document duplication) -----------------------
+CONTAIN_TAU = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    df AS (
+      SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= {MAX_DOC_FREQ}
+    ),
+    filtered AS (SELECT s.* FROM shingles s JOIN df USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           common / sa.n AS contain_a,
+           common / sb.n AS contain_b
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE common / sa.n >= {CONTAIN_TAU} OR common / sb.n >= {CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment near-dup: C(A→B) = |A∩B| / |A| over 3-gram
+    shingle sets, flagging pairs where either document is ≥ τ
+    contained in the other — the asymmetric relation Jaccard misses
+    (a paragraph quoted inside a much longer page scores near-zero
+    Jaccard but containment ≈ 1), the primitive behind quote/subset
+    dedup in corpus cleaning.
+
+    Plan: identical candidate shape to dedup_ngram_jaccard (bounded
+    member lists per shingle → row-local pair expansion → pair-count
+    agg → broadcast size joins); both containment directions come from
+    the one shared-count aggregation.  The stop-shingle cap bounds the
+    hottest posting list exactly as the oracle does."""
+    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
+    sizes = arrays.select("doc_id", F.size("shs").alias("n"))
+    members = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DOC_FREQ))
+    )
+    pairs = (
+        _pairs_from_members(members)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    ca = F.col("common") / F.col("sa.n")
+    cb = F.col("common") / F.col("sb.n")
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((ca >= CONTAIN_TAU) | (cb >= CONTAIN_TAU))
+        .select(
+            "doc_a",
+            "doc_b",
+            ca.alias("contain_a"),
+            cb.alias("contain_b"),
+        )
+    )

@@ -608,3 +608,61 @@ def w_range_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_days"),
         F.sum("qty").over(w).cast("double").alias("rolling_qty"),
     )
+
+
+# --- W21 (extension): per-customer analytic-function suite --------------------------
+@query(
+    "w_analytic_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(lag(epoch_days) OVER w AS BIGINT) AS prev_epoch_days,
+           CAST(epoch_days - lag(epoch_days) OVER w AS BIGINT)
+             AS days_since_prev,
+           CAST(first_value(cents) OVER w AS BIGINT) AS first_cents,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_days,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_days, o_orderkey)
+    """,
+)
+def w_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function surface in one per-customer pass: lag
+    (previous order date), gap-since-previous, first_value (first
+    order size), percent_rank, and cume_dist over each customer's
+    order history — the per-entity feature block a churn/LTV pipeline
+    derives.  percent_rank and cume_dist are ratios of integers
+    ((rank-1)/(n-1), n_le/n), so the doubles are bit-identical
+    cross-engine; dates ride integer epoch days and money rides cents
+    (the exact-decimal rule).
+
+    Scale: ONE window partitioned by the high-cardinality customer key
+    — millions of small partitions, no skew, no global sort; contrast
+    with the bounded-calendar global windows elsewhere (the repo's
+    two sanctioned window shapes)."""
+    w = Window.partitionBy("o_custkey").orderBy("epoch_days", "o_orderkey")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_days"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.lag("epoch_days").over(w).alias("prev_epoch_days"),
+        (F.col("epoch_days") - F.lag("epoch_days").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.first("cents").over(w).alias("first_cents"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
