@@ -268,3 +268,34 @@ def test_semdedup_cells_scale_with_corpus(spark):
     )
     # hyperplane bits split near-evenly; allow 2x headroom over target
     assert sizes.agg(F.max("count")).collect()[0][0] <= 2 * T
+
+
+def test_compact_snapshot_preserves_rows(spark, tmp_path):
+    """Compaction rewrites the latest snapshot into fewer files with
+    identical content; old versions stay readable."""
+    import glob as globmod
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        compact_snapshot,
+        commit_snapshot,
+        read_snapshot,
+        versions,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    table = str(tmp_path / "tbl")
+    # fragment: 8-file commit of a tiny table
+    commit_snapshot(docs.repartition(8), table, note="fragmented")
+    v1_files = globmod.glob(f"{table}/v=1/*.parquet")
+    assert len(v1_files) == 8
+
+    v2 = compact_snapshot(spark, table, target_rows_per_file=10_000)
+    assert versions(table) == [1, 2] and v2 == 2
+    v2_files = globmod.glob(f"{table}/v=2/*.parquet")
+    assert len(v2_files) == 1  # 100 rows pack into one file
+
+    before = {tuple(r) for r in read_snapshot(spark, table, 1).collect()}
+    after = {tuple(r) for r in read_snapshot(spark, table, 2).collect()}
+    assert before == after and before
