@@ -342,3 +342,51 @@ def test_bucket_rank_rejects_null_bucket(spark):
         global_row_number(df, ["k"], bucket=F.col("k") % 2).collect()  # type: ignore[union-attr]
     with pytest.raises(ValueError, match="NULL"):
         global_prefix_sum(df, ["k"], "v", bucket=F.col("k") % 2)
+
+
+def test_lazy_bucket_rank_matches_eager(spark):
+    """global_row_number_lazy == the eager bucket path: same ranks, and
+    the total column equals the driver-side total."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_row_number,
+        global_row_number_lazy,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 5003).alias("k"),
+    )
+    eager, n = global_row_number(
+        df, ["k"], rn_col="rn", bucket=F.expr("k div 256")
+    )
+    lazy = global_row_number_lazy(
+        df, ["k"], bucket=F.expr("k div 256"), rn_col="rn", total_col="nt"
+    )
+    assert (
+        eager.select("k", "rn").exceptAll(lazy.select("k", "rn")).count() == 0
+    )
+    totals = lazy.select("nt").distinct().collect()
+    assert len(totals) == 1 and totals[0].nt == n == 5000
+
+
+def test_lazy_bucket_rank_raises_on_null_bucket(spark):
+    """The lazy path has no construction-time action, so the NULL-bucket
+    guard must fire at execution time via raise_error."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_row_number_lazy,
+    )
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") == 50, None)
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("k")
+    )
+    out = global_row_number_lazy(df, ["k"], bucket=F.expr("k div 16"))
+    with pytest.raises(Exception, match="bucket expression produced NULL"):
+        out.collect()
