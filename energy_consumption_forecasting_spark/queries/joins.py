@@ -174,3 +174,49 @@ def j8_colwise_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("d"),
         (F.col("o_totalprice") - 1000.0).alias("signed_error"),
     )
+
+
+# --- J9 (extension): correlated LATERAL top-n per key -------------------------------
+@query(
+    "j9_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) t
+    """,
+)
+def j9_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by
+    price, written as the SQL a warehouse user would write.  Catalyst
+    DECORRELATES the per-row subquery into a set-based plan (window
+    rank inside a join — visible in explain as no nested-loop
+    anything), so the per-customer LIMIT never executes row-at-a-time;
+    the oracle runs the same LATERAL text on DuckDB.
+
+    Scale: the decorrelated plan is one shuffle on the correlation key
+    + a per-key rank window — exactly the top-k-per-key shape, with
+    customer-cardinality partitions."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        """
+    )
