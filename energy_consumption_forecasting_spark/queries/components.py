@@ -405,3 +405,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes", "n_edges", F.col("n_tri").cast("long").alias("n_triangles")
         )
     )
+
+
+# --- recursive-CTE reachability (Spark 4 WITH RECURSIVE surface) --------------------
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CONCAT('p', CAST(l_partkey AS STRING)) AS src,
+                  CONCAT('s', CAST(l_suppkey AS STRING)) AS dst
+  FROM lineitem
+  UNION ALL
+  SELECT DISTINCT CONCAT('s', CAST(l_suppkey AS STRING)) AS src,
+                  CONCAT('p', CAST(l_partkey AS STRING)) AS dst
+  FROM lineitem
+),
+reach(v, d) AS (
+  SELECT 'p1', 0
+  UNION ALL
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.d < 2
+)
+SELECT v, CAST(MIN(d) AS INT) AS depth FROM reach GROUP BY v
+"""
+
+
+@query("graph_reachability_cte", oracle=_REACH_SQL)
+def graph_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded BFS written as a recursive CTE — the Spark-4
+    ``WITH RECURSIVE`` surface (UnionLoopExec), run as the IDENTICAL
+    SQL text on both engines: 2 hops out from part p1 over the
+    part↔supplier supply graph, shortest depth per reached node via
+    the closing MIN(d).
+
+    Spark's recursive CTEs support UNION ALL only, so the recursion
+    enumerates bounded-depth PATHS and the final aggregate dedupes —
+    correct for small fixed depths (frontier ≤ deg² here), and the
+    right tool for SQL-interop reachability questions.  Unbounded
+    traversals (components, PageRank) use the iterative DataFrame
+    operators instead (label propagation / pointer jumping in this
+    module): per-round dedup keeps THEIR frontier node-sized, which
+    path-enumeration cannot express without recursive UNION
+    DISTINCT."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
