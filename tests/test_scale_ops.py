@@ -299,3 +299,35 @@ def test_compact_snapshot_preserves_rows(spark, tmp_path):
     before = {tuple(r) for r in read_snapshot(spark, table, 1).collect()}
     after = {tuple(r) for r in read_snapshot(spark, table, 2).collect()}
     assert before == after and before
+
+
+def test_observe_metrics_ride_the_job(spark):
+    """`df.observe` collects pipeline metrics (row counts, token mass)
+    as a side effect of the SAME action — the zero-extra-pass
+    instrumentation hook a production corpus job exports to its
+    metrics sink; values must equal a separate aggregate's."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    obs = Observation("corpus")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.approx_count_distinct("source").alias("n_sources_approx"),
+    )
+    # one real action drives both the data path and the metrics
+    kept = observed.filter(F.col("n_chars") > 0).count()
+    ref = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("c"),
+        F.count_distinct("source").alias("s"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_docs"] == ref["n"]
+    assert got["total_chars"] == ref["c"]
+    # DISTINCT aggregates are disallowed in observed metrics; the HLL
+    # sketch is the sanctioned form (default 5% rsd)
+    assert abs(got["n_sources_approx"] - ref["s"]) <= max(2, 0.1 * ref["s"])
+    assert kept <= ref["n"]
