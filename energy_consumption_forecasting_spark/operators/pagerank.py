@@ -165,6 +165,7 @@ def pagerank_exact(
     scale: int = 10**15,
     damp_num: int = 17,
     damp_den: int = 20,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank in EXACT scaled-integer arithmetic — the
     hash-checkable tier of the operator.
@@ -207,25 +208,39 @@ def pagerank_exact(
 
     e = edges.persist()
     deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
-    in_tbl = (
-        e.select(F.col("dst").alias("v"))
-        .distinct()
-        .withColumn("has_in", F.lit(True))
-    )
-    meta = deg.join(in_tbl, "v", "full")
-    stats = meta.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("deg").isNull(), 1)).alias("n_sink_only"),
-        F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_no_inflow"),
-        F.sum("deg").alias("n_edges"),
-    ).collect()[0]
-    n = stats["n"]
-    if n == 0 or stats["n_sink_only"] > 0 or stats["n_no_inflow"] > 0:
-        raise ValueError(
-            "pagerank_exact requires every node to have out- and "
-            f"in-edges (symmetrized graph); {stats['n_sink_only']} "
-            f"sink-only / {stats['n_no_inflow']} source-only nodes"
+    if symmetrized:
+        # caller GUARANTEES every edge has its reverse (e.g. built by
+        # unioning pairs with their swap): the in-set equals the
+        # out-set, so the inflow probe — a full distinct over the edge
+        # table — is provably redundant and skipped.  Wrong use shows
+        # up as rank mass leaking (ranks stop summing to ~scale),
+        # which the sanity tests pin.
+        stats = deg.agg(
+            F.count("*").alias("n"), F.sum("deg").alias("n_edges")
+        ).collect()[0]
+        n = stats["n"]
+        if n == 0:
+            raise ValueError("pagerank_exact: empty graph")
+    else:
+        in_tbl = (
+            e.select(F.col("dst").alias("v"))
+            .distinct()
+            .withColumn("has_in", F.lit(True))
         )
+        meta = deg.join(in_tbl, "v", "full")
+        stats = meta.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("deg").isNull(), 1)).alias("n_sink_only"),
+            F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_no_inflow"),
+            F.sum("deg").alias("n_edges"),
+        ).collect()[0]
+        n = stats["n"]
+        if n == 0 or stats["n_sink_only"] > 0 or stats["n_no_inflow"] > 0:
+            raise ValueError(
+                "pagerank_exact requires every node to have out- and "
+                f"in-edges (symmetrized graph); {stats['n_sink_only']} "
+                f"sink-only / {stats['n_no_inflow']} source-only nodes"
+            )
     n_edges = stats["n_edges"] or 0
 
     broadcastable = n * 48 < 64 << 20

@@ -267,13 +267,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pagerank.py."""
     from ..operators.pagerank import pagerank_exact
 
-    li = tbl(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    # Distinct + iterate on INTEGER node ids (2k = part k, 2k+1 =
+    # supplier k): the distinct shuffles 16-byte pairs instead of
+    # strings, and every loop join/agg hashes longs.  The oracle's
+    # string ids ('p1', 's7') are minted only on the final 50 rows.
+    pairs = tbl(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
     ).distinct()
-    edges = li.union(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank_exact(edges, iters=_PR_ITERS, scale=_PR_SCALE)
-    return ranks.orderBy(F.desc("rank_scaled"), "v").limit(50)
+    # symmetrize by EXPLODE, not union: a union's two branches are
+    # separate subtrees, so the scan + distinct would execute twice;
+    # the row-local explode doubles each pair in one pass.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    ranks = pagerank_exact(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE, symmetrized=True
+    )
+    v_str = F.when(
+        F.col("v") % 2 == 0,
+        F.concat(F.lit("p"), F.expr("CAST(v div 2 AS STRING)")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("CAST((v - 1) div 2 AS STRING)"))
+    )
+    return (
+        ranks.select(v_str.alias("v"), "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "v")
+        .limit(50)
+    )
 
 
 # --- exact triangle counting on the co-supply graph ------------------------------
