@@ -85,6 +85,13 @@ def versions(table_dir: str) -> list[int]:
     return [e["version"] for e in _read_manifest(table_dir)]
 
 
+def snapshots(table_dir: str) -> list[dict]:
+    """Public manifest view: (version, dir, committed_at, note) per
+    snapshot — lets writers implement idempotent commits by checking
+    what a note (e.g. a streaming batch id) already landed."""
+    return list(_read_manifest(table_dir))
+
+
 def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` snapshots.
 

@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.versioned import commit_snapshot, read_snapshot, versions
+from ..sources.versioned import commit_snapshot, read_snapshot, snapshots, versions
 from .source import events_stream
 
 _STATE_COLS = ("d", "event_type", "n", "sum_cents")
@@ -76,6 +76,14 @@ def run_incremental_rollup(
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch side effects are AT-LEAST-ONCE: after a failure
+        # the engine replays the last batch with the SAME batch_id.
+        # The manifest note is the transaction log — a batch id that
+        # already landed is skipped, making the fold exactly-once
+        # (the Delta/Iceberg txn-version idiom on the snapshot sink).
+        note = f"batch {batch_id}"
+        if any(e["note"] == note for e in snapshots(table_dir)):
+            return
         delta = _batch_state(batch)
         prior = (
             read_snapshot(batch.sparkSession, table_dir)
@@ -83,7 +91,7 @@ def run_incremental_rollup(
             else None
         )
         merged = _merge(prior, delta)
-        commit_snapshot(merged, table_dir, note=f"batch {batch_id}")
+        commit_snapshot(merged, table_dir, note=note)
 
     with pinned_stream_partitions(spark):
         q = (

@@ -97,3 +97,32 @@ def test_incremental_state_equals_complete_mode_drain(spark):
     }
     assert got_incr == got_complete
     assert len(got_incr) > 0
+
+
+def test_replayed_batch_folds_exactly_once(spark, tmp_path):
+    """foreachBatch replays a failed batch with the same batch_id; the
+    manifest-note transaction check must make the second fold a no-op
+    so the state never double-counts."""
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        read_snapshot,
+        snapshots,
+    )
+    from energy_consumption_forecasting_spark.streaming.incremental_rollup import (
+        run_incremental_rollup,
+    )
+
+    table = str(tmp_path / "rollup_tbl")
+    final = run_incremental_rollup(
+        spark, "/root/testdata/sf0.001", table, glob="events.parquet"
+    )
+    state1 = {tuple(r) for r in final.collect()}
+    n_snaps = len(snapshots(table))
+
+    # simulate an engine replay: re-run the same drain against the
+    # same table dir with a FRESH checkpoint (same batch ids 0..n)
+    run_incremental_rollup(
+        spark, "/root/testdata/sf0.001", table, glob="events.parquet"
+    )
+    state2 = {tuple(r) for r in read_snapshot(spark, table).collect()}
+    assert state2 == state1, "replay double-folded the delta"
+    assert len(snapshots(table)) == n_snaps
