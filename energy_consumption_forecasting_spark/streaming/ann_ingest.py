@@ -113,12 +113,61 @@ def ingest_vectors_available_now(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v")
     )
 
+    log_path = os.path.join(index_dir, "_ingested_batches.json")
+
+    def _log() -> list[int]:
+        import json
+
+        if not os.path.exists(log_path):
+            return []
+        with open(log_path) as f:
+            return json.load(f)
+
     def append(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch side effects are AT-LEAST-ONCE: a crashed batch
+        # replays with the same batch_id, and a plain mode("append")
+        # would duplicate every replayed vector.  Exactly-once recipe:
+        # (1) skip ids the txn log already records; (2) stage the
+        # batch, sweep any `b<id>-` files a half-finished earlier
+        # attempt left, then move the staged parts in under
+        # DETERMINISTIC batch-prefixed names — after any COMPLETED
+        # attempt the codes dir holds exactly that attempt's files;
+        # (3) record the id.  A crash between (2) and (3) just makes
+        # the replay redo the idempotent sweep+move.
+        import glob as globmod
+        import json
+        import shutil
+
+        if batch_id in _log():
+            return
         encoded = encode_with_meta(batch, meta)
-        w = encoded.write.mode("append")
+        stage = tempfile.mkdtemp(prefix=f"ecf_annstage_{batch_id}_")
+        w = encoded.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy("cell")
-        w.parquet(codes_dir)
+        w.parquet(stage)
+        prefix = f"b{batch_id}-"
+        for old_file in globmod.glob(
+            os.path.join(codes_dir, "**", f"{prefix}*.parquet"),
+            recursive=True,
+        ):
+            os.remove(old_file)
+        for root, _dirs, files in os.walk(stage):
+            rel = os.path.relpath(root, stage)
+            dst_dir = codes_dir if rel == "." else os.path.join(codes_dir, rel)
+            parquets = sorted(f for f in files if f.endswith(".parquet"))
+            if parquets:
+                os.makedirs(dst_dir, exist_ok=True)
+            for i, f in enumerate(parquets):
+                os.replace(
+                    os.path.join(root, f),
+                    os.path.join(dst_dir, f"{prefix}part-{i:05d}.parquet"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        tmp = log_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(_log() + [batch_id], f)
+        os.replace(tmp, log_path)
 
     with pinned_stream_partitions(spark):
         q = (

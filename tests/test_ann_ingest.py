@@ -116,3 +116,40 @@ def test_sq8_streaming_ingest_matches_batch_codes(spark, tmp_path):
         for r in encode_with_meta(e, meta).collect()
     }
     assert stream_codes == batch_codes
+
+
+def test_replayed_ingest_does_not_duplicate_codes(spark, tmp_path):
+    """Re-draining the same vectors with fresh checkpoints (same batch
+    ids — the engine-replay shape) must leave the codes table
+    unchanged: the batch txn log + deterministic file names make the
+    append exactly-once."""
+    from energy_consumption_forecasting_spark.functions.vectors import as_double
+    from energy_consumption_forecasting_spark.sources.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from energy_consumption_forecasting_spark.streaming.ann_ingest import (
+        ingest_vectors_available_now,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    idx = str(tmp_path / "idx")
+    build_ann_index(e, idx, kind="sq8", n_cells=None)
+    base = spark.read.parquet(f"{idx}/codes").count()
+
+    ingest_vectors_available_now(spark, idx, "/root/testdata/sf0.001",
+                                 glob="embeddings.parquet")
+    codes1, _ = load_ann_index(spark, idx)
+    n1 = codes1.count()
+    assert n1 == 2 * base  # one clean append on top of the build
+    ids1 = sorted(r.vec_id for r in codes1.select("vec_id").collect())
+
+    # replay: same source, fresh checkpoint -> same batch ids
+    ingest_vectors_available_now(spark, idx, "/root/testdata/sf0.001",
+                                 glob="embeddings.parquet")
+    codes2, _ = load_ann_index(spark, idx)
+    assert codes2.count() == n1
+    assert sorted(r.vec_id for r in codes2.select("vec_id").collect()) == ids1
