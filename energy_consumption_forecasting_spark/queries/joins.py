@@ -177,9 +177,7 @@ def j8_colwise_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- J9 (extension): correlated LATERAL top-n per key -------------------------------
-@query(
-    "j9_lateral_topn",
-    oracle="""
+_LATERAL_TOPN_SQL = """
     SELECT c.c_custkey, t.o_orderkey,
            CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
     FROM customer c,
@@ -190,8 +188,10 @@ def j8_colwise_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
            ORDER BY o_totalprice DESC, o_orderkey
            LIMIT 2
          ) t
-    """,
-)
+"""
+
+
+@query("j9_lateral_topn", oracle=_LATERAL_TOPN_SQL)
 def j9_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery: each customer's top-2 orders by
     price, written as the SQL a warehouse user would write.  Catalyst
@@ -206,17 +206,4 @@ def j9_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey,
-               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
-        FROM customer c,
-             LATERAL (
-               SELECT o_orderkey, o_totalprice
-               FROM orders o
-               WHERE o.o_custkey = c.c_custkey
-               ORDER BY o_totalprice DESC, o_orderkey
-               LIMIT 2
-             ) t
-        """
-    )
+    return spark.sql(_LATERAL_TOPN_SQL)

@@ -96,3 +96,55 @@ def drain_available_now(stream_df, sink_prefix: str, output_mode: str = "complet
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+def txn_seen(state_dir: str, key: str) -> bool:
+    """True iff ``txn_record(state_dir, key)`` already ran.
+
+    The foreachBatch exactly-once guard: Spark's sink side effects are
+    at-least-once (a crash between the sink commit and the offset
+    commit replays the batch), so idempotent sinks record
+    ``"<run_id>/<batch_id>"`` here before finishing.  The key MUST be
+    scoped by a run/lineage id derived from the CHECKPOINT location —
+    a bare batch_id restarts at 0 with every fresh checkpoint and
+    would dedupe AWAY genuinely new data (round-4 review finding).
+    The log lives in its own file, so snapshot retention (vacuum)
+    cannot erase it."""
+    import json
+    import os
+
+    p = os.path.join(state_dir, "_txn.json")
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        return key in json.load(f)
+
+
+def txn_record(state_dir: str, key: str) -> None:
+    """Append ``key`` to the transaction log (atomic replace)."""
+    import json
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    p = os.path.join(state_dir, "_txn.json")
+    entries = []
+    if os.path.exists(p):
+        with open(p) as f:
+            entries = json.load(f)
+    if key in entries:
+        return
+    tmp = p + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(entries + [key], f)
+    os.replace(tmp, p)
+
+
+def run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable lineage id for a checkpoint location: batch ids are only
+    unique WITHIN one checkpoint's lineage, so txn keys pair this with
+    the batch id."""
+    import hashlib
+
+    return hashlib.sha1(
+        checkpoint_dir.rstrip("/").encode()
+    ).hexdigest()[:12]

@@ -94,13 +94,23 @@ def ingest_vectors_available_now(
     glob: str = "*.parquet",
     vec_col: str = "embedding",
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
-    """Drain a directory of vector parquet files into the index."""
+    """Drain a directory of vector parquet files into the index.
+
+    Pass a PERSISTENT ``checkpoint_dir`` for incremental ingest across
+    calls (only new files encode; crash-replayed batches are skipped);
+    the default ephemeral checkpoint is the one-shot form."""
     import os
     import tempfile
 
     from ..sources.ann_index import load_ann_index
-    from . import pinned_stream_partitions
+    from . import (
+        pinned_stream_partitions,
+        run_id_for_checkpoint,
+        txn_record,
+        txn_seen,
+    )
     from .source import stream_source
 
     _, meta = load_ann_index(spark, index_dir)
@@ -113,40 +123,39 @@ def ingest_vectors_available_now(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v")
     )
 
-    log_path = os.path.join(index_dir, "_ingested_batches.json")
-
-    def _log() -> list[int]:
-        import json
-
-        if not os.path.exists(log_path):
-            return []
-        with open(log_path) as f:
-            return json.load(f)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_annin_ckpt_")
+    run_id = run_id_for_checkpoint(ckpt)
 
     def append(batch: DataFrame, batch_id: int) -> None:
         # foreachBatch side effects are AT-LEAST-ONCE: a crashed batch
         # replays with the same batch_id, and a plain mode("append")
         # would duplicate every replayed vector.  Exactly-once recipe:
-        # (1) skip ids the txn log already records; (2) stage the
-        # batch, sweep any `b<id>-` files a half-finished earlier
-        # attempt left, then move the staged parts in under
-        # DETERMINISTIC batch-prefixed names — after any COMPLETED
-        # attempt the codes dir holds exactly that attempt's files;
-        # (3) record the id.  A crash between (2) and (3) just makes
-        # the replay redo the idempotent sweep+move.
+        # (1) skip keys the txn log records — keys are scoped by the
+        # CHECKPOINT lineage (a bare batch_id restarts at 0 under a
+        # fresh checkpoint and would dedupe away genuinely new data);
+        # (2) stage the batch INSIDE index_dir (same filesystem, so
+        # os.replace stays an atomic rename — /tmp may be a different
+        # mount), sweep any files a half-finished earlier attempt
+        # left, then move the parts in under DETERMINISTIC
+        # run/batch-prefixed names — after any COMPLETED attempt the
+        # codes dir holds exactly that attempt's files; (3) record the
+        # key.  A crash between (2) and (3) just makes the replay redo
+        # the idempotent sweep+move.
         import glob as globmod
-        import json
         import shutil
 
-        if batch_id in _log():
+        key = f"{run_id}/{batch_id}"
+        if txn_seen(index_dir, key):
             return
         encoded = encode_with_meta(batch, meta)
-        stage = tempfile.mkdtemp(prefix=f"ecf_annstage_{batch_id}_")
+        stage = tempfile.mkdtemp(
+            dir=index_dir, prefix=f"_stage_{run_id}_{batch_id}_"
+        )
         w = encoded.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy("cell")
         w.parquet(stage)
-        prefix = f"b{batch_id}-"
+        prefix = f"b{run_id}-{batch_id}-"
         for old_file in globmod.glob(
             os.path.join(codes_dir, "**", f"{prefix}*.parquet"),
             recursive=True,
@@ -164,18 +173,12 @@ def ingest_vectors_available_now(
                     os.path.join(dst_dir, f"{prefix}part-{i:05d}.parquet"),
                 )
         shutil.rmtree(stage, ignore_errors=True)
-        tmp = log_path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(_log() + [batch_id], f)
-        os.replace(tmp, log_path)
+        txn_record(index_dir, key)
 
     with pinned_stream_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(append)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ecf_annin_ckpt_"),
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

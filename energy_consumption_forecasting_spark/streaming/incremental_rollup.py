@@ -66,23 +66,45 @@ def run_incremental_rollup(
     table_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drain the directory through foreachBatch, committing one snapshot
-    per micro-batch; returns the final rollup state (latest snapshot)."""
-    from . import pinned_stream_partitions
+    per micro-batch; returns the final rollup state (latest snapshot).
 
+    Pass a PERSISTENT ``checkpoint_dir`` to get incremental semantics
+    across calls (new files fold as new batches; a crash-replayed
+    batch is skipped by the txn guard).  The default ephemeral
+    checkpoint is the gate/one-shot form."""
+    from . import (
+        pinned_stream_partitions,
+        run_id_for_checkpoint,
+        txn_record,
+        txn_seen,
+    )
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_incr_ckpt_")
+    run_id = run_id_for_checkpoint(ckpt)
     stream = events_stream(
         spark, events_dir, glob, maxFilesPerTrigger=max_files_per_trigger
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        # foreachBatch side effects are AT-LEAST-ONCE: after a failure
-        # the engine replays the last batch with the SAME batch_id.
-        # The manifest note is the transaction log — a batch id that
-        # already landed is skipped, making the fold exactly-once
-        # (the Delta/Iceberg txn-version idiom on the snapshot sink).
-        note = f"batch {batch_id}"
-        if any(e["note"] == note for e in snapshots(table_dir)):
+        # foreachBatch side effects are AT-LEAST-ONCE: a crash between
+        # the sink commit and the offset commit replays this batch id
+        # on restart.  The txn log (separate from the vacuumable
+        # snapshot manifest) skips the replayed fold; the key is
+        # scoped by the CHECKPOINT lineage — batch ids restart at 0
+        # under a fresh checkpoint, so a bare id would dedupe away
+        # genuinely new data.
+        key = f"{run_id}/{batch_id}"
+        # seen = txn log OR a manifest note carrying the key: the
+        # snapshot commit is atomic and lands BEFORE the log append,
+        # so a crash in between leaves the note as the evidence — the
+        # log exists only because vacuum() rewrites the manifest and
+        # must not erase txn history.
+        if txn_seen(table_dir, key) or any(
+            e["note"] == f"txn {key}" for e in snapshots(table_dir)
+        ):
             return
         delta = _batch_state(batch)
         prior = (
@@ -91,14 +113,13 @@ def run_incremental_rollup(
             else None
         )
         merged = _merge(prior, delta)
-        commit_snapshot(merged, table_dir, note=note)
+        commit_snapshot(merged, table_dir, note=f"txn {key}")
+        txn_record(table_dir, key)
 
     with pinned_stream_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(upsert)
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_incr_ckpt_")
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -118,11 +118,13 @@ def test_sq8_streaming_ingest_matches_batch_codes(spark, tmp_path):
     assert stream_codes == batch_codes
 
 
-def test_replayed_ingest_does_not_duplicate_codes(spark, tmp_path):
-    """Re-draining the same vectors with fresh checkpoints (same batch
-    ids — the engine-replay shape) must leave the codes table
-    unchanged: the batch txn log + deterministic file names make the
-    append exactly-once."""
+def test_incremental_ingest_appends_new_files_once(spark, tmp_path):
+    """Persistent-checkpoint ingest: a second drain encodes only the
+    new file (no duplicates of the old one), a third with nothing new
+    is a no-op — lineage-scoped txn keys, same-filesystem staging."""
+    import os
+    import shutil
+
     from energy_consumption_forecasting_spark.functions.vectors import as_double
     from energy_consumption_forecasting_spark.sources.ann_index import (
         build_ann_index,
@@ -140,16 +142,27 @@ def test_replayed_ingest_does_not_duplicate_codes(spark, tmp_path):
     build_ann_index(e, idx, kind="sq8", n_cells=None)
     base = spark.read.parquet(f"{idx}/codes").count()
 
-    ingest_vectors_available_now(spark, idx, "/root/testdata/sf0.001",
-                                 glob="embeddings.parquet")
-    codes1, _ = load_ann_index(spark, idx)
-    n1 = codes1.count()
-    assert n1 == 2 * base  # one clean append on top of the build
-    ids1 = sorted(r.vec_id for r in codes1.select("vec_id").collect())
+    src = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet", f"{src}/a.parquet"
+    )
+    ingest_vectors_available_now(spark, idx, src, glob="*.parquet",
+                                 checkpoint_dir=ckpt)
+    n1 = spark.read.parquet(f"{idx}/codes").count()
+    assert n1 == 2 * base
 
-    # replay: same source, fresh checkpoint -> same batch ids
-    ingest_vectors_available_now(spark, idx, "/root/testdata/sf0.001",
-                                 glob="embeddings.parquet")
-    codes2, _ = load_ann_index(spark, idx)
-    assert codes2.count() == n1
-    assert sorted(r.vec_id for r in codes2.select("vec_id").collect()) == ids1
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet", f"{src}/b.parquet"
+    )
+    ingest_vectors_available_now(spark, idx, src, glob="*.parquet",
+                                 checkpoint_dir=ckpt)
+    n2 = spark.read.parquet(f"{idx}/codes").count()
+    assert n2 == 3 * base, "new file must encode exactly once"
+
+    ingest_vectors_available_now(spark, idx, src, glob="*.parquet",
+                                 checkpoint_dir=ckpt)
+    assert spark.read.parquet(f"{idx}/codes").count() == n2
+    codes, _ = load_ann_index(spark, idx)
+    assert codes.count() == n2
