@@ -126,6 +126,14 @@ def ingest_vectors_available_now(
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_annin_ckpt_")
     run_id = run_id_for_checkpoint(ckpt)
 
+    # sweep stage dirs orphaned by crashed earlier attempts: none can
+    # be live at function entry (stages exist only inside an append)
+    import glob as _globmod
+    import shutil as _shutil
+
+    for orphan in _globmod.glob(os.path.join(index_dir, "_stage_*")):
+        _shutil.rmtree(orphan, ignore_errors=True)
+
     def append(batch: DataFrame, batch_id: int) -> None:
         # foreachBatch side effects are AT-LEAST-ONCE: a crashed batch
         # replays with the same batch_id, and a plain mode("append")
