@@ -118,9 +118,7 @@ def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_SALT_SQL = "', '".join(_CMS_SALTS)
 
 
-@query(
-    "sketch_cms_heavyhitters",
-    oracle=f"""
+_CMS_ORACLE = f"""
     WITH occ AS (
       SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                 x -> x <> '')) AS w
@@ -150,8 +148,10 @@ _CMS_SALT_SQL = "', '".join(_CMS_SALTS)
     SELECT w, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
            CAST(cms_est - true_cnt AS BIGINT) AS overcount
     FROM est
-    """,
-)
+    """
+
+
+@query("sketch_cms_heavyhitters", oracle=_CMS_ORACLE)
 def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch frequency estimates for the corpus's true
     top-{_CMS_TOPK} tokens: 4 salted hash rows x 256 buckets, estimate

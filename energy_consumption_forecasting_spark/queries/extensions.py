@@ -638,3 +638,23 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_heavy_hitters_available_now(
         spark, sf_dir.rstrip("/"), glob="events.parquet"
     )
+
+
+# --- streaming Count-Min-Sketch heavy hitters ---------------------------------------
+from .behavior import _CMS_ORACLE  # noqa: E402  (shared stream==batch oracle)
+
+
+@query("stream_cms_heavyhitters", oracle=_CMS_ORACLE)
+def stream_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS heavy-hitter report through the streaming engine
+    (streaming/cms_stream.py): per-micro-batch token occurrences fold
+    into integer-additive sketch + count state, so the drained result
+    is bit-identical to the one-shot batch sketch — asserted by
+    sharing the batch query's oracle verbatim."""
+    from ..session import ensure_utc
+    from ..streaming.cms_stream import run_cms_available_now
+
+    ensure_utc(spark)
+    return run_cms_available_now(
+        spark, sf_dir.rstrip("/"), glob="documents.parquet"
+    )

@@ -92,3 +92,19 @@ def test_first_writer_wins_across_batches(spark, split_docs):
     assert any(doc < dup for doc, dup in verdicts.items())
     # and nothing is ever its own duplicate
     assert all(doc != dup for doc, dup in verdicts.items())
+
+
+def test_stream_cms_matches_batch(spark):
+    """Integer-additive sketch state: the streamed CMS report equals
+    the one-shot batch sketch bit-for-bit."""
+    from energy_consumption_forecasting_spark.queries.behavior import (
+        sketch_cms_heavyhitters,
+    )
+    from energy_consumption_forecasting_spark.queries.extensions import (
+        stream_cms_heavyhitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in stream_cms_heavyhitters(spark, sf).collect()}
+    ref = {tuple(r) for r in sketch_cms_heavyhitters(spark, sf).collect()}
+    assert got == ref and got
