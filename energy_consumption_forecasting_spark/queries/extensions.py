@@ -658,3 +658,29 @@ def stream_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cms_available_now(
         spark, sf_dir.rstrip("/"), glob="documents.parquet"
     )
+
+
+# --- streaming per-source frequency cap ---------------------------------------------
+from .pipeline_ops import SOURCE_CAP_ORACLE  # noqa: E402
+
+
+@query("stream_source_cap", oracle=SOURCE_CAP_ORACLE)
+def stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capping through the streaming engine
+    (streaming/source_cap_stream.py): each micro-batch's own top-k
+    folds into per-source kept-set state via the min-k semilattice
+    merge (sorted-union-truncate — associative, commutative,
+    idempotent), so batch boundaries and arrival order cannot change
+    the kept set.  Shares the batch operator's oracle verbatim."""
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..streaming.source_cap_stream import run_source_cap_available_now
+
+    ensure_utc(spark)
+    return run_source_cap_available_now(
+        spark,
+        sf_dir.rstrip("/"),
+        tempfile.mkdtemp(prefix="ecf_srccap_state_"),
+        glob="documents.parquet",
+    )

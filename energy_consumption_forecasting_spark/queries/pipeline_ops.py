@@ -921,9 +921,7 @@ SOURCE_CAP = 15  # max documents retained per source/domain
 _CAP_SALTS = 8  # sub-buckets per source in the partial top-k pass
 
 
-@query(
-    "pipeline_source_cap",
-    oracle=f"""
+SOURCE_CAP_ORACLE = f"""
     WITH keyed AS (
       SELECT doc_id, source,
              md5(COALESCE(text, '')) || '-'
@@ -936,8 +934,10 @@ _CAP_SALTS = 8  # sub-buckets per source in the partial top-k pass
     )
     SELECT source, CAST(r AS INT) AS keep_rank, doc_id
     FROM ranked WHERE r <= {SOURCE_CAP}
-    """,
-)
+    """
+
+
+@query("pipeline_source_cap", oracle=SOURCE_CAP_ORACLE)
 def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (domain) frequency capping: keep at most
     {SOURCE_CAP} documents per source, chosen by content-hash order so

@@ -594,3 +594,46 @@ def test_sq8_index_roundtrip(spark, tmp_path):
     assert {(r.query_id, r.rank, r.vec_id) for r in out2} == {
         (r.query_id, r.rank, r.vec_id) for r in out
     }
+
+
+def test_stream_source_cap_split_batches_matches_batch(spark, tmp_path):
+    """The min-k semilattice fold is batch-boundary-proof: splitting
+    the corpus across micro-batches (maxFilesPerTrigger=1 over two
+    half files) yields the same kept set as the batch operator."""
+    import os
+    import shutil
+
+    from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+        pipeline_source_cap,
+    )
+    from energy_consumption_forecasting_spark.streaming.source_cap_stream import (
+        run_source_cap_available_now,
+    )
+
+    # split the documents into two files so the drain sees >1 batch
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "docs_split")
+    os.makedirs(src)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/even"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/odd"
+    )
+    for sub in ("even", "odd"):
+        for f in os.listdir(f"{src}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/{sub}/{f}", f"{src}/{sub}.parquet")
+        shutil.rmtree(f"{src}/{sub}")
+
+    got = run_source_cap_available_now(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        glob="*.parquet",
+        max_files_per_trigger=1,  # force one file per micro-batch
+    )
+    ref = pipeline_source_cap(spark, SF_SMALL)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
