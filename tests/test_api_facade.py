@@ -1,0 +1,104 @@
+"""Migration facade (api.py): the reference's class API drives the
+Spark-backed pipelines — same names, same call shapes, documented
+DataFrame-for-pandas delta."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from energy_consumption_forecasting_spark.api import (
+    ETL,
+    BayesianOptimization,
+    BayesianOptimizationConfig,
+    BlockingTimeSeriesSplit,
+    ConsumptionForecasterTrainer,
+    ETLConfig,
+)
+from tests.conftest import SF_SMALL
+
+RING = [(-95.0, 35.0), (-85.0, 35.0), (-85.0, 45.0), (-95.0, 45.0)]
+
+
+def test_etl_config_attr_bag():
+    cfg = ETLConfig(start_year=2021, end_year=2022)
+    assert cfg.start_year == 2021 and cfg.unknown_field is None
+
+
+def test_etl_weather_chain(spark):
+    """generate_weather == the reference's station→melt→pivot→clean→
+    fill→calendar→enrich chain, driven through the facade."""
+    stations = spark.createDataFrame(
+        [
+            ("US000000001", 40.0, -90.0, 200.0, "MI_CITY_1"),
+            ("US000000004", 36.0, -86.0, 150.0, "MI_CITY_3"),
+            ("US000000002", 50.0, -90.0, 210.0, "MI_CITY_2"),
+        ],
+        "ID string, lat double, long double, elev double, city string",
+    )
+    rows = []
+    for sid in ("US000000001", "US000000004"):
+        for elem in ("TMAX", "PRCP"):
+            vals = {f"VALUE{d}": float(d) for d in range(1, 32)}
+            rows.append(
+                {"ID": sid, "YEAR": 2021, "MONTH": 4, "ELEMENT": elem, **vals}
+            )
+    daily = spark.createDataFrame(rows)
+
+    etl = ETL(ETLConfig(start_year=2016, end_year=2024), spark)
+    out = etl.generate_weather(
+        stations=stations, daily_wide=daily, ring=RING
+    )
+    got = out.collect()
+    assert got
+    # both in-ring stations survive, day 31 of April dropped (W13)
+    assert {r.ID for r in got} == {"US000000001", "US000000004"}
+    assert all(r.DATE.day <= 30 for r in got)
+    # enrichment carried the station dimension back on
+    assert {"lat", "long", "elev", "city"} <= set(out.columns)
+
+
+def test_blocking_split_matches_reference_shape(spark):
+    """5 blocks, ~20% validation tail per block, train before val in
+    time order — the utils.py:8 contract on DataFrames."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = orders.count()
+    splitter = BlockingTimeSeriesSplit(n_splits=5, val_size=0.2)
+    seen = 0
+    for train, val in splitter.split(orders, ["o_orderdate", "o_orderkey"]):
+        tn, vn = train.count(), val.count()
+        seen += tn + vn
+        assert vn == pytest.approx(0.2 * (tn + vn), abs=1)
+        # time ordering: max train date <= min val date boundary-safe
+        tmax = train.agg(F.max("o_orderdate")).first()[0]
+        vmin = val.agg(F.min("o_orderdate")).first()[0]
+        assert tmax <= vmin
+    assert seen == n
+
+
+def test_bayes_opt_facade_minimizes():
+    cfg = BayesianOptimizationConfig(
+        objective=lambda x: float((x[0] - 0.3) ** 2),
+        hp_bounds=[(0.0, 1.0)],
+        search_size=12,
+        seed=3,
+    )
+    bo = BayesianOptimization(cfg)
+    result = bo.tune(spark=None)
+    assert abs(result["best_x"][0] - 0.3) < 0.2
+    assert bo.searched_params == result
+
+
+def test_trainer_facade_fits_and_predicts():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(64, 4, 2)).astype(np.float64)
+    y = (X[:, -1, 0] * 0.5 + 0.1).astype(np.float64)
+    tr = ConsumptionForecasterTrainer()
+    tr.config.epochs = 2
+    tr.fit(X, y)
+    pred = tr.predict(X)
+    assert pred.shape == (64,)
+    assert np.isfinite(pred).all()
