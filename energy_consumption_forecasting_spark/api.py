@@ -84,10 +84,14 @@ class ETL:
         from .plans.balance_pipeline import balance_pipeline
 
         if yearly_frames is None:
-            from .sources.csv_source import read_csv
-
+            # the reference infers dtypes with pandas (ETL.py:69);
+            # header+inferSchema is the Spark equivalent for the
+            # migration path — production pins explicit schemas via
+            # sources/csv_source.read_csv
             yearly_frames = [
-                read_csv(self.spark, f"{self.data_path}/*{year}*.csv")
+                self.spark.read.option("header", True)
+                .option("inferSchema", True)
+                .csv(f"{self.data_path}/*{year}*.csv")
                 for year in range(self.start_year, self.end_year + 1)
             ]
         return balance_pipeline(yearly_frames)

@@ -102,3 +102,51 @@ def test_trainer_facade_fits_and_predicts():
     pred = tr.predict(X)
     assert pred.shape == (64,)
     assert np.isfinite(pred).all()
+
+
+def test_etl_balance_sheets_from_csvs(spark, tmp_path):
+    """The facade's default path scans per-year CSV globs and runs the
+    EP1a chain: region filter, Adjusted-column selection, name
+    normalization, union across ragged years."""
+    hdr21 = (
+        "Balancing Authority,Data Date,Hour Number,Region,"
+        "local_time_end_hour,Demand (MW) (Adjusted),"
+        "Net Generation (MW) (Adjusted),Demand (MW) (Imputed)\n"
+    )
+    rows21 = [
+        f"MISO,01/0{d}/2021,{h},MIDW,2021-01-0{d} {h:02d}:00:00,"
+        f"{100 + h},{90 + h},{999}\n"
+        for d in (1, 2)
+        for h in range(1, 4)
+    ]
+    # 2022 adds a column the 2021 file lacks (ragged union)
+    hdr22 = hdr21.rstrip("\n") + ",Interchange (MW) (Adjusted)\n"
+    rows22 = [
+        f"MISO,01/0{d}/2022,{h},MIDW,2022-01-0{d} {h:02d}:00:00,"
+        f"{200 + h},{190 + h},{999},{5 + h}\n"
+        for d in (1, 2)
+        for h in range(1, 4)
+    ]
+    # plus an out-of-region row that must be filtered
+    rows22.append(
+        "PJM,01/01/2022,1,MIDA,2022-01-01 01:00:00,1,1,999,1\n"
+    )
+    (tmp_path / "EIA930_BALANCE_2021_Jan_Jun.csv").write_text(
+        hdr21 + "".join(rows21)
+    )
+    (tmp_path / "EIA930_BALANCE_2022_Jan_Jun.csv").write_text(
+        hdr22 + "".join(rows22)
+    )
+
+    etl = ETL(
+        ETLConfig(start_year=2021, end_year=2022, data_path=str(tmp_path)),
+        spark,
+    )
+    out = etl.balance_sheets()
+    rows = out.collect()
+    assert len(rows) == 12  # 6 per year, PJM row filtered
+    cols = set(out.columns)
+    # Imputed dropped pre-normalization; the name rule then strips the
+    # "(MW) (Adjusted)" parentheticals (reference ETL.py:87)
+    assert {"demand", "net_generation", "interchange"} <= cols
+    assert not any("imputed" in c for c in cols)
