@@ -108,3 +108,33 @@ def test_stream_cms_matches_batch(spark):
     got = {tuple(r) for r in stream_cms_heavyhitters(spark, sf).collect()}
     ref = {tuple(r) for r in sketch_cms_heavyhitters(spark, sf).collect()}
     assert got == ref and got
+
+
+def test_stream_hll_distinct_matches_batch(spark):
+    """HLL registers merge by max — order- and batch-independent — so
+    the streamed approx_count_distinct equals the batch sketch exactly
+    (same implementation, same data, any micro-batch split)."""
+    from energy_consumption_forecasting_spark.streaming import (
+        drain_available_now,
+    )
+    from energy_consumption_forecasting_spark.streaming.source import (
+        docs_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = docs_stream(spark, sf_dir, "documents.parquet",
+                         maxFilesPerTrigger=1)
+    got = drain_available_now(
+        stream.groupBy("lang").agg(
+            F.approx_count_distinct("source", 0.02).alias("n_src")
+        ),
+        "hll_gate",
+    )
+    ref = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.approx_count_distinct("source", 0.02).alias("n_src"))
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
