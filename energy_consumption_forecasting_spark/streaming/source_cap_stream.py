@@ -59,10 +59,17 @@ def _merge(prior: DataFrame | None, delta: DataFrame) -> DataFrame:
     merged = p.join(d, "source", "full").select(
         "source",
         F.slice(
+            # array_distinct BEFORE the truncate: the union must be a
+            # SET union or the merge is not idempotent — re-folding a
+            # key already in the state would duplicate it, burn cap
+            # slots, and emit the same doc twice (caught by the
+            # hypothesis semilattice test).
             F.array_sort(
-                F.concat(
-                    F.coalesce(F.col("pks"), F.array()),
-                    F.coalesce(F.col("dks"), F.array()),
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("pks"), F.array()),
+                        F.coalesce(F.col("dks"), F.array()),
+                    )
                 )
             ),
             1,

@@ -390,3 +390,52 @@ def test_lazy_bucket_rank_raises_on_null_bucket(spark):
     out = global_row_number_lazy(df, ["k"], bucket=F.expr("k div 16"))
     with pytest.raises(Exception, match="bucket expression produced NULL"):
         out.collect()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 4),
+    st.randoms(),
+)
+def test_source_cap_semilattice_fold(spark, rows, n_batches, rnd):
+    """Folding random batch splits in random order through the min-k
+    merge equals the one-shot top-k — the semilattice property the
+    streaming op depends on (associative, commutative, idempotent)."""
+    from energy_consumption_forecasting_spark.streaming.source_cap_stream import (
+        SOURCE_CAP,
+        _batch_topk,
+        _merge,
+    )
+
+    def mk(rs):
+        return spark.createDataFrame(
+            [(i, s, f"text {i}") for i, s in rs],
+            "doc_id long, source string, text string",
+        )
+
+    whole = _batch_topk(mk(rows)).collect()
+    ref = {r.source: list(r.ks) for r in whole}
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    chunks = [shuffled[i::n_batches] for i in range(n_batches)]
+    chunks = [c for c in chunks if c]
+    state = None
+    for c in chunks:
+        state = _merge(state, _batch_topk(mk(c)))
+    # idempotence: re-fold one chunk again, result must not change
+    state = _merge(state, _batch_topk(mk(chunks[0])))
+    got = {r.source: list(r.ks) for r in state.collect()}
+    assert got == ref
+    for ks in got.values():
+        assert len(ks) <= SOURCE_CAP and ks == sorted(ks)
