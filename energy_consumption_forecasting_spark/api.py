@@ -79,8 +79,11 @@ class ETL:
         """Reference ``_extract_csvs`` + ``_check_columns`` +
         ``balance_sheets``: fetch/scan the per-year EIA CSVs, align
         schemas, filter to the MISO region, normalize names, drop
-        null-heavy columns/rows, backfill.  Pass pre-scanned frames or
-        let the HTTP staging source fetch ``start_year..end_year``."""
+        null-heavy columns/rows, backfill.  Scans LOCAL per-year CSV
+        globs under ``data_path`` (download first with
+        sources/csv_source.fetch_http_to_stage, the executor-parallel
+        staging fetch — the reference downloads inline); or pass
+        pre-scanned frames."""
         from .plans.balance_pipeline import balance_pipeline
 
         if yearly_frames is None:
@@ -195,18 +198,30 @@ class BayesianOptimization:
         self.config = config
         self.searched_params: dict = {}
 
-    def tune(self, spark: SparkSession, data: DataFrame | None = None):
+    def tune(
+        self,
+        spark: SparkSession | None = None,
+        data: DataFrame | None = None,
+    ):
+        """``data``/``spark`` are stashed on the instance for the
+        objective to read (the reference's objective closes over
+        ``config.data`` the same way); explicit 0 values for seed and
+        search_size are honored, not treated as unset."""
         from .ml.bayesopt import bayes_opt
 
+        self.spark, self.data = spark, data
         cfg = self.config
         result = bayes_opt(
             objective=cfg.objective,
             bounds=cfg.hp_bounds,
-            n_iter=cfg.search_size or 10,
-            seed=cfg.seed or 7,
+            n_iter=cfg.search_size if cfg.search_size is not None else 10,
+            seed=cfg.seed if cfg.seed is not None else 7,
         )
         self.searched_params = result
         return result
+
+    # the reference exposes the loop as maximize-style entry points
+    maximize = tune
 
 
 class ConsumptionForecasterTrainer:
@@ -222,14 +237,25 @@ class ConsumptionForecasterTrainer:
         self.model = None
         self.history = None
 
+    # reference config names → ml/lstm.py trainer names
+    _PARAM_MAP = {
+        "hidden": "hidden_size",
+        "hidden_size": "hidden_size",
+        "layers": "num_layers",
+        "num_layers": "num_layers",
+        "lr": "lr",
+        "epochs": "epochs",
+        "seed": "seed",
+        "dropout": "dropout",
+    }
+
     def fit(self, X, y):
         from .ml.lstm import lstm_train
 
         params = {
-            k: v
+            self._PARAM_MAP[k]: v
             for k, v in vars(self.config).items()
-            if k in ("hidden", "layers", "lr", "epochs", "seed")
-            and v is not None
+            if k in self._PARAM_MAP and v is not None
         }
         self.model, self.history = lstm_train(X, y, params or None)
         return self

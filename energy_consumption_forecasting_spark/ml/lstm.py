@@ -374,11 +374,13 @@ def lstm_train(X: np.ndarray, y: np.ndarray, params: dict | None = None):
             hidden=int(p["hidden_size"]),
             num_layers=int(p.get("num_layers", 1)),
             dropout=float(p.get("dropout", 0.3)),
-            seed=42,
+            seed=int(p.get("seed", 42)),
         )
     else:
         model = NumpyLSTM(
-            n_features=X.shape[2], hidden=int(p["hidden_size"]), seed=42
+            n_features=X.shape[2],
+            hidden=int(p["hidden_size"]),
+            seed=int(p.get("seed", 42)),
         )
     history = model.fit(X, y, epochs=int(p.get("epochs", 60)), lr=float(p["lr"]))
     return model, history

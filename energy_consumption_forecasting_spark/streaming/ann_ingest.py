@@ -126,12 +126,16 @@ def ingest_vectors_available_now(
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_annin_ckpt_")
     run_id = run_id_for_checkpoint(ckpt)
 
-    # sweep stage dirs orphaned by crashed earlier attempts: none can
-    # be live at function entry (stages exist only inside an append)
+    # sweep stage dirs orphaned by crashed earlier attempts of THIS
+    # lineage only — a concurrent ingest with its own checkpoint may
+    # have a live stage under the same index_dir, and sweeping it
+    # would silently drop that run's batch
     import glob as _globmod
     import shutil as _shutil
 
-    for orphan in _globmod.glob(os.path.join(index_dir, "_stage_*")):
+    for orphan in _globmod.glob(
+        os.path.join(index_dir, f"_stage_{run_id}_*")
+    ):
         _shutil.rmtree(orphan, ignore_errors=True)
 
     def append(batch: DataFrame, batch_id: int) -> None:

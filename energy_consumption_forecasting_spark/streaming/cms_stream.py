@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 
 from .source import docs_stream
 
-_CMS_SALTS = ("s0", "s1", "s2", "s3")  # shared with queries/behavior.py
-_CMS_TOPK = 10
+from ..queries.behavior import _CMS_SALTS, _CMS_TOPK  # one source of truth with the batch sketch
 
 
 def _occ(stream: DataFrame) -> DataFrame:

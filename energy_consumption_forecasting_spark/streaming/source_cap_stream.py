@@ -23,11 +23,16 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.versioned import commit_snapshot, read_snapshot, snapshots, versions
+from ..sources.versioned import (
+    commit_snapshot,
+    read_snapshot,
+    snapshots,
+    vacuum,
+    versions,
+)
 from .source import docs_stream
 
-SOURCE_CAP = 15  # shared with queries/pipeline_ops.py
-_SALTS = 8
+from ..queries.pipeline_ops import SOURCE_CAP, _CAP_SALTS as _SALTS  # noqa: E501  shared with the batch operator — one source of truth
 
 
 def _batch_topk(batch: DataFrame) -> DataFrame:
@@ -35,6 +40,7 @@ def _batch_topk(batch: DataFrame) -> DataFrame:
     via the same two-level window rank as the batch operator."""
     docs = batch.select(
         "source",
+        "doc_id",
         F.concat(
             F.md5(F.coalesce(F.col("text"), F.lit(""))),
             F.lit("-"),
@@ -46,18 +52,31 @@ def _batch_topk(batch: DataFrame) -> DataFrame:
     pruned = docs.withColumn("__r1", F.row_number().over(w1)).filter(
         F.col("__r1") <= SOURCE_CAP
     )
+    # state carries (k, doc_id) STRUCTS: sorting/dedup still key on k
+    # (struct order is field-by-field and k embeds doc_id uniquely),
+    # and the exact doc_id rides along — re-parsing it out of the
+    # string breaks for negative or >= 1e12 ids.
     return pruned.groupBy("source").agg(
-        F.slice(F.array_sort(F.collect_list("k")), 1, SOURCE_CAP).alias("ks")
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("k", "doc_id"))),
+            1,
+            SOURCE_CAP,
+        ).alias("ks")
     )
 
 
 def _merge(prior: DataFrame | None, delta: DataFrame) -> DataFrame:
     if prior is None:
         return delta
-    p = prior.select("source", F.col("ks").alias("pks"))
-    d = delta.select("source", F.col("ks").alias("dks"))
-    merged = p.join(d, "source", "full").select(
-        "source",
+    p = prior.select(F.col("source").alias("psrc"), F.col("ks").alias("pks"))
+    d = delta.select(F.col("source").alias("dsrc"), F.col("ks").alias("dks"))
+    # eqNullSafe: a plain equi-join never matches NULL source keys, so
+    # NULL-source state would duplicate on every fold instead of
+    # merging (the batch op and oracle treat NULL as one group)
+    merged = p.join(
+        d, F.col("psrc").eqNullSafe(F.col("dsrc")), "full"
+    ).select(
+        F.coalesce(F.col("psrc"), F.col("dsrc")).alias("source"),
         F.slice(
             # array_distinct BEFORE the truncate: the union must be a
             # SET union or the merge is not idempotent — re-folding a
@@ -126,9 +145,22 @@ def run_source_cap_available_now(
         )
         q.awaitTermination()
 
+    if not versions(table_dir):
+        # zero batches drained (empty source): the batch op returns an
+        # empty frame, so the stream gate must too
+        return spark.createDataFrame(
+            [], "source string, keep_rank int, doc_id long"
+        )
     state = read_snapshot(spark, table_dir)
-    return state.select("source", F.posexplode("ks").alias("pos", "k")).select(
+    out = state.select(
+        "source", F.posexplode("ks").alias("pos", "e")
+    ).select(
         "source",
         (F.col("pos") + 1).cast("int").alias("keep_rank"),
-        F.substring("k", 34, 12).cast("long").alias("doc_id"),
+        F.col("e.doc_id").alias("doc_id"),
     )
+    # gate hygiene: intermediate snapshots are dead once the final
+    # state is read — keep only the newest (the drain is gate-only;
+    # a production deployment owns its table_dir lifecycle)
+    vacuum(table_dir, keep_last=1)
+    return out
