@@ -1,0 +1,70 @@
+"""Physical-plan contracts, pinned as tests (PLANS.md is the generated
+artifact; these assertions guard the load-bearing plan properties
+against optimizer/implementation regressions)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    from energy_consumption_forecasting_spark.queries import load_all
+
+    qs, _ = load_all()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        qs[name](spark, SF_SMALL).explain("formatted")
+    return buf.getvalue()
+
+
+# Queries whose plans must never contain a cartesian/BNL shape: the
+# pair-join family (the named 100-TB scale-killer) plus the join-heavy
+# relational spine.  Stat-broadcast crossJoins (1-row frames) are NOT
+# in this list by design — those are deliberate scalar broadcasts.
+NO_BNL = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_prefix_filter_join",
+    "dedup_semantic",
+    "sim_bucketed_ann",
+    "sim_knn_graph",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q8_market_share",
+    "pipeline_contamination",
+    "j9_lateral_topn",
+]
+
+
+@pytest.mark.parametrize("name", NO_BNL)
+def test_no_cartesian_or_bnl(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
+
+
+def test_q6_filters_reach_the_scan(spark):
+    plan = _plan(spark, "tpch_q6_revenue_change")
+    pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert any(p.strip() for p in pushed), "no pushed filters on q6 scan"
+
+
+def test_q1_reads_only_needed_columns(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    # the pricing summary needs 7 lineitem columns; reading more means
+    # projection pruning broke
+    assert len(cols) <= 7, f"q1 reads {sorted(cols)}"
+
+
+def test_broadcast_dim_join_stays_broadcast(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
