@@ -55,13 +55,24 @@ def _merge_pair(symbols, left: str, right: str):
     )
 
 
+_LOCAL_VOCAB_MAX = 50_000  # driver-tier cap: words fit comfortably in RAM
+
+
 def learn_bpe(
     words: DataFrame, n_merges: int, word_col: str = "w", count_col: str = "cnt"
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, count) table.
 
     Returns [(left, right, weighted_pair_count), ...] in merge order.
-    """
+
+    Tiered like every production tokenizer trainer: BPE learning
+    consumes the AGGREGATED word-count table, which for real corpora
+    is vocabulary-sized — when it fits the driver
+    (``_LOCAL_VOCAB_MAX`` words) the merge loop runs locally in one
+    collect instead of ``n_merges`` cluster round-trips (identical
+    argmax tie-break and left-to-right non-overlap rewrite, pinned by
+    a tier-equality test); the distributed loop below is the
+    unbounded-vocabulary path."""
     from ..session import loop_shuffle_width
 
     spark = words.sparkSession
@@ -72,8 +83,56 @@ def learn_bpe(
     # VOCABULARY-sized state — size the loop's shuffle width to the
     # vocabulary (one count job), not the session default.
     n_words = state.count()
+    if n_words <= _LOCAL_VOCAB_MAX:
+        rows = [(list(r["syms"]), int(r["cnt"])) for r in state.collect()]
+        return _learn_bpe_local(rows, n_merges)
     with loop_shuffle_width(spark, n_words, 100_000):
         return _learn_bpe_loop(state, n_merges)
+
+
+def _apply_merge_local(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge — the reference semantics,
+    identical to the ``_merge_pair`` fold."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_local(
+    rows: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-tier merge loop over collected (symbols, count) rows.
+
+    Python string comparison orders by code point and Spark's UTF8
+    binary order preserves code-point order, so the (count desc, a, b)
+    argmax tie-break matches the distributed loop exactly."""
+    merges: list[tuple[str, str, int]] = []
+    state = rows
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in state:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, int(n)))
+        state = [
+            (_apply_merge_local(syms, a, b), cnt)
+            for syms, cnt in state
+            if len(syms) >= 2
+        ]
+    return merges
 
 
 def _learn_bpe_loop(state: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:

@@ -175,11 +175,13 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{BPE_MERGES} rounds of byte-pair-encoding merge learning (Sennrich
     et al. 2016), the vocabulary-induction loop of every modern
-    tokenizer, run as a distributed iteration:
+    tokenizer, over the aggregated DISTINCT-word table:
 
     * corpus state = (symbols array, word count) per DISTINCT word —
       aggregation shrinks the working set to vocabulary size (the
-      standard BPE trick: corpus frequency rides as a weight);
+      standard BPE trick: corpus frequency rides as a weight); when
+      that table fits the driver the merge loop runs locally in one
+      collect (operators/bpe.py tier rule, equality-tested), else:
     * each round: one groupBy for weighted pair counts, a
       deterministic driver argmax (count desc, pair asc — a few bytes
       collected), then a row-local HOF fold rewrites each word's

@@ -637,3 +637,20 @@ def test_stream_source_cap_split_batches_matches_batch(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in ref.collect()
     }
+
+
+def test_bpe_tiers_agree(spark, monkeypatch):
+    """The driver-tier merge loop equals the distributed loop on the
+    same word table — same argmax tie-breaks, same rewrites."""
+    from energy_consumption_forecasting_spark.operators import bpe
+
+    words = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    local = bpe.learn_bpe(words, n_merges=5)
+    monkeypatch.setattr(bpe, "_LOCAL_VOCAB_MAX", -1)
+    dist = bpe.learn_bpe(words, n_merges=5)
+    assert local == dist and len(local) == 5
