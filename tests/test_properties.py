@@ -439,3 +439,38 @@ def test_source_cap_semilattice_fold(spark, rows, n_batches, rnd):
     assert got == ref
     for ks in got.values():
         assert len(ks) <= SOURCE_CAP and ks == sorted(ks)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("c", "c")]),
+)
+def test_bpe_merge_fold_tiers_agree(spark, syms, pair):
+    """The Catalyst armed-fold (_merge_pair) and the driver-tier loop
+    (_apply_merge_local) implement the identical left-to-right
+    non-overlapping merge — including left==right and interleaved
+    overlap cases."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.bpe import (
+        _apply_merge_local,
+        _merge_pair,
+    )
+
+    a, b = pair
+    expected = _apply_merge_local(list(syms), a, b)
+    got = (
+        spark.range(1)
+        .select(
+            _merge_pair(
+                F.array(*[F.lit(s) for s in syms]), a, b
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert list(got) == expected, f"{syms} merge {pair}"
