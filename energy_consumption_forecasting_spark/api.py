@@ -99,6 +99,25 @@ class ETL:
             ]
         return balance_pipeline(yearly_frames)
 
+    def download_balance_sheets(
+        self,
+        base_url: str = "https://www.eia.gov/electricity/gridmonitor/sixMonthFiles",
+    ) -> list[str]:
+        """Reference ``_extract_csvs`` download half (ETL.py:56-77):
+        stage the per-year EIA930 balance CSVs under ``data_path`` via
+        the executor-parallel HTTP fetch (sources/csv_source.py —
+        idempotent atomic renames, so re-runs skip finished files).
+        Call before ``balance_sheets()`` when the CSVs aren't local;
+        ``base_url`` is overridable for mirrors and tests."""
+        from .sources.csv_source import fetch_http_to_stage
+
+        urls = [
+            f"{base_url}/EIA930_BALANCE_{year}_{half}.csv"
+            for year in range(self.start_year, self.end_year + 1)
+            for half in ("Jan_Jun", "Jul_Dec")
+        ]
+        return fetch_http_to_stage(self.spark, urls, self.data_path)
+
     # -- EP1b: weather (ETL.py:101-330) -----------------------------------
     def get_station_df(self) -> DataFrame:
         """Reference ETL.py:133 — fixed-width GHCN station inventory."""

@@ -150,3 +150,53 @@ def test_etl_balance_sheets_from_csvs(spark, tmp_path):
     # "(MW) (Adjusted)" parentheticals (reference ETL.py:87)
     assert {"demand", "net_generation", "interchange"} <= cols
     assert not any("imputed" in c for c in cols)
+
+
+def test_download_then_balance_sheets(spark, tmp_path):
+    """The reference's download-then-read flow through the facade: a
+    localhost server stands in for the EIA endpoint; the staged CSVs
+    then feed the EP1a chain."""
+    import http.server
+    import os
+    import socketserver
+    import threading
+
+    hdr = (
+        "Balancing Authority,Data Date,Hour Number,Region,"
+        "local_time_end_hour,Demand (MW) (Adjusted)\n"
+    )
+    rows = [
+        f"MISO,01/0{d}/2021,{h},MIDW,2021-01-0{d} {h:02d}:00:00,{100 + h}\n"
+        for d in (1, 2)
+        for h in (1, 2)
+    ]
+    serve = tmp_path / "served"
+    os.makedirs(serve)
+    for half in ("Jan_Jun", "Jul_Dec"):
+        (serve / f"EIA930_BALANCE_2021_{half}.csv").write_text(
+            hdr + "".join(rows)
+        )
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(serve), **kw
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            etl = ETL(
+                ETLConfig(
+                    start_year=2021,
+                    end_year=2021,
+                    data_path=str(tmp_path / "stage"),
+                ),
+                spark,
+            )
+            staged = etl.download_balance_sheets(
+                base_url=f"http://127.0.0.1:{port}"
+            )
+            assert len(staged) == 2 and all(os.path.exists(p) for p in staged)
+            out = etl.balance_sheets()
+            assert out.count() == 8  # 4 rows x 2 staged halves
+        finally:
+            httpd.shutdown()
