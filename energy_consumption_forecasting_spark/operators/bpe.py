@@ -82,10 +82,21 @@ def learn_bpe(
     # The merge loop runs n_merges tiny shuffle jobs over the
     # VOCABULARY-sized state — size the loop's shuffle width to the
     # vocabulary (one count job), not the session default.
-    n_words = state.count()
-    if n_words <= _LOCAL_VOCAB_MAX:
-        rows = [(list(r["syms"]), int(r["cnt"])) for r in state.collect()]
+    # ONE probe job decides the tier AND supplies the local rows:
+    # take(cap+1) short-circuits; only the (rare) distributed path
+    # pays the full count for its loop-width sizing.
+    probe = state.take(_LOCAL_VOCAB_MAX + 1)
+    if len(probe) <= _LOCAL_VOCAB_MAX:
+        rows = [
+            # match the distributed semantics on NULLs: a NULL word
+            # fails size(syms) >= 2 there (size(NULL) = -1), a NULL
+            # count is ignored by F.sum — locally: skip / weight 0
+            (list(r["syms"]), int(r["cnt"]) if r["cnt"] is not None else 0)
+            for r in probe
+            if r["syms"] is not None
+        ]
         return _learn_bpe_local(rows, n_merges)
+    n_words = state.count()
     with loop_shuffle_width(spark, n_words, 100_000):
         return _learn_bpe_loop(state, n_merges)
 

@@ -59,10 +59,13 @@ def test_q6_filters_reach_the_scan(spark):
 def test_q1_reads_only_needed_columns(spark):
     plan = _plan(spark, "tpch_q1_pricing_summary")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert schemas, "no ReadSchema in plan — the regex guard went blind"
+    # parse field NAMES only (robust to parameterized types like
+    # decimal(12,2) whose commas a naive split would break on)
+    cols = {m for s in schemas for m in re.findall(r"(?:^|,)(\w+):", s)}
     # the pricing summary needs 7 lineitem columns; reading more means
     # projection pruning broke
-    assert len(cols) <= 7, f"q1 reads {sorted(cols)}"
+    assert 0 < len(cols) <= 7, f"q1 reads {sorted(cols)}"
 
 
 def test_broadcast_dim_join_stays_broadcast(spark):
