@@ -197,3 +197,55 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
     )
+
+
+# --- weekly cohort retention --------------------------------------------------------
+@query(
+    "w_cohort_retention",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id,
+             MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS ed0
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed
+      FROM events
+    )
+    SELECT CAST(f.ed0 // 7 AS BIGINT) AS cohort_week,
+           CAST(a.ed // 7 - f.ed0 // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firstseen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    distinct-user counts per (cohort, weeks-since-cohort) cell — the
+    retention-triangle table of every product-analytics stack.  Weeks
+    are epoch-day div 7 (engine-portable integer arithmetic; calendar
+    week-truncation differs between engines' week-start conventions).
+
+    Plan: one user-keyed aggregate for first-seen (map-side
+    combinable), one distinct on (user, day) — both shuffle the
+    user-id key only; the cohort join broadcasts nothing corpus-sized
+    (firstseen is user-cardinality, co-keyed with active, so AQE picks
+    a co-partitioned join).  At 100 TB both shuffles carry 16-byte
+    rows and the output is weeks² cells."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("ed").alias("ed0"))
+    active = ev.distinct()
+    return (
+        active.join(firstseen, "user_id")
+        .groupBy(
+            F.expr("ed0 div 7").cast("long").alias("cohort_week"),
+            F.expr("ed div 7 - ed0 div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
