@@ -304,3 +304,23 @@ def global_row_number_lazy(
         .withColumn(rn_col, F.row_number().over(wl) + guarded_off)
         .drop(_BKT, _OFF)
     )
+
+
+def ntile_expr(rn_name: str, n_name: str, k: int):
+    """Exact ``ntile(k)`` as a column expression of a global rank and
+    total-count column (both attachable action-free by
+    ``global_row_number_lazy``): the first ``n % k`` tiles hold
+    ``ceil(n/k)`` rows — all integer algebra (``ceil(a/b) = (a+b-1)
+    div b``), bit-identical to both engines' ntile."""
+    big = F.col(n_name) % k
+    cut = big * (F.expr(f"{n_name} div {k}") + 1)
+    return F.when(
+        F.col(rn_name) <= cut,
+        F.expr(f"({rn_name} + {n_name} div {k}) div ({n_name} div {k} + 1)"),
+    ).otherwise(
+        big
+        + F.expr(
+            f"({rn_name} - ({n_name} % {k}) * ({n_name} div {k} + 1)"
+            f" + {n_name} div {k} - 1) div ({n_name} div {k})"
+        )
+    )

@@ -249,3 +249,78 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- RFM customer segmentation ------------------------------------------------------
+@query(
+    "w_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  AS BIGINT) AS last_ed,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), g AS (SELECT MAX(last_ed) AS maxd FROM cust)
+    SELECT custkey,
+           CAST(ntile(5) OVER (ORDER BY maxd - last_ed, custkey) AS INT)
+             AS r_ntile,
+           CAST(ntile(5) OVER (ORDER BY freq, custkey) AS INT) AS f_ntile,
+           CAST(ntile(5) OVER (ORDER BY cents, custkey) AS INT) AS m_ntile
+    FROM cust CROSS JOIN g
+    """,
+)
+def w_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus max date), frequency, monetary cents — each scored
+    into exact global quintiles.  The CRM/LTV segmentation every
+    commerce stack derives, and a deliberate stress of the ranking
+    primitive: THREE exact global ntiles in one query, each riding
+    ``global_row_number_lazy`` (monotone value-derived buckets, no
+    count action, no single-partition window) with the shared
+    ``ntile_expr`` integer algebra — tie-breaks on custkey keep both
+    engines' ntile deterministic.
+
+    Scale: per-customer aggregate shuffles the customer key once; each
+    quintile pass is a bucket-keyed rank over the CUSTOMER table
+    (dimension-sized); the global max date is a 1-row broadcast."""
+    from ..operators.ranking import global_row_number_lazy, ntile_expr
+
+    cust = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(
+                F.datediff(
+                    F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+                ).cast("long")
+            ).alias("last_ed"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    maxd = cust.agg(F.max("last_ed").alias("maxd"))
+    cust = cust.join(F.broadcast(maxd)).withColumn(
+        "recency", F.col("maxd") - F.col("last_ed")
+    )
+
+    def quintile(df, metric, out):
+        ranked = global_row_number_lazy(
+            df,
+            [metric, "custkey"],
+            bucket=F.expr(f"{metric} div 16"),
+            rn_col="__rn",
+            total_col="__n",
+        )
+        return ranked.withColumn(
+            out, ntile_expr("__rn", "__n", 5).cast("int")
+        ).drop("__rn", "__n")
+
+    scored = quintile(cust, "recency", "r_ntile")
+    scored = quintile(scored, "freq", "f_ntile")
+    scored = quintile(scored, "cents", "m_ntile")
+    return scored.select("custkey", "r_ntile", "f_ntile", "m_ntile")

@@ -193,19 +193,11 @@ def w7_blocked_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n%k folds hold ceil(n/k) rows.  All integer algebra (ceil(a/b) =
     # (a+b-1) div b), so there is no float boundary to disagree with
     # the oracle's ntile, and no driver-side count job at all.
+    from ..operators.ranking import ntile_expr
+
     szf = F.expr(f"__n div {k}")
     big = F.col("__n") % k
-    cut = big * (szf + 1)  # rows covered by the big folds
-    fold = F.when(
-        F.col("rn") <= cut,
-        F.expr(f"(rn + __n div {k}) div (__n div {k} + 1)"),
-    ).otherwise(
-        big
-        + F.expr(
-            f"(rn - (__n % {k}) * (__n div {k} + 1) + __n div {k} - 1)"
-            f" div (__n div {k})"
-        )
-    )
+    fold = ntile_expr("rn", "__n", k)
     start = (
         F.least(fold - 1, big) * (szf + 1)
         + F.greatest(fold - 1 - big, F.lit(0)) * szf
