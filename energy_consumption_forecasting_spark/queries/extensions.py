@@ -514,6 +514,50 @@ def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Case-insensitive collation grouping (Spark 4) ----------------------------------
+@query(
+    "f_collation_ci_group",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS cased
+      FROM events
+    )
+    SELECT MIN(cased) AS variant_min,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT cased) AS BIGINT) AS n_case_variants
+    FROM c
+    GROUP BY lower(cased)
+    """,
+)
+def f_collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive aggregation via Spark 4 COLLATIONS: the group
+    key is ``cased COLLATE UTF8_LCASE`` — the engine's comparator does
+    the folding (hash/sort semantics change at the type level, so every
+    downstream join/sort inherits it), unlike the classic
+    ``lower(col)`` rewrite which burns a projection and loses the
+    original spelling.  Mixed-case input is synthesized
+    deterministically (even event_ids upper-cased).  The collated key
+    itself is an arbitrary class representative, so the output emits
+    the binary MIN variant instead — deterministic on both engines —
+    plus the per-class case-variant count that proves the classes
+    actually merged spellings.  Oracle folds with ``lower()``."""
+    ev = tbl(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("cased")
+    )
+    return (
+        ev.groupBy(F.expr("cased COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("cased").alias("variant_min"),
+            F.count("*").alias("n"),
+            F.countDistinct("cased").alias("n_case_variants"),
+        )
+        .select("variant_min", "n", "n_case_variants")
+    )
+
+
 # --- Structured Streaming MinHash near-dup ------------------------------------------
 def _minhash_stream_oracle() -> str:
     from .dedup import _MINHASH_SQL, _SHINGLES_SQL

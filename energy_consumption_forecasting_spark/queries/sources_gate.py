@@ -506,6 +506,75 @@ def s14_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S17: XML scan/sink roundtrip (Spark 4 built-in) --------------------------------
+XML_DIR = f"{STAGE_DIR}/s17_xml"
+
+
+@query(
+    "s17_xml_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS first_ship,
+           CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS last_ship
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def s17_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: XML scan + sink — the third built-in file format of Spark 4
+    (spark-xml was folded into core in 4.0).  A deterministic lineitem
+    slice is written as XML (rowTag=line) and re-read WITH AN EXPLICIT
+    SCHEMA (XML schema inference is a full extra pass at scale, same
+    contract rule as the S14 JSONL gate); the aggregate over the
+    roundtrip must equal the same aggregate straight off parquet — any
+    fidelity loss in the markup hop (date formatting, decimal text,
+    entity escaping) breaks the hash.  Scale: the XML reader splits by
+    rowTag within files, so a directory of shards parallelizes like any
+    text source; column pruning happens post-parse (XML is row-major),
+    which is why the slice projects BEFORE the write."""
+    out = os.path.join(XML_DIR, os.path.basename(sf_dir.rstrip("/")))
+    (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_quantity",
+            F.to_date("l_shipdate").alias("ship_d"),
+        )
+        .write.mode("overwrite")
+        .option("rowTag", "line")
+        .format("xml")
+        .save(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("ship_d", T.DateType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "line")
+        .format("xml")
+        .load(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min("ship_d").cast("string").alias("first_ship"),
+            F.max("ship_d").cast("string").alias("last_ship"),
+        )
+    )
+
+
 # --- S16: Python STREAMING DataSource (Spark 4) -------------------------------------
 @query(
     "s16_tick_stream_source",
