@@ -53,6 +53,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _LOADED:
         from . import (  # noqa: F401
             aggregates,
+            basket,
             behavior,
             components,
             dedup,

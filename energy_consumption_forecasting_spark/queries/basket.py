@@ -1,0 +1,177 @@
+"""Market-basket mining: frequent co-occurring item pairs and the
+association rules over them — the classic retail-analytics workload
+(Agrawal & Srikant, VLDB 1994 a-priori shape), expressed as pure
+DataFrame algebra with an exact SQL oracle.
+
+Exactness discipline: supports are integers; confidence and lift are
+single IEEE divisions of exact ints (< 2^53), which both engines round
+identically — no accumulation-order sensitivity anywhere.
+
+100-TB shape:
+* Baskets are order-bounded (TPC-H orders hold <= 7 lines), so the
+  per-basket pair explosion is O(k²) with small k — the self-join on
+  ``l_orderkey`` shuffles once on the basket key and never builds a
+  cross product across baskets.
+* The a-priori prune runs first: an item pair can reach support s only
+  if BOTH items appear in >= s baskets, so the candidate join uses only
+  frequent items.  The frequent-item list is item-dimension-sized
+  (thousands–millions of rows, KB–MB), broadcast to avoid a second
+  shuffle of the basket table.  The prune is lossless — it can only
+  drop pairs that could never qualify.
+* Rule scoring joins the pair table to the item-count table twice;
+  both sides of those joins are item-dimension-sized → broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+_MINSUP = 2  # pair must co-occur in >= 2 baskets
+
+_ITEMS_SQL = """
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_counts AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def _frequent_items(items: DataFrame) -> DataFrame:
+    """Items appearing in >= _MINSUP baskets (a-priori candidate prune)."""
+    return (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= _MINSUP)
+    )
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = _frequent_items(items)
+    pruned = items.join(
+        F.broadcast(freq.select("l_partkey")), "l_partkey"
+    ).select("l_orderkey", "l_partkey")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _MINSUP)
+    )
+
+
+@query(
+    "a_basket_pairs",
+    oracle=f"""
+    WITH {_ITEMS_SQL}
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(n AS BIGINT) AS n
+    FROM pair_counts WHERE n >= {_MINSUP}
+    """,
+)
+def a_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item pairs: parts co-occurring in >= 2 orders.  One
+    basket-key self-join + one hash agg; the a-priori item prune keeps
+    the candidate set sub-quadratic (module docstring)."""
+    return _pair_counts(spark, sf_dir).select(
+        F.col("p1").cast("long"),
+        F.col("p2").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
+@query(
+    "a_assoc_rules",
+    oracle=f"""
+    WITH {_ITEMS_SQL},
+    item_counts AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1
+    ),
+    total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    rules AS (
+      SELECT p1 AS ante, p2 AS cons, n FROM pair_counts WHERE n >= {_MINSUP}
+      UNION ALL
+      SELECT p2 AS ante, p1 AS cons, n FROM pair_counts WHERE n >= {_MINSUP}
+    )
+    SELECT CAST(r.ante AS BIGINT) AS ante,
+           CAST(r.cons AS BIGINT) AS cons,
+           CAST(r.n AS BIGINT) AS support,
+           CAST(r.n AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+           CAST(r.n * t.n_orders AS DOUBLE)
+             / CAST(ia.n_item * ic.n_item AS DOUBLE) AS lift
+    FROM rules r
+    JOIN item_counts ia ON ia.l_partkey = r.ante
+    JOIN item_counts ic ON ic.l_partkey = r.cons
+    CROSS JOIN total t
+    """,
+)
+def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules ante→cons over the frequent pairs: confidence
+    = sup(pair)/sup(ante), lift = sup(pair)·N / (sup(ante)·sup(cons)).
+    Each metric is ONE division of exact integers — bit-identical
+    across engines.  Item-count and total frames are broadcast
+    (item-dimension / 1-row)."""
+    pairs = _pair_counts(spark, sf_dir)
+    items = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item_counts = items.groupBy("l_partkey").agg(
+        F.count("*").alias("n_item")
+    )
+    total = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    rules = pairs.select(
+        F.col("p1").alias("ante"), F.col("p2").alias("cons"), "n"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("ante"), F.col("p1").alias("cons"), "n"
+        )
+    )
+    ia = item_counts.withColumnRenamed("l_partkey", "ante").withColumnRenamed(
+        "n_item", "n_ante"
+    )
+    ic = item_counts.withColumnRenamed("l_partkey", "cons").withColumnRenamed(
+        "n_item", "n_cons"
+    )
+    return (
+        rules.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("ante").cast("long"),
+            F.col("cons").cast("long"),
+            F.col("n").cast("long").alias("support"),
+            (F.col("n").cast("double") / F.col("n_ante").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n") * F.col("n_orders")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -324,3 +324,60 @@ def w_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quintile(scored, "freq", "f_ntile")
     scored = quintile(scored, "cents", "m_ntile")
     return scored.select("custkey", "r_ntile", "f_ntile", "m_ntile")
+
+
+# --- Markov transition matrix over user event sequences -----------------------------
+@query(
+    "w_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev, event_type AS next, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev AS prev_type, next AS next_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+    FROM t
+    """,
+)
+def w_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (prev_type, next_type) pair, the count of consecutive occurrences
+    within a user's timeline and the row-normalized transition
+    probability.  The lag window partitions by ``user_id`` (events
+    shard cleanly by user at any scale — no global window), the
+    transition agg is a map-side-combinable groupBy to a
+    |types|²-sized result, and the normalizing row-sum runs over that
+    tiny matrix.  Ordering ties broken by the unique ``event_id`` so
+    both engines see the identical sequence; p is one IEEE division of
+    exact ints."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(row).cast("double")).alias(
+            "p"
+        ),
+    )
