@@ -72,6 +72,10 @@ HEADLINE = [
     # compression tier
     "pipeline_source_cap",
     "sim_sq8_topk",
+    # round-4 third wave: basket self-join mining + event-sequence
+    # transition matrix (the per-user lag-window family)
+    "a_basket_pairs",
+    "w_markov_transitions",
 ]
 
 

@@ -9,9 +9,9 @@ identically — no accumulation-order sensitivity anywhere.
 
 100-TB shape:
 * Baskets are order-bounded (TPC-H orders hold <= 7 lines), so the
-  per-basket pair explosion is O(k²) with small k — the self-join on
-  ``l_orderkey`` shuffles once on the basket key and never builds a
-  cross product across baskets.
+  per-basket pair explosion is O(k²) with small k — baskets collapse
+  to sorted item arrays with ONE shuffle on the basket key and pairs
+  explode row-locally; no self-join, no cross product across baskets.
 * The a-priori prune runs first: an item pair can reach support s only
   if BOTH items appear in >= s baskets, so the candidate join uses only
   frequent items.  The frequent-item list is item-dimension-sized
@@ -46,37 +46,45 @@ pair_counts AS (
 """
 
 
-def _frequent_items(items: DataFrame) -> DataFrame:
-    """Items appearing in >= _MINSUP baskets (a-priori candidate prune)."""
+def _frequent_items(lines: DataFrame) -> DataFrame:
+    """Items appearing in >= _MINSUP baskets (a-priori candidate prune).
+    Takes the RAW line table — the per-item distinct-basket count is one
+    groupBy with countDistinct, no pre-pass over a deduped pair table."""
     return (
-        items.groupBy("l_partkey")
-        .agg(F.count("*").alias("n_baskets"))
+        lines.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_baskets"))
         .filter(F.col("n_baskets") >= _MINSUP)
     )
 
 
 def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    freq = _frequent_items(items)
-    pruned = items.join(
+    """One shuffle, not a self-join: baskets collapse to a sorted item
+    array (groupBy on the basket key — the distinct is folded into the
+    same shuffle via collect_set), pairs explode ROW-LOCALLY from the
+    array (C(k,2) with k <= basket size), then one hash agg counts
+    them.  The a-priori prune drops infrequent items before the basket
+    collapse so the array stays minimal."""
+    lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    freq = _frequent_items(lines)
+    pruned = lines.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey"
     ).select("l_orderkey", "l_partkey")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    baskets = pruned.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("arr")
+    )
+    # flatten(transform(arr, (x, i) -> transform(slice(arr, i+2, n), y -> (x, y))))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size("arr")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _MINSUP)
     )
@@ -93,8 +101,9 @@ def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent item pairs: parts co-occurring in >= 2 orders.  One
-    basket-key self-join + one hash agg; the a-priori item prune keeps
-    the candidate set sub-quadratic (module docstring)."""
+    basket-key groupBy + row-local pair explode + one hash agg; the
+    a-priori item prune keeps the candidate set sub-quadratic (module
+    docstring)."""
     return _pair_counts(spark, sf_dir).select(
         F.col("p1").cast("long"),
         F.col("p2").cast("long"),
@@ -134,15 +143,11 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines.  Item-count and total frames are broadcast
     (item-dimension / 1-row)."""
     pairs = _pair_counts(spark, sf_dir)
-    items = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    item_counts = lines.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_item")
     )
-    item_counts = items.groupBy("l_partkey").agg(
-        F.count("*").alias("n_item")
-    )
-    total = items.agg(
+    total = lines.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
     rules = pairs.select(
