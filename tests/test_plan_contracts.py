@@ -71,3 +71,25 @@ def test_q1_reads_only_needed_columns(spark):
 def test_broadcast_dim_join_stays_broadcast(spark):
     plan = _plan(spark, "tpch_q3_shipping_priority")
     assert "BroadcastHashJoin" in plan
+
+
+def test_basket_pairs_single_shuffle_no_selfjoin(spark):
+    """a_basket_pairs must stay the array-explode shape: the only join
+    is the broadcast a-priori prune — any SortMergeJoin means the
+    basket self-join crept back (two shuffles of the line table)."""
+    plan = _plan(spark, "a_basket_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, "basket self-join regressed"
+    assert "BroadcastHashJoin" in plan  # the a-priori prune
+    assert "Generate" in plan  # the row-local pair explode
+
+
+def test_markov_window_partitions_by_user(spark):
+    """The lag window must partition by user_id — a global (empty
+    partition-by) window here would serialize the whole event table
+    through one task."""
+    plan = _plan(spark, "w_markov_transitions")
+    assert re.search(r"partitionBy=\[user_id", plan) or re.search(
+        r"\[user_id[^\]]*\], \[ts", plan
+    ), "lag window lost its user_id partitioning"
