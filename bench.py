@@ -97,6 +97,7 @@ def main() -> None:
         "w18_disaggregation",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "a_basket_pairs",
     ):
         qs[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
