@@ -728,3 +728,34 @@ def stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ecf_srccap_state_"),
         glob="documents.parquet",
     )
+
+
+# --- Structured Streaming Markov transitions (event-time-ordered state) --------------
+@query(
+    "stream_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    )
+    SELECT prev AS prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of w_markov_transitions — the suite's only
+    event-time-ORDERED stateful operator: per-user buffers sealed by
+    the watermark, cumulative counts emitted update-mode, and the
+    final unsealed tail recovered through Spark 4's statestore READER
+    instead of sentinel rows (streaming/markov_stream.py).  The drained
+    global matrix equals the batch lag-window truth exactly — the
+    shared oracle asserts it hash-for-hash."""
+    from ..session import ensure_utc
+    from ..streaming.markov_stream import run_markov_available_now
+
+    ensure_utc(spark)
+    return run_markov_available_now(spark, sf_dir.rstrip("/"))
