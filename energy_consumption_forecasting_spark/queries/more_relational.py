@@ -749,3 +749,41 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
     return j.filter(bracket).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+# --- SQL UDF + parameterized SQL (Spark 4 declarative function surface) ---------------
+@query(
+    "f_sql_udf_params",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def f_sql_udf_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's DECLARATIVE function surface: a SQL UDF (CREATE
+    FUNCTION ... RETURN expr) — which Catalyst inlines into the plan,
+    so unlike Python UDFs it costs nothing and survives
+    pushdown/codegen — plus a named-parameter ``spark.sql(...,
+    args=...)`` binding for the filter literal (injection-safe
+    parameterization, the production alternative to f-string SQL)."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(x / 20000) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM v_orders_sqludf
+        WHERE o_orderstatus = :st
+        GROUP BY band
+        """,
+        args={"st": "F"},
+    )

@@ -88,3 +88,48 @@ def w5_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("c_mktsegment", segments)
         .agg(F.min("v"))
     )
+
+
+# --- W5 (native): Spark 4 df.transpose ----------------------------------------------
+@query(
+    "w5_transpose_native",
+    oracle="""
+    WITH agg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+             CAST(COUNT(*) AS DOUBLE) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    long AS (
+      SELECT c_mktsegment, k AS key, v
+      FROM agg UNPIVOT (v FOR k IN (avg_bal, n_cust))
+    )
+    SELECT key,
+           MIN(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN v END) AS AUTOMOBILE,
+           MIN(CASE WHEN c_mktsegment = 'BUILDING'   THEN v END) AS BUILDING,
+           MIN(CASE WHEN c_mktsegment = 'FURNITURE'  THEN v END) AS FURNITURE,
+           MIN(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN v END) AS HOUSEHOLD,
+           MIN(CASE WHEN c_mktsegment = 'MACHINERY'  THEN v END) AS MACHINERY
+    FROM long
+    GROUP BY key
+    """,
+)
+def w5_transpose_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 through Spark 4's NATIVE ``DataFrame.transpose`` — the engine
+    collapses the frame to the driver (transpose is inherently
+    driver-sized: it's only legal on aggregate-sized frames, exactly
+    like this 5×2 stat table), flips it, and emits column-per-index
+    rows.  The melt+pivot form (w5_transpose) remains the distributed
+    path for anything bigger than a stat table."""
+    agg = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal"),
+            F.count("*").cast("double").alias("n_cust"),
+        )
+    )
+    return agg.transpose(F.col("c_mktsegment"))
