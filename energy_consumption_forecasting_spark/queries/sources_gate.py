@@ -615,3 +615,61 @@ def s16_tick_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tick_id").alias("sum_ids"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# --- S18: custom Python DataSource SINK (writer API) --------------------------------
+SINK_DIR = f"{STAGE_DIR}/s18_pysink"
+
+
+@query(
+    "s18_python_sink_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 13 = 0
+    GROUP BY l_linestatus
+    """,
+)
+def s18_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: batch write through the CUSTOM Python DataSource sink
+    (sources/jsonl_sink_datasource.py — executor-staged files, commit
+    messages, driver-side promote + _SUCCESS: the FileOutputCommitter
+    v1 protocol in Python), then read the committed files back and
+    aggregate; the oracle computes the same straight off parquet, so
+    a lost partition, double-committed task, or serialization drift in
+    the custom sink breaks the hash."""
+    from ..sources.jsonl_sink_datasource import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = os.path.join(SINK_DIR, os.path.basename(sf_dir.rstrip("/")))
+    (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_linestatus", "l_extendedprice")
+        .write.format("ecf_jsonl")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(f"{out}/*.jsonl")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
