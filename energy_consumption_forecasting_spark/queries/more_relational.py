@@ -787,3 +787,62 @@ def f_sql_udf_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"st": "F"},
     )
+
+
+# --- SQL scripting: loop-carried iterative trim (Spark 4 BEGIN..END) ------------------
+@query(
+    "f_sql_scripting_trim",
+    oracle="""
+    WITH m0 AS (
+      SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS th
+      FROM orders
+    ),
+    m1 AS (
+      SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS th
+      FROM orders, m0 WHERE o_totalprice < m0.th
+    ),
+    m2 AS (
+      SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS th
+      FROM orders, m1 WHERE o_totalprice < m1.th
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           m2.th AS final_thresh
+    FROM orders, m2 WHERE o_totalprice < m2.th
+    GROUP BY m2.th
+    """,
+)
+def f_sql_scripting_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN..END / DECLARE / WHILE): an
+    iterative outlier trim whose threshold is loop-carried — each pass
+    recomputes 2x the mean of the rows under the previous threshold.
+    Control flow runs on the driver, every statement in the loop is a
+    full distributed query; the oracle unrolls the 3 iterations as a
+    CTE chain.  Exact-decimal means keep the float threshold
+    bit-identical across engines."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE th DOUBLE;
+          DECLARE i INT DEFAULT 0;
+          SET th = (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                 AS DOUBLE) / COUNT(*)
+                    FROM v_orders_script);
+          WHILE i < 2 DO
+            SET th = (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS DOUBLE) / COUNT(*)
+                      FROM v_orders_script WHERE o_totalprice < th);
+            SET i = i + 1;
+          END WHILE;
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
+                 th AS final_thresh
+          FROM v_orders_script WHERE o_totalprice < th;
+        END
+        """
+    )
