@@ -673,3 +673,75 @@ def s18_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- S19: custom Python STREAMING sink (streamWriter API) ----------------------------
+STREAM_SINK_DIR = f"{STAGE_DIR}/s19_pystream_sink"
+
+
+@query(
+    "s19_stream_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s19_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: the event stream drained availableNow through the CUSTOM
+    Python STREAMING sink (jsonl_sink_datasource.JsonlStreamWriter —
+    deterministic batch-scoped file names + replace-own-batch commit =
+    exactly-once under micro-batch replay), read back from the
+    committed files and aggregated; the oracle computes the same off
+    parquet, so a dropped or doubled micro-batch breaks n/total.
+    Completes the Python DataSource quartet: reader (s12), stream
+    reader (s16), batch writer (s18), stream writer (here)."""
+    import shutil
+    import tempfile
+
+    from ..session import ensure_utc
+    from ..sources.jsonl_sink_datasource import JsonlSinkDataSource
+    from ..streaming import pinned_stream_partitions
+    from ..streaming.source import events_stream
+
+    ensure_utc(spark)
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = os.path.join(
+        STREAM_SINK_DIR, os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    src = events_stream(spark, sf_dir.rstrip("/"), "events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    with pinned_stream_partitions(spark):
+        q = (
+            src.writeStream.format("ecf_jsonl")
+            .option("path", out)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ecf_s19_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(f"{out}/*.jsonl")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

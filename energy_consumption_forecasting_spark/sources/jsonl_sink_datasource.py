@@ -33,6 +33,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -87,8 +88,54 @@ class JsonlWriter(DataSourceWriter):
                 os.remove(m.staged)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch writer — exactly-once by
+    construction: final file names are deterministic in (batchId,
+    partition), and ``commit`` clears any files of its batchId before
+    promoting, so a replayed micro-batch (crash between sink commit
+    and offset-log write — the classic at-least-once window) REPLACES
+    its own output instead of duplicating it."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ecf_jsonl stream sink requires a path option")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> JsonlCommit:
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                f.write(
+                    json.dumps({k: d[k] for k in self.fields}, default=str)
+                )
+                f.write("\n")
+                n += 1
+        return JsonlCommit(staged, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"batch-{batchId:09d}-"
+        for fn in os.listdir(self.path):  # replay: drop our own batch
+            if fn.startswith(prefix) and fn.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, fn))
+        for i, m in enumerate(messages):
+            os.replace(
+                m.staged, os.path.join(self.path, f"{prefix}{i:05d}.jsonl")
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class JsonlSinkDataSource(DataSource):
-    """``df.write.format("ecf_jsonl").option("path", dir).save()``."""
+    """``df.write.format("ecf_jsonl").option("path", dir).save()`` and
+    ``df.writeStream.format("ecf_jsonl")...`` — one format, both write
+    surfaces."""
 
     @classmethod
     def name(cls) -> str:
@@ -96,3 +143,6 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options, schema)

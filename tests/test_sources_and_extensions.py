@@ -336,3 +336,40 @@ def test_stream_abandoned_views_matches_batch_cutoff(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_sink_commit_is_replay_idempotent(tmp_path):
+    """A replayed micro-batch must REPLACE its own files, never add:
+    the at-least-once crash window (sink committed, offset log not)
+    is closed by deterministic batch-scoped names + clear-before-
+    promote."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from energy_consumption_forecasting_spark.sources.jsonl_sink_datasource import (
+        JsonlStreamWriter,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    out = str(tmp_path / "sink")
+    w = JsonlStreamWriter({"path": out}, schema)
+    rows = [Row(k=1, v="a"), Row(k=2, v="b")]
+
+    m1 = w.write(iter(rows))
+    w.commit([m1], 7)
+    first = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+
+    m2 = w.write(iter(rows))  # replay of batch 7
+    w.commit([m2], 7)
+    second = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+
+    assert first == second == ["batch-000000007-00000.jsonl"]
+    with open(os.path.join(out, second[0])) as f:
+        got = [_json.loads(line) for line in f]
+    assert got == [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+    assert not [f for f in os.listdir(out) if f.startswith(".staged-")]
