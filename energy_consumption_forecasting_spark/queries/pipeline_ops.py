@@ -981,3 +981,65 @@ def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep_rank") <= SOURCE_CAP)
         .select("source", "keep_rank", "doc_id")
     )
+
+
+# --- chunking as a Python UDTF (the §2.8 table-function surface, gated) ---------------
+@query(
+    "pipeline_udtf_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS a FROM documents
+    ), sized AS (
+      SELECT doc_id, a,
+             GREATEST(1, CAST(CEIL((len(a) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                              AS INT) + 1) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(a[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+                AS INT) AS chunk_tokens,
+           md5(array_to_string(
+               a[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+               ' ')) AS chunk_hash
+    FROM sized, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+)
+def pipeline_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunking semantics of pipeline_chunk_documents re-expressed
+    as a PYTHON UDTF consumed through SQL LATERAL — the §2.8
+    table-function surface as a hash-checked gate, not just a pytest.
+    Same windows, same md5 chunk hashes, shared oracle shape.
+
+    Scale note: the UDTF is the Python slow path (row-at-a-time eval);
+    the production form stays the built-in sequence+slice explode one
+    gate up — this gate pins that the two agree exactly."""
+    import hashlib
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    size, stride = CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx int, chunk_tokens int, chunk_hash string")
+    class ChunkWindows:
+        def eval(self, text: str):
+            toks = [t for t in __import__("re").split(r"\s+", text or "") if t]
+            n = max(1, (math.ceil((len(toks) - size) / stride) + 1)
+                    if len(toks) > size else 1)
+            for i in range(n):
+                c = toks[i * stride : i * stride + size]
+                yield i, len(c), hashlib.md5(
+                    " ".join(c).encode()
+                ).hexdigest()
+
+    spark.udtf.register("ecf_chunk_windows", ChunkWindows)
+    tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.chunk_idx, t.chunk_tokens, t.chunk_hash
+        FROM v_docs_udtf, LATERAL ecf_chunk_windows(text) t
+        """
+    )
