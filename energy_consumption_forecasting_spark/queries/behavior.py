@@ -381,3 +381,50 @@ def w_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+# --- top event trigram paths ---------------------------------------------------------
+@query(
+    "w_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS c,
+             lag(event_type, 1) OVER w AS b,
+             lag(event_type, 2) OVER w AS a
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT a, b, c, COUNT(*) AS n FROM seq
+      WHERE a IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT a, b, c, CAST(n AS BIGINT) AS n
+    FROM t
+    ORDER BY n DESC, a, b, c
+    LIMIT 20
+    """,
+)
+def w_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common consecutive 3-event paths across user
+    timelines — the order-2 sequence-pattern complement to the Markov
+    matrix.  Two lags in ONE window pass (same user partitioning, no
+    extra shuffle), a |types|³-bounded agg, and a deterministic
+    (n DESC, path ASC) tie-broken top-k that both engines order
+    identically."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trig = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            F.lag("event_type", 2).over(w).alias("a"),
+            F.lag("event_type", 1).over(w).alias("b"),
+            F.col("event_type").alias("c"),
+        )
+        .filter(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    return trig.orderBy(
+        F.desc("n"), F.asc("a"), F.asc("b"), F.asc("c")
+    ).limit(20)
