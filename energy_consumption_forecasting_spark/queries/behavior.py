@@ -428,3 +428,102 @@ def w_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trig.orderBy(
         F.desc("n"), F.asc("a"), F.asc("b"), F.asc("c")
     ).limit(20)
+
+
+# --- Kaplan-Meier survival: first view -> first purchase ----------------------------
+@query(
+    "w_kaplan_meier",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS te
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+      GROUP BY e.user_id
+    ),
+    horizon AS (SELECT MAX(ts) AS tmax FROM events),
+    durations AS (
+      SELECT v.user_id,
+             CAST(date_diff('day', v.t0,
+                            COALESCE(p.te, horizon.tmax)) AS BIGINT) AS d,
+             CASE WHEN p.te IS NULL THEN 0 ELSE 1 END AS ev
+      FROM v LEFT JOIN p USING (user_id) CROSS JOIN horizon
+    ),
+    tbl AS (
+      SELECT d,
+             CAST(SUM(ev) AS BIGINT) AS events,
+             CAST(COUNT(*) AS BIGINT) AS leaving,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS at_risk
+      FROM durations GROUP BY d
+    )
+    SELECT d, at_risk, events,
+           product(1.0 - CAST(events AS DOUBLE) / at_risk) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS survival
+    FROM tbl
+    """,
+)
+def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time from first view to first
+    purchase, right-censored at the observation horizon.  Per-user
+    durations come from the funnel-style conditional-min joins (user-
+    keyed shuffles only); the life table is a day-keyed agg with a
+    descending running count for the risk set; the survival curve is
+    the ordered cumulative product of (1 − dᵢ/nᵢ) — each factor ONE
+    IEEE division and both engines folding the product in the same
+    ROWS-frame day order, so even the floats hash-match."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("te"))
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    durations = (
+        v.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("te", "tmax")), F.to_date("t0")
+            )
+            .cast("long")
+            .alias("d"),
+            F.when(F.col("te").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    life = durations.groupBy("d").agg(
+        F.sum("ev").cast("long").alias("events"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    w_risk = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_surv = (
+        Window.orderBy(F.asc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        life.withColumn(
+            "at_risk", F.sum("leaving").over(w_risk).cast("long")
+        )
+        .withColumn(
+            "survival",
+            F.product(
+                F.lit(1.0) - F.col("events").cast("double") / F.col("at_risk")
+            ).over(w_surv),
+        )
+        .select("d", "at_risk", "events", "survival")
+    )
