@@ -46,14 +46,25 @@ def _stage_split(spark, n_chunks: int = 4) -> str:
         spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{SPLIT_DIR}/chunk={i}")
-    # flatten: file source globs *.parquet in one dir
+    # flatten: file source globs *.parquet in one dir.  The file source
+    # admits maxFilesPerTrigger files per batch in MODIFICATION-TIME
+    # order; freshly-copied chunks share an mtime, which makes the
+    # arrival order nondeterministic and (chunks out of ts order) turns
+    # boundary events into legitimately-dropped late data.  Pin strictly
+    # increasing mtimes so arrival order == event-time order, the
+    # scenario the exact-parity assertion is about.
+    import time
+
     flat = os.path.join(SPLIT_DIR, "flat")
     os.makedirs(flat, exist_ok=True)
     idx = 0
+    base = time.time() - 3600
     for root, _dirs, files in sorted(os.walk(SPLIT_DIR)):
         for f in sorted(files):
             if f.endswith(".parquet") and root != flat:
-                shutil.copy(os.path.join(root, f), f"{flat}/{idx:03d}.parquet")
+                dst = f"{flat}/{idx:03d}.parquet"
+                shutil.copy(os.path.join(root, f), dst)
+                os.utime(dst, (base + 60 * idx, base + 60 * idx))
                 idx += 1
     return flat
 
