@@ -46,26 +46,29 @@ pair_counts AS (
 """
 
 
-def _frequent_items(lines: DataFrame) -> DataFrame:
-    """Items appearing in >= _MINSUP baskets (a-priori candidate prune).
-    Takes the RAW line table — the per-item distinct-basket count is one
-    groupBy with countDistinct, no pre-pass over a deduped pair table."""
-    return (
-        lines.groupBy("l_partkey")
-        .agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-        .filter(F.col("n_baskets") >= _MINSUP)
+def _item_counts(lines: DataFrame) -> DataFrame:
+    """Per-item distinct-basket counts — ONE groupBy with countDistinct
+    over the raw line table; both the a-priori prune and the rule
+    scoring derive from this single aggregation."""
+    return lines.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_item")
     )
 
 
-def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pair_counts(
+    spark: SparkSession, sf_dir: str, item_counts: DataFrame | None = None
+) -> DataFrame:
     """One shuffle, not a self-join: baskets collapse to a sorted item
     array (groupBy on the basket key — the distinct is folded into the
     same shuffle via collect_set), pairs explode ROW-LOCALLY from the
     array (C(k,2) with k <= basket size), then one hash agg counts
-    them.  The a-priori prune drops infrequent items before the basket
-    collapse so the array stays minimal."""
+    them.  The a-priori prune (items in >= _MINSUP baskets — lossless
+    for pair support >= _MINSUP) drops infrequent items before the
+    basket collapse so the array stays minimal."""
     lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    freq = _frequent_items(lines)
+    if item_counts is None:
+        item_counts = _item_counts(lines)
+    freq = item_counts.filter(F.col("n_item") >= _MINSUP)
     pruned = lines.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey"
     ).select("l_orderkey", "l_partkey")
@@ -142,11 +145,9 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each metric is ONE division of exact integers — bit-identical
     across engines.  Item-count and total frames are broadcast
     (item-dimension / 1-row)."""
-    pairs = _pair_counts(spark, sf_dir)
     lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    item_counts = lines.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("n_item")
-    )
+    item_counts = _item_counts(lines)
+    pairs = _pair_counts(spark, sf_dir, item_counts=item_counts)
     total = lines.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )

@@ -1016,15 +1016,21 @@ def pipeline_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate up — this gate pins that the two agree exactly."""
     import hashlib
     import math
+    import re
 
     from pyspark.sql.functions import udtf
 
     size, stride = CHUNK_SIZE, CHUNK_STRIDE
+    # ASCII whitespace ONLY: Python's \s is Unicode-wide, but both the
+    # Java-regex tokenizer (_tokens) and the DuckDB RE2 oracle
+    # (_TOKENS_SQL) treat \s as ASCII — match their set exactly so a
+    # non-breaking space can never split here and not there.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @udtf(returnType="chunk_idx int, chunk_tokens int, chunk_hash string")
     class ChunkWindows:
         def eval(self, text: str):
-            toks = [t for t in __import__("re").split(r"\s+", text or "") if t]
+            toks = [t for t in ws.split(text or "") if t]
             n = max(1, (math.ceil((len(toks) - size) / stride) + 1)
                     if len(toks) > size else 1)
             for i in range(n):

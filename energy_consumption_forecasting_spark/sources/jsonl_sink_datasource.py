@@ -1,6 +1,7 @@
-"""Custom batch SINK via Spark 4's Python DataSource writer API —
-the write-side twin of the ``dly``/``tick`` custom readers, completing
-the DataSource surface (reader / streamReader / writer).
+"""Custom batch + streaming SINK via Spark 4's Python DataSource
+writer API — the write-side twin of the ``dly``/``tick`` custom
+readers, completing the DataSource surface (reader / streamReader /
+writer / streamWriter).
 
 The interesting part is the commit protocol, implemented the way a
 real distributed sink must be:
@@ -22,7 +23,15 @@ of Python, against any filesystem ``os`` can rename on.
 
 Rows serialize as JSON-lines in SCHEMA FIELD ORDER (dict order is
 deterministic), so the files are byte-stable for a given partition
-content.
+content.  Both writers share one staging helper — the serialization
+contract lives in exactly one place.
+
+Naming: batch commits use a per-JOB unique token in the final names
+(``part-<job>-<i>.jsonl``) so append mode ADDS files instead of
+clobbering a previous save's ``part-00000``; overwrite mode clears all
+committed files first.  Streaming commits use batch-scoped names
+(``batch-<id>-<i>.jsonl``) and clear their OWN batch before promoting,
+which is what makes micro-batch replay exactly-once.
 """
 
 from __future__ import annotations
@@ -45,6 +54,21 @@ class JsonlCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _stage_rows(path: str, fields: list[str], iterator) -> JsonlCommit:
+    """Executor-side staging shared by both writers: serialize the
+    partition's rows in schema field order to a task-unique temp file."""
+    os.makedirs(path, exist_ok=True)
+    staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")
+    n = 0
+    with open(staged, "w") as f:
+        for row in iterator:
+            d = row.asDict()
+            f.write(json.dumps({k: d[k] for k in fields}, default=str))
+            f.write("\n")
+            n += 1
+    return JsonlCommit(staged, n)
+
+
 class JsonlWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
@@ -52,31 +76,24 @@ class JsonlWriter(DataSourceWriter):
             raise ValueError("ecf_jsonl sink requires a path option")
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        self.job = uuid.uuid4().hex[:12]  # append-safe name component
 
     # executor side — one call per partition
     def write(self, iterator) -> JsonlCommit:
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}")
-        n = 0
-        with open(staged, "w") as f:
-            for row in iterator:
-                d = row.asDict()
-                f.write(
-                    json.dumps({k: d[k] for k in self.fields}, default=str)
-                )
-                f.write("\n")
-                n += 1
-        return JsonlCommit(staged, n)
+        return _stage_rows(self.path, self.fields, iterator)
 
     # driver side — only after ALL tasks succeeded
     def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
             for fn in os.listdir(self.path):
                 if fn.endswith(".jsonl") or fn == "_SUCCESS":
                     os.remove(os.path.join(self.path, fn))
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{self.job}-{i:05d}.jsonl"
+            )
             os.replace(m.staged, final)
             total += m.rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -103,20 +120,10 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         self.fields = [f.name for f in schema.fields]
 
     def write(self, iterator) -> JsonlCommit:
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}")
-        n = 0
-        with open(staged, "w") as f:
-            for row in iterator:
-                d = row.asDict()
-                f.write(
-                    json.dumps({k: d[k] for k in self.fields}, default=str)
-                )
-                f.write("\n")
-                n += 1
-        return JsonlCommit(staged, n)
+        return _stage_rows(self.path, self.fields, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)  # empty batch: no write() ran
         prefix = f"batch-{batchId:09d}-"
         for fn in os.listdir(self.path):  # replay: drop our own batch
             if fn.startswith(prefix) and fn.endswith(".jsonl"):

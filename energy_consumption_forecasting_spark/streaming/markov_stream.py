@@ -220,20 +220,16 @@ def run_markov_available_now(
             .start()
         )
         q.awaitTermination()
-    pdf = spark.table(sink).toPandas()
-    if len(pdf):
-        pdf = pdf.drop_duplicates(
-            subset=["user_id", "prev_type", "next_type"], keep="last"
-        )
-        sealed = (
-            spark.createDataFrame(pdf, OUTPUT_SCHEMA)
-            .groupBy("prev_type", "next_type")
-            .agg(F.sum("n").alias("n"))
-        )
-    else:
-        sealed = spark.createDataFrame(
-            [], "prev_type string, next_type string, n long"
-        )
+    # Cumulative per-key counts are MONOTONE, so "latest emission" ==
+    # per-key MAX — order-independent, no reliance on the memory sink
+    # preserving batch-append order.
+    sealed = (
+        spark.table(sink)
+        .groupBy("user_id", "prev_type", "next_type")
+        .agg(F.max("n").alias("n"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n"))
+    )
     tail = _tail_transitions(spark, ckpt)
     return (
         sealed.unionByName(tail)

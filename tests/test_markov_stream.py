@@ -45,7 +45,7 @@ def _stage_split(spark, n_chunks: int = 4) -> str:
         part = pdf.iloc[i * k : None if i == n_chunks - 1 else (i + 1) * k]
         spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{SPLIT_DIR}/chunk={i}")
+        ).parquet(f"{SPLIT_DIR}/chunk={i:03d}")  # zero-pad: walk order must be ts order
     # flatten: file source globs *.parquet in one dir.  The file source
     # admits maxFilesPerTrigger files per batch in MODIFICATION-TIME
     # order; freshly-copied chunks share an mtime, which makes the
