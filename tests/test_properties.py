@@ -474,3 +474,157 @@ def test_bpe_merge_fold_tiers_agree(spark, syms, pair):
         .collect()[0]["m"]
     )
     assert list(got) == expected, f"{syms} merge {pair}"
+
+
+# --- streaming Markov seal logic vs batch truth (pure Python, no Spark) --------
+class _FakeState:
+    """Minimal GroupState stand-in for driving _update directly."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm_ms = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+
+@given(
+    st.lists(  # events: (ts_us, type_idx) per user-less stream
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.lists(st.integers(min_value=1, max_value=10), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_markov_update_seal_equals_batch(events, cut_sizes, delay):
+    """Any split of a ts-ordered event stream into micro-batches, with
+    the watermark advancing to (max ts seen so far − delay) after each
+    batch, must yield sealed+tail counts equal to the batch lag-window
+    truth — the invariant the oracle gate asserts at one split."""
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.streaming.markov_stream import (
+        _update,
+    )
+
+    # unique ids; arrival in event-time order (the file-source scenario)
+    evs = [
+        (ts * 1_000_000, i, f"t{tp}")
+        for i, (ts, tp) in enumerate(sorted(events))
+    ]
+    truth = {}
+    for a, b in zip(evs, evs[1:]):
+        k = (a[2], b[2])
+        truth[k] = truth.get(k, 0) + 1
+
+    state = _FakeState()
+    pos, ci, max_ts_us = 0, 0, None
+    emitted = {}
+    while pos < len(evs):
+        batch = evs[pos : pos + cut_sizes[ci % len(cut_sizes)]]
+        pos += len(batch)
+        ci += 1
+        # watermark available DURING a batch = max event time of PRIOR
+        # batches minus the delay (Spark updates it between batches)
+        state._wm_ms = (
+            0
+            if max_ts_us is None
+            else max(0, max_ts_us // 1000 - delay * 1000)
+        )
+        pdf = pd.DataFrame(
+            {
+                "ts_us": [e[0] for e in batch],
+                "event_id": [e[1] for e in batch],
+                "event_type": [e[2] for e in batch],
+            }
+        )
+        for out in _update((7,), iter([pdf]), state):
+            for _, r in out.iterrows():
+                emitted[(r["prev_type"], r["next_type"])] = int(r["n"])
+        max_ts_us = max(
+            [e[0] for e in batch] + ([max_ts_us] if max_ts_us else [])
+        )
+
+    # tail: transitions among (stitch point + unsealed buffer), the
+    # DataFrame lag the statestore reader path computes
+    got = dict(emitted)
+    if state.exists:
+        buf_ts, buf_ids, buf_tp, l_ts, l_id, l_tp, *_ = state.get
+        seq = ([(l_ts, l_id, l_tp)] if l_tp is not None else []) + sorted(
+            zip(buf_ts, buf_ids, buf_tp)
+        )
+        for a, b in zip(seq, seq[1:]):
+            k = (a[2], b[2])
+            got[k] = got.get(k, 0) + 1
+    assert got == truth
+
+
+# --- basket pair explode vs brute-force combinations ----------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # basket id
+            st.integers(min_value=0, max_value=15),  # item
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+@SET
+def test_basket_pair_explode_property(spark, lines):
+    """The row-local array pair explode in queries/basket.py must equal
+    brute-force per-basket combinations (incl. duplicate lines, empty
+    and singleton baskets) with NO minsup filtering applied."""
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+
+    ref = {}
+    baskets = {}
+    for b, it in lines:
+        baskets.setdefault(b, set()).add(it)
+    for items in baskets.values():
+        for p1, p2 in combinations(sorted(items), 2):
+            ref[(p1, p2)] = ref.get((p1, p2), 0) + 1
+
+    df = spark.createDataFrame(
+        lines or [(0, 0)], "l_orderkey long, l_partkey long"
+    )
+    if not lines:
+        df = df.limit(0)
+    arr = F.array_sort(F.collect_set("l_partkey")).alias("arr")
+    b = df.groupBy("l_orderkey").agg(arr)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size("arr")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    got = {
+        (r["p1"], r["p2"]): r["n"]
+        for r in b.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == ref
