@@ -318,3 +318,243 @@ def pipeline_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("yc").cast("decimal(19,0)")).cast("double")
         ).alias("wmape"),
     )
+
+
+# --- Holt-Winters additive (triple exponential, seasonal state list) -----------------
+GAMMA = 0.25  # seasonal smoothing — dyadic
+PERIOD = 12   # monthly series, yearly seasonality
+
+_HW_SCHEMA = (
+    "priority string, month date, level double, trend double, "
+    "seasonal double, fitted double"
+)
+
+
+def holt_winters_smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One series: additive Holt-Winters for t > PERIOD.
+
+    Init (simplified, documented): l₀ = exact-decimal mean of the first
+    cycle (one division), b₀ = 0, sᵢ = yᵢ − l₀.  For t > m, with s1 the
+    seasonal from t−m:
+      fitted_t = (l + b) + s1
+      l_t = α·(y_t − s1) + (1−α)·(l + b)
+      b_t = β·(l_t − l) + (1−β)·b
+      s_t = γ·(y_t − l_t) + (1−γ)·s1
+    Every step is the same IEEE expression tree the recursive-CTE
+    oracle evaluates, from identical decimal-cast starts."""
+    from decimal import Decimal
+
+    pdf = pdf.sort_values("month").reset_index(drop=True)
+    ys = [float(v) for v in pdf["demand"]]
+    n = len(ys)
+    if n <= PERIOD:
+        return pd.DataFrame(
+            {c: [] for c in
+             ("priority", "month", "level", "trend", "seasonal", "fitted")}
+        )
+    l0 = float(sum(Decimal(str(v)) for v in pdf["demand"][:PERIOD])) / PERIOD
+    seas = [ys[i] - l0 for i in range(PERIOD)]
+    l, b = l0, 0.0
+    rows = []
+    for t in range(PERIOD, n):
+        s1 = seas[t - PERIOD]
+        f = (l + b) + s1
+        newl = ALPHA * (ys[t] - s1) + (1.0 - ALPHA) * (l + b)
+        newb = BETA * (newl - l) + (1.0 - BETA) * b
+        news = GAMMA * (ys[t] - newl) + (1.0 - GAMMA) * s1
+        seas.append(news)
+        l, b = newl, newb
+        rows.append(
+            (pdf["priority"][t], pdf["month"][t], l, b, news, f)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["priority", "month", "level", "trend", "seasonal", "fitted"],
+    )
+
+
+@query(
+    "m26_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE monthly AS ({_MONTHLY_PRIO_SQL}),
+    idx AS (
+      SELECT priority, month, demand,
+             row_number() OVER (PARTITION BY priority ORDER BY month) AS t
+      FROM monthly
+    ),
+    init AS (
+      SELECT priority,
+             CAST(SUM(demand) AS DOUBLE) / {PERIOD} AS l0,
+             list(CAST(demand AS DOUBLE) ORDER BY t) AS y0
+      FROM idx WHERE t <= {PERIOD}
+      GROUP BY priority
+      HAVING COUNT(*) = {PERIOD}
+    ),
+    hw(priority, t, l, b, seas, seasonal, fitted) AS (
+      SELECT priority, {PERIOD}, l0, CAST(0.0 AS DOUBLE),
+             list_transform(y0, y -> y - l0),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM init
+      UNION ALL
+      SELECT hw.priority, hw.t + 1,
+             {ALPHA} * (CAST(i.demand AS DOUBLE) - hw.seas[1])
+               + {1.0 - ALPHA} * (hw.l + hw.b),
+             {BETA} * (({ALPHA} * (CAST(i.demand AS DOUBLE) - hw.seas[1])
+                        + {1.0 - ALPHA} * (hw.l + hw.b)) - hw.l)
+               + {1.0 - BETA} * hw.b,
+             list_concat(
+               hw.seas[2:],
+               [{GAMMA} * (CAST(i.demand AS DOUBLE)
+                           - ({ALPHA} * (CAST(i.demand AS DOUBLE) - hw.seas[1])
+                              + {1.0 - ALPHA} * (hw.l + hw.b)))
+                + {1.0 - GAMMA} * hw.seas[1]]),
+             {GAMMA} * (CAST(i.demand AS DOUBLE)
+                        - ({ALPHA} * (CAST(i.demand AS DOUBLE) - hw.seas[1])
+                           + {1.0 - ALPHA} * (hw.l + hw.b)))
+               + {1.0 - GAMMA} * hw.seas[1],
+             (hw.l + hw.b) + hw.seas[1]
+      FROM hw JOIN idx i ON i.priority = hw.priority AND i.t = hw.t + 1
+    )
+    SELECT hw.priority AS priority, idx.month AS month,
+           hw.l AS level, hw.b AS trend, hw.seasonal AS seasonal,
+           hw.fitted AS fitted
+    FROM hw JOIN idx ON idx.priority = hw.priority AND idx.t = hw.t
+    WHERE hw.t > {PERIOD}
+    """,
+)
+def m26_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority monthly demand under ADDITIVE Holt-Winters (triple
+    exponential — level, trend, yearly seasonal) — the classical
+    seasonal-demand baseline one rung above Holt (m20).  Same grouped
+    recursion shape (bounded series per group, millions of series at
+    scale); the oracle carries the 12-slot seasonal STATE as a list in
+    the recursive CTE, popped/pushed each step, so both engines run
+    the identical IEEE sequence and the strict hash matches with no
+    tolerance."""
+    monthly = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("demand")
+        )
+    )
+    return monthly.groupBy("priority").applyInPandas(
+        holt_winters_smooth, _HW_SCHEMA
+    )
+
+
+# --- CUSUM control chart (two-sided, exact-stat reference) ---------------------------
+_DAILY_TYPE_SQL = """
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      FROM events GROUP BY 1, 2
+"""
+
+_CUSUM_SCHEMA = (
+    "event_type string, d date, cplus double, cminus double, alert boolean"
+)
+
+
+def cusum_chart(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One series: two-sided CUSUM against the series' own exact mean.
+
+    mu = exact-decimal sum / n (one division); slack k = mu/8 and
+    alert threshold h = mu/2 are dyadic fractions of mu — data-derived
+    yet single-op deterministic.  Recursion (same expression tree as
+    the oracle):
+      C⁺_t = max(0, C⁺_{t-1} + ((x_t − mu) − k))
+      C⁻_t = max(0, C⁻_{t-1} + ((mu − x_t) − k))
+      alert_t = C⁺_t > h OR C⁻_t > h
+    """
+    from decimal import Decimal
+
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    xs = [float(v) for v in pdf["x"]]
+    n = len(xs)
+    mu = float(sum(Decimal(str(v)) for v in pdf["x"])) / n
+    k = mu / 8.0
+    h = mu / 2.0
+    cp, cm = 0.0, 0.0
+    rows = []
+    for t in range(n):
+        cp = max(0.0, cp + ((xs[t] - mu) - k))
+        cm = max(0.0, cm + ((mu - xs[t]) - k))
+        rows.append(
+            (pdf["event_type"][t], pdf["d"][t], cp, cm, cp > h or cm > h)
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "d", "cplus", "cminus", "alert"]
+    )
+
+
+@query(
+    "ts_cusum_chart",
+    oracle=f"""
+    WITH RECURSIVE daily AS ({_DAILY_TYPE_SQL}),
+    idx AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+      FROM idx GROUP BY event_type
+    ),
+    cu(event_type, t, cplus, cminus) AS (
+      SELECT i.event_type, 1,
+             GREATEST(CAST(0.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)
+                      + ((CAST(i.x AS DOUBLE) - s.mu) - s.mu / 8.0)),
+             GREATEST(CAST(0.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)
+                      + ((s.mu - CAST(i.x AS DOUBLE)) - s.mu / 8.0))
+      FROM idx i JOIN stats s USING (event_type) WHERE i.t = 1
+      UNION ALL
+      SELECT cu.event_type, cu.t + 1,
+             GREATEST(CAST(0.0 AS DOUBLE),
+                      cu.cplus + ((CAST(i.x AS DOUBLE) - s.mu) - s.mu / 8.0)),
+             GREATEST(CAST(0.0 AS DOUBLE),
+                      cu.cminus + ((s.mu - CAST(i.x AS DOUBLE)) - s.mu / 8.0))
+      FROM cu
+      JOIN idx i ON i.event_type = cu.event_type AND i.t = cu.t + 1
+      JOIN stats s ON s.event_type = cu.event_type
+    )
+    SELECT cu.event_type AS event_type, idx.d AS d,
+           cu.cplus AS cplus, cu.cminus AS cminus,
+           (cu.cplus > s.mu / 2.0 OR cu.cminus > s.mu / 2.0) AS alert
+    FROM cu
+    JOIN idx ON idx.event_type = cu.event_type AND idx.t = cu.t
+    JOIN stats s ON s.event_type = cu.event_type
+    """,
+)
+def ts_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart per event_type over daily value
+    totals — the sequential mean-shift detector (Page 1954) that
+    catches drifts the pointwise z-score (ts_anomaly_zscore) misses.
+    Grouped recursion like Holt/HW: bounded calendar series per key,
+    embarrassingly parallel; mu/k/h derive from exact decimal sums by
+    single IEEE ops, and the max-recursion is the identical expression
+    tree as the recursive-CTE oracle, so the strict hash matches."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        cusum_chart, _CUSUM_SCHEMA
+    )
