@@ -759,3 +759,46 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     return run_markov_available_now(spark, sf_dir.rstrip("/"))
+
+
+# --- Structured Streaming CUSUM control chart (ordered-seal pattern #2) ---------------
+def _cusum_oracle() -> str:
+    from .smoothing import ts_cusum_chart  # noqa: F401 — ensure registered
+
+    from . import ORACLES
+
+    return ORACLES["ts_cusum_chart"]
+
+
+@query("stream_cusum_chart", oracle=_cusum_oracle())
+def stream_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_cusum_chart — ordered-seal pattern #2
+    (streaming/cusum_stream.py): per-type day buckets accumulate exact
+    integer cents (additive — arrival order within a day is free), a
+    day seals when the watermark passes its END, the recursion
+    advances over sealed days emitting one final row each, and the
+    unsealed tail continues from the persisted (cplus, cminus) state
+    via the statestore reader.  Control limits are calibrated OFFLINE
+    (stream-static: the exact-decimal per-type mean computed batch
+    side) — the production control-chart topology — so the streamed
+    chart shares the batch oracle verbatim."""
+    from ..session import ensure_utc
+    from ..streaming.cusum_stream import run_cusum_available_now
+
+    ensure_utc(spark)
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("mu")
+    )
+    mu_by_type = {r["event_type"]: r["mu"] for r in stats.collect()}
+    return run_cusum_available_now(
+        spark, sf_dir.rstrip("/"), mu_by_type
+    )

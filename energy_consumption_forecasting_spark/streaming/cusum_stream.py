@@ -1,0 +1,212 @@
+"""Streaming CUSUM control chart — the second instance of the
+ordered-seal pattern introduced by ``markov_stream``.
+
+Real-world monitoring shape: the control parameters (target mu, slack
+k, threshold h) are CALIBRATED OFFLINE from reference data and shipped
+to the stream as constants — exactly how production control charts
+run.  Here they come from the same exact-decimal batch statistics the
+batch query (``ts_cusum_chart``) derives, so the streamed chart equals
+the batch chart bit-for-bit and SHARES its oracle.
+
+Ordered-seal mechanics (see markov_stream for the general argument):
+
+* per event_type, the state buffers PARTIAL DAY SUMS (exact integer
+  cents — additive, so out-of-order arrival within a day is free);
+* a day seals once the watermark passes its end: no event for it can
+  arrive anymore, its total is final, and the CUSUM recursion
+  advances over sealed days in calendar order, emitting one final row
+  per day (append semantics — a day is emitted exactly once, so
+  replays dedup by key);
+* the unsealed tail (buffered days at-or-after the watermark horizon)
+  is recovered from the checkpoint through the statestore reader and
+  the recursion is CONTINUED from the persisted (cplus, cminus) state
+  — per-series, in one grouped pass.
+
+State per key = |pending days| × two longs + two doubles — bounded by
+the watermark horizon, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import date, timedelta
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .source import events_stream
+
+WATERMARK_DELAY = "1 day"
+
+STATE_SCHEMA = (
+    "days ARRAY<LONG>, cents ARRAY<LONG>, cplus DOUBLE, cminus DOUBLE"
+)
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("cplus", T.DoubleType()),
+        T.StructField("cminus", T.DoubleType()),
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+
+_EPOCH = date(1970, 1, 1)
+_US_PER_DAY = 86_400_000_000
+
+
+def _cusum_steps(
+    days: list[int], cents: dict[int, int], cp: float, cm: float, mu: float
+) -> tuple[list[tuple[int, float, float, bool]], float, float]:
+    """Advance the recursion over ``days`` (ascending) — the IDENTICAL
+    expression tree as queries/smoothing.cusum_chart."""
+    k = mu / 8.0
+    h = mu / 2.0
+    out = []
+    for d in days:
+        x = cents[d] / 100.0
+        cp = max(0.0, cp + ((x - mu) - k))
+        cm = max(0.0, cm + ((mu - x) - k))
+        out.append((d, cp, cm, cp > h or cm > h))
+    return out, cp, cm
+
+
+def _make_update(mu_by_type: dict[str, float]):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:  # pragma: no cover
+            state.remove()
+            return
+        if state.exists:
+            days, cents_l, cp, cm = state.get
+            cents = dict(zip(days, cents_l))
+        else:
+            cents, cp, cm = {}, 0.0, 0.0
+        for pdf in pdfs:
+            day = (pdf["ts_us"] // _US_PER_DAY).astype("int64")
+            c = pdf["value"].mul(100).round().astype("int64")
+            for d, s in c.groupby(day).sum().items():
+                cents[int(d)] = cents.get(int(d), 0) + int(s)
+        # a day D is sealed once the watermark passed its END:
+        # wm >= (D+1)*day ⟺ no event with ts inside D can still arrive
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sealed = sorted(d for d in cents if (d + 1) * _US_PER_DAY <= wm_us)
+        mu = mu_by_type.get(event_type, 0.0)
+        rows, cp, cm = _cusum_steps(sealed, cents, cp, cm, mu)
+        for d in sealed:
+            del cents[d]
+        state.update(
+            (list(cents), [cents[d] for d in cents], float(cp), float(cm))
+        )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "event_type": event_type,
+                    "d": [_EPOCH + timedelta(days=d) for d, _, _, _ in rows],
+                    "cplus": [v for _, v, _, _ in rows],
+                    "cminus": [v for _, _, v, _ in rows],
+                    "alert": [a for _, _, _, a in rows],
+                }
+            )
+
+    return _update
+
+
+def cusum_stream(
+    spark: SparkSession,
+    events_dir: str,
+    mu_by_type: dict[str, float],
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    src = events_stream(
+        spark, events_dir, glob, maxFilesPerTrigger=max_files_per_trigger
+    )
+    stream = src.withWatermark("ts", WATERMARK_DELAY).select(
+        "ts", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _make_update(mu_by_type),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _tail_rows(
+    spark: SparkSession, ckpt: str, mu_by_type: dict[str, float]
+) -> DataFrame:
+    """Continue each series' recursion over its unsealed buffered days,
+    read from the final state snapshot via the statestore reader."""
+    ss = spark.read.format("statestore").load(ckpt)
+    g = ss.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.groupState.*"),
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            cents = {int(d): int(c) for d, c in zip(r["days"], r["cents"])}
+            rows, _, _ = _cusum_steps(
+                sorted(cents),
+                cents,
+                float(r["cplus"]),
+                float(r["cminus"]),
+                mu_by_type.get(r["event_type"], 0.0),
+            )
+            out.extend(
+                (
+                    r["event_type"],
+                    _EPOCH + timedelta(days=d),
+                    cp,
+                    cm,
+                    al,
+                )
+                for d, cp, cm, al in rows
+            )
+        return pd.DataFrame(
+            out, columns=["event_type", "d", "cplus", "cminus", "alert"]
+        )
+
+    return g.groupBy("event_type").applyInPandas(finish, OUTPUT_SCHEMA)
+
+
+def run_cusum_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    mu_by_type: dict[str, float],
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from . import pinned_stream_partitions
+
+    sink = f"cusum_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ecf_cusum_ckpt_")
+    with pinned_stream_partitions(spark):
+        q = (
+            cusum_stream(
+                spark, events_dir, mu_by_type, glob, max_files_per_trigger
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sealed = spark.table(sink).dropDuplicates(["event_type", "d"])
+    return sealed.unionByName(_tail_rows(spark, ckpt, mu_by_type))
