@@ -46,6 +46,23 @@ pair_counts AS (
 """
 
 
+def pair_expr(arr_col: str):
+    """Row-local ordered-pair explosion of a SORTED array column:
+    flatten(transform(arr, (x, i) -> transform(slice(arr, i+2, n),
+    y -> (x, y)))) — all C(k,2) pairs with p1 < p2.  Shared by the
+    queries and the brute-force property test (the test must exercise
+    THIS expression, not a private copy)."""
+    return F.flatten(
+        F.transform(
+            F.col(arr_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(arr_col), i + 2, F.size(arr_col)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+
+
 def _item_counts(lines: DataFrame) -> DataFrame:
     """Per-item distinct-basket counts — ONE groupBy with countDistinct
     over the raw line table; both the a-priori prune and the rule
@@ -75,18 +92,8 @@ def _pair_counts(
     baskets = pruned.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
-    # flatten(transform(arr, (x, i) -> transform(slice(arr, i+2, n), y -> (x, y))))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.transform(
-                F.slice(F.col("arr"), i + 2, F.size("arr")),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
     return (
-        baskets.select(F.explode(pair_arr).alias("pr"))
+        baskets.select(F.explode(pair_expr("arr")).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _MINSUP)

@@ -148,3 +148,27 @@ def run_id_for_checkpoint(checkpoint_dir: str) -> str:
     return hashlib.sha1(
         checkpoint_dir.rstrip("/").encode()
     ).hexdigest()[:12]
+
+
+def cents_half_up(values) -> "pd.Series":  # noqa: F821 — pandas via caller
+    """Float dollars → integer cents with the SAME rounding as the
+    engines' double→DECIMAL(18,2) cast (HALF_UP on the shortest-repr
+    decimal — Java's BigDecimal.valueOf semantics, which Spark's
+    Decimal(double) uses).  pandas ``round()`` is half-EVEN and
+    diverges by one cent on exact half-cent values; this helper is the
+    one sanctioned conversion for stream state handlers."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    one = Decimal("1")
+    return pd.Series(
+        [
+            int(
+                Decimal(repr(float(v))).scaleb(2).quantize(one, ROUND_HALF_UP)
+            )
+            for v in values
+        ],
+        index=getattr(values, "index", None),
+        dtype="int64",
+    )

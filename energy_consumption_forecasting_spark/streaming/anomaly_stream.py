@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from . import cents_half_up
 from .source import events_stream
 
 K = 7  # trailing window (events testdata spans 30 days)
@@ -83,7 +84,7 @@ def _update(
     day_cents = dict(zip(days, cents))
     for pdf in pdfs:
         day = (pdf["ts_us"] // 86_400_000_000).astype("int64")
-        c = pdf["value"].mul(100).round().astype("int64")
+        c = cents_half_up(pdf["value"])
         for d, s in c.groupby(day).sum().items():
             day_cents[int(d)] = day_cents.get(int(d), 0) + int(s)
     if day_cents:

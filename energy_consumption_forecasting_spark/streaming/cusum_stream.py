@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from . import cents_half_up
 from .source import events_stream
 
 WATERMARK_DELAY = "1 day"
@@ -92,14 +93,14 @@ def _make_update(mu_by_type: dict[str, float]):
             cents, cp, cm = {}, 0.0, 0.0
         for pdf in pdfs:
             day = (pdf["ts_us"] // _US_PER_DAY).astype("int64")
-            c = pdf["value"].mul(100).round().astype("int64")
+            c = cents_half_up(pdf["value"])
             for d, s in c.groupby(day).sum().items():
                 cents[int(d)] = cents.get(int(d), 0) + int(s)
         # a day D is sealed once the watermark passed its END:
         # wm >= (D+1)*day ⟺ no event with ts inside D can still arrive
         wm_us = state.getCurrentWatermarkMs() * 1000
         sealed = sorted(d for d in cents if (d + 1) * _US_PER_DAY <= wm_us)
-        mu = mu_by_type.get(event_type, 0.0)
+        mu = mu_by_type[event_type]  # missing calibration must fail loudly
         rows, cp, cm = _cusum_steps(sealed, cents, cp, cm, mu)
         for d in sealed:
             del cents[d]
@@ -162,7 +163,7 @@ def _tail_rows(
                 cents,
                 float(r["cplus"]),
                 float(r["cminus"]),
-                mu_by_type.get(r["event_type"], 0.0),
+                mu_by_type[r["event_type"]],
             )
             out.extend(
                 (

@@ -31,6 +31,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+
+from . import cents_half_up
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.stateful_processor import (
@@ -69,7 +71,7 @@ class UserStatsProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             # exact integer cents — same rule as the legacy handler
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            cents += int(cents_half_up(pdf["value"]).sum())
         self._state.update((n, cents))
         yield pd.DataFrame(
             {

@@ -9,8 +9,6 @@ from pyspark.sql import functions as F
 
 from tests.test_markov_stream import SPLIT_DIR, _stage_split
 
-SF_SMALL = "/root/testdata/sf0.001"
-
 
 def _mu_and_truth(spark, src_glob: str):
     from energy_consumption_forecasting_spark.queries.smoothing import (
@@ -50,12 +48,16 @@ def test_cusum_multibatch_equals_batch(spark):
     )
 
     mu, truth = _mu_and_truth(spark, f"{flat}/*.parquet")
+    rows = run_cusum_available_now(
+        spark, flat, mu, glob="*.parquet", max_files_per_trigger=1
+    ).collect()
     got = {
         (r["event_type"], r["d"]): (r["cplus"], r["cminus"], r["alert"])
-        for r in run_cusum_available_now(
-            spark, flat, mu, glob="*.parquet", max_files_per_trigger=1
-        ).collect()
+        for r in rows
     }
+    # row count FIRST: a sealed+tail double emission must not hide
+    # behind the dict collapse
+    assert len(rows) == len(truth)
     assert got == truth
 
 

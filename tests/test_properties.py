@@ -609,20 +609,13 @@ def test_basket_pair_explode_property(spark, lines):
     )
     if not lines:
         df = df.limit(0)
+    from energy_consumption_forecasting_spark.queries.basket import pair_expr
+
     arr = F.array_sort(F.collect_set("l_partkey")).alias("arr")
     b = df.groupBy("l_orderkey").agg(arr)
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.transform(
-                F.slice(F.col("arr"), i + 2, F.size("arr")),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
     got = {
         (r["p1"], r["p2"]): r["n"]
-        for r in b.select(F.explode(pair_arr).alias("pr"))
+        for r in b.select(F.explode(pair_expr("arr")).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("n"))
         .collect()
