@@ -558,3 +558,104 @@ def ts_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         cusum_chart, _CUSUM_SCHEMA
     )
+
+
+# --- Croston's method (intermittent demand) ------------------------------------------
+CR_ALPHA = 0.25  # dyadic
+
+_CROSTON_SCHEMA = (
+    "part long, n_sales int, demand_est double, interval_est double, "
+    "forecast double"
+)
+
+
+def croston_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One part: Croston (1972) — smooth nonzero demand size and
+    inter-demand interval SEPARATELY, updating only on sale events;
+    the per-period forecast is z/p (one division).
+
+    Init z₁ = y₁, p₁ = i₂ (first observed gap); for t ≥ 2:
+      z_t = α·y_t + (1−α)·z, p_t = α·i_t + (1−α)·p.
+    Same expression tree as the recursive-CTE oracle."""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame(
+            {c: [] for c in
+             ("part", "n_sales", "demand_est", "interval_est", "forecast")}
+        )
+    ys = [float(v) for v in pdf["q"]]
+    ds = list(pdf["d"])
+    gaps = [float((ds[t] - ds[t - 1]).days) for t in range(1, n)]
+    z = ys[0]
+    p = gaps[0]
+    for t in range(1, n):
+        z = CR_ALPHA * ys[t] + (1.0 - CR_ALPHA) * z
+        p = CR_ALPHA * gaps[t - 1] + (1.0 - CR_ALPHA) * p
+    return pd.DataFrame(
+        {
+            "part": [int(pdf["part"][0])],
+            "n_sales": [n],
+            "demand_est": [z],
+            "interval_est": [p],
+            "forecast": [z / p],
+        }
+    )
+
+
+@query(
+    "m27_croston",
+    oracle=f"""
+    WITH RECURSIVE sales AS (
+      SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT part, d, q,
+             row_number() OVER (PARTITION BY part ORDER BY d) AS t,
+             CAST(date_diff('day',
+                            lag(d) OVER (PARTITION BY part ORDER BY d),
+                            d) AS DOUBLE) AS gap
+      FROM sales
+    ),
+    nmax AS (SELECT part, MAX(t) AS nt FROM idx GROUP BY part),
+    cr(part, t, z, p) AS (
+      SELECT i1.part, 1, CAST(i1.q AS DOUBLE), i2.gap
+      FROM idx i1 JOIN idx i2 ON i2.part = i1.part AND i2.t = 2
+      WHERE i1.t = 1
+      UNION ALL
+      SELECT cr.part, cr.t + 1,
+             {CR_ALPHA} * CAST(i.q AS DOUBLE) + {1.0 - CR_ALPHA} * cr.z,
+             {CR_ALPHA} * i.gap + {1.0 - CR_ALPHA} * cr.p
+      FROM cr JOIN idx i ON i.part = cr.part AND i.t = cr.t + 1
+    )
+    SELECT CAST(cr.part AS BIGINT) AS part,
+           CAST(nmax.nt AS INT) AS n_sales,
+           cr.z AS demand_est,
+           cr.p AS interval_est,
+           cr.z / cr.p AS forecast
+    FROM cr JOIN nmax ON nmax.part = cr.part AND nmax.nt = cr.t
+    """,
+)
+def m27_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast per PART — the method of
+    record when most periods have zero demand (spare parts, slow
+    movers), completing the classical ladder naive → Holt (m20) → HW
+    (m26).  The recursion advances only on SALE events, so the oracle
+    CTE iterates max-sales-per-part times (≈50), not calendar length —
+    the same trick that keeps per-part groups tiny at any corpus
+    scale (millions of parts, dozens of sales each)."""
+    sales = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("q")
+        )
+    )
+    return sales.groupBy("part").applyInPandas(croston_fit, _CROSTON_SCHEMA)
