@@ -509,3 +509,195 @@ def a_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --- Gini coefficient of revenue concentration --------------------------------------
+@query(
+    "a_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                    AS BIGINT))) AS BIGINT)
+               AS rev_e4
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev_e4,
+             row_number() OVER (ORDER BY rev_e4 ASC, p) AS rn
+      FROM rev
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(rev_e4) AS HUGEINT) AS t,
+             CAST(SUM(CAST(rn AS HUGEINT) * CAST(rev_e4 AS HUGEINT))
+                  AS HUGEINT) AS w
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(t AS BIGINT) AS total_rev_e4,
+           CAST(2 * w - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)
+             AS gini
+    FROM sums
+    """,
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of part-revenue concentration — the scalar
+    companion to the ABC curve (a_pareto_abc), and for a training
+    corpus the same query measures source-contribution inequality.
+
+    Exact rational algebra end-to-end: integer 1e-4-dollar revenues,
+    the rank-weighted sum via the distributed two-pass rank (no
+    single-partition window), all moments as DECIMAL(38,0)/HUGEINT
+    (the rank x revenue products overflow int64 at catalog scale),
+    and gini = one correctly-rounded division of two exact integers —
+    strict-hash stable."""
+    from ..operators.ranking import global_row_number_lazy
+
+    li = tbl(spark, sf_dir, "lineitem")
+    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(rev_line).cast("long").alias("rev_e4")
+    )
+    ranked = global_row_number_lazy(
+        rev,
+        [F.col("rev_e4").asc(), F.col("p")],
+        bucket=F.expr("rev_e4 div 1000000"),
+        rn_col="rn",
+    )
+    d38 = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("rev_e4").cast(d38).alias("t"),
+        F.sum(F.col("rn").cast(d38) * F.col("rev_e4").cast(d38))
+        .cast(d38)
+        .alias("w"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.col("t").cast("long").alias("total_rev_e4"),
+        (
+            (2 * F.col("w") - (F.col("n") + 1) * F.col("t")).cast("double")
+            / (F.col("n") * F.col("t")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# --- ABC-XYZ matrix (value concentration x demand variability) -----------------------
+@query(
+    "a_abc_xyz",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                    AS BIGINT))) AS BIGINT)
+               AS rev_e4
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT p, rev_e4,
+             SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT CAST(SUM(rev_e4) AS BIGINT) FROM rev) AS total
+      FROM rev
+    ),
+    abc AS (
+      SELECT p,
+             CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    ),
+    monthly AS (
+      SELECT l_partkey AS p, date_trunc('month', l_shipdate) AS m,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS qc
+      FROM lineitem GROUP BY 1, 2
+    ),
+    varc AS (
+      SELECT p,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(qc AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(qc AS HUGEINT) * CAST(qc AS HUGEINT))
+                  AS HUGEINT) AS s2
+      FROM monthly GROUP BY p
+    ),
+    xyz AS (
+      -- CV^2 = (n*S2 - S1^2)/S1^2; X: CV^2 <= 1/4, Y: <= 1, else Z —
+      -- integer cross-multiplied, no float thresholds
+      SELECT p,
+             CASE WHEN 4 * (n * s2 - s1 * s1) <= s1 * s1 THEN 'X'
+                  WHEN (n * s2 - s1 * s1) <= s1 * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM varc
+    )
+    SELECT abc.abc, xyz.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM abc JOIN xyz USING (p)
+    GROUP BY 1, 2
+    """,
+)
+def a_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: revenue-concentration class (exact
+    integer cumulative thresholds, as a_pareto_abc) crossed with
+    demand-VARIABILITY class from the coefficient of variation of
+    monthly quantity — CV² as exact integer moments with
+    cross-multiplied dyadic thresholds (X: CV ≤ 1/2, Y: CV ≤ 1), so
+    not a single float enters the classification.  The two per-part
+    dimensions join on the part key (both dimension-sized), then one
+    9-cell agg."""
+    from ..operators.ranking import global_prefix_sum
+
+    li = tbl(spark, sf_dir, "lineitem")
+    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(rev_line).cast("long").alias("rev_e4")
+    )
+    cum, total = global_prefix_sum(
+        rev,
+        [F.col("rev_e4").desc(), F.col("p")],
+        "rev_e4",
+        cum_col="cum",
+        num_partitions=8,
+    )
+    abc = cum.select(
+        "p",
+        F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
+        .when(20 * F.col("cum") <= 19 * F.lit(total), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("p"), F.trunc("l_shipdate", "MM").alias("m")
+    ).agg(
+        F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("qc")
+    )
+    d38 = "decimal(38,0)"
+    varc = monthly.groupBy("p").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("qc").cast(d38)).cast(d38).alias("s1"),
+        F.sum(F.col("qc").cast(d38) * F.col("qc").cast(d38))
+        .cast(d38)
+        .alias("s2"),
+    )
+    num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("s1") * F.col("s1")
+    xyz = varc.select(
+        "p",
+        F.when(4 * num <= den, "X")
+        .when(num <= den, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "p")
+        .groupBy("abc", "xyz")
+        .agg(F.count("*").alias("n_parts"))
+    )
