@@ -537,8 +537,8 @@ def a_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_parts,
            CAST(t AS BIGINT) AS total_rev_e4,
-           CAST(2 * w - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)
-             AS gini
+           CAST((1000000 * (2 * w - (n + 1) * t)) // (n * t) AS BIGINT)
+             AS gini_ppm
     FROM sums
     """,
 )
@@ -551,8 +551,9 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank-weighted sum via the distributed two-pass rank (no
     single-partition window), all moments as DECIMAL(38,0)/HUGEINT
     (the rank x revenue products overflow int64 at catalog scale),
-    and gini = one correctly-rounded division of two exact integers —
-    strict-hash stable."""
+    and gini_ppm = an exact integer floor division in parts-per-
+    million — a >2^53 integer→double cast rounds differently across
+    engines (the HHI lesson), so no float is ever formed."""
     from ..operators.ranking import global_row_number_lazy
 
     li = tbl(spark, sf_dir, "lineitem")
@@ -579,10 +580,9 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("n").cast("long").alias("n_parts"),
         F.col("t").cast("long").alias("total_rev_e4"),
-        (
-            (2 * F.col("w") - (F.col("n") + 1) * F.col("t")).cast("double")
-            / (F.col("n") * F.col("t")).cast("double")
-        ).alias("gini"),
+        F.expr(
+            "CAST((1000000 * (2 * w - (n + 1) * t)) div (n * t) AS BIGINT)"
+        ).alias("gini_ppm"),
     )
 
 
@@ -701,3 +701,61 @@ def a_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc", "xyz")
         .agg(F.count("*").alias("n_parts"))
     )
+
+
+# --- Herfindahl-Hirschman concentration index per market -----------------------------
+@query(
+    "a_hhi_market",
+    oracle="""
+    WITH srev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS HUGEINT) AS rev_c
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS INT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(rev_c) AS BIGINT) AS market_rev_c,
+           CAST((10000 * SUM(rev_c * rev_c))
+                // (SUM(rev_c) * SUM(rev_c)) AS BIGINT) AS hhi_bp
+    FROM srev GROUP BY nation
+    """,
+)
+def a_hhi_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration per nation-market in BASIS
+    POINTS: HHI = Σshare², computed with NO floats anywhere — Σrev²
+    and (Σrev)² stay exact integers (DECIMAL(38)/HUGEINT) and
+    hhi_bp = (10000·Σrev²) div (Σrev)² is an exact integer floor
+    division (a >2^53 integer→double cast is NOT correctly rounded in
+    every engine — measured: DuckDB HUGEINT vs Java BigDecimal differ
+    at the 17th digit).  Supplier dim broadcast; two hash aggs; the
+    same query over (source, doc-token) measures corpus source
+    concentration."""
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    d38 = "decimal(38,0)"
+    srev = (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast(d38)
+            .alias("rev_c")
+        )
+    )
+    return srev.groupBy("nation").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev_c").cast("long").alias("market_rev_c"),
+        F.expr(
+            "CAST((10000 * SUM(rev_c * rev_c)) div (SUM(rev_c) * SUM(rev_c))"
+            " AS BIGINT)"
+        ).alias("hhi_bp"),
+    ).withColumn("nation", F.col("nation").cast("int"))
