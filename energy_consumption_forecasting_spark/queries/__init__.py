@@ -16,6 +16,12 @@ across engines:
   or format to string.
 * Cast integer sums explicitly (DuckDB ``sum(INTEGER)`` is HUGEINT,
   Spark is LONG).
+* NEVER cast an integer that can exceed 2^53 to DOUBLE for comparison —
+  DuckDB's HUGEINT→DOUBLE and Java's BigDecimal→double round such
+  values differently at the 17th digit (measured on the HHI numerator).
+  Emit exact integer fixed-point instead: ``(scale * num) div den``
+  (basis points, ppm), which is floor division of exact integers on
+  both engines.
 """
 
 from __future__ import annotations
