@@ -20,8 +20,10 @@ across engines:
   DuckDB's HUGEINT→DOUBLE and Java's BigDecimal→double round such
   values differently at the 17th digit (measured on the HHI numerator).
   Emit exact integer fixed-point instead: ``(scale * num) div den``
-  (basis points, ppm), which is floor division of exact integers on
-  both engines.
+  (basis points, ppm) — integer division TRUNCATING TOWARD ZERO on
+  both engines.  Caution: Python's ``//`` FLOORS (differs on negative
+  operands) — a pandas-side mirror of a signed fixed-point metric must
+  use ``int(num / den)``-style truncation, not ``//``.
 """
 
 from __future__ import annotations

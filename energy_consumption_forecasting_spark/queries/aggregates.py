@@ -328,18 +328,36 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Pareto / ABC classification over part revenue ----------------------------------
-@query(
-    "a_pareto_abc",
-    oracle="""
-    WITH rev AS (
+# Shared exact part-revenue basis (1e-4-dollar integer units) for the
+# concentration/classification family (Pareto ABC, Gini, ABC-XYZ).
+# decimal(18,2) FIRST — a direct double->long cast TRUNCATES in Spark
+# but ROUNDS in DuckDB; the decimal cast rounds identically on both
+# engines (the repo-wide exact-cents rule).
+_PART_REV_SQL = """rev AS (
       SELECT l_partkey AS p,
              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                       * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
                                     AS BIGINT))) AS BIGINT)
                AS rev_e4
       FROM lineitem GROUP BY 1
-    ),
+    )"""
+
+
+def _part_revenue(li: DataFrame) -> DataFrame:
+    """(p, rev_e4) — the Spark twin of _PART_REV_SQL."""
+    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
+    return li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(rev_line).cast("long").alias("rev_e4")
+    )
+
+
+# --- Pareto / ABC classification over part revenue ----------------------------------
+@query(
+    "a_pareto_abc",
+    oracle=f"""
+    WITH {_PART_REV_SQL},
     cum AS (
       SELECT p, rev_e4,
              SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, p
@@ -378,15 +396,7 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_prefix_sum
 
     li = tbl(spark, sf_dir, "lineitem")
-    # decimal(18,2) first — a direct double->long cast TRUNCATES in
-    # Spark but ROUNDS in DuckDB; the decimal cast rounds identically
-    # on both engines (the repo-wide exact-cents rule).
-    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
-        "long"
-    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
-    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.sum(rev_line).cast("long").alias("rev_e4")
-    )
+    rev = _part_revenue(li)
     # the per-part revenue table is dimension-sized (catalog, not fact
     # cardinality): 8 range partitions right-size the two-pass overhead
     # (32 partitions of a 20k-row table is pure scheduling floor —
@@ -514,15 +524,8 @@ def a_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Gini coefficient of revenue concentration --------------------------------------
 @query(
     "a_gini_concentration",
-    oracle="""
-    WITH rev AS (
-      SELECT l_partkey AS p,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                                    AS BIGINT))) AS BIGINT)
-               AS rev_e4
-      FROM lineitem GROUP BY 1
-    ),
+    oracle=f"""
+    WITH {_PART_REV_SQL},
     ranked AS (
       SELECT rev_e4,
              row_number() OVER (ORDER BY rev_e4 ASC, p) AS rn
@@ -557,12 +560,7 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_row_number_lazy
 
     li = tbl(spark, sf_dir, "lineitem")
-    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
-        "long"
-    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
-    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.sum(rev_line).cast("long").alias("rev_e4")
-    )
+    rev = _part_revenue(li)
     ranked = global_row_number_lazy(
         rev,
         [F.col("rev_e4").asc(), F.col("p")],
@@ -589,15 +587,8 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ABC-XYZ matrix (value concentration x demand variability) -----------------------
 @query(
     "a_abc_xyz",
-    oracle="""
-    WITH rev AS (
-      SELECT l_partkey AS p,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-                                    AS BIGINT))) AS BIGINT)
-               AS rev_e4
-      FROM lineitem GROUP BY 1
-    ),
+    oracle=f"""
+    WITH {_PART_REV_SQL},
     cum AS (
       SELECT p, rev_e4,
              SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, p
@@ -652,12 +643,7 @@ def a_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_prefix_sum
 
     li = tbl(spark, sf_dir, "lineitem")
-    rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
-        "long"
-    ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
-    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.sum(rev_line).cast("long").alias("rev_e4")
-    )
+    rev = _part_revenue(li)
     cum, total = global_prefix_sum(
         rev,
         [F.col("rev_e4").desc(), F.col("p")],
