@@ -569,37 +569,46 @@ _CROSTON_SCHEMA = (
 )
 
 
-def croston_fit(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One part: Croston (1972) — smooth nonzero demand size and
-    inter-demand interval SEPARATELY, updating only on sale events;
-    the per-period forecast is z/p (one division).
-
-    Init z₁ = y₁, p₁ = i₂ (first observed gap); for t ≥ 2:
+def _croston_one(ys: list[float], gaps: list[float]) -> tuple[float, float]:
+    """Croston (1972) recursion for one part — smooth nonzero demand
+    size and inter-demand interval SEPARATELY.  Init z₁ = y₁,
+    p₁ = i₂ (first observed gap); for t ≥ 2:
       z_t = α·y_t + (1−α)·z, p_t = α·i_t + (1−α)·p.
     Same expression tree as the recursive-CTE oracle."""
-    pdf = pdf.sort_values("d").reset_index(drop=True)
-    n = len(pdf)
-    if n < 2:
-        return pd.DataFrame(
-            {c: [] for c in
-             ("part", "n_sales", "demand_est", "interval_est", "forecast")}
-        )
-    ys = [float(v) for v in pdf["q"]]
-    ds = list(pdf["d"])
-    gaps = [float((ds[t] - ds[t - 1]).days) for t in range(1, n)]
     z = ys[0]
     p = gaps[0]
-    for t in range(1, n):
+    for t in range(1, len(ys)):
         z = CR_ALPHA * ys[t] + (1.0 - CR_ALPHA) * z
         p = CR_ALPHA * gaps[t - 1] + (1.0 - CR_ALPHA) * p
-    return pd.DataFrame(
-        {
-            "part": [int(pdf["part"][0])],
-            "n_sales": [n],
-            "demand_est": [z],
-            "interval_est": [p],
-            "forecast": [z / p],
-        }
+    return z, p
+
+
+def croston_fit_partition(
+    pdfs,  # Iterator[pd.DataFrame] — one partition, possibly many batches
+):
+    """mapInPandas kernel: fit EVERY part co-located in this partition
+    with one Python call — per-GROUP applyInPandas paid ~20k
+    interpreter/Arrow round-trips for catalog-sized part counts
+    (measured 9.3s at sf0.1; this shape: ~1s).  Batches of one
+    partition are concatenated first because a part's rows may span
+    Arrow batch boundaries."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    df = pd.concat(chunks, ignore_index=True).sort_values(["part", "d"])
+    out = []
+    for part, g in df.groupby("part", sort=False):
+        n = len(g)
+        if n < 2:
+            continue
+        ys = [float(v) for v in g["q"]]
+        ds = list(g["d"])
+        gaps = [float((ds[t] - ds[t - 1]).days) for t in range(1, n)]
+        z, p = _croston_one(ys, gaps)
+        out.append((int(part), n, z, p, z / p))
+    yield pd.DataFrame(
+        out,
+        columns=["part", "n_sales", "demand_est", "interval_est", "forecast"],
     )
 
 
@@ -645,7 +654,11 @@ def m27_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m26).  The recursion advances only on SALE events, so the oracle
     CTE iterates max-sales-per-part times (≈50), not calendar length —
     the same trick that keeps per-part groups tiny at any corpus
-    scale (millions of parts, dozens of sales each)."""
+    scale (millions of parts, dozens of sales each).  The Spark side
+    hash-repartitions on part and fits a whole PARTITION of parts per
+    Python call (mapInPandas) — per-group applyInPandas is quadratic
+    in scheduling overhead once groups number in the tens of
+    thousands."""
     sales = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy(
@@ -658,4 +671,6 @@ def m27_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q")
         )
     )
-    return sales.groupBy("part").applyInPandas(croston_fit, _CROSTON_SCHEMA)
+    return sales.repartition("part").mapInPandas(
+        croston_fit_partition, _CROSTON_SCHEMA
+    )
