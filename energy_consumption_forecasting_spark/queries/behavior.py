@@ -527,3 +527,189 @@ def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d", "at_risk", "events", "survival")
     )
+
+
+# --- Markov-chain attribution (removal effects) --------------------------------------
+_MC_ITERS = 60
+_MC_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _mc_term_sql(f: str) -> str:
+    """v'_F = F_purchase + Σ_t (0 if t removed else F_t·v_t), fixed
+    order click,error,signup,view, left-associated — the exact
+    expression the Python mirror folds."""
+    acc = f"{f}_purchase"
+    for t in _MC_CHANNELS:
+        acc = (
+            f"({acc} + (CASE WHEN scen = '{t}' THEN 0.0 "
+            f"ELSE {f}_{t} * v_{t[0]} END))"
+        )
+    return acc
+
+
+@query(
+    "w_markov_attribution",
+    oracle=f"""
+    WITH RECURSIVE
+    fp AS (
+      SELECT user_id, ts AS fts, event_id AS fid,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fp1 AS (SELECT user_id, fts, fid FROM fp WHERE rn = 1),
+    trunc AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e LEFT JOIN fp1 USING (user_id)
+      WHERE fp1.user_id IS NULL
+         OR e.ts < fp1.fts
+         OR (e.ts = fp1.fts AND e.event_id <= fp1.fid)
+    ),
+    seq AS (
+      SELECT event_type,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rrn
+      FROM trunc
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT COALESCE(prev, 'start') AS f, event_type AS t FROM seq
+      UNION ALL
+      SELECT event_type AS f, 'null' AS t FROM seq
+      WHERE rrn = 1 AND event_type <> 'purchase'
+    ),
+    counts AS (SELECT f, t, COUNT(*) AS n FROM trans GROUP BY 1, 2),
+    mat AS (
+      SELECT f,
+             CAST(COALESCE(SUM(CASE WHEN t='click'    THEN n END), 0)
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_click,
+             CAST(COALESCE(SUM(CASE WHEN t='error'    THEN n END), 0)
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_error,
+             CAST(COALESCE(SUM(CASE WHEN t='signup'   THEN n END), 0)
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_signup,
+             CAST(COALESCE(SUM(CASE WHEN t='view'     THEN n END), 0)
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_view,
+             CAST(COALESCE(SUM(CASE WHEN t='purchase' THEN n END), 0)
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_purchase
+      FROM counts GROUP BY f
+    ),
+    wide AS (
+      SELECT
+        {", ".join(
+            f"COALESCE(MAX(CASE WHEN f = '{f}' THEN p_{t} END), 0.0)"
+            f" AS {f}_{t}"
+            for f in ("start",) + _MC_CHANNELS
+            for t in _MC_CHANNELS + ("purchase",)
+        )}
+      FROM mat
+    ),
+    scen(scen) AS (
+      VALUES ('base'), ('click'), ('error'), ('signup'), ('view')
+    ),
+    it(k, scen, v_c, v_e, v_s, v_v) AS (
+      -- CAST anchors: bare 0.0 would type the columns DECIMAL(1,1)
+      -- and quantize the whole iteration (the recursive-CTE
+      -- anchor-typing gotcha, same as m26_holt_winters)
+      SELECT 0, scen, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM scen
+      UNION ALL
+      SELECT it.k + 1, it.scen,
+             {_mc_term_sql("click")},
+             {_mc_term_sql("error")},
+             {_mc_term_sql("signup")},
+             {_mc_term_sql("view")}
+      FROM it CROSS JOIN wide
+      WHERE it.k < {_MC_ITERS}
+    ),
+    fin AS (SELECT * FROM it WHERE k = {_MC_ITERS}),
+    conv AS (
+      SELECT scen, {_mc_term_sql("start")} AS conv
+      FROM fin CROSS JOIN wide
+    )
+    SELECT c.scen AS scenario,
+           c.conv AS conv_prob,
+           CASE WHEN c.scen = 'base' THEN 0.0
+                ELSE 1.0 - c.conv / b.conv END AS removal_effect
+    FROM conv c CROSS JOIN (SELECT conv FROM conv WHERE scen='base') b
+    """,
+)
+def w_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to last-touch credit (Anderl et al. 2016 shape): user
+    journeys truncated at first purchase, a 'start'-augmented
+    transition matrix with 'purchase'/'null' absorbing, conversion
+    probability from 'start' by fixed-point absorption iteration, and
+    each channel's removal effect = 1 − conv(without channel)/conv.
+
+    The MATRIX is computed distributed (the same user-keyed lag shape
+    as w_markov_transitions); only the ≤31-cell count table reaches
+    the driver, where {_MC_ITERS} fixed-order iterations run — the
+    identical left-associated IEEE fold the recursive-CTE oracle
+    evaluates, so even the float fixed point hash-matches."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
+    )
+    trunc = ev.join(F.broadcast(fp), "user_id", "left").filter(
+        F.col("fts").isNull()
+        | (F.col("ts") < F.col("fts"))
+        | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    seq = trunc.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        F.row_number().over(wd).alias("rrn"),
+    )
+    trans = seq.select(
+        F.coalesce("prev", F.lit("start")).alias("f"),
+        F.col("event_type").alias("t"),
+    ).unionAll(
+        seq.filter(
+            (F.col("rrn") == 1) & (F.col("event_type") != "purchase")
+        ).select(F.col("event_type").alias("f"), F.lit("null").alias("t"))
+    )
+    counts = {
+        (r["f"], r["t"]): r["n"]
+        for r in trans.groupBy("f", "t").agg(F.count("*").alias("n")).collect()
+    }
+    # row-normalized probabilities — same n/total division as the oracle
+    froms = ("start",) + _MC_CHANNELS
+    targets = _MC_CHANNELS + ("purchase",)
+    P: dict[str, dict[str, float]] = {}
+    for f in froms:
+        total = sum(n for (ff, _), n in counts.items() if ff == f)
+        P[f] = {
+            t: (counts.get((f, t), 0) / total if total else 0.0)
+            for t in targets
+        }
+
+    def fold(f: str, scen: str, v: dict[str, float]) -> float:
+        acc = P[f]["purchase"]
+        for t in _MC_CHANNELS:
+            acc = acc + (0.0 if scen == t else P[f][t] * v[t])
+        return acc
+
+    rows = []
+    convs = {}
+    for scen in ("base",) + _MC_CHANNELS:
+        v = {t: 0.0 for t in _MC_CHANNELS}
+        for _ in range(_MC_ITERS):
+            v = {f: fold(f, scen, v) for f in _MC_CHANNELS}
+        convs[scen] = fold("start", scen, v)
+    for scen in ("base",) + _MC_CHANNELS:
+        re = 0.0 if scen == "base" else 1.0 - convs[scen] / convs["base"]
+        rows.append((scen, convs[scen], re))
+    return spark.createDataFrame(
+        rows, "scenario string, conv_prob double, removal_effect double"
+    )
