@@ -85,6 +85,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             sources_gate,
             text,
             timeseries,
+            tpcds_shapes,
             tpch_more,
             windows,
         )

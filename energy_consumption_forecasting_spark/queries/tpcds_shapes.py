@@ -1,0 +1,179 @@
+"""Representative TPC-DS query SHAPES over the TPC-H-ish testdata —
+the decision-support patterns TPC-H lacks: correlated above-average
+filters (DS Q1), ROLLUP + windowed top-n per category (DS Q67), and
+count-band cohort selection (DS Q34).
+
+Exactness discipline: every comparison is integer cross-multiplied
+(never a float threshold), sums are exact cents, ranks are
+deterministically tie-broken — all three gates hash strictly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import tbl
+
+
+@query(
+    "ds_q1_above_avg_returns",
+    oracle="""
+    WITH cret AS (
+      SELECT c.c_custkey AS custkey, c.c_nationkey AS nation,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ret_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT nation, CAST(SUM(ret_c) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cret GROUP BY nation
+    )
+    SELECT c.custkey, CAST(c.nation AS INT) AS nation, c.ret_c
+    FROM cret c JOIN nat ON nat.nation = c.nation
+    WHERE 5 * c.ret_c * nat.n > 6 * nat.tot
+    """,
+)
+def ds_q1_above_avg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q1 shape: customers whose returned revenue exceeds 1.2x their
+    nation's per-customer average — the correlated-subquery pattern,
+    decorrelated to one agg + one broadcast join, with the 1.2x
+    threshold as the integer cross-product 5·rev·n > 6·total (no
+    float ever formed)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    cret = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("custkey"))
+        .groupBy("custkey", "nation")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("ret_c")
+        )
+    )
+    nat = cret.groupBy("nation").agg(
+        F.sum("ret_c").cast("long").alias("tot"),
+        F.count("*").alias("n"),
+    )
+    return (
+        cret.join(F.broadcast(nat), "nation")
+        .filter(5 * F.col("ret_c") * F.col("n") > 6 * F.col("tot"))
+        .select("custkey", F.col("nation").cast("int"), "ret_c")
+    )
+
+
+@query(
+    "ds_q67_topn_per_category",
+    oracle="""
+    WITH sales AS (
+      SELECT p.p_type AS ptype, p.p_brand AS brand,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sales_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY ROLLUP (p.p_type, p.p_brand)
+    ),
+    ranked AS (
+      SELECT COALESCE(ptype, '(all)') AS ptype,
+             COALESCE(brand, '(all)') AS brand,
+             sales_c,
+             row_number() OVER (
+               PARTITION BY ptype ORDER BY sales_c DESC, brand
+             ) AS rnk
+      FROM sales
+    )
+    SELECT ptype, brand, sales_c, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def ds_q67_topn_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q67 shape: ROLLUP(type, brand) sales subtotals, then the top
+    3 rows per type partition by exact-cents sales (rank tie-broken by
+    brand).  ROLLUP's map-side expand + one hash agg + a
+    partition-bounded window — the grouping-sets + windowed top-n
+    combination TPC-H never exercises."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_brand").alias("brand"),
+    )
+    sales = (
+        li.join(F.broadcast(p), "l_partkey")
+        .rollup("ptype", "brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sales_c")
+        )
+    )
+    w = Window.partitionBy("ptype").orderBy(
+        F.desc("sales_c"), F.asc("brand")
+    )
+    return (
+        sales.select(
+            F.coalesce("ptype", F.lit("(all)")).alias("ptype"),
+            F.coalesce("brand", F.lit("(all)")).alias("brand"),
+            "sales_c",
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "ds_q34_count_band_cohort",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS spend_c
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    )
+    SELECT p.custkey, c.c_mktsegment AS segment, p.n_orders, p.spend_c
+    FROM per_cust p JOIN customer c ON c.c_custkey = p.custkey
+    WHERE p.n_orders BETWEEN 8 AND 12
+    """,
+)
+def ds_q34_count_band_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q34 shape: the count-BAND cohort (customers with 8-12
+    urgent/high orders) joined back to the dimension for attributes —
+    HAVING-band selection plus enrichment, all integer outputs."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("spend_c"),
+    ).filter(F.col("n_orders").between(8, 12))
+    c = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return per_cust.join(F.broadcast(c), "custkey").select(
+        "custkey", "segment", "n_orders", "spend_c"
+    )
