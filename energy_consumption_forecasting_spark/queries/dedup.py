@@ -1218,3 +1218,103 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cb.alias("contain_b"),
         )
     )
+
+
+# --- LSH quality evaluation: candidates vs exact-Jaccard ground truth ----------------
+@query(
+    "dedup_lsh_quality",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+      FROM shingles s1
+      JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      -- Jaccard >= 1/2  <=>  3*|inter| >= |A| + |B|  (integer algebra)
+      SELECT a, b FROM inter
+      JOIN sizes za ON za.doc_id = a
+      JOIN sizes zb ON zb.doc_id = b
+      WHERE 3 * i >= za.sz + zb.sz
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1
+      JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket
+                    AND b1.doc_id < b2.doc_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b) AS tp,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+       WHERE c.a IS NULL) AS fn,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM cand c LEFT JOIN truth t ON t.a = c.a AND t.b = c.b
+       WHERE t.a IS NULL) AS fp
+    """,
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the MinHash-LSH tier instead of trusting it: exact
+    TP/FN/FP of the banded candidate pairs against exact-Jaccard≥1/2
+    ground truth (3·|∩| ≥ |A|+|B| — integer algebra, no float
+    similarity).  FN are true near-dups the bands missed (the recall
+    gap); FP are candidates exact rescoring later drops (wasted
+    verification work, not wrong output).
+
+    The ground truth is built from the shared-shingle equi-join —
+    LOSSLESS for τ ≥ 1/2 (such a pair shares at least one shingle) but
+    candidate-quadratic, so it is the GATE-SF evaluation path; at
+    corpus scale the same truth comes from the PPJoin prefix-filter
+    tier (dedup_prefix_filter_join), which is sub-quadratic and
+    oracle-proven lossless."""
+    shingles = _shingles(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = shingles.alias("s1")
+    s2 = shingles.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.sh") == F.col("s2.sh"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    truth = (
+        inter.join(F.broadcast(za), "a")
+        .join(F.broadcast(zb), "b")
+        .filter(3 * F.col("i") >= F.col("sza") + F.col("szb"))
+        .select("a", "b")
+    )
+    bands = _band_rows(_minhash_sigs(spark, sf_dir))
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    tp = truth.join(cand, ["a", "b"]).count()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [(n_truth, n_cand, tp, n_truth - tp, n_cand - tp)],
+        "n_truth long, n_candidates long, tp long, fn long, fp long",
+    )
