@@ -605,3 +605,66 @@ def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_ivf_topk(
         corpus, q, model.clusterCenters(), mins, maxs, k=TOP_K, nprobe=4
     )
+
+
+# --- ANN recall evaluation: bucketed tier vs exact truth ------------------------------
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+        FROM q, e c WHERE q.vec_id <> c.vec_id
+      ) WHERE rnk <= 3
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+        FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+      ) WHERE rnk <= 3
+    )
+    SELECT 'bucketed' AS tier,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM truth t JOIN approx a
+              ON a.query_id = t.query_id
+             AND a.neighbor_id = t.neighbor_id) AS hits,
+           CAST((1000000 * (SELECT COUNT(*)
+                            FROM truth t JOIN approx a
+                              ON a.query_id = t.query_id
+                             AND a.neighbor_id = t.neighbor_id))
+                // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the ANN tier: exact recall@3 of the bucketed (IVF-style)
+    candidates against brute-force cosine truth, as a registered
+    hash-checked gate (the sibling of dedup_lsh_quality — the pytest
+    recall tests cover the PQ/OPQ tiers whose quantizers are
+    seed-dependent).  recall_ppm is an exact integer (1e6·hits div
+    n_truth) per the >2^53-safe fixed-point rule.  Truth and approx
+    reuse the registered queries' own frames — this gate can never
+    drift from what sim_topk_bruteforce / sim_bucketed_ann actually
+    run."""
+    truth = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = sim_bucketed_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    n_truth = truth.count()
+    return spark.createDataFrame(
+        [("bucketed", n_truth, hits, (1000000 * hits) // n_truth)],
+        "tier string, n_truth long, hits long, recall_ppm long",
+    )
