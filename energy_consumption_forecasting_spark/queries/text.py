@@ -635,3 +635,52 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_K)
     )
+
+
+# --- langid quality: confusion matrix vs the lang ground-truth column ----------------
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['en']!r}, x))) AS en,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['de']!r}, x))) AS de,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['es']!r}, x))) AS es,
+             len(list_filter(a, x -> list_contains({_LANG_MARKERS['fr']!r}, x))) AS fr
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'unknown'
+                  WHEN de > en AND de >= es AND de >= fr THEN 'de'
+                  WHEN es > en AND es >= fr THEN 'es'
+                  WHEN fr > en THEN 'fr'
+                  ELSE 'en' END AS pred_lang
+      FROM hits
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the language-ID heuristic against the corpus's own
+    ``lang`` ground truth: the full confusion matrix (true, predicted,
+    count) as a registered hash-checked gate — the evaluation sibling
+    of dedup_lsh_quality / sim_ann_recall.  Notably honest about the
+    heuristic's blind spot: zh has no marker list, so its row shows
+    where unmarked languages land.  Exact counts, |langs|² output."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_langid(spark, sf_dir)
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("lang_pred").alias("pred_lang"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
