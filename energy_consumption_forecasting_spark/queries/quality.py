@@ -630,3 +630,51 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return stats.filter(n >= 2).select("lag", "n", r.alias("r"))
+
+
+# --- Benford first-digit profile ------------------------------------------------------
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT d AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((1000000 * COUNT(*))
+                // (SELECT COUNT(*) FROM digits) AS BIGINT) AS share_ppm
+    FROM digits GROUP BY d
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order amounts — the
+    classic fraud/synthetic-data screen (a manufactured amount column
+    shows a flat profile where organic data follows log10(1+1/d)).
+    The digit comes from the CENTS integer's decimal rendering (no
+    float log10 — libm implementations differ across engines), and the
+    share is exact integer ppm.  One scan + a 9-row agg; the expected
+    Benford curve is a constant table the consumer compares against,
+    deliberately NOT computed here (it needs log10)."""
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    total = digits.count()
+    return digits.groupBy(F.col("d").alias("first_digit")).agg(
+        F.count("*").alias("n"),
+        # exact integer div — a double division + cast could truncate
+        # across a boundary the exact floor sits under
+        F.expr(f"CAST((1000000 * COUNT(*)) div {total} AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
