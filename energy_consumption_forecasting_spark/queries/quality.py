@@ -678,3 +678,48 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+# --- join/groupBy key-skew diagnosis --------------------------------------------------
+@query(
+    "dq_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           quantile_cont(n, 0.5) AS p50,
+           quantile_cont(n, 0.9) AS p90,
+           quantile_cont(n, 0.99) AS p99,
+           CAST((1000000 * MAX(n) * COUNT(*)) // SUM(n) AS BIGINT)
+             AS max_over_mean_ppm
+    FROM per_key
+    """,
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for a prospective join/groupBy key — the
+    measurement that DECIDES whether the salting/AQE-skew machinery
+    (operators/skew.py) is needed: per-key row counts, their
+    max/p99/p90/p50, and max-over-mean in exact integer ppm.  A
+    max_over_mean_ppm near 1e6 means uniform; orders of magnitude
+    higher flags a hot key.  One count agg (map-side combinable) +
+    a single-row stats agg over the key-cardinality table."""
+    per_key = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.expr(
+            "CAST((1000000 * MAX(n) * COUNT(*)) div SUM(n) AS BIGINT)"
+        ).alias("max_over_mean_ppm"),
+    )
