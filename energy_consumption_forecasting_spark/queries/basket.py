@@ -188,3 +188,88 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- item-item collaborative filtering ------------------------------------------------
+@query(
+    "a_item_item_cf",
+    oracle=f"""
+    WITH {_ITEMS_SQL},
+    item_counts AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY 1
+    ),
+    sym AS (
+      SELECT p1 AS a, p2 AS b, n FROM pair_counts WHERE n >= {_MINSUP}
+      UNION ALL
+      SELECT p2 AS a, p1 AS b, n FROM pair_counts WHERE n >= {_MINSUP}
+    ),
+    scored AS (
+      SELECT s.a, s.b, s.n,
+             CAST(s.n AS DOUBLE)
+               / sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)) AS cos_sim
+      FROM sym s
+      JOIN item_counts ia ON ia.l_partkey = s.a
+      JOIN item_counts ib ON ib.l_partkey = s.b
+    )
+    SELECT CAST(a AS BIGINT) AS item, CAST(b AS BIGINT) AS similar_item,
+           CAST(n AS BIGINT) AS n_co, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY a ORDER BY cos_sim DESC, b) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def a_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ('customers who bought X also
+    bought Y'): cosine similarity on basket co-occurrence —
+    n_ab / sqrt(n_a·n_b), one double division + sqrt over exact
+    integers (the n_a·n_b product stays integer until a single cast),
+    top-5 per item with deterministic tie-break.  Rides the
+    single-shuffle pair explode; the scoring joins are
+    item-dimension-sized broadcasts; per-item top-k is a bounded
+    window.  The same query over (doc, shingle) or (user, doc) is
+    content / behavioral co-recommendation at corpus scale."""
+    lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    item_counts = _item_counts(lines)
+    pairs = _pair_counts(spark, sf_dir, item_counts=item_counts)
+    sym = pairs.select(
+        F.col("p1").alias("a"), F.col("p2").alias("b"), "n"
+    ).unionAll(
+        pairs.select(F.col("p2").alias("a"), F.col("p1").alias("b"), "n")
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("a"), F.col("n_item").alias("na")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("b"), F.col("n_item").alias("nb")
+    )
+    scored = (
+        sym.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .select(
+            "a",
+            "b",
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.desc("cos_sim"), F.asc("b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("a").cast("long").alias("item"),
+            F.col("b").cast("long").alias("similar_item"),
+            F.col("n").cast("long").alias("n_co"),
+            "cos_sim",
+            "rnk",
+        )
+    )
