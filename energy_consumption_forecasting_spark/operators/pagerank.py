@@ -283,3 +283,86 @@ def pagerank_exact(
         e.unpersist()
         if we is not None:
             we.unpersist()
+
+
+def pagerank_personalized_exact(
+    edges: DataFrame,
+    seed_pred,
+    n_seeds: int,
+    iters: int = 10,
+    scale: int = 10**15,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """Personalized PageRank in the same exact scaled-int64 algebra as
+    :func:`pagerank_exact`: the teleport mass lands ONLY on the seed
+    set instead of uniformly —
+
+      r0_v    = (scale div |S|)·[v ∈ S]
+      r_{t+1} = [v ∈ S]·(3·scale) div (20·|S|) + (17·inflow) div 20
+
+    — so ranks measure proximity to the seeds (the
+    'recommendation from these nodes' form of PageRank).  Every op is
+    order-independent integer arithmetic → cross-engine hash-checkable
+    like the global variant.  ``seed_pred`` is a Column predicate over
+    the node id column ``v``; ``n_seeds`` must be |S ∩ nodes| (the
+    caller counts it — it is also the oracle's ns).  Same loop shape
+    as pagerank_exact: edges persisted once partitioned on the
+    aggregation key, broadcast rank side, localCheckpoint per round.
+    Requires a symmetrized edge set (no dangling mass)."""
+    spark = edges.sparkSession
+    if n_seeds <= 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+
+    e = edges.persist()
+    deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    stats = deg.agg(
+        F.count("*").alias("n"), F.sum("deg").alias("n_edges")
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("personalized pagerank: empty graph")
+    n_edges = stats["n_edges"] or 0
+    broadcastable = stats["n"] * 48 < 64 << 20
+
+    base_seed = (damp_den - damp_num) * scale // (damp_den * n_seeds)
+    we = None
+    try:
+        with loop_shuffle_width(spark, int(n_edges), 100_000) as iter_n:
+            part_key = "dst" if broadcastable else "src"
+            we = (
+                e.join(deg.withColumnRenamed("v", "src"), "src")
+                .select("src", "dst", "deg")
+                .repartition(iter_n, part_key)
+                .persist()
+            )
+            ranks = deg.select(
+                "v",
+                F.when(seed_pred(F.col("v")), F.lit(scale // n_seeds))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("r"),
+            )
+            for _ in range(iters):
+                rank_side = ranks.withColumnRenamed("v", "src")
+                if broadcastable:
+                    rank_side = F.broadcast(rank_side)
+                ranks = (
+                    we.join(rank_side, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+                    .select(
+                        F.col("dst").alias("v"),
+                        (
+                            F.when(
+                                seed_pred(F.col("dst")), F.lit(base_seed)
+                            ).otherwise(F.lit(0))
+                            + F.expr(f"({damp_num} * inflow) div {damp_den}")
+                        ).cast("long").alias("r"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            return ranks.select("v", F.col("r").alias("rank_scaled"))
+    finally:
+        e.unpersist()
+        if we is not None:
+            we.unpersist()

@@ -476,3 +476,98 @@ def graph_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
+
+
+# --- personalized PageRank (seed-teleport proximity) ---------------------------------
+_PPR_SEED_MAX = 10  # seed set: supplier nodes with suppkey < 10
+
+
+def _ppr_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled personalized-PageRank oracle: same exact scaled-int64
+    recurrence as _pagerank_oracle but teleport mass restricted to the
+    seed suppliers — r0 = (S div ns)·[seed], base = (3S) div (20·ns)
+    on seeds, 0 elsewhere."""
+    s = f"CAST({_PR_SCALE} AS BIGINT)"
+    def seed(col: str) -> str:
+        return (
+            f"({col} LIKE 's%' AND CAST(substr({col}, 2) AS INT)"
+            f" < {_PPR_SEED_MAX})"
+        )
+    parts = [
+        f"""li AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem),
+    sym AS (SELECT src, dst FROM li UNION ALL SELECT dst, src FROM li),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM deg WHERE {seed('v')}),
+    r0 AS (SELECT v, deg,
+                  CASE WHEN {seed('v')} THEN {s} // ns ELSE 0 END AS r
+           FROM deg CROSS JOIN nn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""r{t} AS (
+      SELECT d.v, d.deg,
+             CAST(CASE WHEN {seed('d.v')}
+                       THEN (3 * {s}) // (20 * ns) ELSE 0 END
+                  + (17 * i.inflow) // 20 AS BIGINT) AS r
+      FROM deg d CROSS JOIN nn
+      JOIN (SELECT e.dst AS v, SUM(p.r // p.deg) AS inflow
+            FROM sym e JOIN r{t - 1} p ON p.v = e.src
+            GROUP BY e.dst) i ON i.v = d.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT v, r AS rank_scaled FROM r{iters}
+    ORDER BY rank_scaled DESC, v LIMIT 50"""
+    )
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (suppliers 0-9): ranks
+    measure PROXIMITY to the seeds, the 'related to these' primitive
+    behind graph recommendations — same exact scaled-int64 recurrence
+    and loop shape as graph_pagerank, teleport mass restricted to the
+    seeds (operators/pagerank.py::pagerank_personalized_exact).
+    Integer node ids in the loop (2k parts / 2k+1 suppliers: seeds are
+    odd ids < 20), string ids minted on the final 50 rows."""
+    from ..operators.pagerank import pagerank_personalized_exact
+
+    pairs = tbl(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+    def seed_pred(v):
+        return (v % 2 == 1) & (v < 2 * _PPR_SEED_MAX)
+
+    n_seeds = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .filter(seed_pred(F.col("v")))
+        .count()
+    )
+    ranks = pagerank_personalized_exact(edges, seed_pred, n_seeds)
+    return (
+        ranks.select(
+            F.concat(
+                F.when(F.col("v") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+                (F.col("v") / 2).cast("long").cast("string"),
+            ).alias("v"),
+            "rank_scaled",
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("v"))
+        .limit(50)
+    )
