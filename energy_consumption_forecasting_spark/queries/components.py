@@ -571,3 +571,116 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), F.asc("v"))
         .limit(50)
     )
+
+
+# --- modularity of the near-dup community partition ----------------------------------
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    exact_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM cand
+      UNION
+      SELECT doc_a, doc_b FROM exact_pairs
+    ),
+    sym AS (
+      SELECT doc_a AS s, doc_b AS t FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT sym.t, reach.r FROM sym JOIN reach ON sym.s = reach.v
+    ),
+    comp AS (
+      SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      FROM reach GROUP BY v
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM edges),
+    degs AS (SELECT s AS v, CAST(COUNT(*) AS HUGEINT) AS k FROM sym GROUP BY 1),
+    dc AS (
+      SELECT component AS c, CAST(SUM(k) AS HUGEINT) AS dsum
+      FROM degs JOIN comp ON comp.doc_id = degs.v GROUP BY 1
+    ),
+    lc AS (
+      SELECT component AS c, CAST(COUNT(*) AS HUGEINT) AS l
+      FROM edges JOIN comp ON comp.doc_id = edges.doc_a GROUP BY 1
+    ),
+    nc AS (SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_comm
+           FROM comp),
+    num AS (
+      SELECT CAST(SUM(4 * mm.m * COALESCE(lc.l, 0) - dc.dsum * dc.dsum)
+                  AS HUGEINT) AS q_num
+      FROM dc LEFT JOIN lc USING (c) CROSS JOIN mm
+    )
+    SELECT CAST(mm.m AS BIGINT) AS n_edges,
+           nc.n_comm AS n_communities,
+           CAST((1000000 * num.q_num) // (4 * mm.m * mm.m) AS BIGINT)
+             AS modularity_ppm
+    FROM mm CROSS JOIN nc CROSS JOIN num
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-dup COMMUNITY partition (the
+    connected components of the LSH∪exact dup graph) — the quality
+    score clustering pipelines report, in EXACT integer ppm:
+    Q·4m² = Σ_c (4·m·L_c − D_c²) with L_c intra-edges and D_c the
+    community degree sum, all HUGEINT/DECIMAL(38) — no float forms,
+    per the 2^53 rule.  Every edge is intra by construction here
+    (components!), so the same query on any OTHER partition column
+    (e.g. source) measures how well that grouping explains the dup
+    structure."""
+    docs = tbl(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    edges = (
+        _lsh_candidate_pairs(spark, sf_dir)
+        .union(_exact_pairs(spark, sf_dir))
+        .distinct()
+    )
+    labels = connected_components(docs, edges)
+    d38 = "decimal(38,0)"
+    sym = edges.select(
+        F.col("doc_a").alias("v")
+    ).unionAll(edges.select(F.col("doc_b").alias("v")))
+    degs = sym.groupBy("v").agg(F.count("*").cast(d38).alias("k"))
+    m = edges.count()
+    dc = (
+        degs.join(labels, "v")
+        .groupBy("comp")
+        .agg(F.sum("k").cast(d38).alias("dsum"))
+    )
+    lc = (
+        edges.join(
+            labels.withColumnRenamed("v", "doc_a"), "doc_a"
+        )
+        .groupBy("comp")
+        .agg(F.count("*").cast(d38).alias("l"))
+    )
+    n_comm = labels.select("comp").distinct().count()
+    q_num = (
+        dc.join(lc, "comp", "left")
+        .select(
+            (
+                F.lit(4 * m).cast(d38) * F.coalesce("l", F.lit(0).cast(d38))
+                - F.col("dsum") * F.col("dsum")
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast(d38).alias("q_num"))
+        .collect()[0]["q_num"]
+    )
+    q_ppm = int((1000000 * int(q_num)) // (4 * m * m)) if m else 0
+    return spark.createDataFrame(
+        [(m, n_comm, q_ppm)],
+        "n_edges long, n_communities long, modularity_ppm long",
+    )
