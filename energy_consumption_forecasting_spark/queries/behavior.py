@@ -713,3 +713,55 @@ def w_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "scenario string, conv_prob double, removal_effect double"
     )
+
+
+# --- rolling 28-day distinct users (MAU curve) ---------------------------------------
+@query(
+    "w_rolling_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    cal AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    hits AS (
+      SELECT c.d, du.user_id
+      FROM cal c JOIN du
+        ON du.d <= c.d AND du.d > c.d - 28
+    )
+    SELECT d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM hits GROUP BY d
+    """,
+)
+def w_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day distinct active users per day — the MAU curve.
+    Sliding DISTINCT does not decompose into window partials, so the
+    scalable exact form is a BOUNDED fan-out: each (day, user) distinct
+    pair replicates to the <= 28 calendar days whose window contains
+    it (row-local sequence/explode — never a range join against the
+    full event table), then one distinct-count per day.  Fan-out cost
+    is 28x the per-day-distinct table (already collapsed from raw
+    events), fixed at any corpus scale; the approximate tier at
+    extreme scale is an HLL sketch union over the same 28 partials
+    (a_approx_distinct family)."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    du = (
+        tbl(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    cal = du.select("d").distinct()
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(27))
+        ).alias("k"),
+        F.col("d").alias("d0"),
+        "user_id",
+    ).select(F.date_add("d0", F.col("k")).alias("d"), "user_id")
+    return (
+        fanned.join(cal, "d")  # clamp to observed days only
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
