@@ -273,3 +273,76 @@ def a_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- frequent triples (3-itemsets) ---------------------------------------------------
+@query(
+    "a_basket_triples",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    triple_counts AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             COUNT(*) AS n
+      FROM items a
+      JOIN items b ON b.l_orderkey = a.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      JOIN items c ON c.l_orderkey = a.l_orderkey
+                  AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(p3 AS BIGINT) AS p3, CAST(n AS BIGINT) AS n
+    FROM triple_counts WHERE n >= {_MINSUP}
+    """,
+)
+def a_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets — the a-priori level above the pairs:
+    candidate triples explode ROW-LOCALLY from the sorted basket array
+    (C(k,3), k <= basket size) after the same lossless frequent-item
+    prune, one hash agg counts them.  Still exactly one shuffle of the
+    line table; the oracle's 3-way self-join is the shape this plan
+    deliberately avoids."""
+    lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    item_counts = _item_counts(lines)
+    freq = item_counts.filter(F.col("n_item") >= _MINSUP)
+    pruned = lines.join(
+        F.broadcast(freq.select("l_partkey")), "l_partkey"
+    ).select("l_orderkey", "l_partkey")
+    baskets = pruned.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("arr")
+    )
+    # triples: for each i < j, pair (arr[i], arr[j]) with every later z
+    triple_arr = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(F.col("arr"), i + 2, F.size("arr")),
+                    lambda y, j: F.transform(
+                        F.slice(F.col("arr"), i + j + 3, F.size("arr")),
+                        lambda z: F.struct(
+                            x.alias("p1"), y.alias("p2"), z.alias("p3")
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(triple_arr).alias("tr"))
+        .groupBy(
+            F.col("tr.p1").alias("p1"),
+            F.col("tr.p2").alias("p2"),
+            F.col("tr.p3").alias("p3"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _MINSUP)
+        .select(
+            F.col("p1").cast("long"),
+            F.col("p2").cast("long"),
+            F.col("p3").cast("long"),
+            F.col("n").cast("long"),
+        )
+    )

@@ -951,3 +951,61 @@ def m21_som_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "month string, bmu_row int, bmu_col int"
     )
+
+
+# --- M28: pinball (quantile) loss of the naive forecaster ----------------------------
+@query(
+    "m28_pinball_loss",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    scored AS (
+      SELECT demand, lag(demand) OVER (ORDER BY d) AS pred FROM daily
+    ),
+    cents AS (
+      SELECT CAST((demand - pred) * 100 AS BIGINT) AS e
+      FROM scored WHERE pred IS NOT NULL
+    ),
+    ks AS (SELECT unnest([1, 2, 3]) AS k)
+    SELECT CAST(k AS INT) AS q_quarters,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e >= 0 THEN k * e ELSE (k - 4) * e END)
+                AS BIGINT) AS pinball_qc4,
+           CAST(SUM(CASE WHEN e >= 0 THEN k * e ELSE (k - 4) * e END)
+                AS DOUBLE) / (400 * COUNT(*)) AS mean_pinball
+    FROM cents CROSS JOIN ks
+    GROUP BY k
+    """,
+)
+def m28_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the naive lag-1 forecaster at
+    q = 1/4, 1/2, 3/4 — the metric quantile forecasts are judged by
+    (and at q=1/2 exactly half the MAE).  Dyadic quantiles keep the
+    loss an exact INTEGER in quarter-cents: 4·L_q(e) = k·e for e ≥ 0
+    else (k−4)·e — summed exactly, one double division at the end.
+    Completes the M14 metric family (MAE/MSE/WMAPE) with the
+    probabilistic-forecast dimension."""
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("d")
+    scored = daily.select(
+        "demand", F.lag("demand").over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    cents = scored.select(
+        ((F.col("demand") - F.col("pred")) * 100).cast("long").alias("e")
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    loss = F.when(
+        F.col("e") >= 0, F.col("k") * F.col("e")
+    ).otherwise((F.col("k") - 4) * F.col("e"))
+    return (
+        cents.select("e", ks)
+        .groupBy(F.col("k").cast("int").alias("q_quarters"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(loss).cast("long").alias("pinball_qc4"),
+            (
+                F.sum(loss).cast("double") / (400 * F.count("*"))
+            ).alias("mean_pinball"),
+        )
+    )
