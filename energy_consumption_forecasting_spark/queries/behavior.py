@@ -658,7 +658,9 @@ def w_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
     )
-    trunc = ev.join(F.broadcast(fp), "user_id", "left").filter(
+    # fp is USER-cardinality — never broadcast; the shuffle join on
+    # user_id is the scalable truncation (same key the lag window uses)
+    trunc = ev.join(fp, "user_id", "left").filter(
         F.col("fts").isNull()
         | (F.col("ts") < F.col("fts"))
         | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))

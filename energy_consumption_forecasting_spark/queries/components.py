@@ -627,7 +627,8 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(mm.m AS BIGINT) AS n_edges,
            nc.n_comm AS n_communities,
-           CAST((1000000 * num.q_num) // (4 * mm.m * mm.m) AS BIGINT)
+           CAST((1000000 * num.q_num)
+                // NULLIF(4 * mm.m * mm.m, 0) AS BIGINT)
              AS modularity_ppm
     FROM mm CROSS JOIN nc CROSS JOIN num
     """,
@@ -679,7 +680,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t").cast(d38).alias("q_num"))
         .collect()[0]["q_num"]
     )
-    q_ppm = int((1000000 * int(q_num)) // (4 * m * m)) if m else 0
+    # empty graph -> NULL modularity (matches the oracle's NULLIF)
+    q_ppm = (
+        int((1000000 * int(q_num)) // (4 * m * m)) if m else None
+    )
     return spark.createDataFrame(
         [(m, n_comm, q_ppm)],
         "n_edges long, n_communities long, modularity_ppm long",

@@ -324,27 +324,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared 16-bit SimHash oracle fragment (words -> per-bit +-1 sums ->
+# bit string) — dedup_simhash AND dedup_signal_panel build from it so
+# the signature definition cannot drift between operator and gate.
+_SIMHASH16_SQL = """words16 AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    sbits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN strpos('0123456789abcdef',
+                                  substr(md5(w), j + 1, 1)) - 1 >= 8
+                      THEN 1 ELSE -1 END) AS weight
+      FROM words16, range(16) t(j)
+      GROUP BY doc_id, j
+    ),
+    sh16 AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN weight >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY j) AS sig
+      FROM sbits GROUP BY doc_id
+    )"""
+
+
 # --- SimHash signatures -----------------------------------------------------------
 @query(
     "dedup_simhash",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
-      FROM documents
-    ),
-    words AS (SELECT doc_id, unnest(a) AS w FROM toks),
-    bits AS (
-      SELECT doc_id, j,
-             SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(w), j + 1, 1)) - 1 >= 8
-                      THEN 1 ELSE -1 END) AS weight
-      FROM words, range(16) t(j)
-      GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           string_agg(CASE WHEN weight >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
-             AS simhash
-    FROM bits
-    GROUP BY doc_id
+    oracle=f"""
+    WITH {_SIMHASH16_SQL}
+    SELECT doc_id, sig AS simhash FROM sh16
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,26 +1350,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN shingles s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
       GROUP BY 1, 2
     ),
-    words AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-                                x -> x <> '')) AS w
-      FROM documents
-    ),
-    sbits AS (
-      SELECT doc_id, j,
-             SUM(CASE WHEN strpos('0123456789abcdef',
-                                  substr(md5(w), j + 1, 1)) - 1 >= 8
-                      THEN 1 ELSE -1 END) AS weight
-      FROM words, range(16) t(j)
-      GROUP BY doc_id, j
-    ),
-    sh16 AS (
-      SELECT doc_id,
-             string_agg(CASE WHEN weight >= 0 THEN '1' ELSE '0' END,
-                        '' ORDER BY j) AS sig
-      FROM sbits GROUP BY doc_id
-    )
+    {_SIMHASH16_SQL}
     SELECT c.doc_a, c.doc_b,
            COALESCE(i.i, 0) AS n_shared,
            za.n AS n_a, zb.n AS n_b,

@@ -641,7 +641,8 @@ def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FROM truth t JOIN approx a
                               ON a.query_id = t.query_id
                              AND a.neighbor_id = t.neighbor_id))
-                // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm
+                // NULLIF((SELECT COUNT(*) FROM truth), 0) AS BIGINT)
+             AS recall_ppm
     """,
 )
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,7 +665,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
     n_truth = truth.count()
+    # empty truth set -> NULL recall (matches the oracle's NULLIF),
+    # never a ZeroDivisionError
+    recall = (1000000 * hits) // n_truth if n_truth else None
     return spark.createDataFrame(
-        [("bucketed", n_truth, hits, (1000000 * hits) // n_truth)],
+        [("bucketed", n_truth, hits, recall)],
         "tier string, n_truth long, hits long, recall_ppm long",
     )

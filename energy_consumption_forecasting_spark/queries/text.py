@@ -112,28 +112,40 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- language identification -------------------------------------------------------
-@query(
-    "text_langid",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
+# Shared oracle fragments — text_langid AND text_langid_confusion build
+# from these, so the heuristic can never drift between the operator and
+# the gate that measures it.
+def _langid_ctes(carry: str = "") -> str:
+    """toks+hits CTE chain; ``carry`` adds pass-through columns."""
+    c = f", {carry}" if carry else ""
+    return f"""t AS (
+      SELECT doc_id{c},
              list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
       FROM documents
     ),
     hits AS (
-      SELECT doc_id,
+      SELECT doc_id{c},
              len(list_filter(a, x -> list_contains({_LANG_MARKERS['en']!r}, x))) AS en,
              len(list_filter(a, x -> list_contains({_LANG_MARKERS['de']!r}, x))) AS de,
              len(list_filter(a, x -> list_contains({_LANG_MARKERS['es']!r}, x))) AS es,
              len(list_filter(a, x -> list_contains({_LANG_MARKERS['fr']!r}, x))) AS fr
       FROM t
-    )
-    SELECT doc_id,
-           CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'unknown'
+    )"""
+
+
+_LANGID_CASE = """CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'unknown'
                 WHEN de > en AND de >= es AND de >= fr THEN 'de'
                 WHEN es > en AND es >= fr THEN 'es'
                 WHEN fr > en THEN 'fr'
-                ELSE 'en' END AS lang_pred
+                ELSE 'en' END"""
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH {_langid_ctes()}
+    SELECT doc_id,
+           {_LANGID_CASE} AS lang_pred
     FROM hits
     """,
 )
@@ -641,30 +653,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_langid_confusion",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
-      FROM documents
-    ),
-    hits AS (
-      SELECT doc_id, lang,
-             len(list_filter(a, x -> list_contains({_LANG_MARKERS['en']!r}, x))) AS en,
-             len(list_filter(a, x -> list_contains({_LANG_MARKERS['de']!r}, x))) AS de,
-             len(list_filter(a, x -> list_contains({_LANG_MARKERS['es']!r}, x))) AS es,
-             len(list_filter(a, x -> list_contains({_LANG_MARKERS['fr']!r}, x))) AS fr
-      FROM t
-    ),
-    pred AS (
-      SELECT lang AS true_lang,
-             CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'unknown'
-                  WHEN de > en AND de >= es AND de >= fr THEN 'de'
-                  WHEN es > en AND es >= fr THEN 'es'
-                  WHEN fr > en THEN 'fr'
-                  ELSE 'en' END AS pred_lang
-      FROM hits
-    )
-    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-    FROM pred GROUP BY 1, 2
+    WITH {_langid_ctes(carry="lang")}
+    SELECT lang AS true_lang,
+           {_LANGID_CASE} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hits GROUP BY 1, 2
     """,
 )
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,14 +87,22 @@ def ds_q1_above_avg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY ROLLUP (p.p_type, p.p_brand)
     ),
-    ranked AS (
+    named AS (
+      -- COALESCE BEFORE the window: ranking over the raw nullable
+      -- brand would tie-break subtotal rows as NULL (NULLS LAST)
+      -- while the Spark side ranks the '(all)' string (sorts FIRST) —
+      -- divergent rnk on any sales tie (e.g. a single-brand type)
       SELECT COALESCE(ptype, '(all)') AS ptype,
              COALESCE(brand, '(all)') AS brand,
-             sales_c,
+             sales_c
+      FROM sales
+    ),
+    ranked AS (
+      SELECT ptype, brand, sales_c,
              row_number() OVER (
                PARTITION BY ptype ORDER BY sales_c DESC, brand
              ) AS rnk
-      FROM sales
+      FROM named
     )
     SELECT ptype, brand, sales_c, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= 3
