@@ -331,3 +331,29 @@ def test_observe_metrics_ride_the_job(spark):
     # sketch is the sanctioned form (default 5% rsd)
     assert abs(got["n_sources_approx"] - ref["s"]) <= max(2, 0.1 * ref["s"])
     assert kept <= ref["n"]
+
+
+def test_croston_carry_across_arrow_batches(spark):
+    """The mapInPandas boundary-carry path: with tiny Arrow batches a
+    part's rows straddle batch boundaries, and the carry must stitch
+    them — compare against the same query under default batching."""
+    from energy_consumption_forecasting_spark.queries.smoothing import (
+        m27_croston,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    baseline = {
+        (r["part"]): (r["n_sales"], r["demand_est"], r["interval_est"])
+        for r in m27_croston(spark, sf).collect()
+    }
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # force many batches per partition
+        tiny = {
+            (r["part"]): (r["n_sales"], r["demand_est"], r["interval_est"])
+            for r in m27_croston(spark, sf).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == baseline and len(baseline) > 0
