@@ -74,6 +74,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             more_relational,
             ols,
             pipeline_ops,
+            pipelines_gate,
             quality,
             relational,
             reshape,
