@@ -1377,9 +1377,13 @@ def dedup_signal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     side by side for the LSH candidate pairs, each a composition of
     the registered operators' own building blocks.  Shingle
     intersections are row-local ``array_intersect`` over the per-doc
-    arrays (two doc-dimension broadcast joins — the candidate table
-    never joins the exploded shingle stream); similarities are single
-    IEEE divisions of exact ints."""
+    arrays (the candidate table never joins the exploded shingle
+    stream); similarities are single IEEE divisions of exact ints.
+    The per-doc array/signature tables are DOC-cardinality (they carry
+    full shingle arrays), so the joins are deliberately NOT
+    broadcast-hinted — AQE picks broadcast at gate SF and falls back to
+    shuffle joins at corpus scale, where forcing a broadcast of
+    node-cardinality payloads would OOM the driver (round-4 ADVICE)."""
     from .components import _lsh_candidate_pairs
 
     cand = _lsh_candidate_pairs(spark, sf_dir).toDF("doc_a", "doc_b")
@@ -1398,10 +1402,10 @@ def dedup_signal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sigb")
     )
     j = (
-        cand.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(ab), "doc_b")
-        .join(F.broadcast(ha), "doc_a")
-        .join(F.broadcast(hb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
     )
     i = F.size(F.array_intersect("sa", "sb")).cast("long")
     na = F.size("sa").cast("long")

@@ -140,6 +140,14 @@ def m20_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _holt_sae(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per series: sequentially-accumulated sum of |y - fitted| over the
     Holt recursion (same op order as the oracle's recursive CTE)."""
+    if len(pdf) < 2:
+        # Singleton series: no one-step-ahead fit exists.  The oracle's
+        # recursive CTE drops these via WHERE hw.t > 1; emitting a
+        # (sae=0, n_fit=0) row here would surface as a NULL-mae 0/0 row
+        # the oracle doesn't have (round-4 ADVICE).
+        return pd.DataFrame({"priority": [], "sae": [], "n_fit": []}).astype(
+            {"priority": "object", "sae": "float64", "n_fit": "int64"}
+        )
     out = holt_smooth(pdf).sort_values("month").reset_index(drop=True)
     ys = [float(v) for v in pdf.sort_values("month")["demand"]]
     sae = 0.0
@@ -169,6 +177,7 @@ def _holt_sae(pdf: pd.DataFrame) -> pd.DataFrame:
                    lag(demand) OVER (PARTITION BY priority ORDER BY month) AS p
             FROM idx)
       GROUP BY 1
+      HAVING COUNT(p) > 0
     ),
     snaive AS (
       SELECT priority, 'seasonal_naive' AS model,
@@ -178,6 +187,7 @@ def _holt_sae(pdf: pd.DataFrame) -> pd.DataFrame:
                    lag(demand, 12) OVER (PARTITION BY priority ORDER BY month) AS p
             FROM idx)
       GROUP BY 1
+      HAVING COUNT(p) > 0
     ),
     hw(priority, t, l, b, sae) AS (
       SELECT i1.priority, 1,

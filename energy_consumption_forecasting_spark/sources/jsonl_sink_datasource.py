@@ -21,6 +21,16 @@ real distributed sink must be:
 That is exactly Hadoop's FileOutputCommitter v1 contract, in ~60 lines
 of Python, against any filesystem ``os`` can rename on.
 
+DEPLOYMENT REQUIREMENT: executors stage via local ``os`` paths and the
+driver promotes them with ``os.replace`` — so driver and executors
+MUST share one POSIX filesystem (local mode, or a cluster whose
+``path`` sits on NFS/Lustre/FUSE-mounted object storage).  On a
+multi-node cluster with node-local disks this protocol silently breaks
+(the driver cannot see executor-staged files); a production port
+routes the stage/promote/list/delete calls through a filesystem
+abstraction (fsspec or Hadoop FS) instead of ``os`` — the commit
+SEQUENCE is unchanged, only the I/O primitives swap (round-4 ADVICE).
+
 Rows serialize as JSON-lines in SCHEMA FIELD ORDER (dict order is
 deterministic), so the files are byte-stable for a given partition
 content.  Both writers share one staging helper — the serialization

@@ -100,7 +100,13 @@ def _make_update(mu_by_type: dict[str, float]):
         # wm >= (D+1)*day ⟺ no event with ts inside D can still arrive
         wm_us = state.getCurrentWatermarkMs() * 1000
         sealed = sorted(d for d in cents if (d + 1) * _US_PER_DAY <= wm_us)
-        mu = mu_by_type[event_type]  # missing calibration must fail loudly
+        try:
+            mu = mu_by_type[event_type]  # missing calibration must fail loudly
+        except KeyError:
+            raise KeyError(
+                f"no CUSUM calibration (mu) for event_type {event_type!r}; "
+                f"calibrated types: {sorted(mu_by_type)}"
+            ) from None
         rows, cp, cm = _cusum_steps(sealed, cents, cp, cm, mu)
         for d in sealed:
             del cents[d]

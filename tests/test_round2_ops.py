@@ -53,6 +53,31 @@ def test_holt_singleton_series():
     assert out["level"].tolist() == [7.0] and out["trend"].tolist() == [0.0]
 
 
+def test_holt_sae_singleton_series_emits_no_row():
+    """Round-4 ADVICE pin: a one-month series has no one-step-ahead fit,
+    so the backtest map must emit NO row (the oracle's recursive CTE
+    drops it via WHERE hw.t > 1) — not a (sae=0, n_fit=0) row that
+    becomes a NULL-mae 0/0 leaderboard entry."""
+    from energy_consumption_forecasting_spark.queries.smoothing import _holt_sae
+
+    pdf = pd.DataFrame(
+        {"priority": ["P"], "month": pd.to_datetime(["2020-01-01"]), "demand": [7.0]}
+    )
+    out = _holt_sae(pdf)
+    assert len(out) == 0
+    assert list(out.columns) == ["priority", "sae", "n_fit"]
+    # two-point series still fits exactly one step
+    pdf2 = pd.DataFrame(
+        {
+            "priority": ["P", "P"],
+            "month": pd.to_datetime(["2020-01-01", "2020-02-01"]),
+            "demand": [7.0, 9.0],
+        }
+    )
+    out2 = _holt_sae(pdf2)
+    assert out2["n_fit"].tolist() == [1]
+
+
 def test_holt_gate_one_fitted_gap_per_series(spark):
     out = m20_holt_smoothing(spark, SF_SMALL).collect()
     by_prio: dict[str, list] = {}
