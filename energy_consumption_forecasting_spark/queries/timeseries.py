@@ -241,3 +241,241 @@ def m7_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal"),
         (F.col("v") - trend - seasonal).alias("resid"),
     )
+
+
+# --- M7 robust tier: iteratively-reweighted decomposition (STL robust=True) --------
+#
+# The reference decomposes contaminated series with STL(robust=True)
+# (ts_kmeans_base.ipynb:1197).  STL's robustness = bisquare weights from
+# the residuals, re-fitting trend/seasonal as WEIGHTED means.  This tier
+# applies exactly that reweighting to the window-native decomposition:
+# classical fit -> bisquare weights -> weighted refit, twice.
+#
+# Cross-engine bit-exactness discipline: weighted double sums are
+# order-dependent, so every weighted mean here is (exact integer sum) //
+# (exact integer sum) in fixed point —
+#   * weights quantized to w = floor(bisquare * 1024)  (dyadic, exact),
+#   * values in q4 fixed point (currency * 10^4),
+#   * trend/seasonal = truncating integer division (both engines
+#     truncate toward zero), only THEN cast to double.
+# Integer range budget (documented, not checked): |w*y_q4| <= 2^10*1e13
+# and weekday sums stay < 2^63 through sf100; a 100 TB deployment widens
+# the two big accumulators to DECIMAL(38,0).
+_RW_SCALE = 1024  # 2^10 weight quantization
+_RW_ROUNDS = 2
+
+
+def _rw_sql() -> str:
+    """DuckDB oracle for m7_stl_robust, generated round-by-round so the
+    Spark and SQL expressions stay structurally identical."""
+    sql = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    cls_t AS (
+      SELECT d, CAST(demand AS DOUBLE) AS v, demand,
+             CAST(demand * 100 AS BIGINT) AS y_c,
+             CASE WHEN COUNT(*) OVER w31 = 31
+                  THEN SUM(demand) OVER w31 END AS trend_sum
+      FROM daily
+      WINDOW w31 AS (ORDER BY d ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)
+    ),
+    cls_g AS (
+      SELECT *,
+             SUM(CASE WHEN trend_sum IS NOT NULL THEN demand END) OVER wd AS g_demand_sum,
+             SUM(trend_sum) OVER wd AS g_trend_sum,
+             COUNT(trend_sum) OVER wd AS g_n
+      FROM cls_t WINDOW wd AS (PARTITION BY dayofweek(d))
+    ),
+    r0 AS (
+      SELECT d, v, demand, y_c,
+             v - CAST(trend_sum AS DOUBLE) / 31
+               - (CAST(g_demand_sum AS DOUBLE) - CAST(g_trend_sum AS DOUBLE) / 31) / g_n
+               AS resid
+      FROM cls_g
+    )"""
+    prev = "r0"
+    for k in range(1, _RW_ROUNDS + 1):
+        sql += f""",
+    med{k} AS (
+      SELECT median(CAST(floor(abs(resid) * 100) AS BIGINT)) AS med FROM {prev}
+    ),
+    u{k} AS (
+      -- explicit column list: carrying r{{k-1}}'s w/trend/seasonal through
+      -- would shadow round-{k}'s recomputed columns downstream
+      SELECT p.d, p.v, p.demand, p.y_c, p.resid, m.med,
+             abs(p.resid) / (6.0 * m.med / 100.0) AS u
+      FROM {prev} p, med{k} m
+    ),
+    w{k} AS (
+      SELECT d, v, demand, y_c,
+             CASE WHEN resid IS NULL OR med IS NULL OR med <= 0 THEN {_RW_SCALE}
+                  WHEN u >= 1.0 THEN 0
+                  ELSE CAST(floor((1.0 - u * u) * (1.0 - u * u) * {_RW_SCALE}.0)
+                            AS BIGINT)
+             END AS w
+      FROM u{k}
+    ),
+    f{k}a AS (
+      SELECT *,
+             CASE WHEN COUNT(*) OVER w31 = 31
+                  THEN SUM(w * y_c) OVER w31 END AS wy,
+             SUM(w) OVER w31 AS sw
+      FROM w{k}
+      WINDOW w31 AS (ORDER BY d ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)
+    ),
+    f{k}b AS (
+      SELECT *, CASE WHEN wy IS NOT NULL AND sw > 0 THEN (wy * 100) // sw END
+                  AS trend_q4
+      FROM f{k}a
+    ),
+    f{k}c AS (
+      SELECT *, y_c * 100 - trend_q4 AS detr_q4 FROM f{k}b
+    ),
+    f{k}d AS (
+      SELECT *,
+             SUM(CASE WHEN detr_q4 IS NOT NULL THEN w * detr_q4 END) OVER wd AS s_num,
+             SUM(CASE WHEN detr_q4 IS NOT NULL THEN w END) OVER wd AS s_den
+      FROM f{k}c WINDOW wd AS (PARTITION BY dayofweek(d))
+    ),
+    r{k} AS (
+      SELECT d, v, demand, y_c, w, trend_q4,
+             CASE WHEN s_den > 0 THEN s_num // s_den END AS seasonal_q4,
+             v - CAST(trend_q4 AS DOUBLE) / 10000.0
+               - CAST(CASE WHEN s_den > 0 THEN s_num // s_den END AS DOUBLE) / 10000.0
+               AS resid
+      FROM f{k}d
+    )"""
+        prev = f"r{k}"
+    sql += f"""
+    SELECT d,
+           CAST(trend_q4 AS DOUBLE) / 10000.0 AS trend,
+           CAST(seasonal_q4 AS DOUBLE) / 10000.0 AS seasonal,
+           resid,
+           w AS weight_fp
+    FROM {prev}
+    """
+    return sql
+
+
+@query("m7_stl_robust", oracle=_rw_sql())
+def m7_stl_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 robust tier: 2-round iteratively-reweighted window
+    decomposition = the bisquare-weight loop of STL(robust=True)
+    (reference ts_kmeans_base.ipynb:1197) applied to the window-native
+    classical fit of ``m7_seasonal_decompose``.
+
+    Per round: h = 6 * median|resid| (residual cents, exact median),
+    w = floor(bisquare(|resid|/h) * 1024) (0 outside |r|<h, 1024 where
+    resid undefined), then trend = weighted 31-row moving mean and
+    seasonal = weighted weekday mean — both as truncating integer
+    divisions of exact fixed-point sums, so the whole 2-round recursion
+    is bit-identical to the DuckDB oracle.  The median is a scalar over
+    the bounded daily series (one row per calendar day) — broadcast
+    back, never a data-path collect."""
+    daily = _daily(spark, sf_dir)
+    w31 = Window.orderBy("d").rowsBetween(-15, 15)
+    wd = Window.partitionBy(F.dayofweek("d"))
+    cls_t = daily.select(
+        "d",
+        F.col("demand").cast("double").alias("v"),
+        "demand",
+        (F.col("demand") * 100).cast("long").alias("y_c"),
+        F.when(F.count("*").over(w31) == 31, F.sum("demand").over(w31)).alias(
+            "trend_sum"
+        ),
+    )
+    cls_g = cls_t.select(
+        "*",
+        F.sum(F.when(F.col("trend_sum").isNotNull(), F.col("demand")))
+        .over(wd)
+        .alias("g_demand_sum"),
+        F.sum("trend_sum").over(wd).alias("g_trend_sum"),
+        F.count("trend_sum").over(wd).alias("g_n"),
+    )
+    cur = cls_g.select(
+        "d",
+        "v",
+        "demand",
+        "y_c",
+        (
+            F.col("v")
+            - F.col("trend_sum").cast("double") / 31
+            - (
+                F.col("g_demand_sum").cast("double")
+                - F.col("g_trend_sum").cast("double") / 31
+            )
+            / F.col("g_n")
+        ).alias("resid"),
+    )
+    last = None
+    for _ in range(_RW_ROUNDS):
+        med = cur.agg(
+            F.expr(
+                "percentile(CAST(floor(abs(resid) * 100) AS BIGINT), 0.5)"
+            ).alias("med")
+        )
+        u = cur.crossJoin(F.broadcast(med)).withColumn(
+            "u", F.abs(F.col("resid")) / (F.lit(6.0) * F.col("med") / F.lit(100.0))
+        )
+        wdf = u.withColumn(
+            "w",
+            F.when(
+                F.col("resid").isNull() | F.col("med").isNull() | (F.col("med") <= 0),
+                F.lit(_RW_SCALE).cast("long"),
+            )
+            .when(F.col("u") >= 1.0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    (F.lit(1.0) - F.col("u") * F.col("u"))
+                    * (F.lit(1.0) - F.col("u") * F.col("u"))
+                    * F.lit(float(_RW_SCALE))
+                )
+            ),
+        ).select("d", "v", "demand", "y_c", "w")
+        fa = wdf.select(
+            "*",
+            F.when(
+                F.count("*").over(w31) == 31,
+                F.sum(F.col("w") * F.col("y_c")).over(w31),
+            ).alias("wy"),
+            F.sum("w").over(w31).alias("sw"),
+        )
+        fb = fa.withColumn(
+            "trend_q4",
+            F.when(
+                F.col("wy").isNotNull() & (F.col("sw") > 0),
+                F.expr("(wy * 100) div sw"),
+            ),
+        )
+        fc = fb.withColumn("detr_q4", F.col("y_c") * 100 - F.col("trend_q4"))
+        fd = fc.select(
+            "*",
+            F.sum(F.when(F.col("detr_q4").isNotNull(), F.col("w") * F.col("detr_q4")))
+            .over(wd)
+            .alias("s_num"),
+            F.sum(F.when(F.col("detr_q4").isNotNull(), F.col("w")))
+            .over(wd)
+            .alias("s_den"),
+        )
+        seasonal_q4 = F.when(F.col("s_den") > 0, F.expr("s_num div s_den"))
+        last = fd.select(
+            "d",
+            "v",
+            "demand",
+            "y_c",
+            "w",
+            "trend_q4",
+            seasonal_q4.alias("seasonal_q4"),
+            (
+                F.col("v")
+                - F.col("trend_q4").cast("double") / F.lit(10000.0)
+                - seasonal_q4.cast("double") / F.lit(10000.0)
+            ).alias("resid"),
+        )
+        cur = last
+    return last.select(
+        "d",
+        (F.col("trend_q4").cast("double") / F.lit(10000.0)).alias("trend"),
+        (F.col("seasonal_q4").cast("double") / F.lit(10000.0)).alias("seasonal"),
+        "resid",
+        F.col("w").alias("weight_fp"),
+    )

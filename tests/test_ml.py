@@ -184,3 +184,34 @@ def test_ar_forecast_grouped_with_exog(spark):
     ).collect()
     assert len(out) == 5
     assert all(abs(r["forecast"]) < 1e6 for r in out)
+
+
+def test_m7_stl_robust_weights_and_alignment(spark):
+    """Robust tier invariants: weights are quantized bisquare values in
+    [0, 1024]; genuinely outlying residuals (beyond 6*median) get weight
+    0; rows align 1:1 with the classical decomposition; and the robust
+    residual spread (where defined) is no larger than 2x classical
+    (reweighting must not blow up the fit)."""
+    from energy_consumption_forecasting_spark.queries.timeseries import (
+        m7_seasonal_decompose,
+        m7_stl_robust,
+    )
+
+    SF_SMALL = "/root/testdata/sf0.001"
+    robust = {r["d"]: r for r in m7_stl_robust(spark, SF_SMALL).collect()}
+    classical = {r["d"]: r for r in m7_seasonal_decompose(spark, SF_SMALL).collect()}
+    assert set(robust) == set(classical)
+    ws = [r["weight_fp"] for r in robust.values()]
+    assert all(0 <= w <= 1024 for w in ws)
+    assert any(w == 0 for w in ws), "no residual was downweighted to zero"
+    assert any(0 < w < 1024 for w in ws), "no intermediate bisquare weight"
+    # null pattern: resid defined iff trend and seasonal both defined
+    for r in robust.values():
+        assert (r["resid"] is None) == (
+            r["trend"] is None or r["seasonal"] is None
+        )
+    import statistics
+
+    rr = [r["resid"] for r in robust.values() if r["resid"] is not None]
+    rc = [r["resid"] for r in classical.values() if r["resid"] is not None]
+    assert statistics.pstdev(rr) < 2 * statistics.pstdev(rc)
