@@ -72,8 +72,25 @@ def _item_counts(lines: DataFrame) -> DataFrame:
     )
 
 
-def _pair_counts(
-    spark: SparkSession, sf_dir: str, item_counts: DataFrame | None = None
+_BASKET_CHUNK = 64  # max items per row-local pair block (mega-basket split)
+
+
+def _cross_expr(a_col: str, b_col: str):
+    """Row-local cross pairs between two DISJOINT sorted blocks where
+    every element of ``a_col`` precedes every element of ``b_col`` —
+    all (x, y) with p1 < p2 guaranteed by block ordering."""
+    return F.flatten(
+        F.transform(
+            F.col(a_col),
+            lambda x: F.transform(
+                F.col(b_col), lambda y: F.struct(x.alias("p1"), y.alias("p2"))
+            ),
+        )
+    )
+
+
+def pair_counts_from_lines(
+    lines: DataFrame, item_counts: DataFrame | None = None
 ) -> DataFrame:
     """One shuffle, not a self-join: baskets collapse to a sorted item
     array (groupBy on the basket key — the distinct is folded into the
@@ -81,8 +98,20 @@ def _pair_counts(
     array (C(k,2) with k <= basket size), then one hash agg counts
     them.  The a-priori prune (items in >= _MINSUP baskets — lossless
     for pair support >= _MINSUP) drops infrequent items before the
-    basket collapse so the array stays minimal."""
-    lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket collapse so the array stays minimal.
+
+    MEGA-BASKET GUARD (round-4 VERDICT item 5): a single pathological
+    basket with 10⁴+ frequent items would materialize C(k,2) ≈ 5·10⁷
+    structs in ONE row (and one task).  Baskets larger than
+    _BASKET_CHUNK are therefore split into sorted blocks of ≤ 64 items;
+    every (block_i, block_j) pair with i ≤ j becomes its own row
+    (within-block pairs on the diagonal, cross-block pairs off it), and
+    those rows are repartitioned before the explode, so per-row memory
+    is bounded by 64² structs and the — inherently quadratic — work of
+    a mega-basket spreads over the cluster instead of killing one
+    executor.  The split is LOSSLESS: block ordering keeps p1 < p2 and
+    every pair appears in exactly one block pair, so counts are
+    byte-identical to the unsplit path."""
     if item_counts is None:
         item_counts = _item_counts(lines)
     freq = item_counts.filter(F.col("n_item") >= _MINSUP)
@@ -92,12 +121,53 @@ def _pair_counts(
     baskets = pruned.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
+    small_pairs = baskets.filter(F.size("arr") <= _BASKET_CHUNK).select(
+        F.explode(pair_expr("arr")).alias("pr")
+    )
+    big = baskets.filter(F.size("arr") > _BASKET_CHUNK)
+    nch = F.ceil(F.size("arr") / F.lit(_BASKET_CHUNK)).cast("int")
+    block_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.transform(
+                F.sequence(i, nch - 1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    chunked = (
+        big.select("arr", F.explode(block_pairs).alias("cp"))
+        .select(
+            F.slice(
+                "arr", F.col("cp.i") * _BASKET_CHUNK + 1, F.lit(_BASKET_CHUNK)
+            ).alias("ai"),
+            F.slice(
+                "arr", F.col("cp.j") * _BASKET_CHUNK + 1, F.lit(_BASKET_CHUNK)
+            ).alias("aj"),
+            (F.col("cp.i") == F.col("cp.j")).alias("same"),
+        )
+        .repartition(lines.sparkSession.sparkContext.defaultParallelism)
+    )
+    big_pairs = chunked.select(
+        F.explode(
+            F.when(F.col("same"), pair_expr("ai")).otherwise(
+                _cross_expr("ai", "aj")
+            )
+        ).alias("pr")
+    )
     return (
-        baskets.select(F.explode(pair_expr("arr")).alias("pr"))
+        small_pairs.unionAll(big_pairs)
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _MINSUP)
     )
+
+
+def _pair_counts(
+    spark: SparkSession, sf_dir: str, item_counts: DataFrame | None = None
+) -> DataFrame:
+    lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return pair_counts_from_lines(lines, item_counts=item_counts)
 
 
 @query(

@@ -357,3 +357,48 @@ def test_croston_carry_across_arrow_batches(spark):
     finally:
         spark.conf.set(key, old)
     assert tiny == baseline and len(baseline) > 0
+
+
+def test_mega_basket_chunked_pairs_lossless_and_bounded(spark):
+    """Round-4 VERDICT item 5: a 2,000-item basket (C(k,2) ≈ 2M pairs)
+    must flow through the chunk-split path in bounded time with counts
+    identical to the dense formula; a 100-item basket crossing the
+    64-item threshold must produce exactly the pairs the small path
+    would."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries.basket import (
+        _BASKET_CHUNK,
+        pair_counts_from_lines,
+    )
+
+    assert _BASKET_CHUNK == 64
+    # two identical mega-baskets (pair support 2 satisfies minsup;
+    # every item appears in 2 baskets so the a-priori prune keeps all)
+    k = 2000
+    lines = spark.createDataFrame(
+        [(b, i) for b in (1, 2) for i in range(k)],
+        "l_orderkey long, l_partkey long",
+    )
+    t0 = time.time()
+    out = pair_counts_from_lines(lines)
+    n_pairs = out.count()
+    assert n_pairs == k * (k - 1) // 2
+    assert time.time() - t0 < 120
+    sample = out.filter((F.col("p1") == 0) & (F.col("p2").isin(1, 63, 64, 1999))).collect()
+    assert {r["n"] for r in sample} == {2} and len(sample) == 4
+
+    # 100-item basket: crosses the threshold; compare against the dense
+    # in-row explode on the same data
+    k2 = 100
+    lines2 = spark.createDataFrame(
+        [(b, i) for b in (1, 2) for i in range(k2)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {
+        (r["p1"], r["p2"], r["n"]) for r in pair_counts_from_lines(lines2).collect()
+    }
+    want = {(a, b, 2) for a in range(k2) for b in range(a + 1, k2)}
+    assert got == want
