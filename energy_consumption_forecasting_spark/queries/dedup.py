@@ -193,69 +193,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH banding -----------------------------------------------------
-_MINHASH_SQL = f"""
-    sliced AS (
-      SELECT doc_id, md5(sh) AS h0, md5('x' || sh) AS h1 FROM shingles
-    ),
+#
+# PARAMETERIZED (round-4 VERDICT item 8): at 100 TB the (n_perm, bands,
+# rows) triple trades recall against candidate volume and must be
+# tunable per corpus.  Permutation h slices 8 hex chars from digest
+# md5('x'*(h//4) || shingle) at offset (h%4)*8 — any n_perm that is a
+# multiple of 4 costs ceil(n_perm/4) md5 calls per shingle.  The
+# default 8-perm / 4×2 operating point and a higher-recall 16-perm /
+# 8×2 point are both registered and both hash-checked (the second under
+# its own dedup_lsh_quality_hi gate).
+
+
+def _minhash_sql(n_perm: int = N_HASHES, rows: int = 2) -> str:
+    """DuckDB CTE fragment for the (n_perm, bands=n_perm//rows, rows)
+    sketch — structurally identical to minhash_sigs_frame/_band_rows."""
+    return f"""
     hashes AS (
       SELECT doc_id, h,
-             MIN(CASE WHEN h < 4 THEN substr(h0, h * 8 + 1, 8)
-                      ELSE substr(h1, (h - 4) * 8 + 1, 8) END) AS mh
-      FROM sliced, range({N_HASHES}) t(h)
+             MIN(substr(md5(repeat('x', h // 4) || sh), (h % 4) * 8 + 1, 8))
+               AS mh
+      FROM shingles, range({n_perm}) t(h)
       GROUP BY doc_id, h
     ),
     bands AS (
-      SELECT doc_id, h // 2 AS band,
+      SELECT doc_id, h // {rows} AS band,
              md5(string_agg(mh, ',' ORDER BY h)) AS bucket
       FROM hashes
-      GROUP BY doc_id, h // 2
+      GROUP BY doc_id, h // {rows}
     )
 """
 
 
-def minhash_sigs_frame(arrays: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<string>[8]) — fully row-local signatures.
+_MINHASH_SQL = _minhash_sql(N_HASHES, 2)
 
-    Two md5 digests per shingle, sliced into 8 hex windows; signature
-    element h is the array-min over the doc's shingles.  No explode, no
-    aggregation — a doc's sketch never leaves its row."""
-    md5s0 = F.transform("shs", lambda s: F.md5(s))
-    md5s1 = F.transform("shs", lambda s: F.md5(F.concat(F.lit("x"), s)))
-    with_digests = arrays.select(
-        "doc_id", md5s0.alias("d0"), md5s1.alias("d1")
-    )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda h: F.array_min(
-            F.when(h < 4, F.transform("d0", lambda x: F.substring(x, h * 8 + 1, F.lit(8))))
-            .otherwise(
-                F.transform("d1", lambda x: F.substring(x, (h - 4) * 8 + 1, F.lit(8)))
-            )
-        ),
+
+def minhash_sigs_frame(arrays: DataFrame, n_perm: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<string>[n_perm]) — fully row-local signatures.
+
+    ceil(n_perm/4) md5 digests per shingle, each sliced into 4 hex
+    windows; signature element h is the array-min over the doc's
+    shingles.  No explode, no aggregation — a doc's sketch never leaves
+    its row."""
+    n_digests = (n_perm + 3) // 4
+
+    # single-arg lambda factories: a two-parameter lambda would be
+    # interpreted by F.transform as (element, index)
+    def _digest(d: int):
+        return lambda s: F.md5(F.concat(F.lit("x" * d), s))
+
+    def _slice8(h: int):
+        return lambda x: F.substring(x, (h % 4) * 8 + 1, 8)
+
+    digests = [
+        F.transform("shs", _digest(d)).alias(f"d{d}") for d in range(n_digests)
+    ]
+    with_digests = arrays.select("doc_id", *digests)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(f"d{h // 4}", _slice8(h)))
+            for h in range(n_perm)
+        ]
     )
     return with_digests.select("doc_id", sig.alias("sig"))
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_sigs_frame(_shingle_arrays(spark, sf_dir))
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, n_perm: int = N_HASHES
+) -> DataFrame:
+    return minhash_sigs_frame(_shingle_arrays(spark, sf_dir), n_perm=n_perm)
 
 
-def _band_rows(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) — N_BANDS band buckets per doc, row-local
-    from the signature array (bucket = md5 of the band's 2 slices)."""
+def _band_rows(sigs: DataFrame, n_bands: int = N_BANDS, rows: int = 2) -> DataFrame:
+    """(doc_id, band, bucket) — n_bands band buckets per doc, row-local
+    from the signature array (bucket = md5 of the band's ``rows``
+    slices, comma-joined)."""
     return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.element_at("sig", b * 2 + 1),
-                            F.element_at("sig", b * 2 + 2),
-                        )
+                        F.concat_ws(",", F.slice("sig", b * rows + 1, rows))
                     ).alias("bucket"),
                 ),
             )
@@ -1283,6 +1303,36 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the same truth comes from the PPJoin prefix-filter
     tier (dedup_prefix_filter_join), which is sub-quadratic and
     oracle-proven lossless."""
+    truth = _jaccard_half_truth(spark, sf_dir)
+    bands = _band_rows(_minhash_sigs(spark, sf_dir))
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    tp = truth.join(cand, ["a", "b"]).count()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [(n_truth, n_cand, tp, n_truth - tp, n_cand - tp)],
+        "n_truth long, n_candidates long, tp long, fn long, fp long",
+    )
+
+
+def _jaccard_half_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 1/2 ground-truth pairs via the shared-shingle
+    equi-join (3·|∩| ≥ |A|+|B| integer algebra) — shared by both LSH
+    quality gates so the two operating points are judged against the
+    SAME truth."""
     shingles = _shingles(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     s1 = shingles.alias("s1")
@@ -1300,13 +1350,67 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    truth = (
+    return (
         inter.join(F.broadcast(za), "a")
         .join(F.broadcast(zb), "b")
         .filter(3 * F.col("i") >= F.col("sza") + F.col("szb"))
         .select("a", "b")
     )
-    bands = _band_rows(_minhash_sigs(spark, sf_dir))
+
+
+_TRUTH_SQL = """
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+      FROM shingles s1
+      JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT a, b FROM inter
+      JOIN sizes za ON za.doc_id = a
+      JOIN sizes zb ON zb.doc_id = b
+      WHERE 3 * i >= za.sz + zb.sz
+    )
+"""
+
+
+@query(
+    "dedup_lsh_quality_hi",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_minhash_sql(16, 2)},
+    {_TRUTH_SQL},
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1
+      JOIN bands b2 ON b1.band = b2.band AND b1.bucket = b2.bucket
+                    AND b1.doc_id < b2.doc_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b) AS tp,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+       WHERE c.a IS NULL) AS fn,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM cand c LEFT JOIN truth t ON t.a = c.a AND t.b = c.b
+       WHERE t.a IS NULL) AS fp
+    """,
+)
+def dedup_lsh_quality_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND MinHash-LSH operating point (16 permutations, 8 bands
+    × 2 rows), hash-checked against the same exact-Jaccard≥1/2 truth as
+    dedup_lsh_quality.  Doubling the bands at constant rows-per-band
+    raises the S-curve recall at every similarity level (candidate
+    probability 1−(1−s²)^8 vs 1−(1−s²)^4) at the cost of 2× band rows
+    and more FP candidates — the knob a 100 TB corpus tunes; both
+    points being oracle-green proves the parameterization is wired
+    through sketch, banding, and SQL mirror identically."""
+    truth = _jaccard_half_truth(spark, sf_dir)
+    bands = _band_rows(_minhash_sigs(spark, sf_dir, n_perm=16), n_bands=8, rows=2)
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     cand = (
@@ -1316,9 +1420,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b1.bucket") == F.col("b2.bucket"))
             & (F.col("b1.doc_id") < F.col("b2.doc_id")),
         )
-        .select(
-            F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b")
-        )
+        .select(F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b"))
         .distinct()
     )
     tp = truth.join(cand, ["a", "b"]).count()

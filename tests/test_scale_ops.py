@@ -402,3 +402,36 @@ def test_mega_basket_chunked_pairs_lossless_and_bounded(spark):
     }
     want = {(a, b, 2) for a in range(k2) for b in range(a + 1, k2)}
     assert got == want
+
+
+def test_minhash_parameterization_prefix_consistent(spark):
+    """The (n_perm, bands, rows) parameterization must nest: the first 8
+    elements of a 16-perm signature are exactly the 8-perm signature
+    (same digests, same slices), and 8x2 banding doubles band rows per
+    doc vs 4x2."""
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        _band_rows,
+        minhash_sigs_frame,
+        shingle_arrays_frame,
+        tokens_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs now")],
+        "doc_id long, text string",
+    )
+    arrays = shingle_arrays_frame(tokens_frame(docs))
+    s8 = {r["doc_id"]: r["sig"] for r in minhash_sigs_frame(arrays, n_perm=8).collect()}
+    s16 = {r["doc_id"]: r["sig"] for r in minhash_sigs_frame(arrays, n_perm=16).collect()}
+    for d in s8:
+        assert s16[d][:8] == s8[d]
+        assert len(s16[d]) == 16
+    b4 = _band_rows(minhash_sigs_frame(arrays, n_perm=8), n_bands=4, rows=2).collect()
+    b8 = _band_rows(minhash_sigs_frame(arrays, n_perm=16), n_bands=8, rows=2).collect()
+    assert len(b4) == 2 * 4 and len(b8) == 2 * 8
+    # the first 4 bands of the 16-perm sketch equal the 4x2 bands
+    key = lambda r: (r["doc_id"], r["band"])  # noqa: E731
+    m4 = {key(r): r["bucket"] for r in b4}
+    m8 = {key(r): r["bucket"] for r in b8 if r["band"] < 4}
+    assert m4 == m8
