@@ -93,3 +93,39 @@ def test_markov_window_partitions_by_user(spark):
     assert re.search(r"partitionBy=\[user_id", plan) or re.search(
         r"\[user_id[^\]]*\], \[ts", plan
     ), "lag window lost its user_id partitioning"
+
+
+def test_unpartitioned_window_guard(spark):
+    """The plan-audit invariant: an unpartitioned Window is flagged on a
+    raw table, tolerated above an Aggregate or a literal frame."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit_unpartitioned_windows
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    bad = raw.select(
+        "l_orderkey", F.row_number().over(Window.orderBy("l_shipdate")).alias("rn")
+    )
+    assert audit_unpartitioned_windows(bad), "raw-table global window not flagged"
+
+    agg = raw.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    good = agg.select(
+        "l_returnflag", F.row_number().over(Window.orderBy("s")).alias("rn")
+    )
+    assert audit_unpartitioned_windows(good) == []
+
+    lit = spark.createDataFrame([(1,), (2,)], "x int")
+    good2 = lit.select("x", F.row_number().over(Window.orderBy("x")).alias("rn"))
+    assert audit_unpartitioned_windows(good2) == []
+
+    partitioned = raw.select(
+        "l_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("l_shipdate"))
+        .alias("rn"),
+    )
+    assert audit_unpartitioned_windows(partitioned) == []

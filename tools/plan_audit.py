@@ -153,6 +153,48 @@ AUDITED = [
 ]
 
 
+# LogicalRDD covers spark.createDataFrame(...) literal frames (Spark 4
+# routes them through parallelize) — this package never puts a real
+# data path on an RDD, so an RDD leaf is a driver-bounded literal here.
+_BOUNDED_SOURCES = {"Aggregate", "LocalRelation", "OneRowRelation", "LogicalRDD"}
+
+
+def audit_unpartitioned_windows(df) -> list[str]:
+    """Round-4 VERDICT item 9: the repo's discipline is that a
+    ``WindowExec`` with NO partition spec may only ride a
+    bounded-cardinality frame (an Aggregate — e.g. the per-day /
+    per-score tables — or a literal LocalRelation); on a raw table it
+    is the single-task scale killer.  This walks the optimized logical
+    plan and returns a violation string for every unpartitioned Window
+    whose input subtree reaches a leaf without passing through a
+    bounded source.  Raw-table rankings must use the two-pass
+    distributed rank (operators/ranking.py) instead."""
+
+    def subtree_bounded(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in _BOUNDED_SOURCES:
+            return True
+        n = node.children().size()
+        if n == 0:
+            return False  # reached a real source leaf unaggregated
+        # every branch feeding the window must be bounded (a join of a
+        # bounded frame with a raw table is raw-cardinality)
+        return all(subtree_bounded(node.children().apply(i)) for i in range(n))
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            if not subtree_bounded(node.children().apply(0)):
+                bad.append(node.simpleString(120))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -179,9 +221,15 @@ def main() -> None:
     ]
     details: list[str] = []
     for name in AUDITED:
+        df = qs[name](spark, args.sf)
+        violations = audit_unpartitioned_windows(df)
+        assert not violations, (
+            f"{name}: unpartitioned Window over an unbounded frame:\n"
+            + "\n".join(violations)
+        )
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            qs[name](spark, args.sf).explain("formatted")
+            df.explain("formatted")
         plan = buf.getvalue()
         bcast = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
