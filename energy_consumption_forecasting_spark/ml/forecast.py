@@ -268,6 +268,53 @@ def _css_refine(
     return c2, phi2, theta2, beta2, r
 
 
+def _best_css_fit(
+    z: np.ndarray,
+    X: np.ndarray | None,
+    p: int,
+    q: int,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """CSS estimation with DETERMINISTIC MULTI-START (round-5 fix): the
+    Hannan–Rissanen start for near-cancellation orders like the
+    reference's (3,4) can land Levenberg–Marquardt in a poor local CSS
+    minimum (measured on the committed arma34 golden: SSE 636 from the
+    HR start vs 390 from a mean-only or AR-OLS start — a 0.30/obs exact
+    log-likelihood gap vs the Kalman MLE).  Three cheap starts are
+    refined and the lowest finite SSE wins:
+
+    1. iterated Hannan–Rissanen (the informed start),
+    2. mean-only (c = mean(z), all ARMA coefficients 0),
+    3. AR(p)-only OLS (theta = 0).
+
+    All starts are deterministic, so the fit stays reproducible."""
+    k = 0 if X is None else X.shape[1]
+    starts: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
+    c, phi, theta, beta, _ = _hannan_rissanen(z, X, p, q)
+    starts.append((c, phi, theta, beta))
+    starts.append((float(z.mean()), np.zeros(p), np.zeros(q), np.zeros(k)))
+    n = len(z)
+    lag = np.column_stack([z[p - j - 1 : n - j - 1] for j in range(p)]) if p else (
+        np.empty((n, 0))
+    )
+    parts = [np.ones(n - p), lag]
+    if k:
+        parts.append(X[p:])
+    d1 = np.column_stack(parts)
+    a, *_ = np.linalg.lstsq(d1, z[p:], rcond=None)
+    starts.append(
+        (float(a[0]), a[1 : 1 + p], np.zeros(q), a[1 + p :] if k else np.zeros(0))
+    )
+    best = None
+    for c0, f0, t0, b0 in starts:
+        with np.errstate(over="ignore", invalid="ignore"):
+            cc, ff, tt, bb, r = _css_refine(z, X, p, q, c0, f0, t0, b0)
+            sse = float(r @ r) if np.isfinite(r).all() else np.inf
+        if np.isfinite(sse) and (best is None or sse < best[0]):
+            best = (sse, cc, ff, tt, bb, r)
+    assert best is not None, "every CSS start diverged"
+    return best[1], best[2], best[3], best[4], best[5]
+
+
 def _arma_fit_forecast(
     y: np.ndarray,
     X: np.ndarray | None,
@@ -300,10 +347,7 @@ def _arma_fit_forecast(
     m = max(p, q) + 5
     if len(z) <= m + p + q + k + 2:
         return np.repeat(y[-1], steps)
-    c, phi, theta, beta, resid = _hannan_rissanen(z, Xz, p, q)
-    c, phi, theta, beta, resid = _css_refine(
-        z, Xz, p, q, c, phi, theta, beta
-    )
+    c, phi, theta, beta, resid = _best_css_fit(z, Xz, p, q)
     hist = list(z)
     errs = list(resid)
     x_future = Xz[-1] if k else None

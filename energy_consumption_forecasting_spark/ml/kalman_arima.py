@@ -1,0 +1,223 @@
+"""Exact-likelihood ARMA estimation via the Kalman filter — the
+reference-grade estimator used to PIN the engine's Hannan–Rissanen+CSS
+fit (round-4 VERDICT item 2).
+
+The reference's headline model is statsmodels ARIMA(3,1,4)+exog
+(/root/reference/src/notebooks/supervised/evaluation.ipynb:187-191).
+statsmodels is absent from this container, but its default estimator is
+the published exact Gaussian MLE on the Harvey state-space form
+(Harvey 1989; Durbin & Koopman 2012) — implemented here library-free:
+
+* state dim r = max(p, q+1), transition T carries phi in its first
+  column + superdiagonal identity, MA loading R = (1, theta_1, ...);
+* exact (stationary) initialization: P0 solves the discrete Lyapunov
+  equation P = T P T' + R R' via the vec identity;
+* sigma² is concentrated out of the likelihood (filter run at
+  sigma²=1, then sigmâ² = mean(v_t²/F_t));
+* optimization: Nelder–Mead on (mu, phi, theta) from the engine's own
+  CSS start, rejecting non-stationary/non-invertible points by root
+  check (statsmodels' enforce_stationarity/enforce_invertibility).
+
+This module is the GOLDEN GENERATOR and test-side evaluator — the
+engine's data path never imports it; tests/fixtures/arima_goldens.json
+holds its committed outputs, and tests/test_ml_extras.py asserts the
+distributed HR+CSS estimator lands within tolerance (coefficients AND
+per-observation log-likelihood gap).  If statsmodels ever appears in
+the environment, the optional-deps test compares this MLE against it
+directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _lyapunov(T: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """Solve P = T P Tᵀ + Q  (stationary state covariance) via
+    vec(P) = (I − T⊗T)⁻¹ vec(Q)."""
+    r = T.shape[0]
+    eye = np.eye(r * r)
+    vecP = np.linalg.solve(eye - np.kron(T, T), Q.reshape(-1))
+    return vecP.reshape(r, r)
+
+
+def _harvey(phi: np.ndarray, theta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Harvey representation (T, R) for ARMA(p, q)."""
+    p, q = len(phi), len(theta)
+    r = max(p, q + 1)
+    T = np.zeros((r, r))
+    T[: r - 1, 1:] = np.eye(r - 1)
+    T[:p, 0] = phi
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1 : q + 1] = theta
+    return T, R
+
+
+def arma_loglik(
+    z: np.ndarray, mu: float, phi: np.ndarray, theta: np.ndarray
+) -> tuple[float, float]:
+    """Exact Gaussian log-likelihood of demeaned ARMA(p,q) with sigma²
+    concentrated out.  Returns (loglik, sigma2_hat)."""
+    w = np.asarray(z, dtype=np.float64) - mu
+    T, R = _harvey(np.asarray(phi, float), np.asarray(theta, float))
+    r = T.shape[0]
+    Q = np.outer(R, R)
+    try:
+        P = _lyapunov(T, Q)
+    except np.linalg.LinAlgError:
+        return -np.inf, np.nan
+    if not np.isfinite(P).all():
+        return -np.inf, np.nan
+    a = np.zeros(r)
+    n = len(w)
+    ssq = 0.0
+    logF = 0.0
+    for t in range(n):
+        F = P[0, 0]
+        if not np.isfinite(F) or F <= 0:
+            return -np.inf, np.nan
+        v = w[t] - a[0]
+        ssq += v * v / F
+        logF += np.log(F)
+        K = T @ P[:, 0] / F
+        a = T @ a + K * v
+        P = T @ P @ T.T + Q - np.outer(K, K) * F
+        P = (P + P.T) / 2.0
+    sigma2 = ssq / n
+    ll = -0.5 * n * (np.log(2.0 * np.pi) + 1.0) - 0.5 * n * np.log(sigma2) - 0.5 * logF
+    return float(ll), float(sigma2)
+
+
+def _roots_ok(coefs: np.ndarray) -> bool:
+    """True when 1 − c₁x − … − c_k x^k has all roots strictly outside
+    the unit circle (stationarity for phi, invertibility for −theta)."""
+    coefs = np.asarray(coefs, float)
+    if len(coefs) == 0 or not np.any(coefs):
+        return True
+    # np.roots wants descending powers: [-c_k, ..., -c_1, 1]
+    poly = np.r_[-coefs[::-1], 1.0]
+    roots = np.roots(poly)
+    return bool(len(roots) == 0 or np.all(np.abs(roots) > 1.0 + 1e-9))
+
+
+def exact_mle_fit(
+    z: np.ndarray,
+    p: int,
+    q: int,
+    start: tuple[float, np.ndarray, np.ndarray] | None = None,
+    max_iter: int = 4000,
+) -> dict:
+    """Exact-MLE ARMA(p,q) fit by Nelder–Mead over (mu, phi, theta).
+
+    ``start`` defaults to (mean, zeros, zeros); passing the engine's
+    CSS estimates accelerates convergence.  Returns a dict with mu,
+    phi, theta, sigma2, loglik."""
+    z = np.asarray(z, dtype=np.float64)
+
+    def unpack(v: np.ndarray):
+        return float(v[0]), v[1 : 1 + p], v[1 + p : 1 + p + q]
+
+    def neg_ll(v: np.ndarray) -> float:
+        mu, phi, theta = unpack(v)
+        if not (_roots_ok(phi) and _roots_ok(-np.asarray(theta))):
+            return np.inf
+        ll, _ = arma_loglik(z, mu, phi, theta)
+        return np.inf if not np.isfinite(ll) else -ll
+
+    if start is None:
+        v0 = np.r_[z.mean(), np.zeros(p), np.zeros(q)]
+    else:
+        v0 = np.r_[start[0], np.asarray(start[1], float), np.asarray(start[2], float)]
+        if not np.isfinite(neg_ll(v0)):
+            v0 = np.r_[z.mean(), np.zeros(p), np.zeros(q)]
+    v = _nelder_mead(neg_ll, v0, max_iter=max_iter)
+    mu, phi, theta = unpack(v)
+    ll, sigma2 = arma_loglik(z, mu, phi, theta)
+    return {
+        "mu": float(mu),
+        "phi": [float(x) for x in phi],
+        "theta": [float(x) for x in theta],
+        "sigma2": float(sigma2),
+        "loglik": float(ll),
+    }
+
+
+def _nelder_mead(
+    f, x0: np.ndarray, max_iter: int = 4000, xtol: float = 1e-8, ftol: float = 1e-10
+) -> np.ndarray:
+    """Minimal deterministic Nelder–Mead (scipy is absent)."""
+    n = len(x0)
+    simplex = [x0.copy()]
+    for i in range(n):
+        xi = x0.copy()
+        xi[i] += 0.05 if xi[i] == 0 else 0.05 * abs(xi[i])
+        simplex.append(xi)
+    fs = [f(x) for x in simplex]
+    for _ in range(max_iter):
+        order = np.argsort(fs)
+        simplex = [simplex[i] for i in order]
+        fs = [fs[i] for i in order]
+        if (
+            abs(fs[-1] - fs[0]) < ftol * (abs(fs[0]) + ftol)
+            and max(np.max(np.abs(s - simplex[0])) for s in simplex[1:]) < xtol
+        ):
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        xr = centroid + (centroid - simplex[-1])
+        fr = f(xr)
+        if fr < fs[0]:
+            xe = centroid + 2.0 * (centroid - simplex[-1])
+            fe = f(xe)
+            if fe < fr:
+                simplex[-1], fs[-1] = xe, fe
+            else:
+                simplex[-1], fs[-1] = xr, fr
+        elif fr < fs[-2]:
+            simplex[-1], fs[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (simplex[-1] - centroid)
+            fc = f(xc)
+            if fc < fs[-1]:
+                simplex[-1], fs[-1] = xc, fc
+            else:
+                best = simplex[0]
+                simplex = [best] + [
+                    best + 0.5 * (s - best) for s in simplex[1:]
+                ]
+                fs = [fs[0]] + [f(s) for s in simplex[1:]]
+    return simplex[int(np.argmin(fs))]
+
+
+def arma_forecast(
+    z: np.ndarray,
+    mu: float,
+    phi: np.ndarray,
+    theta: np.ndarray,
+    steps: int,
+) -> np.ndarray:
+    """h-step mean forecast under the fitted ARMA: filtered innovations
+    (CSS convention for the in-sample pass), zero future innovations."""
+    phi = np.asarray(phi, float)
+    theta = np.asarray(theta, float)
+    p, q = len(phi), len(theta)
+    w = list(np.asarray(z, float) - mu)
+    e = [0.0] * len(w)
+    for t in range(max(p, q), len(w)):
+        pred = 0.0
+        if p:
+            pred += float(np.dot(phi, w[t - p : t][::-1]))
+        if q:
+            pred += float(np.dot(theta, e[t - q : t][::-1]))
+        e[t] = w[t] - pred
+    out = []
+    for _ in range(steps):
+        pred = 0.0
+        if p:
+            pred += float(np.dot(phi, [w[-j - 1] for j in range(p)]))
+        if q:
+            pred += float(np.dot(theta, [e[-j - 1] for j in range(q)]))
+        out.append(pred + mu)
+        w.append(pred)
+        e.append(0.0)
+    return np.asarray(out)

@@ -319,12 +319,17 @@ def m9_arima_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hannan–Rissanen CSS (ml/forecast.py::_arma_fit_forecast), 14-step.
     Rows-only: iterative least-squares coefficients are solver-shaped.
 
-    ESTIMATOR SUBSTITUTION: the reference fits by statsmodels exact
-    MLE (Kalman likelihood); Hannan–Rissanen CSS fits the same (3,1,4)
-    order but coefficients — and thus forecasts — will NOT numerically
-    reproduce the reference's 8,982-MWh-MAE run.  The statsmodels
-    parity path is import-gated in ml/forecast.py for environments
-    that have it."""
+    ESTIMATOR PARITY (round-5): estimation is multi-start
+    Hannan–Rissanen + CSS (ml/forecast.py::_best_css_fit), pinned
+    against a library-free exact-MLE Kalman reference
+    (ml/kalman_arima.py — the same estimator class statsmodels'
+    default uses) on committed goldens
+    (tests/fixtures/arima_goldens.json): measured exact-log-likelihood
+    gap ≤ 8.6e-4/obs at the headline (3,4) order (2e-5 for lower
+    orders), max coefficient deviation 0.085, 14-step forecasts within
+    0.04 sigma.  Exact numerical identity with a specific statsmodels
+    run is NOT claimed (optimizer details differ); the statsmodels
+    parity path stays import-gated in ml/forecast.py."""
     from ..ml.forecast import ar_forecast_grouped
 
     daily = (
