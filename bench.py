@@ -76,6 +76,11 @@ HEADLINE = [
     # transition matrix (the per-user lag-window family)
     "a_basket_pairs",
     "w_markov_transitions",
+    # round-5 additions: the EP1 flagship ETL composition (staged-file
+    # fixtures, so its cost is plan overhead + the window/pivot chain)
+    # and the iteratively-reweighted robust decomposition
+    "pipeline_weather_e2e",
+    "m7_stl_robust",
 ]
 
 

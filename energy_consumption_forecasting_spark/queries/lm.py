@@ -256,3 +256,66 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("n_words"), 9),
         )
     )
+
+
+@query(
+    "pipeline_bpe_roundtrip",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    alpha AS (SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+                                    AND len(w) >= 2)
+    SELECT (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM alpha) AS n_vocab,
+           (SELECT CAST(SUM(len(w)) AS BIGINT)
+            FROM (SELECT DISTINCT w FROM alpha) t) AS vocab_chars,
+           TRUE AS roundtrip_ok,
+           TRUE AS token_chars_conserved_ok
+    """,
+)
+def pipeline_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the BPE tokenizer (rows-only pipeline_bpe_merges /
+    pipeline_bpe_encode): BPE merges only ever CONCATENATE adjacent
+    symbols, so for every vocabulary word the encoded token sequence
+    must concatenate back to the word exactly, and total token
+    characters must equal total word characters.  Both booleans are
+    computed distributedly over the encoded vocabulary (one row-local
+    comparison per word, then two count-aggregates); the SQL truth
+    pins the vocabulary size and character mass the encoder ran on —
+    a merge-table or encode-fold regression flips a boolean."""
+    from ..operators.bpe import bpe_encode_words, learn_bpe
+
+    doc_words = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    vocab = doc_words.groupBy("w").agg(F.count("*").alias("cnt"))
+    merges = learn_bpe(vocab, n_merges=BPE_MERGES)
+    encoded = bpe_encode_words(vocab, merges)
+    stats = encoded.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum(F.length("w")).alias("vocab_chars"),
+        F.min(F.concat_ws("", F.col("tokens")) == F.col("w")).alias(
+            "roundtrip_ok"
+        ),
+        (
+            F.sum(
+                F.aggregate(
+                    F.transform("tokens", lambda t: F.length(t).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+            )
+            == F.sum(F.length("w"))
+        ).alias("token_chars_conserved_ok"),
+    )
+    return stats.select(
+        "n_vocab", "vocab_chars", "roundtrip_ok", "token_chars_conserved_ok"
+    )

@@ -1343,3 +1343,64 @@ def m10_gbt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(14, naive_mae, bool(gbt_mae <= 1.2 * naive_mae))],
         "n_test long, naive_mae double, gbt_competitive_ok boolean",
     )
+
+
+@query(
+    "m8_wavelet_eval",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+             AS n_series,
+           TRUE AS recon_ok,
+           TRUE AS energy_ok,
+           TRUE AS length_ok
+    FROM orders
+    """,
+)
+def m8_wavelet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the db4 DWT (rows-only m8_wavelet_coeffs) by the algebra
+    an orthonormal wavelet transform must satisfy on every series:
+
+    * ``recon_ok`` — idwt(dwt(y)) reproduces the (odd-length padded)
+      series to 1e-9 sup-norm (perfect reconstruction);
+    * ``energy_ok`` — ||ca||² + ||cd||² equals ||y_pad||² to 1e-9
+      relative (orthonormality / Parseval);
+    * ``length_ok`` — both bands have ⌈n/2⌉ coefficients.
+
+    The month series are calendar-bounded (one array per month), so the
+    per-series check runs on the driver over the collected arrays —
+    the same bounded shape every m5/m7 gate uses; n_series is SQL
+    truth."""
+    import numpy as np
+
+    from ..ml.decomposition import db4_dwt, db4_idwt
+
+    daily = _daily(spark, sf_dir)
+    series = (
+        daily.groupBy(F.trunc("d", "MM").alias("month"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "demand"))),
+                lambda s: s["demand"].cast("double"),
+            ).alias("series")
+        )
+        .collect()
+    )
+    recon_ok = energy_ok = length_ok = True
+    for r in series:
+        y = np.asarray(r["series"], dtype=np.float64)
+        ca, cd = db4_dwt(y)
+        ypad = np.append(y, y[-1]) if len(y) % 2 else y
+        if len(ca) != (len(y) + 1) // 2 or len(cd) != len(ca):
+            length_ok = False
+        if np.max(np.abs(db4_idwt(ca, cd) - ypad)) > 1e-9 * max(
+            1.0, np.max(np.abs(ypad))
+        ):
+            recon_ok = False
+        e_in = float(ypad @ ypad)
+        e_out = float(ca @ ca + cd @ cd)
+        if abs(e_in - e_out) > 1e-9 * max(e_in, 1.0):
+            energy_ok = False
+    return spark.createDataFrame(
+        [(len(series), recon_ok, energy_ok, length_ok)],
+        "n_series long, recon_ok boolean, energy_ok boolean, length_ok boolean",
+    )

@@ -846,3 +846,37 @@ def f_sql_scripting_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "a_approx_distinct_eval",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_rsd_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a_approx_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the HLL sketch (rows-only a_approx_distinct): the exact
+    per-group distinct count is SQL truth, and the engine's
+    approx_count_distinct(rsd=0.02) estimate must land within 3×rsd of
+    it (a 6% band ≈ 3 standard errors — a broken sketch misses by far
+    more, correct HLL++ essentially never does).  The hash pins the
+    exact counts AND the bound per group."""
+    out = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * 0.02 * F.col("exact_parts")
+        ).alias("within_rsd_ok"),
+    )

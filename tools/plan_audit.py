@@ -150,6 +150,15 @@ AUDITED = [
     "dedup_containment",
     "j9_lateral_topn",
     "graph_reachability_cte",
+    # round 5: EP1 end-to-end compositions + robust decomposition tier
+    # (the eval gates — sim_tier_eval, m*_eval, dedup_lsh_quality_hi —
+    # are driver-composed LocalTableScans, excluded per the note above;
+    # pipeline_balance_e2e is excluded because its W2 backfill is the
+    # SANCTIONED calendar-bounded single-series global window over a raw
+    # hourly scan — bounded by the calendar, not by an Aggregate, so the
+    # unpartitioned-window guard cannot prove it statically)
+    "pipeline_weather_e2e",
+    "m7_stl_robust",
 ]
 
 
