@@ -89,6 +89,47 @@ def learning_curve(
     return out
 
 
+def _coalition_values(
+    predict,
+    explain_df: DataFrame,
+    background_df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Shared v(S) pass for the two Shapley estimators: for every
+    explain row × every subset mask, mix explained/background feature
+    values (the interventional v(S)), score the whole grid with ONE
+    distributed ``predict`` pass, and average over the background.
+    Returns (id_col, mask, v)."""
+    from pyspark.sql import SparkSession  # noqa: F401  (session via df)
+
+    m = len(feature_cols)
+    spark = explain_df.sparkSession
+    masks = spark.createDataFrame([(s,) for s in range(2**m)], "mask int")
+    bg = background_df.select(
+        *[F.col(c).alias(f"__b_{c}") for c in feature_cols]
+    )
+    ex = explain_df.select(
+        id_col, *[F.col(c).alias(f"__x_{c}") for c in feature_cols]
+    )
+    grid = ex.crossJoin(F.broadcast(masks)).crossJoin(F.broadcast(bg))
+    mixed = grid.select(
+        id_col,
+        "mask",
+        *[
+            F.when(F.shiftright("mask", i).bitwiseAND(1) == 1, F.col(f"__x_{c}"))
+            .otherwise(F.col(f"__b_{c}"))
+            .alias(c)
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    return (
+        predict(mixed)
+        .groupBy(id_col, "mask")
+        .agg(F.avg("prediction").alias("v"))
+    )
+
+
 def shapley_values(
     predict,
     explain_df: DataFrame,
@@ -118,32 +159,10 @@ def shapley_values(
     Σ_i φ_i = f(x) − E_background[f] (tested)."""
     import math
 
-    from pyspark.sql import SparkSession
-
     m = len(feature_cols)
     spark = explain_df.sparkSession
-    masks = spark.createDataFrame([(s,) for s in range(2**m)], "mask int")
-    bg = background_df.select(
-        *[F.col(c).alias(f"__b_{c}") for c in feature_cols]
-    )
-    ex = explain_df.select(
-        id_col, *[F.col(c).alias(f"__x_{c}") for c in feature_cols]
-    )
-    grid = ex.crossJoin(F.broadcast(masks)).crossJoin(F.broadcast(bg))
-    mixed = grid.select(
-        id_col,
-        "mask",
-        *[
-            F.when(F.shiftright("mask", i).bitwiseAND(1) == 1, F.col(f"__x_{c}"))
-            .otherwise(F.col(f"__b_{c}"))
-            .alias(c)
-            for i, c in enumerate(feature_cols)
-        ],
-    )
-    v = (
-        predict(mixed)
-        .groupBy(id_col, "mask")
-        .agg(F.avg("prediction").alias("v"))
+    v = _coalition_values(
+        predict, explain_df, background_df, feature_cols, id_col
     )
     # φ_i = Σ_{S∌i} w(|S|) · [v(S∪i) − v(S)],  w(s) = s!(m−s−1)!/m!
     wrows = []
@@ -163,6 +182,73 @@ def shapley_values(
         v.join(weights, "mask")
         .groupBy(id_col, "feature")
         .agg(F.sum(F.col("w") * F.col("v")).alias("phi"))
+    )
+
+
+def kernel_shap(
+    predict,
+    explain_df: DataFrame,
+    background_df: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "__sid",
+) -> DataFrame:
+    """M15, the reference's ACTUAL estimator: SHAP KernelExplainer
+    (Lundberg & Lee 2017, §4; evaluation.ipynb:13964-13991) — Shapley
+    values recovered as the solution of a weighted linear regression
+    over coalition vectors z ∈ {0,1}^m with the Shapley kernel
+
+        π(z) = (m − 1) / (C(m,|z|) · |z| · (m − |z|)),
+
+    subject to the two KernelSHAP constraints φ0 = v(∅) and
+    Σφ = f(x) − v(∅).  With the full coalition enumeration (feature
+    sets here are small: lag models), the regression solution equals
+    exact Shapley — pinned by a pytest against ``shapley_values``.
+
+    Work split, 100-TB posture: v(z) is the SAME single distributed
+    scoring pass as the exact estimator (`_coalition_values` — explain ×
+    background × mask grid, one ``predict`` job); the regression solve
+    is a driver-side (2^m−2) × (m−1) least squares per explain row —
+    KB-sized, never data-path.  Returns (id_col, feature, phi)."""
+    import math
+
+    import numpy as np
+
+    m = len(feature_cols)
+    if m < 2:
+        raise ValueError("kernel_shap needs >= 2 features")
+    v = _coalition_values(
+        predict, explain_df, background_df, feature_cols, id_col
+    ).collect()  # bounded: n_explain × 2^m rows (masks, not data)
+    by_id: dict = {}
+    for row in v:
+        by_id.setdefault(row[id_col], {})[row["mask"]] = row["v"]
+    full = 2**m - 1
+    comb = math.comb
+    out_rows = []
+    for sid, vs in sorted(by_id.items(), key=lambda kv: str(kv[0])):
+        v0, fx = vs[0], vs[full]
+        # Eliminate the Σφ constraint by substituting
+        # φ_{m-1} = (fx − v0) − Σ_{i<m-1} φ_i; regress the residual
+        # target on (z_i − z_{m-1}) with kernel weights.
+        rows, ys, ws = [], [], []
+        for mask in range(1, full):
+            s = bin(mask).count("1")
+            z = [(mask >> i) & 1 for i in range(m)]
+            rows.append([z[i] - z[m - 1] for i in range(m - 1)])
+            ys.append(vs[mask] - v0 - z[m - 1] * (fx - v0))
+            ws.append((m - 1) / (comb(m, s) * s * (m - s)))
+        A = np.asarray(rows, dtype=float)
+        y = np.asarray(ys, dtype=float)
+        w = np.asarray(ws, dtype=float)
+        aw = A * w[:, None]
+        phi_head = np.linalg.solve(aw.T @ A, aw.T @ y)
+        phis = list(phi_head) + [float(fx - v0) - float(phi_head.sum())]
+        out_rows.extend(
+            (str(sid), c, float(p)) for c, p in zip(feature_cols, phis)
+        )
+    spark = explain_df.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"{id_col} string, feature string, phi double"
     )
 
 

@@ -635,6 +635,43 @@ def m15_shap_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("__sid").alias("d"), "feature", "phi")
 
 
+@query("m15_kernel_shap")
+def m15_kernel_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15, the reference's literal estimator: SHAP KernelExplainer
+    (evaluation.ipynb:13964-13968 — ``shap.KernelExplainer(forecasting,
+    exog_train.iloc[-50:])``) as the Shapley-kernel weighted regression
+    over coalition vectors (ml/analysis.py::kernel_shap).  Same single
+    distributed v(S) scoring pass as m15_shap_gbt; with full coalition
+    enumeration the regression equals exact Shapley (pytest-pinned
+    against shapley_values).  Rows-only: GBT fits are solver-shaped."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..ml.analysis import kernel_shap
+    from ..ml.forecast import GBTLagForecaster
+
+    daily = _daily(spark, sf_dir).select(
+        "d", F.col("demand").cast("double").alias("demand")
+    )
+    fc = GBTLagForecaster(lags=[1, 2, 3, 7], max_iter=5, fit_partitions=8).fit(
+        daily, "d", "demand"
+    )
+    cols = [f"lag_{k}" for k in fc.lags]
+    feats = fc._features(daily, "d", "demand")
+    explain = (
+        feats.orderBy(F.col("d").desc())
+        .limit(5)
+        .select(F.col("d").cast("string").alias("__sid"), *cols)
+    )
+    background = feats.orderBy("d").limit(50).select(*cols)
+    assembler = VectorAssembler(inputCols=cols, outputCol="features")
+
+    def predict(df: DataFrame) -> DataFrame:
+        return fc.model.transform(assembler.transform(df))
+
+    out = kernel_shap(predict, explain, background, cols, id_col="__sid")
+    return out.select(F.col("__sid").alias("d"), "feature", "phi")
+
+
 @query("m4_factor_analysis")
 def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Factor analysis (3 factors, varimax) over daily order features —

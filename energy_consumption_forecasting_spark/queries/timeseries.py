@@ -479,3 +479,147 @@ def m7_stl_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resid",
         F.col("w").alias("weight_fp"),
     )
+
+
+# --- M7 multi-seasonal tier: MSTL-shaped decomposition ------------------------------
+#
+# The reference imports MSTL alongside STL (ts_kmeans_base.ipynb:22-24):
+# multiple seasonal components extracted one period at a time, each
+# refined after the others are removed.  This tier is the window-native
+# analog for the daily demand series with two seasonalities:
+#   weekly  (phase = calendar weekday) and
+#   yearly  (phase = calendar (month, day)),
+# trend = centered 365-row moving average (full windows only, the same
+# NaN-edge convention as m7_seasonal_decompose), then
+#   s_week  = phase-mean of the detrended series,
+#   s_year  = phase-mean of (detrended - s_week),
+#   s_week' = phase-mean of (detrended - s_year)   <- one MSTL-style
+#              back-refinement round, re-estimating the faster seasonal
+#              after the slower one is removed,
+#   resid   = v - trend - s_week' - s_year.
+#
+# Cross-engine bit-exactness: the same fixed-point discipline as
+# m7_stl_robust — values ride q4 fixed point (dollars * 1e4, exact since
+# demand is DECIMAL(18,2)), every phase mean is a truncating integer
+# division of exact BIGINT sums.  Range budget: |detr_q4| <= ~1e12 at
+# sf1 and phase partitions hold <= ~366 rows, so sums stay < 2^63
+# through sf100; beyond that the accumulators widen to DECIMAL(38,0).
+# Phase partitions are bounded-cardinality calendar keys (7 and 366), so
+# the plan is two bounded hash shuffles + one row-window at any scale.
+@query(
+    "m7_mstl",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    base AS (
+      SELECT d, CAST(demand AS DOUBLE) AS v,
+             CAST(demand * 100 AS BIGINT) AS y_c,
+             CASE WHEN COUNT(*) OVER w365 = 365
+                  THEN SUM(CAST(demand * 100 AS BIGINT)) OVER w365 END AS trend_sum
+      FROM daily
+      WINDOW w365 AS (ORDER BY d ROWS BETWEEN 182 PRECEDING AND 182 FOLLOWING)
+    ),
+    dt AS (
+      SELECT *, (trend_sum * 100) // 365 AS trend_q4,
+             y_c * 100 - (trend_sum * 100) // 365 AS detr_q4
+      FROM base
+    ),
+    s7 AS (
+      SELECT *,
+             CASE WHEN COUNT(detr_q4) OVER wd > 0
+                  THEN (SUM(detr_q4) OVER wd) // (COUNT(detr_q4) OVER wd)
+             END AS s7_q4
+      FROM dt WINDOW wd AS (PARTITION BY dayofweek(d))
+    ),
+    s365 AS (
+      SELECT *,
+             CASE WHEN COUNT(detr_q4 - s7_q4) OVER wp > 0
+                  THEN (SUM(detr_q4 - s7_q4) OVER wp)
+                       // (COUNT(detr_q4 - s7_q4) OVER wp)
+             END AS s365_q4
+      FROM s7 WINDOW wp AS (PARTITION BY month(d), day(d))
+    ),
+    s7b AS (
+      SELECT *,
+             CASE WHEN COUNT(detr_q4 - s365_q4) OVER wd > 0
+                  THEN (SUM(detr_q4 - s365_q4) OVER wd)
+                       // (COUNT(detr_q4 - s365_q4) OVER wd)
+             END AS s7b_q4
+      FROM s365 WINDOW wd AS (PARTITION BY dayofweek(d))
+    )
+    SELECT d,
+           CAST(trend_q4 AS DOUBLE) / 10000.0 AS trend,
+           CAST(s7b_q4 AS DOUBLE) / 10000.0 AS seasonal_weekly,
+           CAST(s365_q4 AS DOUBLE) / 10000.0 AS seasonal_yearly,
+           v - (CAST(trend_q4 AS DOUBLE) + CAST(s7b_q4 AS DOUBLE)
+                + CAST(s365_q4 AS DOUBLE)) / 10000.0 AS resid
+    FROM s7b
+    """,
+)
+def m7_mstl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 multi-seasonal tier (MSTL, ts_kmeans_base.ipynb:22-24): weekly
+    + yearly seasonal components extracted sequentially with one
+    back-refinement round, in exact q4 fixed point (see the block
+    comment above for the algebra and the scale/range budget)."""
+    daily = _daily(spark, sf_dir)
+    w365 = Window.orderBy("d").rowsBetween(-182, 182)
+    # Spark dayofweek is 1=Sunday..7 vs DuckDB 0..6 — partition identity
+    # is all that matters (same rule as m7_seasonal_decompose).
+    wd = Window.partitionBy(F.dayofweek("d"))
+    wp = Window.partitionBy(F.month("d"), F.dayofmonth("d"))
+    base = daily.select(
+        "d",
+        F.col("demand").cast("double").alias("v"),
+        (F.col("demand") * 100).cast("long").alias("y_c"),
+        F.when(
+            F.count("*").over(w365) == 365,
+            F.sum((F.col("demand") * 100).cast("long")).over(w365),
+        ).alias("trend_sum"),
+    )
+    dt = base.select(
+        "*",
+        F.expr("(trend_sum * 100) div 365").alias("trend_q4"),
+        (F.col("y_c") * 100 - F.expr("(trend_sum * 100) div 365")).alias(
+            "detr_q4"
+        ),
+    )
+    s7 = dt.select(
+        "*",
+        F.when(
+            F.count("detr_q4").over(wd) > 0,
+            F.sum("detr_q4").over(wd),
+        ).alias("__s7_num"),
+        F.count("detr_q4").over(wd).alias("__s7_den"),
+    ).withColumn(
+        "s7_q4", F.expr("__s7_num div __s7_den")
+    )
+    d2 = (F.col("detr_q4") - F.col("s7_q4")).alias("__d2")
+    s365 = s7.select("*", d2).select(
+        "*",
+        F.when(F.count("__d2").over(wp) > 0, F.sum("__d2").over(wp)).alias(
+            "__s365_num"
+        ),
+        F.count("__d2").over(wp).alias("__s365_den"),
+    ).withColumn("s365_q4", F.expr("__s365_num div __s365_den"))
+    d3 = (F.col("detr_q4") - F.col("s365_q4")).alias("__d3")
+    s7b = s365.select("*", d3).select(
+        "*",
+        F.when(F.count("__d3").over(wd) > 0, F.sum("__d3").over(wd)).alias(
+            "__s7b_num"
+        ),
+        F.count("__d3").over(wd).alias("__s7b_den"),
+    ).withColumn("s7b_q4", F.expr("__s7b_num div __s7b_den"))
+    return s7b.select(
+        "d",
+        (F.col("trend_q4").cast("double") / 10000.0).alias("trend"),
+        (F.col("s7b_q4").cast("double") / 10000.0).alias("seasonal_weekly"),
+        (F.col("s365_q4").cast("double") / 10000.0).alias("seasonal_yearly"),
+        (
+            F.col("v")
+            - (
+                F.col("trend_q4").cast("double")
+                + F.col("s7b_q4").cast("double")
+                + F.col("s365_q4").cast("double")
+            )
+            / 10000.0
+        ).alias("resid"),
+    )

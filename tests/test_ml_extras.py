@@ -344,6 +344,76 @@ def test_shapley_efficiency_nonlinear(spark):
     assert totals["b"] == pytest.approx(f(-1.0, 0.5, 3.0) - ef, abs=1e-9)
 
 
+def test_kernel_shap_equals_exact_shapley(spark):
+    """KernelSHAP with full coalition enumeration provably equals exact
+    Shapley (Lundberg & Lee 2017, Theorem 2) — pin our regression
+    estimator against the subset-enumeration estimator on an
+    interaction model where the two code paths share nothing past the
+    v(S) pass."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.ml.analysis import (
+        kernel_shap,
+        shapley_values,
+    )
+
+    explain = spark.createDataFrame(
+        [("a", 2.0, 5.0, 1.0), ("b", -1.0, 0.5, 3.0)],
+        "__sid string, x1 double, x2 double, x3 double",
+    )
+    bg_rows = [(float(i % 3), float(i % 5) / 2, float(i % 2)) for i in range(10)]
+    background = spark.createDataFrame(bg_rows, "x1 double, x2 double, x3 double")
+
+    def predict(df):
+        return df.withColumn(
+            "prediction",
+            F.col("x1") * F.col("x2")
+            + 0.5 * F.col("x3") * F.col("x3")
+            - F.col("x1")
+            + 2.0,
+        )
+
+    cols = ["x1", "x2", "x3"]
+    exact = {
+        (r["__sid"], r["feature"]): r["phi"]
+        for r in shapley_values(predict, explain, background, cols).collect()
+    }
+    kern = {
+        (r["__sid"], r["feature"]): r["phi"]
+        for r in kernel_shap(predict, explain, background, cols).collect()
+    }
+    assert set(exact) == set(kern)
+    for k in exact:
+        assert kern[k] == pytest.approx(exact[k], abs=1e-9)
+
+
+def test_kernel_shap_efficiency_and_guard(spark):
+    """Sum of phis = f(x) − E_bg[f]; m<2 rejected loudly."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.ml.analysis import kernel_shap
+
+    explain = spark.createDataFrame(
+        [("r", 4.0, -2.0)], "__sid string, x1 double, x2 double"
+    )
+    bg_rows = [(1.0, 0.0), (2.0, 2.0), (0.0, 1.0)]
+    background = spark.createDataFrame(bg_rows, "x1 double, x2 double")
+
+    def f(x1, x2):
+        return 3.0 * x1 - x1 * x2 + 1.0
+
+    def predict(df):
+        return df.withColumn(
+            "prediction", 3.0 * F.col("x1") - F.col("x1") * F.col("x2") + 1.0
+        )
+
+    res = kernel_shap(predict, explain, background, ["x1", "x2"]).collect()
+    ef = sum(f(*b) for b in bg_rows) / len(bg_rows)
+    assert sum(r["phi"] for r in res) == pytest.approx(f(4.0, -2.0) - ef, abs=1e-9)
+    with pytest.raises(ValueError, match=">= 2 features"):
+        kernel_shap(predict, explain, background, ["x1"])
+
+
 def test_dba_fixed_point_and_recovery(spark):
     """DBA of identical series is that series; DBA k-means recovers
     well-separated synthetic clusters."""

@@ -159,6 +159,7 @@ AUDITED = [
     # unpartitioned-window guard cannot prove it statically)
     "pipeline_weather_e2e",
     "m7_stl_robust",
+    "m7_mstl",
 ]
 
 
