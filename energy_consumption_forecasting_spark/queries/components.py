@@ -303,10 +303,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact triangle counting on the co-supply graph ------------------------------
-@query(
-    "graph_triangle_count",
-    oracle="""
-    WITH ps AS (
+#
+# Shared oracle fragment: the support>=2 co-purchase edge set + degrees
+# (used verbatim by graph_triangle_count AND graph_assortativity so the
+# two can never drift).
+_COPURCHASE_SQL = """ps AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
     edges AS (
@@ -318,7 +319,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
       GROUP BY n
-    ),
+    )"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
     oriented AS (
       -- orient each edge from the lower-(degree, id) endpoint: every
       -- triangle is produced by exactly one (a,b,c) ordering
@@ -687,4 +694,99 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m, n_comm, q_ppm)],
         "n_edges long, n_communities long, modularity_ppm long",
+    )
+
+
+# --- degree assortativity of the co-purchase graph ----------------------------------
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    tagged AS (
+      SELECT CAST(du.d AS HUGEINT) AS d_u, CAST(dv.d AS HUGEINT) AS d_v
+      FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(2 * d_u * d_v) AS HUGEINT) AS sjk,
+             CAST(SUM(d_u + d_v) AS HUGEINT) AS sj,
+             CAST(SUM(d_u * d_u + d_v * d_v) AS HUGEINT) AS sj2
+      FROM tagged
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           CAST((1000000 * (2 * m * sjk - sj * sj))
+                // NULLIF(2 * m * sj2 - sj * sj, 0) AS BIGINT) AS assort_ppm
+    FROM sums
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the support>=2 co-purchase
+    graph: the Pearson correlation of endpoint degrees over the doubled
+    edge list, answering "do popular parts co-occur with popular
+    parts?" — the standard structure probe next to triangles/modularity.
+
+    Exact integer ppm end-to-end: each edge contributes its (d_u, d_v)
+    pair in BOTH orientations, so Sjk = SUM(2*d_u*d_v), Sj =
+    SUM(d_u + d_v), Sj2 = SUM(d_u**2 + d_v**2) and
+
+        r = (2m*Sjk - Sj**2) / (2m*Sj2 - Sj**2)
+
+    with every moment a DECIMAL(38,0)/HUGEINT sum and r emitted as one
+    truncating integer division in parts-per-million (the >2**53
+    integer->double ban).  Plan: the edge self-join + two node-keyed
+    degree joins + ONE scalar agg — no window, no driver data path; a
+    degenerate regular graph (den=0) yields NULL on both engines."""
+    li = tbl(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+    )
+    # edges feeds deg AND the tagging join — one lazy checkpoint shares
+    # the support-pruned pair expansion (triangle-count convention).
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    du, dv = deg.alias("du"), deg.alias("dv")
+    tagged = (
+        edges.join(du, F.col("u") == F.col("du.n"))
+        .join(dv, F.col("v") == F.col("dv.n"))
+        .select(
+            F.col("du.d").cast(d38).alias("d_u"),
+            F.col("dv.d").cast(d38).alias("d_v"),
+        )
+    )
+    sums = tagged.agg(
+        F.count("*").cast(d38).alias("m"),
+        F.sum(F.lit(2).cast(d38) * F.col("d_u") * F.col("d_v"))
+        .cast(d38)
+        .alias("sjk"),
+        F.sum(F.col("d_u") + F.col("d_v")).cast(d38).alias("sj"),
+        F.sum(F.col("d_u") * F.col("d_u") + F.col("d_v") * F.col("d_v"))
+        .cast(d38)
+        .alias("sj2"),
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return nodes.crossJoin(sums).select(
+        "n_nodes",
+        F.col("m").cast("long").alias("n_edges"),
+        F.expr(
+            "CAST((1000000 * (2 * m * sjk - sj * sj))"
+            " div NULLIF(2 * m * sj2 - sj * sj, 0) AS BIGINT)"
+        ).alias("assort_ppm"),
     )

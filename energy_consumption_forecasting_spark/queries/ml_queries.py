@@ -151,6 +151,85 @@ def m14_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M30: scale-free forecast metrics (MASE / sMAPE / MdAE) -------------------------
+@query(
+    "m30_forecast_metrics_ext",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    scored AS (
+      SELECT d,
+             CAST(demand * 100 AS BIGINT) AS yc,
+             CAST(lag(demand, 7) OVER (ORDER BY d) * 100 AS BIGINT) AS fc,
+             CAST(lag(demand, 1) OVER (ORDER BY d) * 100 AS BIGINT) AS nc
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(SUM(ABS(fc - yc)) AS BIGINT) AS sum7,
+             CAST(COUNT(fc) AS BIGINT) AS n7,
+             CAST(SUM((2000000 * ABS(fc - yc))
+                      // NULLIF(ABS(fc) + ABS(yc), 0)) AS BIGINT) AS smape_sum,
+             median(CASE WHEN fc IS NOT NULL THEN ABS(fc - yc) END) AS med_c
+      FROM scored
+    ),
+    nv AS (
+      SELECT CAST(SUM(ABS(nc - yc)) AS BIGINT) AS sum1,
+             CAST(COUNT(nc) AS BIGINT) AS n1
+      FROM scored
+    )
+    SELECT CAST(m.sum7 * nv.n1 AS DOUBLE) / CAST(nv.sum1 * m.n7 AS DOUBLE)
+             AS mase,
+           CAST(m.smape_sum AS DOUBLE) / m.n7 AS smape_ppm,
+           m.med_c / 100.0 AS mdae
+    FROM m, nv
+    """,
+)
+def m30_forecast_metrics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free forecast metrics for the seasonal-naive (lag-7) model,
+    completing the M14 metric family: MASE (Hyndman & Koehler 2006 —
+    model MAE over the in-sample naive MAE, the cross-series comparable
+    metric), sMAPE, and median absolute error.
+
+    Determinism: errors ride integer cents; MASE is ONE double division
+    of two exact BIGINT cross-products; sMAPE's per-row ratio is
+    quantized to exact integer ppm BEFORE summing (a per-row double
+    ratio would make the sum order-dependent — quantization deviates
+    < 1 ppm per row and is part of the metric's definition here); MdAE
+    is the engine median over integer cents (midpoint rule on both
+    engines)."""
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("d")
+    yc = (F.col("demand") * 100).cast("long")
+    scored = daily.select(
+        "d",
+        yc.alias("yc"),
+        (F.lag("demand", 7).over(w) * 100).cast("long").alias("fc"),
+        (F.lag("demand", 1).over(w) * 100).cast("long").alias("nc"),
+    )
+    smape_row = F.expr(
+        "(2000000 * ABS(fc - yc)) div NULLIF(ABS(fc) + ABS(yc), 0)"
+    )
+    m = scored.agg(
+        F.sum(F.abs(F.col("fc") - F.col("yc"))).cast("long").alias("sum7"),
+        F.count("fc").alias("n7"),
+        F.sum(smape_row).cast("long").alias("smape_sum"),
+        F.expr(
+            "percentile(CASE WHEN fc IS NOT NULL THEN ABS(fc - yc) END, 0.5)"
+        ).alias("med_c"),
+    )
+    nv = scored.agg(
+        F.sum(F.abs(F.col("nc") - F.col("yc"))).cast("long").alias("sum1"),
+        F.count("nc").alias("n1"),
+    )
+    return m.crossJoin(nv).select(
+        (
+            (F.col("sum7") * F.col("n1")).cast("double")
+            / (F.col("sum1") * F.col("n7")).cast("double")
+        ).alias("mase"),
+        (F.col("smape_sum").cast("double") / F.col("n7")).alias("smape_ppm"),
+        (F.col("med_c") / 100.0).alias("mdae"),
+    )
+
+
 # --- M12: blocked CV fold statistics (U:8-23; O:56-77) -------------------------------
 @query(
     "m12_blocked_cv_stats",

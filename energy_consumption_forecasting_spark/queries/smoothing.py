@@ -704,3 +704,177 @@ def m27_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("part", "d")
         .mapInPandas(croston_fit_partition, _CROSTON_SCHEMA)
     )
+
+
+# --- M29: Theta-method forecaster (Assimakopoulos & Nikolopoulos 2000) --------------
+#
+# The M3/M4-competition benchmark that completes the classical ladder
+# between Holt (m20) and Holt-Winters (m26): decompose the series into
+# the theta=0 line (the OLS linear trend) and the theta=2 line
+# (z_t = 2·y_t − trend_t, curvature doubled), smooth the theta-2 line
+# with SES (dyadic α=0.5), and combine — fitted_t = ½(trend_t + s_{t-1}).
+#
+# Cross-engine bit-exactness:
+#  * the OLS (a, b) come from Cramer numerators/denominators over EXACT
+#    BIGINT cents sums (the m21_degree_day_ols pattern) — one CAST +
+#    one IEEE division each.  int64→double casts are correctly-rounded
+#    identically on both engines (the 2^53 ban is for HUGEINT/DECIMAL38
+#    casts, so the oracle re-CASTs every DuckDB sum to BIGINT).
+#  * trend/z/SES are then the SAME IEEE op sequence both sides (Spark
+#    column exprs + a per-series Python recursion ≡ the recursive CTE).
+#  * range budget: Cramer numerators ≈ Σy_c·Σt² ≈ 3e16 at sf0.1 and
+#    ~3e18 at sf10 — int64-safe through sf10; beyond, widen the sums to
+#    DECIMAL(38,0) (documented, same note as the other cents algebras).
+THETA_ALPHA = 0.5  # SES smoothing of the theta-2 line; dyadic
+
+_THETA_SCHEMA = (
+    "priority string, month date, trend_line double, theta2 double, "
+    "ses_level double, fitted double"
+)
+
+
+def _theta_ses(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One series: SES over the (Spark-computed) theta-2 line plus the
+    theta combination — the exact op order of the oracle's CTE."""
+    pdf = pdf.sort_values("t").reset_index(drop=True)
+    zs = [float(v) for v in pdf["z_c"]]
+    trs = [float(v) for v in pdf["trend_c"]]
+    n = len(zs)
+    ses = [0.0] * n
+    fitted: list[float | None] = [None] * n
+    s = zs[0]
+    ses[0] = s
+    for t in range(1, n):
+        fitted[t] = 0.5 * (trs[t] + s)
+        s = THETA_ALPHA * zs[t] + (1.0 - THETA_ALPHA) * s
+        ses[t] = s
+    return pd.DataFrame(
+        {
+            "priority": pdf["priority"],
+            "month": pdf["month"],
+            "trend_line": [v / 100.0 for v in trs],
+            "theta2": [v / 100.0 for v in zs],
+            "ses_level": [v / 100.0 for v in ses],
+            "fitted": pd.array(
+                [None if f is None else f / 100.0 for f in fitted],
+                dtype="float64",
+            ),
+        }
+    )
+
+
+@query(
+    "m29_theta_forecast",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c
+      FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT priority, month, y_c,
+             row_number() OVER (PARTITION BY priority ORDER BY month) AS t
+      FROM monthly
+    ),
+    stats AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * y_c) AS BIGINT) AS sty,
+             CAST(SUM(y_c) AS BIGINT) AS sy
+      FROM idx GROUP BY 1
+    ),
+    ab AS (
+      SELECT priority,
+             CAST(sy * stt - sty * st AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS a_c,
+             CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b_c
+      FROM stats
+    ),
+    zline AS (
+      SELECT i.priority, i.month, i.t,
+             ab.a_c + ab.b_c * CAST(i.t AS DOUBLE) AS trend_c,
+             2.0 * CAST(i.y_c AS DOUBLE)
+               - (ab.a_c + ab.b_c * CAST(i.t AS DOUBLE)) AS z_c
+      FROM idx i JOIN ab USING (priority)
+    ),
+    ses(priority, t, s, fitted) AS (
+      SELECT priority, CAST(1 AS BIGINT), z_c, CAST(NULL AS DOUBLE)
+      FROM zline WHERE t = 1
+      UNION ALL
+      SELECT z.priority, ses.t + 1,
+             {THETA_ALPHA} * z.z_c + {1.0 - THETA_ALPHA} * ses.s,
+             0.5 * (z.trend_c + ses.s)
+      FROM ses JOIN zline z ON z.priority = ses.priority AND z.t = ses.t + 1
+    )
+    SELECT z.priority AS priority, z.month AS month,
+           z.trend_c / 100.0 AS trend_line,
+           z.z_c / 100.0 AS theta2,
+           ses.s / 100.0 AS ses_level,
+           ses.fitted / 100.0 AS fitted
+    FROM ses JOIN zline z ON z.priority = ses.priority AND z.t = ses.t
+    """,
+)
+def m29_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method decomposition forecast per priority series (see the
+    block comment for the algebra and the bit-exactness contract).  The
+    OLS stats are one exact-integer aggregate; the trend/theta-2 lines
+    are Catalyst column expressions; only the SES recursion rides
+    applyInPandas (bounded calendar-length groups)."""
+    monthly = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "decimal(18,2)"
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("y_c")
+        )
+    )
+    idx = monthly.withColumn(
+        "t",
+        F.row_number().over(Window.partitionBy("priority").orderBy("month")),
+    ).withColumn("t", F.col("t").cast("long"))
+    stats = idx.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y_c")).alias("sty"),
+        F.sum("y_c").alias("sy"),
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    ab = stats.select(
+        "priority",
+        (
+            (F.col("sy") * F.col("stt") - F.col("sty") * F.col("st")).cast(
+                "double"
+            )
+            / den
+        ).alias("a_c"),
+        (
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+                "double"
+            )
+            / den
+        ).alias("b_c"),
+    )
+    trend = F.col("a_c") + F.col("b_c") * F.col("t").cast("double")
+    zline = idx.join(F.broadcast(ab), "priority").select(
+        "priority",
+        "month",
+        "t",
+        trend.alias("trend_c"),
+        (F.lit(2.0) * F.col("y_c").cast("double") - trend).alias("z_c"),
+    )
+    return zline.groupBy("priority").applyInPandas(_theta_ses, _THETA_SCHEMA)

@@ -57,9 +57,7 @@ def _monthly_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- W18: monthly→daily proportional disaggregation (N:450-452,631-635) --------
-@query(
-    "w18_disaggregation",
-    oracle=f"""
+_W18_ORACLE = f"""
     WITH daily AS ({_DAILY_SQL}),
     shares AS (
       SELECT d, demand,
@@ -74,8 +72,30 @@ def _monthly_target(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (CAST(s.demand AS DOUBLE) / CAST(s.month_demand AS DOUBLE))
              AS daily_consumption
     FROM shares s JOIN monthly m USING (month)
-    """,
-)
+    """
+
+
+def disagg_from_daily(daily: DataFrame, monthly: DataFrame) -> DataFrame:
+    """Shared W18 arithmetic: month window over the per-day demand frame,
+    ratio, broadcast join onto the monthly target.  Used verbatim by the
+    batch query AND the streaming twin, so the two cannot drift."""
+    shares = daily.select(
+        "d",
+        "demand",
+        F.trunc("d", "MM").alias("month"),
+        F.sum("demand")
+        .over(Window.partitionBy(F.trunc("d", "MM")))
+        .alias("month_demand"),
+    )
+    ratio = F.col("demand").cast("double") / F.col("month_demand").cast("double")
+    return shares.join(F.broadcast(monthly), "month").select(
+        "d",
+        ratio.alias("day_share"),
+        (F.col("month_qty").cast("double") * ratio).alias("daily_consumption"),
+    )
+
+
+@query("w18_disaggregation", oracle=_W18_ORACLE)
 def w18_disaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query #2 (EP2): each day's share of its month's demand,
     multiplied onto the month-level consumption target — the reference's
@@ -85,19 +105,24 @@ def w18_disaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window partitions by calendar month (bounded cardinality);
     the monthly target is tiny and broadcast."""
     daily = _daily(spark, sf_dir)
-    shares = daily.select(
-        "d",
-        "demand",
-        F.trunc("d", "MM").alias("month"),
-        F.sum("demand").over(Window.partitionBy(F.trunc("d", "MM"))).alias("month_demand"),
-    )
-    monthly = _monthly_target(spark, sf_dir)
-    ratio = F.col("demand").cast("double") / F.col("month_demand").cast("double")
-    return shares.join(F.broadcast(monthly), "month").select(
-        "d",
-        ratio.alias("day_share"),
-        (F.col("month_qty").cast("double") * ratio).alias("daily_consumption"),
-    )
+    return disagg_from_daily(daily, _monthly_target(spark, sf_dir))
+
+
+@query("stream_w18_disaggregation", oracle=_W18_ORACLE)
+def stream_w18_disaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the flagship: the per-day demand state is
+    maintained by a complete-mode streaming aggregation over the orders
+    stream (streaming/disagg_stream.py — exact DECIMAL sums, additive,
+    so any batch split yields the identical state), then the SAME
+    ``disagg_from_daily`` arithmetic as the batch query runs on the
+    drained state.  Shares the batch oracle verbatim; the multi-batch
+    case is pytest-pinned (tests/test_disagg_stream.py)."""
+    from ..session import ensure_utc
+    from ..streaming.disagg_stream import run_disagg_daily_available_now
+
+    ensure_utc(spark)
+    daily = run_disagg_daily_available_now(spark, sf_dir.rstrip("/"))
+    return disagg_from_daily(daily, _monthly_target(spark, sf_dir))
 
 
 # --- J3/J4: month-start right join + forward fill (N:450-451,631-633) -----------
