@@ -930,3 +930,173 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(out),
         "tier string, n_queries long, metric_ok boolean, quality_ok boolean",
     )
+
+
+# --- MMR diversified reranking (Carbonell & Goldstein 1998) -------------------------
+MMR_QUERIES = 3
+MMR_CAND = 8
+MMR_K = 4  # selections; lambda = 1/2 (dyadic)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: the k selection steps are generated as a
+    chained CTE sequence (argmax per step via a rank window), mirroring
+    the Spark loop step for step so every float op matches."""
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {MMR_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, c.v,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS simq
+      FROM q, e c WHERE c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, v, simq,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY simq DESC, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= {MMR_CAND}
+    ),
+    pair AS (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim_ab
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+    ),
+    selall1 AS (
+      SELECT query_id, cand_id AS sel_id, 1 AS step, simq AS mmr_score
+      FROM cand WHERE rn = 1
+    )"""
+    for k in range(2, MMR_K + 1):
+        sql += f""",
+    rem{k} AS (
+      SELECT c.* FROM cand c LEFT JOIN selall{k - 1} s
+        ON s.query_id = c.query_id AND s.sel_id = c.cand_id
+      WHERE s.sel_id IS NULL
+    ),
+    ms{k} AS (
+      SELECT r.query_id, r.cand_id, r.simq, MAX(p.sim_ab) AS maxsim
+      FROM rem{k} r
+      JOIN selall{k - 1} s ON s.query_id = r.query_id
+      JOIN pair p ON p.query_id = r.query_id AND p.a_id = r.cand_id
+                 AND p.b_id = s.sel_id
+      GROUP BY 1, 2, 3
+    ),
+    pick{k} AS (
+      SELECT query_id, cand_id AS sel_id, {k} AS step,
+             0.5 * simq - 0.5 * maxsim AS mmr_score
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 0.5 * simq - 0.5 * maxsim DESC, cand_id) AS rn2
+        FROM ms{k}
+      ) WHERE rn2 = 1
+    ),
+    selall{k} AS (
+      SELECT * FROM selall{k - 1} UNION ALL SELECT * FROM pick{k}
+    )"""
+    sql += f"""
+    SELECT query_id, CAST(step AS INT) AS step, sel_id, mmr_score
+    FROM selall{MMR_K}
+    """
+    return sql
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking: greedily select k results
+    balancing query relevance against redundancy with what's already
+    selected — score(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s), λ=1/2
+    — the diversity pass retrieval/data-curation pipelines run after
+    ANN top-k.
+
+    Oracle-exact greedy iteration: the candidate pool is the top-8
+    bruteforce cosine frame, the 8×8 pairwise sims are one bounded
+    self-join, and each of the k selection steps is an anti-join +
+    max-aggregate + deterministic rank pick — the SQL oracle unrolls
+    the identical steps, so the float scores hash bit-for-bit (fold
+    dot products, dyadic λ, order-independent MAX).  Scale: candidate
+    pools are per-query constants, so every step is bounded work; the
+    corpus-sized stage is only the initial top-k (the registered ANN
+    tiers)."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "v",
+        cosine(F.col("qv"), F.col("v")).alias("simq"),
+    )
+    rnw = Window.partitionBy("query_id").orderBy(
+        F.col("simq").desc(), F.col("cand_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") <= MMR_CAND)
+        .localCheckpoint(eager=False)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.cand_id") != F.col("b.cand_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.cand_id").alias("a_id"),
+        F.col("b.cand_id").alias("b_id"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("sim_ab"),
+    ).localCheckpoint(eager=False)
+    sel = cand.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("sel_id"),
+        F.lit(1).alias("step"),
+        F.col("simq").alias("mmr_score"),
+    )
+    pickw = Window.partitionBy("query_id").orderBy(
+        (0.5 * F.col("simq") - 0.5 * F.col("maxsim")).desc(), F.col("cand_id")
+    )
+    for k in range(2, MMR_K + 1):
+        chosen = sel.select("query_id", "sel_id")
+        rem = cand.join(
+            chosen,
+            (cand.query_id == chosen.query_id) & (cand.cand_id == chosen.sel_id),
+            "left_anti",
+        )
+        ms = (
+            rem.join(chosen.withColumnRenamed("query_id", "qid"),
+                     F.col("query_id") == F.col("qid"))
+            .join(
+                pair.withColumnRenamed("query_id", "pqid"),
+                (F.col("pqid") == F.col("query_id"))
+                & (F.col("a_id") == F.col("cand_id"))
+                & (F.col("b_id") == F.col("sel_id")),
+            )
+            .groupBy("query_id", "cand_id", "simq")
+            .agg(F.max("sim_ab").alias("maxsim"))
+        )
+        pick = (
+            ms.withColumn("rn2", F.row_number().over(pickw))
+            .filter(F.col("rn2") == 1)
+            .select(
+                "query_id",
+                F.col("cand_id").alias("sel_id"),
+                F.lit(k).alias("step"),
+                (0.5 * F.col("simq") - 0.5 * F.col("maxsim")).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id", F.col("step").cast("int").alias("step"), "sel_id", "mmr_score"
+    )

@@ -677,3 +677,77 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- synthetic-text watermark detection (greenlist z-score) -------------------------
+@query(
+    "text_watermark_detect",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(len(a) - 1 AS BIGINT) AS n_scored,
+             CAST(list_aggregate(
+               list_transform(range(2, len(a) + 1), i ->
+                 CASE WHEN substring(md5(a[i - 1] || '|' || a[i]), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7')
+                      THEN 1 ELSE 0 END),
+               'sum') AS BIGINT) AS n_green
+      FROM t WHERE len(a) >= 2
+    )
+    SELECT doc_id, n_scored, n_green,
+           (CAST(n_green AS DOUBLE) - 0.5 * CAST(n_scored AS DOUBLE))
+             / sqrt(0.25 * CAST(n_scored AS DOUBLE)) AS z,
+           (CAST(n_green AS DOUBLE) - 0.5 * CAST(n_scored AS DOUBLE))
+             / sqrt(0.25 * CAST(n_scored AS DOUBLE)) >= 4.0 AS watermarked
+    FROM g
+    """,
+)
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark detection (Kirchenbauer et al. 2023): a greenlist
+    watermark seeds each position's "green" token subset from the
+    PREVIOUS token; detection counts green continuations and tests
+    g ~ Binomial(n, gamma) with z = (g - gamma*n) / sqrt(n*gamma*(1-gamma)).
+    Here gamma = 1/2 and the greenlist membership oracle is one md5 of
+    the (prev, cur) bigram (top hex digit 0-7) — the same deterministic
+    hash role the secret key plays in the published scheme.
+
+    Determinism: counts are exact integers; z is a fixed IEEE op
+    sequence (sqrt is correctly rounded on both engines; gamma dyadic).
+    Plan: one row-local HOF pass over the token array — zero shuffles,
+    linear in corpus size, the watermark-screening shape a training
+    pipeline runs over every crawled document."""
+    t = tbl(spark, sf_dir, "documents").select("doc_id", _toks().alias("a"))
+    n = F.size("a")
+    green = F.aggregate(
+        F.zip_with(
+            F.slice("a", 1, n - 1),
+            F.slice("a", 2, n - 1),
+            lambda p, c: F.when(
+                F.substring(F.md5(F.concat(p, F.lit("|"), c)), 1, 1).isin(
+                    "0", "1", "2", "3", "4", "5", "6", "7"
+                ),
+                1,
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    g = (
+        t.filter(n >= 2)
+        .select(
+            "doc_id",
+            (n - 1).cast("long").alias("n_scored"),
+            green.cast("long").alias("n_green"),
+        )
+    )
+    z = (
+        F.col("n_green").cast("double") - 0.5 * F.col("n_scored").cast("double")
+    ) / F.sqrt(0.25 * F.col("n_scored").cast("double"))
+    return g.select(
+        "doc_id", "n_scored", "n_green", z.alias("z"), (z >= 4.0).alias("watermarked")
+    )

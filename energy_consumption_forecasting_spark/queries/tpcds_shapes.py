@@ -185,3 +185,47 @@ def ds_q34_count_band_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.join(F.broadcast(c), "custkey").select(
         "custkey", "segment", "n_orders", "spend_c"
     )
+
+
+@query(
+    "ds_q88_time_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) < 3) AS BIGINT) AS h00_02,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 3 AND hour(ts) < 6) AS BIGINT) AS h03_05,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 6 AND hour(ts) < 9) AS BIGINT) AS h06_08,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 9 AND hour(ts) < 12) AS BIGINT) AS h09_11,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 12 AND hour(ts) < 15) AS BIGINT) AS h12_14,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 15 AND hour(ts) < 18) AS BIGINT) AS h15_17,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 18 AND hour(ts) < 21) AS BIGINT) AS h18_20,
+           CAST(COUNT(*) FILTER (WHERE hour(ts) >= 21) AS BIGINT) AS h21_23
+    FROM events GROUP BY event_type
+    """,
+)
+def ds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q88 shape: event counts across eight 3-hour day-part bands in
+    ONE scan — the multi-band conditional-aggregation pattern that a
+    naive translation writes as 8 self-joined subqueries.  Expressed as
+    8 filtered counts inside a single hash aggregate, so the fact table
+    is read once at any scale."""
+    ev = tbl(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(lo: int | None, hi: int | None, name: str):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (h >= lo)
+        if hi is not None:
+            cond = cond & (h < hi)
+        return F.count(F.when(cond, 1)).alias(name)
+
+    return ev.groupBy("event_type").agg(
+        band(None, 3, "h00_02"),
+        band(3, 6, "h03_05"),
+        band(6, 9, "h06_08"),
+        band(9, 12, "h09_11"),
+        band(12, 15, "h12_14"),
+        band(15, 18, "h15_17"),
+        band(18, 21, "h18_20"),
+        band(21, None, "h21_23"),
+    )
