@@ -23,7 +23,7 @@ one, so the DuckDB oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -766,4 +766,130 @@ def w_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanned.join(cal, "d")  # clamp to observed days only
         .groupBy("d")
         .agg(F.countDistinct("user_id").alias("mau"))
+    )
+
+
+# --- time-weighted average (TWAP / LOCF integral) -----------------------------------
+@query(
+    "w_time_weighted_avg",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS nxt_us
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(nxt_us) AS BIGINT) AS n_intervals,
+             CAST(SUM(nxt_us - t_us) AS HUGEINT) AS span_us,
+             CAST(SUM(CAST(v_c AS HUGEINT) * (nxt_us - t_us)) AS HUGEINT)
+               AS vt_sum
+      FROM obs WHERE nxt_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_intervals,
+           CAST(span_us AS BIGINT) AS span_us,
+           CAST((100 * vt_sum) // span_us AS BIGINT) AS twap_q4
+    FROM sums
+    """,
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type over irregular
+    observations (the TimescaleDB ``time_weight``-style LOCF integral):
+    each observation's value holds until the NEXT observation of that
+    type, so TWAP = Σ(v·Δt)/ΣΔt — the correct average when sampling is
+    bursty and a plain AVG over-weights the bursts.
+
+    Exactness: Δt is exact integer microseconds (unix_micros ≡ DuckDB
+    epoch_us), values exact cents; the v·Δt products ride
+    DECIMAL(38,0)/HUGEINT (cents·µs overflows int64 on year spans) and
+    the quotient is emitted as exact q4 fixed point via one truncating
+    division — no >2^53 integer→double cast ever forms.  Plan: one
+    partitioned lead window on the natural (event_type) key + one hash
+    aggregate."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    obs = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_c"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    d38 = "decimal(38,0)"
+    sums = obs.groupBy("event_type").agg(
+        F.count("nxt_us").alias("n_intervals"),
+        F.sum(F.col("nxt_us") - F.col("t_us")).cast(d38).alias("span_us"),
+        F.sum(F.col("v_c").cast(d38) * (F.col("nxt_us") - F.col("t_us")))
+        .cast(d38)
+        .alias("vt_sum"),
+    )
+    return sums.select(
+        "event_type",
+        "n_intervals",
+        F.col("span_us").cast("long").alias("span_us"),
+        F.expr("CAST((100 * vt_sum) div span_us AS BIGINT)").alias("twap_q4"),
+    )
+
+
+# --- OHLC bars (open/high/low/close) per day per type -------------------------------
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT d, event_type,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v_c END) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(v_c) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(v_c) AS DOUBLE) / 100.0 AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v_c END) AS DOUBLE) / 100.0 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_c) AS BIGINT) AS volume_c
+    FROM obs GROUP BY d, event_type
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candle bars per event type — the standard downsampling
+    shape for telemetry/market series.  Open/close are the FIRST/LAST
+    values in deterministic (ts, event_id) order (rank windows on the
+    bounded (day, type) partitions — ties on equal timestamps cannot
+    flip the bar), high/low/volume exact integer cents.  At scale every
+    window partition is one day of one type; nothing global."""
+    ev = tbl(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    wa = Window.partitionBy(F.to_date("ts"), "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy(F.to_date("ts"), "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = ev.select(
+        d,
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_c"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return obs.groupBy("d", "event_type").agg(
+        (
+            F.max(F.when(F.col("rn_a") == 1, F.col("v_c"))).cast("double")
+            / 100.0
+        ).alias("open"),
+        (F.max("v_c").cast("double") / 100.0).alias("high"),
+        (F.min("v_c").cast("double") / 100.0).alias("low"),
+        (
+            F.max(F.when(F.col("rn_d") == 1, F.col("v_c"))).cast("double")
+            / 100.0
+        ).alias("close"),
+        F.count("*").alias("n_events"),
+        F.sum("v_c").cast("long").alias("volume_c"),
     )

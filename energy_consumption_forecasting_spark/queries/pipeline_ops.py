@@ -1049,3 +1049,144 @@ def pipeline_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_docs_udtf, LATERAL ecf_chunk_windows(text) t
         """
     )
+
+
+# --- T5-style span corruption (Raffel et al. 2020, §3.1.4) --------------------------
+SPAN_BLOCK = 8  # tokens per block
+SPAN_LEN = 3  # masked span length at the head of a selected block
+
+
+@query(
+    "pipeline_span_corruption",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS a FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, a, len(a) AS n,
+             list_transform(range(1, len(a) + 1), i ->
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                                       || CAST((i - 1) // {SPAN_BLOCK} AS VARCHAR)),
+                                   1, 1) IN ('0','1','2','3')
+                         AND (i - 1) % {SPAN_BLOCK} < {SPAN_LEN}
+                    THEN 1 ELSE 0 END) AS m
+      FROM t WHERE len(a) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(
+             list_transform(range(1, n + 1), i ->
+               CASE WHEN m[i] = 1 AND (i - 1) % {SPAN_BLOCK} = 0
+                    THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_spans,
+           CAST(list_aggregate(m, 'sum') AS BIGINT) AS n_masked,
+           NULLIF(array_to_string(list_filter(
+             list_transform(range(1, n + 1), i ->
+               CASE WHEN m[i] = 0 THEN a[i]
+                    WHEN (i - 1) % {SPAN_BLOCK} = 0
+                    THEN '<extra_id_' || CAST((i - 1) // {SPAN_BLOCK} AS VARCHAR) || '>'
+                    ELSE NULL END),
+             x -> x IS NOT NULL), ' '), '') AS input_text,
+           NULLIF(array_to_string(list_filter(
+             list_transform(range(1, n + 1), i ->
+               CASE WHEN m[i] = 0 THEN NULL
+                    WHEN (i - 1) % {SPAN_BLOCK} = 0
+                    THEN '<extra_id_' || CAST((i - 1) // {SPAN_BLOCK} AS VARCHAR)
+                         || '> ' || a[i]
+                    ELSE a[i] END),
+             x -> x IS NOT NULL), ' '), '') AS target_text
+    FROM marked
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption objective preparation: deterministic ~25% of
+    {SPAN_BLOCK}-token blocks have their leading {SPAN_LEN} tokens
+    replaced by a sentinel in the encoder input, and the sentinel +
+    masked tokens become the decoder target.  Span selection is a pure
+    hash of (doc_id, block) — no RNG, so any two cluster runs (and the
+    oracle) produce byte-identical training pairs, and a resumed job
+    can't double-mask.  Sentinels carry the block index, keeping
+    input/target alignment checkable downstream.
+
+    Plan: entirely row-local HOF string work — zero shuffles, linear
+    scan, the same shape at 100 TB."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("a")
+    )
+    n = F.size("a")
+    def masked_flag(i):
+        b = F.floor((i - 1) / SPAN_BLOCK).cast("int")
+        sel = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#"), b.cast("string")
+                )
+            ),
+            1,
+            1,
+        ).isin("0", "1", "2", "3")
+        return F.when(sel & ((i - 1) % SPAN_BLOCK < SPAN_LEN), 1).otherwise(0)
+
+    idx = F.sequence(F.lit(1), n)
+    marked = t.filter(n > 0).select(
+        "doc_id",
+        "a",
+        n.alias("n"),
+        F.transform(idx, masked_flag).alias("m"),
+    )
+
+    def at(arr, i):
+        return F.element_at(arr, i.cast("int"))
+
+    def sentinel(i):
+        return F.concat(
+            F.lit("<extra_id_"),
+            F.floor((i - 1) / SPAN_BLOCK).cast("int").cast("string"),
+            F.lit(">"),
+        )
+
+    idx2 = F.sequence(F.lit(1), F.col("n"))
+    span_start = lambda i: (i - 1) % SPAN_BLOCK == 0  # noqa: E731
+    input_arr = F.filter(
+        F.transform(
+            idx2,
+            lambda i: F.when(at(F.col("m"), i) == 0, at(F.col("a"), i))
+            .when(span_start(i), sentinel(i))
+            .otherwise(F.lit(None).cast("string")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    target_arr = F.filter(
+        F.transform(
+            idx2,
+            lambda i: F.when(
+                at(F.col("m"), i) == 0, F.lit(None).cast("string")
+            )
+            .when(
+                span_start(i),
+                F.concat(sentinel(i), F.lit(" "), at(F.col("a"), i)),
+            )
+            .otherwise(at(F.col("a"), i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_spans = F.aggregate(
+        F.transform(
+            idx2,
+            lambda i: F.when(
+                (at(F.col("m"), i) == 1) & span_start(i), 1
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_masked = F.aggregate(F.col("m"), F.lit(0), lambda acc, x: acc + x)
+    return marked.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        n_spans.cast("long").alias("n_spans"),
+        n_masked.cast("long").alias("n_masked"),
+        F.nullif(F.array_join(input_arr, " "), F.lit("")).alias("input_text"),
+        F.nullif(F.array_join(target_arr, " "), F.lit("")).alias(
+            "target_text"
+        ),
+    )
