@@ -81,6 +81,17 @@ HEADLINE = [
     # and the iteratively-reweighted robust decomposition
     "pipeline_weather_e2e",
     "m7_stl_robust",
+    # round-5 second wave: multi-seasonal decomposition, the streaming
+    # flagship twin, theta forecaster, graph assortativity, watermark
+    # screening, MMR rerank, span corruption, TWAP
+    "m7_mstl",
+    "stream_w18_disaggregation",
+    "m29_theta_forecast",
+    "graph_assortativity",
+    "text_watermark_detect",
+    "sim_mmr_rerank",
+    "pipeline_span_corruption",
+    "w_time_weighted_avg",
 ]
 
 

@@ -248,3 +248,52 @@ def s15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_n_chars",
         "new_n_chars",
     )
+
+
+# --- S21: merge-on-read deletion vectors --------------------------------------------
+DV_DIR = "/root/repo/.stage/s21_deletion_vectors"
+
+
+@query(
+    "s21_deletion_vectors",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name,
+           CAST(p_size AS INT) AS size,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS retail_c
+    FROM part
+    WHERE NOT (p_size < 10)
+      AND NOT (CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               < 91000)
+    """,
+)
+def s21_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via position-delete files (Iceberg v2 /
+    deletion-vector pattern, sources/versioned.py::delete_where): the
+    part table is committed as a snapshot, two successive DELETEs write
+    only (file, row_index) delete files — data files are never
+    rewritten — and the read-back anti-joins the accumulated deletes.
+    The oracle computes the surviving rows from the ORIGINAL table, so a
+    pass proves the position bookkeeping is lossless (rows need not be
+    unique for positions to be — the delete key is physical, not
+    semantic).  Time-travel to the pre-delete version is pytest-covered
+    (tests/test_versioned_sink.py)."""
+    import shutil
+
+    from ..sources.versioned import commit_snapshot, delete_where, read_snapshot
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    table = f"{DV_DIR}/{name}"
+    shutil.rmtree(table, ignore_errors=True)
+    part = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        "p_name",
+        F.col("p_size").cast("int").alias("size"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("retail_c"),
+    )
+    commit_snapshot(part, table, note="base")
+    delete_where(spark, table, "size < 10", note="small parts")
+    delete_where(spark, table, "retail_c < 91000", note="cheap parts")
+    return read_snapshot(spark, table)

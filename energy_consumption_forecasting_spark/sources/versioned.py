@@ -66,7 +66,12 @@ def commit_snapshot(df: DataFrame, table_dir: str, note: str = "") -> int:
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Time-travel read: ``version=None`` → latest committed snapshot."""
+    """Time-travel read: ``version=None`` → latest committed snapshot.
+
+    Merge-on-read: if the snapshot carries position-delete files
+    (``delete_where``), the deleted (file, row) positions are
+    anti-joined out at read time — the Iceberg v2 / Delta
+    deletion-vector pattern, so a DELETE never rewrites data files."""
     manifest = _read_manifest(table_dir)
     if not manifest:
         raise FileNotFoundError(f"no committed snapshots under {table_dir}")
@@ -78,7 +83,98 @@ def read_snapshot(
             known = [e["version"] for e in manifest]
             raise ValueError(f"version {version} not in {known}")
         entry = matches[0]
-    return spark.read.parquet(os.path.join(table_dir, entry["dir"]))
+    df = spark.read.parquet(os.path.join(table_dir, entry["dir"]))
+    dels = entry.get("deletes") or []
+    if not dels:
+        return df
+    return _apply_deletes(spark, table_dir, df, dels)
+
+
+def _with_positions(df: DataFrame) -> DataFrame:
+    """Attach the physical (file, row-in-file) identity of every row via
+    the parquet reader's ``_metadata`` columns — the stable position key
+    deletion vectors address (no data column can play this role: rows
+    need not be unique)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+
+
+def _apply_deletes(
+    spark: SparkSession, table_dir: str, df: DataFrame, dels: list[str]
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dv = spark.read.parquet(*[os.path.join(table_dir, d) for d in dels])
+    tagged = _with_positions(df)
+    return (
+        tagged.join(
+            dv,
+            (tagged["__dv_file"] == dv["file_path"])
+            & (tagged["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        )
+        .drop("__dv_file", "__dv_pos")
+    )
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, predicate: str, note: str = "delete"
+) -> int:
+    """Merge-on-read DELETE: commit a new version whose data directory
+    is the PREVIOUS version's — unchanged — plus one position-delete
+    file listing the (file, row_index) pairs of live rows matching
+    ``predicate``.  Deletes chain: each new version carries the full
+    delete-file list, so reads stay one anti-join regardless of how
+    many DELETEs accumulated (compact_snapshot rewrites them away).
+
+    Cost shape at 100 TB: the DELETE scans once to find positions and
+    writes only the delete file — no data rewrite; the read-side
+    anti-join keys on (file, pos), the same physical-position idea as
+    Iceberg v2 position deletes.  Positions are addressed by the
+    reader's absolute file path, so the table directory must not be
+    relocated between write and read (same contract as the staged-gate
+    sinks on this shared filesystem)."""
+    from pyspark.sql import functions as F
+
+    manifest = _read_manifest(table_dir)
+    if not manifest:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    last = manifest[-1]
+    prior = last.get("deletes") or []
+    raw = _with_positions(
+        spark.read.parquet(os.path.join(table_dir, last["dir"]))
+    )
+    if prior:
+        dv = spark.read.parquet(*[os.path.join(table_dir, d) for d in prior])
+        raw = raw.join(
+            dv,
+            (raw["__dv_file"] == dv["file_path"])
+            & (raw["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        )
+    new_dels = raw.filter(predicate).select(
+        F.col("__dv_file").alias("file_path"), F.col("__dv_pos").alias("pos")
+    )
+    version = last["version"] + 1
+    dv_dir = f"dv={version}"
+    new_dels.write.mode("overwrite").parquet(os.path.join(table_dir, dv_dir))
+    entry = {
+        "version": version,
+        "dir": last["dir"],  # data files are SHARED with the base version
+        "committed_at": time.time(),
+        "note": note,
+        "deletes": prior + [dv_dir],
+    }
+    tmp = _manifest_path(table_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest + [entry], f, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))
+    return version
 
 
 def versions(table_dir: str) -> list[int]:
@@ -113,8 +209,17 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     with open(tmp, "w") as f:
         json.dump(kept, f, indent=1)
     os.replace(tmp, _manifest_path(table_dir))
+    # Delete-versions SHARE their base version's data directory and
+    # their delete files may still be referenced by newer versions —
+    # only remove directories no surviving entry references.
+    referenced: set[str] = set()
+    for e in kept:
+        referenced.add(e["dir"])
+        referenced.update(e.get("deletes") or [])
     for e in dropped:
-        shutil.rmtree(os.path.join(table_dir, e["dir"]), ignore_errors=True)
+        for d in [e["dir"], *(e.get("deletes") or [])]:
+            if d not in referenced:
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return [e["version"] for e in dropped]
 
 

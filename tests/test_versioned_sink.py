@@ -120,3 +120,76 @@ def test_manifest_skipping_empty_band_keeps_schema(spark):
     assert files_read == 0 and files_total == 3
     assert df.count() == 0
     assert set(df.columns) == {"od", "o_orderkey"}
+
+
+def test_deletion_vectors_merge_on_read(spark):
+    """delete_where commits position-delete files only: data files are
+    untouched, reads anti-join them out, time travel still sees the
+    pre-delete content, and duplicates are deleted by POSITION (a
+    value-keyed delete could not tell two identical rows apart)."""
+    import glob
+    import os
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        delete_where,
+    )
+
+    table = TABLE + "_dv"
+    shutil.rmtree(table, ignore_errors=True)
+    # duplicate rows on purpose: k=3 appears twice
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c"), (4, "d")], "k int, s string"
+    )
+    commit_snapshot(df, table, "base")
+    files_before = sorted(glob.glob(os.path.join(table, "v=1", "*.parquet")))
+    v2 = delete_where(spark, table, "k = 2")
+    v3 = delete_where(spark, table, "k = 3")  # deletes BOTH duplicates
+    assert (v2, v3) == (2, 3)
+    # data files are byte-identical (merge-on-read: no rewrite)
+    assert sorted(glob.glob(os.path.join(table, "v=1", "*.parquet"))) == (
+        files_before
+    )
+    got = sorted((r["k"], r["s"]) for r in read_snapshot(spark, table).collect())
+    assert got == [(1, "a"), (4, "d")]
+    # intermediate version: only the first delete applied
+    mid = sorted(
+        (r["k"], r["s"]) for r in read_snapshot(spark, table, version=2).collect()
+    )
+    assert mid == [(1, "a"), (3, "c"), (3, "c"), (4, "d")]
+    # time travel to the base still sees everything
+    assert read_snapshot(spark, table, version=1).count() == 5
+
+
+def test_deletion_vectors_vacuum_shares_base_dir(spark):
+    """vacuum must NOT remove the base data directory while a surviving
+    delete-version still references it, and compaction rewrites the
+    deletes away into a self-contained snapshot."""
+    import os
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        compact_snapshot,
+        delete_where,
+        vacuum,
+    )
+
+    table = TABLE + "_dvvac"
+    shutil.rmtree(table, ignore_errors=True)
+    commit_snapshot(
+        spark.createDataFrame([(i,) for i in range(10)], "k int"), table, "base"
+    )
+    delete_where(spark, table, "k >= 8")
+    # keep only the delete-version; its base dir v=1 must survive
+    dropped = vacuum(table, keep_last=1)
+    assert dropped == [1]
+    assert os.path.isdir(os.path.join(table, "v=1"))
+    assert read_snapshot(spark, table).count() == 8
+    # compaction materializes the surviving rows without delete files
+    v = compact_snapshot(spark, table)
+    from energy_consumption_forecasting_spark.sources.versioned import snapshots
+
+    entry = [e for e in snapshots(table) if e["version"] == v][0]
+    assert not entry.get("deletes")
+    assert read_snapshot(spark, table, version=v).count() == 8
+    # now the old delete-version can be vacuumed fully
+    vacuum(table, keep_last=1)
+    assert read_snapshot(spark, table).count() == 8

@@ -160,6 +160,16 @@ AUDITED = [
     "pipeline_weather_e2e",
     "m7_stl_robust",
     "m7_mstl",
+    # round-5 second wave (stream_w18_disaggregation is excluded like
+    # the other streaming gates: calling it drains a real stream)
+    "m29_theta_forecast",
+    "graph_assortativity",
+    "ds_q88_time_bands",
+    "text_watermark_detect",
+    "sim_mmr_rerank",
+    "pipeline_span_corruption",
+    "w_time_weighted_avg",
+    "ts_ohlc_bars",
 ]
 
 

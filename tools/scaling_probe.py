@@ -55,6 +55,12 @@ PROBES = [
     ("a_item_item_cf", "pair explode + broadcast scoring + topk"),
     ("graph_personalized_pagerank", "seed-teleport power iteration"),
     ("m7_stl_robust", "2-round reweighted window decomposition"),
+    ("m7_mstl", "two-phase multi-seasonal window decomposition"),
+    ("m29_theta_forecast", "exact OLS + grouped SES recursion"),
+    ("graph_assortativity", "edge self-join + degree joins + 1 agg"),
+    ("text_watermark_detect", "row-local bigram-hash HOF pass"),
+    ("pipeline_span_corruption", "row-local span-mask string HOF"),
+    ("w_time_weighted_avg", "type-partitioned lead window + agg"),
 ]
 
 
