@@ -58,7 +58,17 @@ def principal_axis_factoring(
         vals, vecs = np.linalg.eigh(Rr)
         order = np.argsort(vals)[::-1][:n_factors]
         L = vecs[:, order] * np.sqrt(np.clip(vals[order], 0, None))
+        # Clamp the communality update to 1: unbounded PAF iteration
+        # drifts into Heywood cases (h² > 1 ⇒ |loading| > 1 for a
+        # standardized variable — measured on the daily order features),
+        # and the standard remedy is exactly this bound (same rule as
+        # factor_analyzer / SPSS).  Loadings are rescaled with the
+        # clamped h² so the returned L stays consistent with it.
         h2_new = (L**2).sum(axis=1)
+        over = h2_new > 1.0
+        if over.any():
+            L[over] *= np.sqrt(1.0 / h2_new[over])[:, None]
+            h2_new = np.minimum(h2_new, 1.0)
         if np.max(np.abs(h2_new - h2)) < 1e-6:
             h2 = h2_new
             break

@@ -1520,3 +1520,121 @@ def m8_wavelet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(series), recon_ok, energy_ok, length_ok)],
         "n_series long, recon_ok boolean, energy_ok boolean, length_ok boolean",
     )
+
+
+@query(
+    "m4_factor_eval",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+            FROM orders) AS n_days,
+           CAST(4 AS INT) AS n_features,
+           CAST(2 AS INT) AS k,
+           TRUE AS loadings_ok,
+           TRUE AS communality_ok,
+           TRUE AS rotation_invariant_ok,
+           TRUE AS residual_improves_ok
+    """,
+)
+def m4_factor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the M4 factor fit (rows-only m4_factor_analysis) — the
+    evaluation-gate pattern (m3_pca_eval sibling).  Hash-pinned
+    invariants over the fit's own driver-sized matrices:
+
+    * ``loadings_ok`` / ``communality_ok`` — standardized-variable
+      bounds |L| <= 1 and h² = Σ L² <= 1 (within 1e-6; a broken PAF
+      iteration blows these first);
+    * ``rotation_invariant_ok`` — varimax is orthogonal, so it must
+      preserve communalities to 1e-8 (pins the rotation);
+    * ``residual_improves_ok`` — the 2-factor model explains
+      correlation: mean off-diagonal |R − LLᵀ| < mean off-diagonal |R|.
+
+    n_days comes from SQL, pinning the corpus the correlation pass ran
+    over.  Only the 4×4 correlation matrix reaches the driver."""
+    import numpy as np
+
+    from ..ml.factor import correlation_matrix, principal_axis_factoring, varimax
+
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("demand"),
+            F.count("*").cast("double").alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    cols = ["demand", "n_orders", "avg_price", "max_price"]
+    n_days = daily.count()
+    R = correlation_matrix(daily, cols)
+    L0 = principal_axis_factoring(R, 2)
+    L = varimax(L0)
+    h2_0 = (L0**2).sum(axis=1)
+    h2 = (L**2).sum(axis=1)
+    loadings_ok = bool(np.abs(L).max() <= 1.0 + 1e-6)
+    communality_ok = bool(h2.max() <= 1.0 + 1e-6)
+    rotation_invariant_ok = bool(np.abs(h2 - h2_0).max() <= 1e-8)
+    off = ~np.eye(len(cols), dtype=bool)
+    resid = np.abs(R - L @ L.T)[off].mean()
+    residual_improves_ok = bool(resid < np.abs(R)[off].mean())
+    return spark.createDataFrame(
+        [
+            (
+                n_days,
+                len(cols),
+                2,
+                loadings_ok,
+                communality_ok,
+                rotation_invariant_ok,
+                residual_improves_ok,
+            )
+        ],
+        "n_days long, n_features int, k int, loadings_ok boolean,"
+        " communality_ok boolean, rotation_invariant_ok boolean,"
+        " residual_improves_ok boolean",
+    )
+
+
+@query(
+    "m13_bayesopt_eval",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+            FROM orders) AS n_days,
+           CAST(7 AS BIGINT) AS n_evals,
+           TRUE AS in_bounds_ok,
+           TRUE AS finite_ok,
+           TRUE AS incumbent_ok
+    """,
+)
+def m13_bayesopt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the M13 Bayesian-optimization loop (rows-only
+    m13_bayesopt_ar_order) from its own history frame:
+
+    * ``in_bounds_ok`` — every proposal respects the declared bounds
+      (1 <= p <= 14): an unclipped acquisition argmax escapes first;
+    * ``finite_ok`` — every Spark-evaluated CV objective is a finite
+      positive MAE (a broken objective silently yields NaN);
+    * ``incumbent_ok`` — the final best is no worse than the best
+      random INIT point: the GP+LCB iterations may only improve the
+      incumbent (seeded, so the history is deterministic).
+
+    n_days pins the corpus; the history is 7 driver rows."""
+    import math
+
+    hist = m13_bayesopt_ar_order(spark, sf_dir).collect()
+    n_days = (
+        tbl(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    ps = [r["p"] for r in hist]
+    ys = [r["cv_mae"] for r in hist]
+    in_bounds_ok = all(1 <= p <= 14 for p in ps)
+    finite_ok = all(math.isfinite(y) and y > 0 for y in ys)
+    incumbent_ok = min(ys) <= min(ys[:3])
+    return spark.createDataFrame(
+        [(n_days, len(hist), in_bounds_ok, finite_ok, incumbent_ok)],
+        "n_days long, n_evals long, in_bounds_ok boolean,"
+        " finite_ok boolean, incumbent_ok boolean",
+    )
