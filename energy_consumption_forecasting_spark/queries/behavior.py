@@ -835,9 +835,7 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OHLC bars (open/high/low/close) per day per type -------------------------------
-@query(
-    "ts_ohlc_bars",
-    oracle="""
+_OHLC_ORACLE = """
     WITH obs AS (
       SELECT CAST(ts AS DATE) AS d, event_type,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
@@ -855,8 +853,10 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(v_c) AS BIGINT) AS volume_c
     FROM obs GROUP BY d, event_type
-    """,
-)
+    """
+
+
+@query("ts_ohlc_bars", oracle=_OHLC_ORACLE)
 def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candle bars per event type — the standard downsampling
     shape for telemetry/market series.  Open/close are the FIRST/LAST
@@ -893,3 +893,20 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("v_c").cast("long").alias("volume_c"),
     )
+
+
+@query("stream_ohlc_bars", oracle=_OHLC_ORACLE)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_ohlc_bars — ordered-seal instance #3
+    (streaming/ohlc_stream.py).  The per-day bar state is a full
+    semilattice (min/max-keyed open/close + min/max/count/sum), so
+    out-of-order arrival within a day is free; a day's bar is emitted
+    exactly once when the watermark passes its end, and the unsealed
+    tail is recovered via the statestore reader.  Shares the batch
+    oracle verbatim; the multi-batch case is pytest-pinned
+    (tests/test_ohlc_stream.py)."""
+    from ..session import ensure_utc
+    from ..streaming.ohlc_stream import run_ohlc_available_now
+
+    ensure_utc(spark)
+    return run_ohlc_available_now(spark, sf_dir.rstrip("/"))
