@@ -880,3 +880,92 @@ def a_approx_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3 * 0.02 * F.col("exact_parts")
         ).alias("within_rsd_ok"),
     )
+
+
+@query(
+    "a_approx_percentile_eval",
+    oracle="""
+    WITH q AS (
+      SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p
+    )
+    SELECT CAST(p AS DOUBLE) AS p,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           TRUE AS rank_error_ok
+    FROM q
+    """,
+)
+def a_approx_percentile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE Spark's approximate-percentile sketch (the scale path F9
+    names for 100 TB) against its published guarantee: for each probe
+    quantile p, the EXACT rank of the approx answer must lie within
+    accuracy*n of p*n (Greenwald–Khanna bound at the default accuracy
+    1/10000).  The approx value itself is partitioning-dependent, so
+    only the boolean verdict and SQL-pinned corpus stats are emitted —
+    same discipline as the HLL gate (a_approx_distinct_eval).  The
+    rank recompute is one distributed filter-count per probe, never a
+    sort."""
+    ps = [0.25, 0.5, 0.75, 0.95]
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    n = li.count()
+    approx = li.agg(
+        F.percentile_approx("x", ps).alias("qs")
+    ).first()["qs"]
+    # default accuracy: relative rank error 1/10000; allow one extra
+    # row of slack for ties/boundary rounding
+    eps = n / 10000.0 + 1
+    out = []
+    for p, v in zip(ps, approx):
+        rank_le = li.filter(F.col("x") <= F.lit(float(v))).count()
+        rank_lt = li.filter(F.col("x") < F.lit(float(v))).count()
+        target = p * n
+        # the sketch answer is correct if SOME rank in [rank_lt+1,
+        # rank_le] (the positions the value occupies) is within eps of
+        # the target rank
+        ok = (rank_lt + 1) - eps <= target <= rank_le + eps
+        out.append((float(p), n, bool(ok)))
+    return spark.createDataFrame(
+        out, "p double, n_rows long, rank_error_ok boolean"
+    )
+
+
+@query(
+    "f_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE)
+             / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS price_per_mod,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN NULL
+                ELSE CAST(o_orderkey AS VARCHAR) END AS maybe_key
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe TRY_* scalar surface: try_divide (NULL on /0,
+    ≡ NULLIF-division), try_cast on a non-numeric status string (NULL,
+    never an error — the ingest posture for dirty columns), try_cast of
+    the numeric priority prefix (succeeds), and a NULL-branching CASE —
+    the error-free arithmetic contract a 100-TB pipeline needs so one
+    dirty row cannot kill a stage.  DuckDB mirrors with TRY_CAST/NULLIF."""
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_divide(CAST(o_totalprice AS DOUBLE),"
+            " CAST(o_orderkey % 3 AS DOUBLE))"
+        ).alias("price_per_mod"),
+        F.expr("try_cast(o_orderstatus AS BIGINT)").alias("status_num"),
+        F.expr(
+            "try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)"
+        ).alias("prio_num"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("maybe_key"),
+    )

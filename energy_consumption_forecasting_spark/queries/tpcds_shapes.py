@@ -229,3 +229,70 @@ def ds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(18, 21, "h18_20"),
         band(21, None, "h21_23"),
     )
+
+
+@query(
+    "ds_q35_exists_profile",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN r.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_returns,
+           CAST(SUM(CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_urgent
+    FROM customer c
+    JOIN (SELECT DISTINCT o_custkey FROM orders) a
+      ON a.o_custkey = c.c_custkey
+    LEFT JOIN (
+      SELECT DISTINCT o.o_custkey AS c_custkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+    ) r ON r.c_custkey = c.c_custkey
+    LEFT JOIN (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ) u ON u.c_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ds_q35_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q35 shape: per-segment customer profile gated on EXISTS
+    (customer placed any order) with two further EXISTS flags (any
+    returned line, any urgent order).  Each EXISTS decorrelates to a
+    distinct-key semi/left join — never a per-row subquery — so the
+    shape is three key-distinct builds + joins on the customer key at
+    any scale."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    active = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    returns = (
+        o.join(
+            li.filter(F.col("l_returnflag") == "R"),
+            o.o_orderkey == li.l_orderkey,
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_ret", F.lit(1))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_urg", F.lit(1))
+    )
+    return (
+        c.join(active, "c_custkey")
+        .join(returns, "c_custkey", "left")
+        .join(urgent, "c_custkey", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("has_ret").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_returns"
+            ),
+            F.sum(F.when(F.col("has_urg").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_urgent"
+            ),
+        )
+    )
