@@ -1638,3 +1638,102 @@ def m13_bayesopt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days long, n_evals long, in_bounds_ok boolean,"
         " finite_ok boolean, incumbent_ok boolean",
     )
+
+
+# --- M31: split-conformal prediction intervals --------------------------------------
+@query(
+    "m31_conformal_interval",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    cents AS (
+      SELECT d, CAST(demand * 100 AS BIGINT) AS y_c FROM daily
+    ),
+    idx AS (
+      SELECT d, y_c,
+             row_number() OVER (ORDER BY d) AS t,
+             lag(y_c, 7) OVER (ORDER BY d) AS pred_c
+      FROM cents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM idx),
+    cal AS (
+      SELECT i.d, ABS(i.pred_c - i.y_c) AS r_c
+      FROM idx i, n
+      WHERE 5 * i.t <= 4 * n.n_total AND i.pred_c IS NOT NULL
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    ranked AS (
+      SELECT r_c, row_number() OVER (ORDER BY r_c, d) AS rk FROM cal
+    ),
+    qhat AS (
+      SELECT CAST(r.r_c AS BIGINT) AS q_c
+      FROM ranked r, ncal
+      WHERE r.rk = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
+    )
+    SELECT i.d, i.y_c, CAST(i.pred_c AS BIGINT) AS pred_c,
+           CAST(i.pred_c - q.q_c AS BIGINT) AS lo_c,
+           CAST(i.pred_c + q.q_c AS BIGINT) AS hi_c,
+           i.y_c BETWEEN i.pred_c - q.q_c AND i.pred_c + q.q_c AS covered
+    FROM idx i, n, qhat q
+    WHERE 5 * i.t > 4 * n.n_total AND i.pred_c IS NOT NULL
+    """,
+)
+def m31_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) for the seasonal-naive forecaster at 90% nominal coverage:
+    calibrate q̂ as the ⌈0.9(n+1)⌉-th smallest absolute residual on the
+    first 80% of the series, then emit [pred − q̂, pred + q̂] with
+    per-day coverage flags on the held-out tail — the
+    distribution-free uncertainty wrapper every point forecaster in
+    this registry can ride.
+
+    Exactness: residuals are integer cents; q̂ is an exact ORDER
+    STATISTIC selected by rank (deterministic d tie-break), with the
+    ⌈·⌉ computed in integer arithmetic — (9(n+1)+9) div 10 — because
+    ceil(0.9·x) in doubles flips at decade boundaries.  The split
+    thresholds are integer cross-products.  Windows ride the bounded
+    daily series (above an Aggregate)."""
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "d",
+        (F.col("demand") * 100).cast("long").alias("y_c"),
+        F.row_number().over(w).cast("long").alias("t"),
+        F.lag((F.col("demand") * 100).cast("long"), 7).over(w).alias("pred_c"),
+    )
+    n = idx.agg(F.count("*").alias("n_total"))
+    with_n = idx.crossJoin(F.broadcast(n))
+    cal = with_n.filter(
+        (5 * F.col("t") <= 4 * F.col("n_total")) & F.col("pred_c").isNotNull()
+    ).select("d", F.abs(F.col("pred_c") - F.col("y_c")).alias("r_c"))
+    ncal = cal.agg(F.count("*").alias("n_cal"))
+    ranked = cal.select(
+        "r_c", F.row_number().over(Window.orderBy("r_c", "d")).alias("rk")
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+            )
+        )
+        .select(F.col("r_c").alias("q_c"))
+    )
+    return (
+        with_n.filter(
+            (5 * F.col("t") > 4 * F.col("n_total"))
+            & F.col("pred_c").isNotNull()
+        )
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "d",
+            "y_c",
+            "pred_c",
+            (F.col("pred_c") - F.col("q_c")).alias("lo_c"),
+            (F.col("pred_c") + F.col("q_c")).alias("hi_c"),
+            (
+                (F.col("y_c") >= F.col("pred_c") - F.col("q_c"))
+                & (F.col("y_c") <= F.col("pred_c") + F.col("q_c"))
+            ).alias("covered"),
+        )
+    )
