@@ -280,3 +280,138 @@ def tskmeans_dba(
         for r in _assigned_for(bc).select("series_id", "cluster").collect()
     }
     return assignment, centroids
+
+
+# --- k-Shape clustering (Paparrizos & Gravano, SIGMOD 2015) ----------------------
+def _znorm(x: np.ndarray) -> np.ndarray:
+    s = x.std()
+    return (x - x.mean()) / s if s > 0 else x - x.mean()
+
+
+def _ncc_max(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
+    """Max coefficient-normalized cross-correlation over all shifts and
+    the argmax shift (b rolled by +shift aligns to a).  Inputs need not
+    be z-normalized; the coefficient normalization handles scale."""
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    if denom == 0:
+        return 0.0, 0
+    cc = np.correlate(a, b, mode="full") / denom
+    w = int(np.argmax(cc))
+    return float(cc[w]), w - (len(b) - 1)
+
+
+def _sbd(a: np.ndarray, b: np.ndarray) -> float:
+    """Shape-based distance: 1 − max_w NCC_c(a, b) ∈ [0, 2]; 0 for any
+    shift of a scaled copy."""
+    return 1.0 - _ncc_max(a, b)[0]
+
+
+def sbd_distance_matrix(series_df: DataFrame) -> DataFrame:
+    """Pairwise SBD, distributed with the same block-keyed grouped map
+    as dtw_distance_matrix (one row per pair, blocks spread work)."""
+    pairs = (
+        series_df.alias("a")
+        .join(series_df.alias("b"), F.col("a.series_id") < F.col("b.series_id"))
+        .select(
+            F.col("a.series_id").alias("id_a"),
+            F.col("b.series_id").alias("id_b"),
+            F.col("a.series").alias("s_a"),
+            F.col("b.series").alias("s_b"),
+        )
+        .withColumn("block", F.crc32(F.concat_ws(",", "id_a", "id_b")) % 64)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id_a", pairs.schema["id_a"].dataType),
+            T.StructField("id_b", pairs.schema["id_b"].dataType),
+            T.StructField("sbd", T.DoubleType()),
+        ]
+    )
+
+    def block_sbd(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            out.append(
+                {
+                    "id_a": r["id_a"],
+                    "id_b": r["id_b"],
+                    "sbd": _sbd(
+                        np.asarray(r["s_a"], dtype=np.float64),
+                        np.asarray(r["s_b"], dtype=np.float64),
+                    ),
+                }
+            )
+        return pd.DataFrame(out, columns=["id_a", "id_b", "sbd"])
+
+    return pairs.groupBy("block").applyInPandas(block_sbd, schema=schema)
+
+
+def _align_to(ref: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Roll x by the NCC-optimal shift against ref (zero fill)."""
+    _, shift = _ncc_max(ref, x)
+    out = np.zeros_like(x)
+    if shift >= 0:
+        out[shift:] = x[: len(x) - shift]
+    else:
+        out[:shift] = x[-shift:]
+    return out
+
+
+def _shape_extraction(X: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """k-Shape centroid: members aligned to the current centroid, then
+    the dominant eigenvector of the centered Gram matrix (the paper's
+    Rayleigh-quotient maximizer of summed squared NCC)."""
+    A = np.vstack([_align_to(ref, x) for x in X])
+    m = A.shape[1]
+    Q = np.eye(m) - np.ones((m, m)) / m
+    M = Q @ (A.T @ A) @ Q
+    vals, vecs = np.linalg.eigh(M)
+    c = vecs[:, -1]
+    # eigenvector sign is arbitrary — orient toward the member mass
+    if np.linalg.norm(A[0] - c) > np.linalg.norm(A[0] + c):
+        c = -c
+    return _znorm(c)
+
+
+def kshape(
+    series: dict, k: int = 4, max_iter: int = 20, seed: int = 42
+) -> dict:
+    """Driver-side k-Shape over bounded series (reference scale: ≤105
+    monthly sub-series).  ``series``: {id: np.ndarray}, equal lengths
+    (zero-pad shorter months).  Returns {"labels": {id: c},
+    "centroids": [np.ndarray]}.  Deterministic under the seed; empty
+    clusters re-seed from the farthest series (standard k-Shape
+    repair)."""
+    ids = sorted(series)
+    X = [_znorm(np.asarray(series[i], dtype=np.float64)) for i in ids]
+    n = len(X)
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, k, size=n)
+    centroids = [np.zeros_like(X[0]) for _ in range(k)]
+    for _ in range(max_iter):
+        for c in range(k):
+            members = [X[i] for i in range(n) if labels[i] == c]
+            if members:
+                ref = centroids[c] if np.any(centroids[c]) else members[0]
+                centroids[c] = _shape_extraction(members, ref)
+        new = np.array(
+            [
+                int(np.argmin([_sbd(centroids[c], x) for c in range(k)]))
+                for x in X
+            ]
+        )
+        # re-seed empty clusters with the worst-fit series
+        for c in range(k):
+            if not (new == c).any():
+                dists = np.array(
+                    [_sbd(centroids[new[i]], X[i]) for i in range(n)]
+                )
+                far = int(np.argmax(dists))
+                new[far] = c
+        if (new == labels).all():
+            break
+        labels = new
+    return {
+        "labels": {ids[i]: int(labels[i]) for i in range(n)},
+        "centroids": centroids,
+    }

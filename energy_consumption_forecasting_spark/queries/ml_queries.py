@@ -1737,3 +1737,44 @@ def m31_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered"),
         )
     )
+
+
+@query("m5_kshape")
+def m5_kshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-Shape clustering (Paparrizos & Gravano, SIGMOD 2015) over the
+    per-month daily-demand series — the shift-invariant member of the
+    M5 family beside euclidean KMeans (m5_kmeans_clusters), DTW
+    k-medoids, and DBA: distance is 1 − max normalized
+    cross-correlation, centroids the dominant eigenvector of the
+    aligned, centered Gram matrix (ml/clustering.py::kshape).
+
+    Months are zero-padded to 31 days (zero-padding is the natural
+    completion under cross-correlation).  The month count is
+    calendar-bounded (≤105 in the reference), so the driver loop is
+    KB-sized; the distributed pairwise-SBD path
+    (ml/clustering.py::sbd_distance_matrix) carries the quality checks
+    in pytest.  Rows-only: eigensolver-shaped fit."""
+    import numpy as np
+
+    from ..ml.clustering import kshape
+
+    daily = _daily(spark, sf_dir)
+    series_rows = (
+        daily.groupBy(F.trunc("d", "MM").alias("month"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "demand"))),
+                lambda s: s["demand"].cast("double"),
+            ).alias("series")
+        )
+        .collect()  # bounded: one row per calendar month
+    )
+    series = {}
+    for r in series_rows:
+        v = np.zeros(31)
+        arr = np.asarray(r["series"], dtype=np.float64)
+        v[: len(arr)] = arr
+        series[str(r["month"])] = v
+    fit = kshape(series, k=4, seed=42)
+    rows = sorted(fit["labels"].items())
+    return spark.createDataFrame(rows, "month string, cluster int")

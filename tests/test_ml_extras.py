@@ -562,3 +562,54 @@ def test_arima_exact_mle_goldens():
         fc = _arma_fit_forecast(z, None, p, 0, q, 14)
         dfc = np.max(np.abs(fc - np.array(g["forecast14"]))) / np.std(z)
         assert dfc < 0.1, f"{name}: forecast deviation {dfc} sigma"
+
+
+def test_sbd_properties_and_kshape_recovery(spark):
+    """SBD: zero on self and on scaled copies, symmetric, shift-tolerant;
+    k-Shape recovers two well-separated shape families regardless of
+    per-series scale and shift."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.clustering import (
+        _sbd,
+        kshape,
+        sbd_distance_matrix,
+    )
+
+    t = np.arange(48, dtype=float)
+    slow = np.sin(2 * np.pi * t / 24)  # period 24
+    fast = np.sin(2 * np.pi * t / 6)  # period 6 — ~orthogonal to slow
+    assert _sbd(slow, slow) < 1e-12
+    assert _sbd(slow, 5.0 * slow) < 1e-12
+    assert abs(_sbd(slow, fast) - _sbd(fast, slow)) < 1e-12
+    # shift-tolerant: a 7-sample roll costs only the non-overlapping
+    # edge mass (linear, not circular, correlation) — far below the
+    # cross-family distance of ~0.95
+    assert _sbd(slow, np.roll(slow, 7)) < 0.5
+    rng = np.random.RandomState(0)
+    series = {}
+    truth = {}
+    for i in range(6):
+        shift = int(rng.randint(0, 8))
+        scale = float(rng.uniform(0.5, 3.0))
+        series[f"s{i}"] = scale * np.roll(slow, shift)
+        truth[f"s{i}"] = 0
+        series[f"q{i}"] = scale * np.roll(fast, shift)
+        truth[f"q{i}"] = 1
+    fit = kshape(series, k=2, seed=1)
+    labels = fit["labels"]
+    sine_labels = {labels[k] for k in labels if k.startswith("s")}
+    square_labels = {labels[k] for k in labels if k.startswith("q")}
+    assert len(sine_labels) == 1 and len(square_labels) == 1
+    assert sine_labels != square_labels
+    # distributed SBD matrix agrees with the driver distance
+    sdf = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in series.items()],
+        "series_id string, series array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sbd"]
+        for r in sbd_distance_matrix(sdf).collect()
+    }
+    for (a, b), d in list(got.items())[:10]:
+        assert d == pytest.approx(_sbd(series[a], series[b]), abs=1e-9)
