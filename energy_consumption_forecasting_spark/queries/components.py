@@ -832,6 +832,30 @@ def _kcore_oracle() -> str:
     return sql
 
 
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peel over an (u, v) edge DataFrame: each round
+    drops nodes of degree < k and the edges touching them.  Returns the
+    surviving edge set (the k-core when the peel has converged within
+    ``rounds``).  Testable against a pure-python reference on arbitrary
+    graphs (tests/test_components.py)."""
+    cur = edges.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return cur
+
+
 @query("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KCORE_K}-core of the support>=2 co-purchase graph (Seidman
@@ -850,7 +874,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     a, b = ps.alias("a"), ps.alias("b")
-    cur = (
+    edges = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(
             F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
@@ -858,22 +882,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
         .drop("support")
-        .localCheckpoint(eager=False)
     )
-    for _ in range(KCORE_ROUNDS):
-        deg = (
-            cur.select(F.col("u").alias("n"))
-            .unionAll(cur.select(F.col("v").alias("n")))
-            .groupBy("n")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
-        cur = (
-            cur.join(keep.withColumnRenamed("n", "u"), "u")
-            .join(keep.withColumnRenamed("n", "v"), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
+    cur = kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
     return (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))

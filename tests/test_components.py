@@ -100,3 +100,42 @@ def test_kcore_is_true_fixpoint(spark):
     rows = core.collect()
     assert len(rows) > 0
     assert all(r["core_degree"] >= KCORE_K for r in rows)
+
+
+def test_kcore_peel_matches_python_reference(spark):
+    """Distributed peel == pure-python true k-core on random graphs
+    (rounds chosen ample for convergence at this size)."""
+    import random
+
+    from energy_consumption_forecasting_spark.queries.components import (
+        kcore_peel,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n, m = 30, 70
+        edges = set()
+        while len(edges) < m:
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        # python reference: full peel to fixpoint
+        def true_kcore(es, k):
+            es = set(es)
+            while True:
+                deg = {}
+                for u, v in es:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+                kill = {x for x, d in deg.items() if d < k}
+                if not kill:
+                    return es
+                es = {e for e in es if e[0] not in kill and e[1] not in kill}
+
+        df = spark.createDataFrame(sorted(edges), "u int, v int")
+        for k in (2, 3):
+            got = {
+                (r["u"], r["v"])
+                for r in kcore_peel(df, k, rounds=12).collect()
+            }
+            assert got == true_kcore(edges, k), (trial, k)

@@ -193,3 +193,38 @@ def test_deletion_vectors_vacuum_shares_base_dir(spark):
     # now the old delete-version can be vacuumed fully
     vacuum(table, keep_last=1)
     assert read_snapshot(spark, table).count() == 8
+
+
+def test_deletion_vectors_randomized_predicate_sequence(spark):
+    """Randomized: any sequence of delete_where predicates must leave
+    exactly the rows surviving the conjunction of their negations —
+    including with duplicate rows and multi-file snapshots."""
+    import random
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        delete_where,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        table = f"{TABLE}_dvprop{trial}"
+        shutil.rmtree(table, ignore_errors=True)
+        rows = [
+            (rng.randrange(20), rng.randrange(5)) for _ in range(120)
+        ]  # duplicates guaranteed
+        df = spark.createDataFrame(rows, "k int, g int").repartition(4)
+        commit_snapshot(df, table, "base")
+        survivors = list(rows)
+        for _ in range(3):
+            thr = rng.randrange(20)
+            op = rng.choice(["<", ">=", "=="])
+            pred = {"<": f"k < {thr}", ">=": f"k >= {thr}", "==": f"k = {thr}"}[op]
+            delete_where(spark, table, pred)
+            fn = {
+                "<": lambda r: r[0] < thr,
+                ">=": lambda r: r[0] >= thr,
+                "==": lambda r: r[0] == thr,
+            }[op]
+            survivors = [r for r in survivors if not fn(r)]
+        got = sorted((r["k"], r["g"]) for r in read_snapshot(spark, table).collect())
+        assert got == sorted(survivors), trial
