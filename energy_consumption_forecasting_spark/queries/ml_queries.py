@@ -1778,3 +1778,91 @@ def m5_kshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = kshape(series, k=4, seed=42)
     rows = sorted(fit["labels"].items())
     return spark.createDataFrame(rows, "month string, cluster int")
+
+
+@query(
+    "emb_whitening_eval",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vec,
+           (SELECT CAST(len(embedding) AS INT) FROM embeddings LIMIT 1)
+             AS dim,
+           TRUE AS mean_zero_ok,
+           TRUE AS identity_cov_ok,
+           TRUE AS condition_improved_ok
+    """,
+)
+def emb_whitening_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding corpus (the standard retrieval
+    preprocessing — Su et al. 2021 'whitening sentence representations')
+    measured end-to-end: the whitening transform W = U·Λ^(−1/2) is
+    derived from a DISTRIBUTED covariance pass (per-partition Gram
+    partials via mapInPandas, driver fold of dim² numbers), the data is
+    whitened distributed, and the verdicts re-derive the moments FROM
+    THE WHITENED DATA (a driver-side Wᵀ·C·W check would be true by
+    construction and catch nothing):
+
+    * ``mean_zero_ok`` — |mean| < 1e-9 per dimension;
+    * ``identity_cov_ok`` — max |cov − I| < 1e-6;
+    * ``condition_improved_ok`` — eigen-spread of the whitened
+      covariance is below the raw covariance's.
+
+    Gate emits booleans + SQL-pinned corpus stats only (float moments
+    are partition-order-dependent in the last ulp)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        as_double("embedding").alias("v")
+    )
+    dim = len(emb.first()["v"])
+    part_schema = "n long, s array<double>, ss array<double>"
+
+    def partials(batches):
+        n, s, ss = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())
+            n += len(X)
+            s += X.sum(axis=0)
+            ss += X.T @ X
+        yield pd.DataFrame(
+            [{"n": n, "s": list(s), "ss": list(ss.ravel())}]
+        )
+
+    def moments(df):
+        rows = df.mapInPandas(partials, part_schema).collect()
+        n = sum(r["n"] for r in rows)
+        s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+        ss = np.sum(
+            [np.asarray(r["ss"]).reshape(dim, dim) for r in rows], axis=0
+        )
+        mu = s / n
+        cov = ss / n - np.outer(mu, mu)
+        return n, mu, cov
+
+    n_vec, mu, cov = moments(emb)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 1e-12, None)))
+    bmu, bw = mu.tolist(), w.tolist()
+
+    def whiten(batches):
+        m = np.asarray(bmu)
+        W = np.asarray(bw)
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())
+            Y = (X - m) @ W
+            yield pd.DataFrame({"v": [list(r) for r in Y]})
+
+    whitened = emb.mapInPandas(whiten, "v array<double>")
+    _, wmu, wcov = moments(whitened)
+    mean_zero_ok = bool(np.abs(wmu).max() < 1e-9)
+    identity_cov_ok = bool(np.abs(wcov - np.eye(dim)).max() < 1e-6)
+    wvals = np.linalg.eigvalsh(wcov)
+    condition_improved_ok = bool(
+        (wvals.max() / max(wvals.min(), 1e-12))
+        < (vals.max() / max(vals.min(), 1e-12))
+    )
+    return spark.createDataFrame(
+        [(n_vec, dim, mean_zero_ok, identity_cov_ok, condition_improved_ok)],
+        "n_vec long, dim int, mean_zero_ok boolean,"
+        " identity_cov_ok boolean, condition_improved_ok boolean",
+    )
