@@ -101,8 +101,6 @@ def _coalition_values(
     values (the interventional v(S)), score the whole grid with ONE
     distributed ``predict`` pass, and average over the background.
     Returns (id_col, mask, v)."""
-    from pyspark.sql import SparkSession  # noqa: F401  (session via df)
-
     m = len(feature_cols)
     spark = explain_df.sparkSession
     masks = spark.createDataFrame([(s,) for s in range(2**m)], "mask int")

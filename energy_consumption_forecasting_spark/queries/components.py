@@ -322,6 +322,27 @@ _COPURCHASE_SQL = """ps AS (
     )"""
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of ``_COPURCHASE_SQL`` — the support>=2 co-purchase
+    (u, v) edge set, shared by triangle count / assortativity / k-core
+    so the three cannot drift from each other or the oracle fragment."""
+    ps = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -369,21 +390,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on partkey, degrees one groupBy, orientation two (node, degree)
     lookups, and the wedge-close step an equi-join on the (b, c) pair.
     No driver state; adjacency never materializes row-locally."""
-    ps = (
-        tbl(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .drop("support")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     # edges feeds FIVE consumers (deg, tagging, n_edges, and both sides
     # of the wedge join via od) — without a persist the pair-expansion
     # self-join re-runs for each; with it the support-pruned edge set
@@ -737,20 +744,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer->double ban).  Plan: the edge self-join + two node-keyed
     degree joins + ONE scalar agg — no window, no driver data path; a
     degenerate regular graph (den=0) yields NULL on both engines."""
-    li = tbl(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .drop("support")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     # edges feeds deg AND the tagging join — one lazy checkpoint shares
     # the support-pruned pair expansion (triangle-count convention).
     edges = edges.localCheckpoint(eager=False)
@@ -858,7 +852,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
 
 @query("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{KCORE_K}-core of the support>=2 co-purchase graph (Seidman
+    """3-core (k = KCORE_K) of the support>=2 co-purchase graph (Seidman
     1983): iteratively peel nodes of degree < k until the remainder is
     the maximal subgraph of minimum degree k — the standard dense-
     community / influence-backbone extraction next to triangles,
@@ -869,20 +863,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the peeled edge set only shrinks, so per-round cost is monotonically
     decreasing; rounds are fixed (8) with the true-fixpoint convergence
     pytest-asserted at gate SFs (tests/test_components.py)."""
-    li = tbl(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.least("a.p", "b.p").alias("u"), F.greatest("a.p", "b.p").alias("v")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .drop("support")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     cur = kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
     return (
         cur.select(F.col("u").alias("node"))

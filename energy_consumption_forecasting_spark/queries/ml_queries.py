@@ -544,6 +544,24 @@ def m7_decompose_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompose_grouped(daily, ["l_returnflag"], "d", "qty", period=7)
 
 
+def _ar_order_objective(daily: DataFrame):
+    """The m13 AR-order objective: MAE of the trailing-p-mean predictor
+    over the daily series.  Shared by the BO loop AND its evaluation
+    gate (which sweeps the full grid), so the two cannot drift."""
+    w = Window.orderBy("d")
+
+    def objective(p: int) -> float:
+        pred = F.avg("y").over(w.rowsBetween(-int(p), -1))
+        scored = daily.select("y", pred.alias("pred")).filter(
+            F.col("pred").isNotNull()
+        )
+        return float(
+            scored.agg(F.avg(F.abs(F.col("pred") - F.col("y")))).first()[0]
+        )
+
+    return objective
+
+
 @query("m13_bayesopt_ar_order")
 def m13_bayesopt_ar_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GP+LCB Bayesian optimization (M13) of the AR lag order against a
@@ -557,17 +575,10 @@ def m13_bayesopt_ar_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", F.col("demand").cast("double").alias("y")
     )
     daily = daily.persist()
-    w = Window.orderBy("d")
+    obj = _ar_order_objective(daily)
 
     def objective(x: np.ndarray) -> float:
-        p = int(round(float(x[0])))
-        pred = F.avg("y").over(w.rowsBetween(-p, -1))
-        scored = daily.select("y", pred.alias("pred")).filter(
-            F.col("pred").isNotNull()
-        )
-        return float(
-            scored.agg(F.avg(F.abs(F.col("pred") - F.col("y")))).first()[0]
-        )
+        return obj(int(round(float(x[0]))))
 
     res = bayes_opt(objective, bounds=[(1.0, 14.0)], n_init=3, n_iter=4)
     rows = [
@@ -1603,22 +1614,26 @@ def m4_factor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(7 AS BIGINT) AS n_evals,
            TRUE AS in_bounds_ok,
            TRUE AS finite_ok,
-           TRUE AS incumbent_ok
+           TRUE AS near_optimum_ok
     """,
 )
 def m13_bayesopt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURE the M13 Bayesian-optimization loop (rows-only
-    m13_bayesopt_ar_order) from its own history frame:
+    m13_bayesopt_ar_order) against ground truth:
 
     * ``in_bounds_ok`` — every proposal respects the declared bounds
       (1 <= p <= 14): an unclipped acquisition argmax escapes first;
     * ``finite_ok`` — every Spark-evaluated CV objective is a finite
       positive MAE (a broken objective silently yields NaN);
-    * ``incumbent_ok`` — the final best is no worse than the best
-      random INIT point: the GP+LCB iterations may only improve the
-      incumbent (seeded, so the history is deterministic).
+    * ``near_optimum_ok`` — the BO best is within 5% of the TRUE grid
+      optimum, obtained by sweeping the full 14-point bound range with
+      the SAME shared objective (_ar_order_objective — measured margin
+      ~0.1%; the worst point BO explores sits ~39% above, so a loop
+      that stopped improving would flip this FALSE).  This replaces a
+      min(all) <= min(init) check that was a tautology (review catch).
 
-    n_days pins the corpus; the history is 7 driver rows."""
+    n_days pins the corpus; the history is 7 driver rows and the grid
+    sweep 14 cheap window aggregates."""
     import math
 
     hist = m13_bayesopt_ar_order(spark, sf_dir).collect()
@@ -1632,11 +1647,19 @@ def m13_bayesopt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ys = [r["cv_mae"] for r in hist]
     in_bounds_ok = all(1 <= p <= 14 for p in ps)
     finite_ok = all(math.isfinite(y) and y > 0 for y in ys)
-    incumbent_ok = min(ys) <= min(ys[:3])
+    daily = (
+        _daily(spark, sf_dir)
+        .select("d", F.col("demand").cast("double").alias("y"))
+        .persist()
+    )
+    obj = _ar_order_objective(daily)
+    grid_best = min(obj(p) for p in range(1, 15))
+    daily.unpersist()
+    near_optimum_ok = min(ys) <= 1.05 * grid_best
     return spark.createDataFrame(
-        [(n_days, len(hist), in_bounds_ok, finite_ok, incumbent_ok)],
+        [(n_days, len(hist), in_bounds_ok, finite_ok, near_optimum_ok)],
         "n_days long, n_evals long, in_bounds_ok boolean,"
-        " finite_ok boolean, incumbent_ok boolean",
+        " finite_ok boolean, near_optimum_ok boolean",
     )
 
 

@@ -915,10 +915,25 @@ def a_approx_percentile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default accuracy: relative rank error 1/10000; allow one extra
     # row of slack for ties/boundary rounding
     eps = n / 10000.0 + 1
+    # ONE conditional aggregate computes all 2×|ps| exact ranks in a
+    # single scan (the per-probe filter+count loop was 8 scans —
+    # review catch)
+    aggs = []
+    for i, v in enumerate(approx):
+        aggs.append(
+            F.sum(F.when(F.col("x") <= float(v), 1).otherwise(0)).alias(
+                f"le_{i}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("x") < float(v), 1).otherwise(0)).alias(
+                f"lt_{i}"
+            )
+        )
+    ranks = li.agg(*aggs).first()
     out = []
-    for p, v in zip(ps, approx):
-        rank_le = li.filter(F.col("x") <= F.lit(float(v))).count()
-        rank_lt = li.filter(F.col("x") < F.lit(float(v))).count()
+    for i, p in enumerate(ps):
+        rank_le, rank_lt = ranks[f"le_{i}"], ranks[f"lt_{i}"]
         target = p * n
         # the sketch answer is correct if SOME rank in [rank_lt+1,
         # rank_le] (the positions the value occupies) is within eps of

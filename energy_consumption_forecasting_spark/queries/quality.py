@@ -735,16 +735,16 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c
       FROM orders GROUP BY 1
     ),
-    med AS (SELECT median(y_c) AS med_c FROM daily),
+    med AS (SELECT CAST(median(2 * y_c) AS BIGINT) AS med2_c FROM daily),
     dev AS (
-      SELECT d, y_c, med_c, ABS(y_c - CAST(med_c AS BIGINT)) AS ad_c
+      SELECT d, y_c, ABS(2 * y_c - med2_c) AS ad2_c
       FROM daily, med
     ),
-    mad AS (SELECT median(ad_c) AS mad_c FROM dev)
+    mad AS (SELECT CAST(median(2 * ad2_c) AS BIGINT) AS mad4_c FROM dev)
     SELECT d, CAST(y_c AS BIGINT) AS y_c,
-           CAST(ad_c AS BIGINT) AS abs_dev_c,
-           CAST(ad_c AS DOUBLE) > 3.0 * 1.4826 * CAST(mad_c AS DOUBLE)
-             AS is_outlier
+           CAST(ad2_c AS BIGINT) AS abs_dev2_c,
+           CAST(ad2_c AS DOUBLE) / 2.0
+             > 3.0 * 1.4826 * (CAST(mad4_c AS DOUBLE) / 4.0) AS is_outlier
     FROM dev, mad
     """,
 )
@@ -756,11 +756,15 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets dragged by (the ts_anomaly_zscore failure mode under gross
     contamination).
 
-    Exactness: values and deviations are exact integer cents; the two
-    medians ride the engines' shared midpoint rule over integers (the
-    m7_stl_robust precedent); the flag is one fixed IEEE comparison.
-    Both medians are scalars over the bounded daily series, broadcast
-    back — never a data-path collect."""
+    Exactness: medians of an EVEN row count interpolate to x.5, and
+    casting that back to integer diverges across engines (Spark
+    truncates, DuckDB rounds half-to-even — review catch).  So both
+    medians are taken over DOUBLED integers: median(2·y) and
+    median(2·|2y − med2|) are integral by construction (sum of the two
+    middle values), cast back exactly, and the flag compares the
+    half-/quarter-scaled doubles in one fixed IEEE expression.  Both
+    medians are scalars over the bounded daily series, broadcast back —
+    never a data-path collect."""
     daily = (
         tbl(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
@@ -775,19 +779,25 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y_c")
         )
     )
-    med = daily.agg(F.expr("percentile(y_c, 0.5)").alias("med_c"))
+    med = daily.agg(
+        F.expr("CAST(percentile(2 * y_c, 0.5) AS BIGINT)").alias("med2_c")
+    )
     dev = daily.crossJoin(F.broadcast(med)).select(
         "d",
         "y_c",
-        F.abs(F.col("y_c") - F.col("med_c").cast("long")).alias("ad_c"),
+        F.abs(2 * F.col("y_c") - F.col("med2_c")).alias("ad2_c"),
     )
-    mad = dev.agg(F.expr("percentile(ad_c, 0.5)").alias("mad_c"))
+    mad = dev.agg(
+        F.expr("CAST(percentile(2 * ad2_c, 0.5) AS BIGINT)").alias("mad4_c")
+    )
     return dev.crossJoin(F.broadcast(mad)).select(
         "d",
         "y_c",
-        F.col("ad_c").alias("abs_dev_c"),
+        F.col("ad2_c").alias("abs_dev2_c"),
         (
-            F.col("ad_c").cast("double")
-            > F.lit(3.0) * F.lit(1.4826) * F.col("mad_c").cast("double")
+            F.col("ad2_c").cast("double") / F.lit(2.0)
+            > F.lit(3.0)
+            * F.lit(1.4826)
+            * (F.col("mad4_c").cast("double") / F.lit(4.0))
         ).alias("is_outlier"),
     )

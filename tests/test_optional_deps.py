@@ -84,13 +84,15 @@ def test_statsmodels_arima_vs_kalman_mle():
         sm = ARIMA(z, order=(p, 0, q), trend="c").fit()
         ll_ours = g["mle"]["loglik"]
         assert abs(sm.llf - ll_ours) / len(z) < 0.002, name
+        # statsmodels' trend='c' constant IS the process mean mu
+        # (regression-with-ARMA-errors parameterization) — do NOT
+        # convert through c/(1 − Σφ) (review catch).  Evaluating our
+        # exact concentrated likelihood AT statsmodels' fitted params
+        # must then reproduce statsmodels' own loglik.
         ll_at_sm, _ = arma_loglik(
-            z,
-            float(sm.params[0]) / (1.0 - float(np.sum(sm.arparams))),
-            sm.arparams,
-            sm.maparams,
+            z, float(sm.params[0]), sm.arparams, sm.maparams
         )
-        assert np.isfinite(ll_at_sm), name
+        assert abs(ll_at_sm - float(sm.llf)) / len(z) < 0.002, name
 
 
 @pytest.mark.optional_deps

@@ -303,8 +303,8 @@ def main() -> None:
                 "amortization, not super-linearity"
             ),
             "m27_croston": (
-                "series-bound near-linear (6.4× on 10× parts): the "
-                "partition-fit mapInPandas amortizes per-group overhead"
+                "series-bound, at-or-below linear: the partition-fit "
+                "mapInPandas amortizes per-group overhead"
             ),
         }
         for name in SF1_PROBES:
