@@ -910,3 +910,100 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     return run_ohlc_available_now(spark, sf_dir.rstrip("/"))
+
+
+# --- cohort lifetime-value curve ---------------------------------------------------
+@query(
+    "w_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    spend AS (
+      SELECT f.user_id,
+             CAST(date_trunc('month', f.d0) AS DATE) AS cohort,
+             CAST((epoch_us(CAST(e.ts AS TIMESTAMP))
+                   - epoch_us(CAST(f.d0 AS TIMESTAMP)))
+                  // (7 * 86400000000) AS BIGINT) AS week,
+             CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+      SELECT cohort, week,
+             CAST(SUM(v_c) AS BIGINT) AS week_rev_c,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM spend GROUP BY cohort, week
+    ),
+    cohort_size AS (
+      SELECT CAST(date_trunc('month', d0) AS DATE) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT wk.cohort, wk.week, wk.week_rev_c, wk.active_users,
+           CAST(SUM(wk.week_rev_c) OVER (
+             PARTITION BY wk.cohort ORDER BY wk.week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_c,
+           cs.n_users,
+           CAST((100 * SUM(wk.week_rev_c) OVER (
+             PARTITION BY wk.cohort ORDER BY wk.week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) // cs.n_users AS BIGINT) AS ltv_per_user_q4
+    FROM wk JOIN cohort_size cs ON cs.cohort = wk.cohort
+    """,
+)
+def w_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: purchasers grouped by first-purchase
+    month, cumulative revenue per weeks-since-first — the LTV companion
+    to w_cohort_retention.  Cumulative sums ride (cohort, week) — a
+    calendar-bounded frame — and the per-user LTV is one truncating
+    integer division into q4 fixed point (cents·100 // users), so the
+    whole curve is exact integers."""
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    us_per_week = 7 * 86_400_000_000
+    spend = ev.join(first_seen, "user_id").select(
+        "user_id",
+        F.trunc("d0", "MM").alias("cohort"),
+        F.expr(
+            f"(unix_micros(ts) - unix_micros(CAST(d0 AS TIMESTAMP)))"
+            f" div {us_per_week}"
+        ).alias("week"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_c"),
+    )
+    wk = spend.groupBy("cohort", "week").agg(
+        F.sum("v_c").cast("long").alias("week_rev_c"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    cohort_size = first_seen.groupBy(F.trunc("d0", "MM").alias("cohort")).agg(
+        F.count("*").alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("week_rev_c").over(w)
+    return (
+        wk.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            "cohort",
+            "week",
+            "week_rev_c",
+            "active_users",
+            cum.cast("long").alias("cum_rev_c"),
+            "n_users",
+            F.expr(
+                "CAST((100 * SUM(week_rev_c) OVER ("
+                "PARTITION BY cohort ORDER BY week"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                ")) div n_users AS BIGINT)"
+            ).alias("ltv_per_user_q4"),
+        )
+    )

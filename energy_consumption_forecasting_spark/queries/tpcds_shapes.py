@@ -296,3 +296,89 @@ def ds_q35_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ds_q51_cumulative_channels",
+    oracle="""
+    WITH ord AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    shp AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    days AS (
+      SELECT d FROM ord UNION SELECT d FROM shp
+    ),
+    cum AS (
+      SELECT days.d,
+             SUM(COALESCE(ord.rev_c, 0)) OVER w AS cum_order_c,
+             SUM(COALESCE(shp.rev_c, 0)) OVER w AS cum_ship_c
+      FROM days
+      LEFT JOIN ord ON ord.d = days.d
+      LEFT JOIN shp ON shp.d = days.d
+      WINDOW w AS (ORDER BY days.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(cum_order_c AS BIGINT) AS cum_order_c,
+           CAST(cum_ship_c AS BIGINT) AS cum_ship_c,
+           cum_order_c > cum_ship_c AS orders_ahead
+    FROM cum
+    """,
+)
+def ds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q51 shape: two channels' cumulative revenue compared day by
+    day (orders booked vs lineitems shipped) — the full-outer-union +
+    running-total pattern.  Both channel tables pre-aggregate to
+    calendar-day cardinality BEFORE the union and window, so the
+    running sums ride a bounded frame (the sanctioned unpartitioned-
+    window shape) and stay exact integer cents at any scale."""
+    ord_d = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("o_rev_c")
+        )
+    )
+    shp_d = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("s_rev_c")
+        )
+    )
+    days = ord_d.select("d").union(shp_d.select("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        days.join(ord_d, "d", "left")
+        .join(shp_d, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce("o_rev_c", F.lit(0))).over(w).alias("cum_order_c"),
+            F.sum(F.coalesce("s_rev_c", F.lit(0))).over(w).alias("cum_ship_c"),
+        )
+    )
+    return cum.select(
+        "d",
+        "cum_order_c",
+        "cum_ship_c",
+        (F.col("cum_order_c") > F.col("cum_ship_c")).alias("orders_ahead"),
+    )
