@@ -189,3 +189,66 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+AUDIO_WINDOW = 256  # samples per analysis window (non-overlapping)
+AUDIO_CAP = 1024  # decode cap, matching _decode_bytes' image cap
+
+
+def audio_rms_windows(df: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Audio analysis plumbing: interpret each payload's first
+    AUDIO_CAP bytes as unsigned 8-bit PCM (the deterministic fake
+    decode — codecs absent), frame into non-overlapping AUDIO_WINDOW
+    sample windows, and emit per-window EXACT integer amplitude moments
+    plus the RMS (one division + one sqrt on the exact sums, so the
+    floats verify bit-for-bit cross-engine).
+
+    The Arrow-batched mapInPandas shape is the real contract: payloads
+    stay partition-local, each batch decodes vectorized, and the output
+    is window-cardinality (bytes/AUDIO_WINDOW rows), never the payload.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("window_idx", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("amp_sum", T.LongType()),
+            T.StructField("amp_sumsq", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r["payload"] or b"")[:AUDIO_CAP]
+                if not raw:
+                    continue
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                for wi in range(0, len(x), AUDIO_WINDOW):
+                    w = x[wi : wi + AUDIO_WINDOW]
+                    s, ss, n = int(w.sum()), int((w * w).sum()), len(w)
+                    out.append(
+                        (
+                            int(r["media_id"]),
+                            wi // AUDIO_WINDOW,
+                            n,
+                            s,
+                            ss,
+                            float(np.sqrt(ss / n)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "window_idx",
+                    "n_samples",
+                    "amp_sum",
+                    "amp_sumsq",
+                    "rms",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema)

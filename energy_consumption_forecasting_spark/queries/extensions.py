@@ -802,3 +802,42 @@ def stream_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cusum_available_now(
         spark, sf_dir.rstrip("/"), mu_by_type
     )
+
+
+@query(
+    "mm_audio_rms",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             LEAST(octet_length(encode(text)), 1024) AS nb
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, hx, unnest(range(0, CAST(nb AS BIGINT))) AS i
+      FROM b WHERE nb > 0
+    ),
+    samp AS (
+      SELECT doc_id, i // 256 AS window_idx,
+             16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+                + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS v
+      FROM idx
+    )
+    SELECT doc_id AS media_id, CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS amp_sum,
+           CAST(SUM(v * v) AS BIGINT) AS amp_sumsq,
+           SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+    FROM samp GROUP BY doc_id, window_idx
+    """,
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plumbing (SURVEY §7 multimodal): per-window RMS
+    energy over 256-sample frames of the byte payload
+    (operators/multimodal.py::audio_rms_windows — deterministic fake
+    decode, real Arrow-batch/partitioning/schema contract).  Moments
+    are exact int64 so the oracle recomputing the same bytes hash-
+    matches, RMS included (one division + one sqrt)."""
+    from ..operators.multimodal import audio_rms_windows, documents_as_media
+
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    return audio_rms_windows(media)
