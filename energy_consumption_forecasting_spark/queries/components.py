@@ -871,3 +871,106 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("core_degree"))
     )
+
+
+# --- link prediction by neighborhood Jaccard ----------------------------------------
+LINKPRED_TOPK = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    sym AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    wedge AS (
+      -- candidate pairs: share >=1 common neighbor, not already linked
+      SELECT s1.a AS u, s2.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym s1 JOIN sym s2 ON s1.b = s2.a AND s1.a < s2.b
+      GROUP BY s1.a, s2.b
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.common
+      FROM wedge w LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+      WHERE e.u IS NULL
+    ),
+    scored AS (
+      SELECT c.u, c.v, c.common,
+             du.d + dv.d - c.common AS unions,
+             CAST((1000000 * c.common) // (du.d + dv.d - c.common)
+                  AS BIGINT) AS jaccard_ppm
+      FROM cand c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+    )
+    SELECT u, v, common, CAST(unions AS BIGINT) AS unions, jaccard_ppm,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY jaccard_ppm DESC, common DESC, u, v) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {LINKPRED_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell &
+    Kleinberg 2003): for non-adjacent part pairs sharing at least one
+    co-purchase neighbor, score |N(u)∩N(v)| / |N(u)∪N(v)| and keep the
+    top-{LINKPRED_TOPK} predicted links — the "will co-occur next"
+    recommendation primitive on the same shared edge set as
+    triangles/assortativity/k-core.
+
+    Scale shape: candidates come from the WEDGE join (bounded by
+    Σdeg² like triangle counting — never all pairs), the intersection
+    count IS the wedge count, the union derives from the degree table,
+    and the score is exact integer ppm (one truncating division); the
+    final top-k is orderBy+limit (TakeOrderedAndProject), not a global
+    window."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    ).localCheckpoint(eager=False)
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(
+            s2,
+            (F.col("s1.b") == F.col("s2.a")) & (F.col("s1.a") < F.col("s2.b")),
+        )
+        .groupBy(F.col("s1.a").alias("u"), F.col("s2.b").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedge.join(edges, ["u", "v"], "left_anti")
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "d_u")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "d_v")
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (F.col("d_u") + F.col("d_v") - F.col("common")).alias("unions"),
+            F.expr(
+                "CAST((1000000 * common) div (d_u + d_v - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.desc("jaccard_ppm"), F.desc("common"), "u", "v"
+    ).limit(LINKPRED_TOPK)
+    w = Window.orderBy(F.desc("jaccard_ppm"), F.desc("common"), "u", "v")
+    return ranked.select(
+        "u",
+        "v",
+        "common",
+        "unions",
+        "jaccard_ppm",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
