@@ -531,10 +531,7 @@ def m7_stl_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through sf100; beyond that the accumulators widen to DECIMAL(38,0).
 # Phase partitions are bounded-cardinality calendar keys (7 and 366), so
 # the plan is two bounded hash shuffles + one row-window at any scale.
-@query(
-    "m7_mstl",
-    oracle=f"""
-    WITH daily AS ({_DAILY_SQL}),
+_MSTL_CTES = f"""daily AS ({_DAILY_SQL}),
     base AS (
       SELECT d, CAST(demand AS DOUBLE) AS v,
              CAST(demand * 100 AS BIGINT) AS y_c,
@@ -570,21 +567,13 @@ def m7_stl_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                        // (COUNT(detr_q4 - s365_q4) OVER wd)
              END AS s7b_q4
       FROM s365 WINDOW wd AS (PARTITION BY dayofweek(d))
-    )
-    SELECT d,
-           CAST(trend_q4 AS DOUBLE) / 10000.0 AS trend,
-           CAST(s7b_q4 AS DOUBLE) / 10000.0 AS seasonal_weekly,
-           CAST(s365_q4 AS DOUBLE) / 10000.0 AS seasonal_yearly,
-           v - (CAST(trend_q4 AS DOUBLE) + CAST(s7b_q4 AS DOUBLE)
-                + CAST(s365_q4 AS DOUBLE)) / 10000.0 AS resid
-    FROM s7b
-    """,
-)
-def m7_mstl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 multi-seasonal tier (MSTL, ts_kmeans_base.ipynb:22-24): weekly
-    + yearly seasonal components extracted sequentially with one
-    back-refinement round, in exact q4 fixed point (see the block
-    comment above for the algebra and the scale/range budget)."""
+    )"""
+
+
+def _mstl_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MSTL pipeline in q4 fixed point — the frame behind
+    m7_mstl AND ts_seasonality_strength (columns y_c, trend_q4,
+    s7b_q4, s365_q4, ...)."""
     daily = _daily(spark, sf_dir)
     w365 = Window.orderBy("d").rowsBetween(-182, 182)
     # Spark dayofweek is 1=Sunday..7 vs DuckDB 0..6 — partition identity
@@ -633,6 +622,28 @@ def m7_mstl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("__d3").over(wd).alias("__s7b_den"),
     ).withColumn("s7b_q4", F.expr("__s7b_num div __s7b_den"))
+    return s7b
+
+
+@query(
+    "m7_mstl",
+    oracle=f"""
+    WITH {_MSTL_CTES}
+    SELECT d,
+           CAST(trend_q4 AS DOUBLE) / 10000.0 AS trend,
+           CAST(s7b_q4 AS DOUBLE) / 10000.0 AS seasonal_weekly,
+           CAST(s365_q4 AS DOUBLE) / 10000.0 AS seasonal_yearly,
+           v - (CAST(trend_q4 AS DOUBLE) + CAST(s7b_q4 AS DOUBLE)
+                + CAST(s365_q4 AS DOUBLE)) / 10000.0 AS resid
+    FROM s7b
+    """,
+)
+def m7_mstl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 multi-seasonal tier (MSTL, ts_kmeans_base.ipynb:22-24): weekly
+    + yearly seasonal components extracted sequentially with one
+    back-refinement round, in exact q4 fixed point (see the block
+    comment above for the algebra and the scale/range budget)."""
+    s7b = _mstl_q4(spark, sf_dir)
     return s7b.select(
         "d",
         (F.col("trend_q4").cast("double") / 10000.0).alias("trend"),
@@ -647,4 +658,89 @@ def m7_mstl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000.0
         ).alias("resid"),
+    )
+
+
+# --- seasonality / trend strength (Hyndman & Athanasopoulos, FPP3 §4.4) -------------
+@query(
+    "ts_seasonality_strength",
+    oracle=f"""
+    WITH {_MSTL_CTES},
+    r AS (
+      SELECT CAST(y_c AS HUGEINT) * 100 - trend_q4 - s7b_q4 - s365_q4
+               AS r_q4,
+             CAST(y_c AS HUGEINT) * 100 - trend_q4 AS sr_q4,
+             CAST(y_c AS HUGEINT) * 100 - s7b_q4 - s365_q4 AS tr_q4
+      FROM s7b
+      WHERE trend_q4 IS NOT NULL AND s7b_q4 IS NOT NULL
+        AND s365_q4 IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(r_q4) AS HUGEINT) AS s_r,
+             CAST(SUM(r_q4 * r_q4) AS HUGEINT) AS ss_r,
+             CAST(SUM(sr_q4) AS HUGEINT) AS s_sr,
+             CAST(SUM(sr_q4 * sr_q4) AS HUGEINT) AS ss_sr,
+             CAST(SUM(tr_q4) AS HUGEINT) AS s_tr,
+             CAST(SUM(tr_q4 * tr_q4) AS HUGEINT) AS ss_tr
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(GREATEST(0, 1000000 - (1000000 * (n * ss_r - s_r * s_r))
+                // NULLIF(n * ss_sr - s_sr * s_sr, 0)) AS BIGINT)
+             AS seasonal_strength_ppm,
+           CAST(GREATEST(0, 1000000 - (1000000 * (n * ss_r - s_r * s_r))
+                // NULLIF(n * ss_tr - s_tr * s_tr, 0)) AS BIGINT)
+             AS trend_strength_ppm
+    FROM m
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend STRENGTH of the daily demand series
+    (Hyndman & Athanasopoulos, FPP3 §4.4): F_s = max(0, 1 −
+    Var(R)/Var(S+R)) on the detrended series and F_t likewise on the
+    deseasonalized one — the two features every forecasting pipeline
+    computes to route series between models.  Components come from the
+    shared MSTL q4 pipeline (_mstl_q4 ≡ _MSTL_CTES), so residuals are
+    EXACT integers and each strength is one truncating division of
+    DECIMAL(38)/HUGEINT moment algebra in ppm — no float variance ever
+    forms.  Range budget: r_q4² ~ 1e22 and n·Σ ~ 1e29 sit inside
+    DECIMAL(38)."""
+    s7b = _mstl_q4(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    r = s7b.filter(
+        F.col("trend_q4").isNotNull()
+        & F.col("s7b_q4").isNotNull()
+        & F.col("s365_q4").isNotNull()
+    ).select(
+        (
+            F.col("y_c").cast(d38) * 100
+            - F.col("trend_q4")
+            - F.col("s7b_q4")
+            - F.col("s365_q4")
+        ).alias("r_q4"),
+        (F.col("y_c").cast(d38) * 100 - F.col("trend_q4")).alias("sr_q4"),
+        (
+            F.col("y_c").cast(d38) * 100 - F.col("s7b_q4") - F.col("s365_q4")
+        ).alias("tr_q4"),
+    )
+    m = r.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("r_q4").cast(d38).alias("s_r"),
+        F.sum(F.col("r_q4") * F.col("r_q4")).cast(d38).alias("ss_r"),
+        F.sum("sr_q4").cast(d38).alias("s_sr"),
+        F.sum(F.col("sr_q4") * F.col("sr_q4")).cast(d38).alias("ss_sr"),
+        F.sum("tr_q4").cast(d38).alias("s_tr"),
+        F.sum(F.col("tr_q4") * F.col("tr_q4")).cast(d38).alias("ss_tr"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(GREATEST(0, 1000000 - (1000000 * (n * ss_r - s_r * s_r))"
+            " div NULLIF(n * ss_sr - s_sr * s_sr, 0)) AS BIGINT)"
+        ).alias("seasonal_strength_ppm"),
+        F.expr(
+            "CAST(GREATEST(0, 1000000 - (1000000 * (n * ss_r - s_r * s_r))"
+            " div NULLIF(n * ss_tr - s_tr * s_tr, 0)) AS BIGINT)"
+        ).alias("trend_strength_ppm"),
     )
