@@ -121,3 +121,78 @@ def m21_degree_day_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView("sums")
     return spark.sql(_CRAMER_SQL)
+
+
+@query(
+    "a_price_elasticity",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.p_brand AS brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // CAST(l.l_quantity AS BIGINT) AS unit_c,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(l.l_quantity AS BIGINT) > 0
+    ),
+    s AS (
+      SELECT brand,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(unit_c) AS HUGEINT) AS sx,
+             CAST(SUM(unit_c * unit_c) AS HUGEINT) AS sxx,
+             CAST(SUM(qty) AS HUGEINT) AS sy,
+             CAST(SUM(unit_c * qty) AS HUGEINT) AS sxy
+      FROM pairs GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           CAST((1000000000 * (n * sxy - sx * sy))
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+             AS slope_qty_per_cent_e9,
+           CAST(sy AS BIGINT) AS total_qty
+    FROM s
+    """,
+)
+def a_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price-response slope: OLS of line quantity on unit
+    price (cents), the demand-elasticity screen category managers run —
+    in the m21_degree_day_ols exact-Cramer style: all moments are
+    DECIMAL(38)/HUGEINT integer sums and the slope is ONE truncating
+    division emitted at 1e-9 resolution, so no float forms anywhere.
+    Unit price itself is a truncating integer division (both engines
+    truncate toward zero).  Plan: one broadcast dim join + one hash
+    aggregate per brand."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").cast("long") > 0
+    )
+    p = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    d38 = "decimal(38,0)"
+    pairs = li.join(F.broadcast(p), "l_partkey").select(
+        "brand",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div CAST(l_quantity AS BIGINT)"
+        ).alias("unit_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    s = pairs.groupBy("brand").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("unit_c").cast(d38).alias("sx"),
+        F.sum(F.col("unit_c").cast(d38) * F.col("unit_c").cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum("qty").cast(d38).alias("sy"),
+        F.sum(F.col("unit_c").cast(d38) * F.col("qty").cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST((1000000000 * (n * sxy - sx * sy))"
+            " div NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("slope_qty_per_cent_e9"),
+        F.col("sy").cast("long").alias("total_qty"),
+    )

@@ -744,3 +744,63 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(n * ss_tr - s_tr * s_tr, 0)) AS BIGINT)"
         ).alias("trend_strength_ppm"),
     )
+
+
+# --- local peak detection over the daily series -------------------------------------
+PEAK_HALF_WINDOW = 3  # peak = strict max of its +/-3-day neighborhood
+
+
+@query(
+    "ts_peak_detection",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    c AS (
+      SELECT d, CAST(demand * 100 AS BIGINT) AS y_c FROM daily
+    ),
+    n AS (
+      SELECT d, y_c,
+             MAX(y_c) OVER (ORDER BY d ROWS BETWEEN {PEAK_HALF_WINDOW}
+               PRECEDING AND 1 PRECEDING) AS max_before,
+             MAX(y_c) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+               AND {PEAK_HALF_WINDOW} FOLLOWING) AS max_after,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN {PEAK_HALF_WINDOW}
+               PRECEDING AND {PEAK_HALF_WINDOW} FOLLOWING) AS n_window
+      FROM c
+    )
+    SELECT d, y_c,
+           CAST(y_c - GREATEST(max_before, max_after) AS BIGINT)
+             AS prominence_c
+    FROM n
+    WHERE n_window = {2 * PEAK_HALF_WINDOW + 1}
+      AND y_c > max_before AND y_c > max_after
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local demand peaks: days that strictly dominate their +/-3-day (PEAK_HALF_WINDOW)
+    neighborhood (full windows only), with the margin over the runner-up
+    as an exact integer prominence — the alarm/peak-shaving primitive
+    (scipy find_peaks' core rule, window-native).  Exact cents
+    comparisons; the window rides the bounded daily series."""
+    daily = _daily(spark, sf_dir)
+    c = daily.select("d", (F.col("demand") * 100).cast("long").alias("y_c"))
+    wb = Window.orderBy("d").rowsBetween(-PEAK_HALF_WINDOW, -1)
+    wa = Window.orderBy("d").rowsBetween(1, PEAK_HALF_WINDOW)
+    wf = Window.orderBy("d").rowsBetween(-PEAK_HALF_WINDOW, PEAK_HALF_WINDOW)
+    n = c.select(
+        "d",
+        "y_c",
+        F.max("y_c").over(wb).alias("max_before"),
+        F.max("y_c").over(wa).alias("max_after"),
+        F.count("*").over(wf).alias("n_window"),
+    )
+    return n.filter(
+        (F.col("n_window") == 2 * PEAK_HALF_WINDOW + 1)
+        & (F.col("y_c") > F.col("max_before"))
+        & (F.col("y_c") > F.col("max_after"))
+    ).select(
+        "d",
+        "y_c",
+        (F.col("y_c") - F.greatest("max_before", "max_after")).alias(
+            "prominence_c"
+        ),
+    )
