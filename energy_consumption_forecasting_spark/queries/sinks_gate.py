@@ -297,3 +297,59 @@ def s21_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_where(spark, table, "size < 10", note="small parts")
     delete_where(spark, table, "retail_c < 91000", note="cheap parts")
     return read_snapshot(spark, table)
+
+
+# --- S22: merge-on-read UPSERT (MERGE INTO shape) -----------------------------------
+@query(
+    "s22_upsert_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    upd AS (
+      SELECT k, 'VIP' AS seg, bal_c FROM base WHERE bal_c > 500000
+      UNION ALL
+      SELECT k + 10000000, 'NEW', CAST(0 AS BIGINT) FROM base
+      WHERE k % 97 = 0
+    )
+    SELECT k, seg, bal_c FROM base
+    WHERE k NOT IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT k, seg, bal_c FROM upd
+    """,
+)
+def s22_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT (sources/versioned.py::merge_upsert — the
+    MERGE INTO WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT shape):
+    one atomic version adds a position-delete file for matched keys AND
+    an appended data directory, no existing file rewritten.  The gate
+    upserts VIP rows for high-balance customers plus brand-new keys and
+    proves the read-back equals the SQL merge of the ORIGINAL table."""
+    import shutil
+
+    from ..sources.versioned import commit_snapshot, merge_upsert, read_snapshot
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    table = f"/root/repo/.stage/s22_upsert/{name}"
+    shutil.rmtree(table, ignore_errors=True)
+    base = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    commit_snapshot(base, table, note="base")
+    upd = base.filter(F.col("bal_c") > 500000).select(
+        "k", F.lit("VIP").alias("seg"), "bal_c"
+    ).unionByName(
+        base.filter(F.col("k") % 97 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"),
+            F.lit("NEW").alias("seg"),
+            F.lit(0).cast("long").alias("bal_c"),
+        )
+    )
+    merge_upsert(spark, table, upd, ["k"])
+    return read_snapshot(spark, table)

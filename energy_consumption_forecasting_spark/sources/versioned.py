@@ -83,11 +83,18 @@ def read_snapshot(
             known = [e["version"] for e in manifest]
             raise ValueError(f"version {version} not in {known}")
         entry = matches[0]
-    df = spark.read.parquet(os.path.join(table_dir, entry["dir"]))
+    paths = [os.path.join(table_dir, d) for d in _entry_dirs(entry)]
+    df = spark.read.parquet(*paths)
     dels = entry.get("deletes") or []
     if not dels:
         return df
     return _apply_deletes(spark, table_dir, df, dels)
+
+
+def _entry_dirs(entry: dict) -> list[str]:
+    """Data directories of a snapshot: multi-dir entries (appends /
+    upserts) carry ``dirs``; plain commits carry one ``dir``."""
+    return entry.get("dirs") or [entry["dir"]]
 
 
 def _with_positions(df: DataFrame) -> DataFrame:
@@ -147,7 +154,9 @@ def delete_where(
     last = manifest[-1]
     prior = last.get("deletes") or []
     raw = _with_positions(
-        spark.read.parquet(os.path.join(table_dir, last["dir"]))
+        spark.read.parquet(
+            *[os.path.join(table_dir, d) for d in _entry_dirs(last)]
+        )
     )
     if prior:
         dv = spark.read.parquet(*[os.path.join(table_dir, d) for d in prior])
@@ -166,6 +175,71 @@ def delete_where(
     entry = {
         "version": version,
         "dir": last["dir"],  # data files are SHARED with the base version
+        "dirs": _entry_dirs(last),
+        "committed_at": time.time(),
+        "note": note,
+        "deletes": prior + [dv_dir],
+    }
+    tmp = _manifest_path(table_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest + [entry], f, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))
+    return version
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    note: str = "upsert",
+) -> int:
+    """Merge-on-read UPSERT (the MERGE INTO ... WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT shape): ONE new version that (a) adds a
+    position-delete file covering every live row whose key appears in
+    ``updates`` and (b) appends ``updates`` as a new data directory the
+    snapshot also references — so matched rows are replaced and new
+    keys inserted without rewriting any existing data file, and the
+    commit is atomic (the manifest swap publishes delete + append
+    together).
+
+    Scale shape: the delete side is one broadcast-or-shuffle semi join
+    of the live rows' (file, pos, keys) against the update keys; the
+    append is a plain parquet write of the update batch.  Single-writer
+    contract as the rest of the store."""
+    from pyspark.sql import functions as F
+
+    manifest = _read_manifest(table_dir)
+    if not manifest:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    last = manifest[-1]
+    prior = last.get("deletes") or []
+    raw = _with_positions(
+        spark.read.parquet(
+            *[os.path.join(table_dir, d) for d in _entry_dirs(last)]
+        )
+    )
+    if prior:
+        dv = spark.read.parquet(*[os.path.join(table_dir, d) for d in prior])
+        raw = raw.join(
+            dv,
+            (raw["__dv_file"] == dv["file_path"])
+            & (raw["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        )
+    keys = updates.select(*key_cols).distinct()
+    new_dels = raw.join(keys, key_cols, "left_semi").select(
+        F.col("__dv_file").alias("file_path"), F.col("__dv_pos").alias("pos")
+    )
+    version = last["version"] + 1
+    dv_dir = f"dv={version}"
+    add_dir = f"a={version}"
+    new_dels.write.mode("overwrite").parquet(os.path.join(table_dir, dv_dir))
+    updates.write.mode("overwrite").parquet(os.path.join(table_dir, add_dir))
+    entry = {
+        "version": version,
+        "dir": last["dir"],
+        "dirs": _entry_dirs(last) + [add_dir],
         "committed_at": time.time(),
         "note": note,
         "deletes": prior + [dv_dir],
@@ -214,10 +288,10 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     # only remove directories no surviving entry references.
     referenced: set[str] = set()
     for e in kept:
-        referenced.add(e["dir"])
+        referenced.update(_entry_dirs(e))
         referenced.update(e.get("deletes") or [])
     for e in dropped:
-        for d in [e["dir"], *(e.get("deletes") or [])]:
+        for d in [*_entry_dirs(e), *(e.get("deletes") or [])]:
             if d not in referenced:
                 shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return [e["version"] for e in dropped]

@@ -228,3 +228,60 @@ def test_deletion_vectors_randomized_predicate_sequence(spark):
             survivors = [r for r in survivors if not fn(r)]
         got = sorted((r["k"], r["g"]) for r in read_snapshot(spark, table).collect())
         assert got == sorted(survivors), trial
+
+
+def test_merge_upsert_update_insert_chain(spark):
+    """merge_upsert replaces matched keys, inserts new ones, chains
+    with prior deletes and a second upsert (updating a row the first
+    upsert inserted), keeps time travel, and survives vacuum +
+    compaction."""
+    import os
+
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        compact_snapshot,
+        delete_where,
+        merge_upsert,
+        vacuum,
+    )
+
+    table = TABLE + "_upsert"
+    shutil.rmtree(table, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, s string"
+    )
+    commit_snapshot(base, table, "base")
+    delete_where(spark, table, "k = 4")
+    # upsert: update k=2, insert k=9
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(2, "B2"), (9, "I9")], "k int, s string"),
+        ["k"],
+    )
+    got = sorted((r["k"], r["s"]) for r in read_snapshot(spark, table).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "I9")]
+    # second upsert touches a row the FIRST upsert appended
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(9, "I9v2")], "k int, s string"),
+        ["k"],
+    )
+    got = sorted((r["k"], r["s"]) for r in read_snapshot(spark, table).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "I9v2")]
+    # time travel: pre-upsert version still shows the delete-only state
+    assert sorted(
+        (r["k"], r["s"]) for r in read_snapshot(spark, table, version=2).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    # vacuum to the newest version only; shared base + append dirs survive
+    vacuum(table, keep_last=1)
+    got = sorted((r["k"], r["s"]) for r in read_snapshot(spark, table).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "I9v2")]
+    assert os.path.isdir(os.path.join(table, "v=1"))
+    # compaction materializes a self-contained single-dir snapshot
+    v = compact_snapshot(spark, table)
+    got = sorted(
+        (r["k"], r["s"])
+        for r in read_snapshot(spark, table, version=v).collect()
+    )
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "I9v2")]
