@@ -841,3 +841,39 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(tbl(spark, sf_dir, "documents"))
     return audio_rms_windows(media)
+
+
+# --- streaming CDC apply into the versioned store (merge-on-read upserts) -----------
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(ts AS DATE) AS last_d,
+           CAST(v_c AS BIGINT) AS last_value_c
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/upsert_stream.py): each
+    micro-batch's latest row per user lands as ONE atomic merge-on-read
+    upsert version (position-delete matched keys + append), with the
+    lineage-scoped txn guard making replays no-ops.  The drained table
+    must equal the batch latest-event-per-user — which the oracle
+    computes from the raw events; the multi-batch overwrite chain is
+    pytest-pinned (tests/test_upsert_stream.py)."""
+    import os
+    import shutil
+
+    from ..session import ensure_utc
+    from ..streaming.upsert_stream import run_cdc_upsert_available_now
+
+    ensure_utc(spark)
+    table = f"/root/repo/.stage/cdc_upsert/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    return run_cdc_upsert_available_now(spark, sf_dir.rstrip("/"), table)

@@ -170,6 +170,15 @@ AUDITED = [
     "pipeline_span_corruption",
     "w_time_weighted_avg",
     "ts_ohlc_bars",
+    # round-5 third wave
+    "graph_link_prediction",
+    "ts_seasonality_strength",
+    "ts_peak_detection",
+    "a_price_elasticity",
+    "mm_audio_rms",
+    "ds_q51_cumulative_channels",
+    "ds_q35_exists_profile",
+    "w_cohort_ltv",
 ]
 
 
