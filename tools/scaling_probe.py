@@ -61,6 +61,8 @@ PROBES = [
     ("text_watermark_detect", "row-local bigram-hash HOF pass"),
     ("pipeline_span_corruption", "row-local span-mask string HOF"),
     ("w_time_weighted_avg", "type-partitioned lead window + agg"),
+    ("graph_link_prediction", "wedge-join candidates + degree joins"),
+    ("mm_audio_rms", "payload-local window moments (mapInPandas)"),
 ]
 
 
