@@ -119,6 +119,11 @@ def main() -> None:
         # operator's cost, not the JIT's (measured 1.9s cold vs 1.0s
         # warm at sf0.1)
         "pipeline_pack_sequences",
+        # the iterative graph family (per-round join+agg codegen) is
+        # ~50% JIT-cold: pagerank measured 9.1s cold vs 4.8s after an
+        # sf0.001 warm pass — same rule as the rank family above
+        "graph_pagerank",
+        "dedup_connected_components",
     ):
         qs[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
