@@ -1190,3 +1190,60 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_text"
         ),
     )
+
+
+# --- corpus data card (Datasheets for Datasets, Gebru et al. 2021) ------------------
+@query(
+    "pipeline_data_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ),
+    dup AS (
+      SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_exact_dups
+      FROM (SELECT h, COUNT(*) AS cnt FROM t GROUP BY h)
+    )
+    SELECT t.lang, t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(t.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(t.n_tokens) AS BIGINT) AS max_tokens,
+           (SELECT n_exact_dups FROM dup) AS corpus_exact_dups
+    FROM t GROUP BY t.lang, t.source
+    """,
+)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query corpus datasheet (Gebru et al., 'Datasheets for
+    Datasets'): per (lang, source) cell — document/token/char counts
+    and token-length extremes — plus the corpus-wide exact-duplicate
+    count, the summary table a dataset release ships.  All exact
+    integers; two hash aggregates plus one scalar dup count broadcast
+    onto every cell."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    dup = (
+        t.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(F.col("cnt") - 1).cast("long").alias("n_exact_dups"))
+    )
+    card = t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return card.crossJoin(F.broadcast(dup)).withColumnRenamed(
+        "n_exact_dups", "corpus_exact_dups"
+    )

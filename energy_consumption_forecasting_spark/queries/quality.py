@@ -801,3 +801,79 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("mad4_c").cast("double") / F.lit(4.0))
         ).alias("is_outlier"),
     )
+
+
+# --- referential-integrity audit ----------------------------------------------------
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            LEFT JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_nationkey IS NULL)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the
+    data-quality check every warehouse load runs (and the one that
+    catches a broken incremental ingest before a join silently drops
+    rows).  Each FK is one anti-join count; dimension sides broadcast;
+    exact integers."""
+    fks = [
+        (
+            "lineitem.l_orderkey -> orders",
+            tbl(spark, sf_dir, "lineitem").select("l_orderkey"),
+            tbl(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            tbl(spark, sf_dir, "orders").select("o_custkey"),
+            tbl(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey")
+            ),
+        ),
+        (
+            "lineitem.l_partkey -> part",
+            tbl(spark, sf_dir, "lineitem").select("l_partkey"),
+            tbl(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey")
+            ),
+        ),
+        (
+            "customer.c_nationkey -> nation",
+            tbl(spark, sf_dir, "customer").select("c_nationkey"),
+            tbl(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey")
+            ),
+        ),
+    ]
+    rows = []
+    for name, child, parent in fks:
+        key = child.columns[0]
+        n_rows = child.count()
+        n_orphans = child.join(parent, key, "left_anti").count()
+        rows.append((name, n_rows, n_orphans))
+    return spark.createDataFrame(
+        rows, "fk string, n_rows long, n_orphans long"
+    )
