@@ -1007,3 +1007,58 @@ def w_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user_q4"),
         )
     )
+
+
+# --- longest activity streak: gaps-and-islands ---------------------------------------
+@query(
+    "w_streak_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def w_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands shape (date minus per-user row_number is constant
+    inside a run), the engagement metric every product-analytics stack
+    ships next to retention and funnels.
+
+    Plan: one distinct on (user, day) — map-side combinable — then a
+    window PARTITIONED BY the user key (never global; user activity
+    partitions cleanly at any corpus size) and two user-keyed
+    aggregations.  Every emitted value is an exact integer count, so
+    the oracle hashes strictly.  At 100 TB the state per user is its
+    distinct-day list — bounded by the calendar, not the event
+    volume."""
+    d = (
+        tbl(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        d.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -974,3 +974,89 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_ppm",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# --- label-propagation communities --------------------------------------------------
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation.  Every round is AS
+    MATERIALIZED — the k-core lesson: DuckDB inlines plain CTEs, so a
+    chain where round r references round r-1 multiple times expands
+    exponentially into base scans (measured as fd exhaustion)."""
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT s AS n, lab FROM (
+        SELECT e.s, l.lab,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.s
+                 ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+        FROM und e JOIN l{r - 1} l ON l.n = e.t
+        GROUP BY e.s, l.lab
+      ) WHERE rn = 1
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_COPURCHASE_SQL},
+    und AS MATERIALIZED (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges
+    ),
+    l0 AS MATERIALIZED (SELECT n, CAST(n AS BIGINT) AS lab FROM deg),
+    {chain}
+    SELECT CAST(n AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+    FROM l{LPA_ROUNDS}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the support>=2 co-purchase graph — the linear-time
+    community baseline next to modularity/k-core, made DETERMINISTIC:
+    each node adopts the neighbor label with the highest count, ties
+    broken by smallest label (the standard derandomization), for a
+    fixed LPA_ROUNDS synchronous rounds.
+
+    Plan: per round ONE join (labels into the doubled edge list, keyed
+    on the neighbor node) + ONE two-level aggregation whose argmax is
+    a single ``min(struct(-count, label))`` — no window over raw data,
+    no driver data path; ``localCheckpoint`` truncates lineage per
+    round (the pagerank convention).  State per round is one label per
+    node; shuffle keys are node ids — at 100 TB this is exactly
+    GraphX/Pregel's LPA schedule expressed in DataFrame ops."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("s").alias("n")).distinct().select(
+        "n", F.col("n").alias("lab")
+    )
+    for _ in range(LPA_ROUNDS):
+        nb = (
+            und.join(labels.select(F.col("n").alias("t2"), "lab"),
+                     F.col("t2") == F.col("t"))
+            .groupBy("s", "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nb.groupBy("s")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lab").alias("lab")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("s").alias("n"), F.col("m.lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("n").alias("node"), F.col("lab").alias("community")
+    )

@@ -877,3 +877,90 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fk string, n_rows long, n_orphans long"
     )
+
+
+# --- autocorrelation function of the daily series -------------------------------------
+@query(
+    "ts_acf",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(vc AS HUGEINT)) AS HUGEINT) AS tot
+      FROM v
+    ),
+    c AS (
+      SELECT d, (s.n * CAST(vc AS HUGEINT) - s.tot) AS c FROM v, s
+    ),
+    den AS (SELECT SUM(c * c) AS den FROM c),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    num AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(a.c * b.c) AS num
+      FROM lags, c a JOIN c b ON b.d = a.d + CAST(lag || ' days' AS INTERVAL)
+      GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           CAST((1000000 * num) // NULLIF(den.den, 0) AS BIGINT) AS acf_ppm
+    FROM num, den
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily total-value series at lags
+    1..7 — the Box-Jenkins identification tool the reference's ARIMA
+    workflow starts from (order selection reads the ACF/PACF).
+
+    Exact integer ppm end-to-end: with v_t the daily cents, center by
+    the scaled residual c_t = n*v_t - S (no fraction ever formed), then
+    r_k = sum(c_t * c_{t+k}) / sum(c_t^2) emitted as ONE truncating
+    integer division in parts-per-million.  Moments ride DECIMAL(38,0)
+    (DuckDB HUGEINT) per the >2**53 integer->double ban.
+
+    Plan: one calendar-bounded daily aggregation, a scalar stats row
+    broadcast back (sanctioned 1-row crossJoin), a 7-row lag grid
+    cross join, and a date-shifted self-equi-join — all state is
+    calendar-cardinality, independent of event volume."""
+    ev = tbl(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    v = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc")
+    )
+    stats = v.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("vc").cast(d38)).cast(d38).alias("tot"),
+    )
+    c = (
+        v.crossJoin(F.broadcast(stats))
+        .select(
+            "d",
+            (F.col("n") * F.col("vc").cast(d38) - F.col("tot"))
+            .cast(d38)
+            .alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    den = c.agg(F.sum(F.col("c") * F.col("c")).cast(d38).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = c.select(F.col("d").alias("bd"), F.col("c").alias("cb"))
+    num = (
+        c.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.date_add(F.col("d"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("c") * F.col("cb")).cast(d38).alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.expr(
+            "CAST((1000000 * num) div NULLIF(den, 0) AS BIGINT)"
+        ).alias("acf_ppm"),
+    )

@@ -751,3 +751,62 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "doc_id", "n_scored", "n_green", z.alias("z"), (z >= 4.0).alias("watermarked")
     )
+
+
+# --- signed feature hashing (the hashing trick) ---------------------------------------
+@query(
+    "text_hashing_features",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             substr(md5('fh:' || w), 1, 2) AS bucket,
+             CASE WHEN strpos('01234567', substr(md5('sg:' || w), 1, 1)) > 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS feat,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the hashing trick, Weinberger et al.
+    ICML 2009): each token maps to one of 256 buckets by md5 prefix
+    and contributes ±1 by an independent sign hash, so collisions
+    cancel in expectation — the standard fixed-width featurization for
+    linear models over unbounded vocabularies (fastText/CCNet-style
+    pipelines hash exactly like this at corpus scale).
+
+    Bucket keys stay hex STRINGS (the CMS convention — engine-portable,
+    no int conversion) and the sign comes from the first hex char's
+    half-range, identical character arithmetic on both engines.  Plan:
+    explode -> ONE map-side-combinable groupBy on (doc, bucket); output
+    is the sparse feature matrix, at most 256 rows per document
+    regardless of document length."""
+    docs = fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    bucket = F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 2)
+    sgn = F.when(
+        F.substring(F.md5(F.concat(F.lit("sg:"), F.col("w"))), 1, 1) < "8",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

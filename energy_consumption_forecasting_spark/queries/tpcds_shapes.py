@@ -382,3 +382,164 @@ def ds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_ship_c",
         (F.col("cum_order_c") > F.col("cum_ship_c")).alias("orders_ahead"),
     )
+
+
+@query(
+    "ds_q47_sales_deviation",
+    oracle="""
+    WITH ms AS (
+      SELECT p.p_brand AS brand,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sales_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2, 3
+    ),
+    ya AS (
+      SELECT brand, yr, CAST(SUM(CAST(sales_c AS HUGEINT)) AS HUGEINT) AS y,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM ms GROUP BY 1, 2
+    ),
+    wd AS (
+      SELECT ms.brand, ms.yr, ms.mo, ms.sales_c, ya.y, ya.n,
+             LAG(ms.sales_c) OVER (
+               PARTITION BY ms.brand ORDER BY ms.yr, ms.mo) AS prev_c,
+             LEAD(ms.sales_c) OVER (
+               PARTITION BY ms.brand ORDER BY ms.yr, ms.mo) AS next_c
+      FROM ms JOIN ya ON ya.brand = ms.brand AND ya.yr = ms.yr
+    )
+    SELECT brand, yr, mo, sales_c, prev_c, next_c,
+           CAST((1000000 * (n * CAST(sales_c AS HUGEINT) - y))
+                // NULLIF(y * n, 0) AS BIGINT) AS dev_ppm
+    FROM wd
+    WHERE 10 * ABS(n * CAST(sales_c AS HUGEINT) - y) > y * n
+    """,
+)
+def ds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q47 shape: brand-months whose sales deviate >10% from that
+    brand's yearly monthly average, with the chronological lag/lead
+    neighbor months attached — the time-series-deviation
+    decision-support pattern (monthly agg -> per-year stats join ->
+    LAG/LEAD window -> threshold).
+
+    The 10% threshold is the integer cross-product 10*|n*m - y| >
+    y*n (no float formed); the deviation itself is one truncating
+    ppm division over DECIMAL(38,0)/HUGEINT moments.  The lag/lead
+    window is PARTITIONED BY brand (brand-cardinality state, never
+    global), computed BEFORE the filter per Q47 semantics so the
+    neighbors of a flagged month are its true calendar neighbors."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand").alias("brand")
+    )
+    ms = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "brand",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("sales_c")
+        )
+    )
+    d38 = "decimal(38,0)"
+    ya = ms.groupBy("brand", "yr").agg(
+        F.sum(F.col("sales_c").cast(d38)).cast(d38).alias("y"),
+        F.count("*").cast(d38).alias("n"),
+    )
+    w = Window.partitionBy("brand").orderBy("yr", "mo")
+    wd = ms.join(ya, ["brand", "yr"]).select(
+        "brand",
+        "yr",
+        "mo",
+        "sales_c",
+        "y",
+        "n",
+        F.lag("sales_c").over(w).alias("prev_c"),
+        F.lead("sales_c").over(w).alias("next_c"),
+    )
+    dev = F.col("n") * F.col("sales_c").cast(d38) - F.col("y")
+    return wd.filter(
+        10 * F.abs(dev) > F.col("y") * F.col("n")
+    ).select(
+        "brand",
+        "yr",
+        "mo",
+        "sales_c",
+        "prev_c",
+        "next_c",
+        F.expr(
+            "CAST((1000000 * (n * CAST(sales_c AS DECIMAL(38,0)) - y))"
+            " div NULLIF(y * n, 0) AS BIGINT)"
+        ).alias("dev_ppm"),
+    )
+
+
+@query(
+    "ds_q74_yoy_growth",
+    oracle="""
+    WITH ys AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1999
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, s1, s2,
+           CAST((1000000 * CAST(s2 AS HUGEINT)) // s1 AS BIGINT)
+               AS growth_ppm
+    FROM ys WHERE s1 > 0
+    ORDER BY growth_ppm DESC, custkey ASC LIMIT 100
+    """,
+)
+def ds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q74/Q11 shape: top-100 customers by year-over-year spend
+    growth (1998 -> 1999) — the self-comparison-across-periods pattern,
+    decorrelated to ONE conditional aggregation (no self-join: both
+    years are CASE branches of the same groupBy, halving the shuffle).
+
+    Growth ranks by the exact truncating ppm ratio (the ratio-ordering
+    rule: never order by a float division), deterministically
+    tie-broken by custkey; orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then a 100-row driver
+    merge, no global sort at any scale."""
+    o = tbl(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    ys = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.when(yr == 1998, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(yr == 1999, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s2"),
+    )
+    return (
+        ys.filter(F.col("s1") > 0)
+        .select(
+            "custkey",
+            "s1",
+            "s2",
+            F.expr(
+                "CAST((1000000 * CAST(s2 AS DECIMAL(38,0))) div s1 AS BIGINT)"
+            ).alias("growth_ppm"),
+        )
+        .orderBy(F.desc("growth_ppm"), F.asc("custkey"))
+        .limit(100)
+    )
