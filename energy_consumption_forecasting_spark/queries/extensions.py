@@ -4,7 +4,7 @@ column plumbing, and the Structured-Streaming daily rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -877,3 +877,81 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"/root/repo/.stage/cdc_upsert/{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(table, ignore_errors=True)
     return run_cdc_upsert_available_now(spark, sf_dir.rstrip("/"), table)
+
+
+# --- perceptual-hash near-duplicate grouping ----------------------------------------
+@query(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH {_MM_DECODE_SQL},
+    ab AS (
+      SELECT doc_id, hx, nb, side, unnest(range(0, 8)) AS a FROM dims
+    ),
+    idxs AS (
+      SELECT doc_id, hx, nb, side, a,
+             CASE WHEN a = 7 THEN CAST(side - 1 AS BIGINT)
+                  ELSE CAST(FLOOR(a * ((side - 1) / 7.0)) AS BIGINT)
+             END AS ix
+      FROM ab
+    ),
+    cells AS (
+      SELECT r.doc_id, r.hx, r.nb, r.side,
+             r.a AS ra, c.a AS ca, r.ix AS ry, c.ix AS cx
+      FROM idxs r JOIN idxs c USING (doc_id)
+    ),
+    vals AS (
+      SELECT doc_id, ra, ca,
+             CASE WHEN nb = 0 THEN 0
+                  ELSE 16 * (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*(ry*side+cx)+1 AS INT), 1)) - 1)
+                          + (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*(ry*side+cx)+2 AS INT), 1)) - 1)
+             END AS v
+      FROM cells
+    ),
+    hashes AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN 64 * v >= s THEN '1' ELSE '0' END,
+                        '' ORDER BY ra, ca) AS phash
+      FROM (SELECT doc_id, ra, ca, v,
+                   SUM(v) OVER (PARTITION BY doc_id) AS s
+            FROM vals)
+      GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size
+    FROM hashes
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate grouping by average-hash (aHash): the
+    decoded frame is nearest-neighbor-resized to 8x8 (the SAME kernel
+    mm_resize gates), each cell contributes bit 1 iff its pixel is >=
+    the frame mean — the exact integer cross-product 64*v >= sum, no
+    float threshold — and the 64-bit signature is kept as an
+    engine-portable bitstring.  Images that survive crops/re-encodes
+    with the same coarse luminance layout collide, which is how
+    image-dedup passes over web-scale crawls actually bucket
+    (aHash/pHash prefilter, then pairwise verify).
+
+    Plan: decode+resize ride the existing Arrow mapInPandas kernel
+    (payload bytes never shuffle past it); the signature is row-local
+    column algebra; grouping is ONE hash partition on the 64-bit key.
+    At 100 TB the phash groupBy is the scale path — candidate pairs
+    come from equal signatures, never from pairwise image comparison."""
+    media = documents_as_media(tbl(spark, sf_dir, "documents"))
+    resized = resize_images(media, (8, 8))
+    hashed = resized.withColumn(
+        "s",
+        F.expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"),
+    ).select(
+        "media_id",
+        F.expr(
+            "array_join(transform(pixels,"
+            " x -> IF(64 * CAST(x AS BIGINT) >= s, '1', '0')), '')"
+        ).alias("phash"),
+    )
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "media_id", "phash", F.count("*").over(w).alias("group_size")
+    )

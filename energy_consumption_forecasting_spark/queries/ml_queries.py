@@ -1889,3 +1889,124 @@ def emb_whitening_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vec long, dim int, mean_zero_ok boolean,"
         " identity_cov_ok boolean, condition_improved_ok boolean",
     )
+
+
+# --- M32: isotonic regression calibration (exact PAV via minimax) -------------------
+@query(
+    "m32_isotonic_calibration",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    per AS (
+      SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM t GROUP BY score
+    ),
+    ord AS (
+      SELECT score, np, nt,
+             ROW_NUMBER() OVER (ORDER BY score) AS id,
+             SUM(np) OVER (ORDER BY score) AS sp,
+             SUM(nt) OVER (ORDER BY score) AS sc
+      FROM per
+    ),
+    pairs AS (
+      SELECT a.id AS j, b.id AS k,
+             (1000000000000 * (b.sp - a.sp + a.np))
+               // (b.sc - a.sc + a.nt) AS q
+      FROM ord a JOIN ord b ON b.id >= a.id
+    ),
+    smin AS (
+      SELECT j, k, MIN(q) OVER (PARTITION BY j ORDER BY k DESC) AS m
+      FROM pairs
+    ),
+    iso AS (
+      SELECT k AS id, CAST(MAX(m) AS BIGINT) AS iso_q12
+      FROM smin GROUP BY k
+    )
+    SELECT o.score, o.np, o.nt, i.iso_q12
+    FROM ord o JOIN iso i ON i.id = o.id
+    """,
+)
+def m32_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration of the stopword-fraction scorer
+    (the PAV fit sklearn's ``IsotonicRegression`` / ``CalibratedClassifierCV``
+    computes) — the standard monotone recalibration next to the m25
+    reliability curve, fitted EXACTLY via the minimax characterization
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(pos[j..k])
+
+    (Robertson, Wright & Dykstra 1988, eq. 1.9-1.13), which equals the
+    pool-adjacent-violators solution but is expressible as pure
+    prefix-sum + window algebra — no sequential pooling loop on either
+    engine.  Each interval mean is one truncating q12 fixed-point
+    division of exact integer prefix sums; q12 separates every distinct
+    rational with denominators up to ~1e6 rows, so min/max over q is
+    min/max over the true fractions.
+
+    Scale: everything after the first aggregation runs on the distinct-
+    score table (rational support, bounded like m23/m24), so the B^2
+    interval expansion and its per-j suffix-min window are value-
+    cardinality work, independent of corpus size; the unpartitioned
+    rank/prefix windows ride ABOVE that aggregate per the bounded-frame
+    discipline."""
+    from .text import STOPWORDS, _toks
+
+    t = (
+        tbl(spark, sf_dir, "documents")
+        .select("lang", _toks(F.lower(F.col("text"))).alias("a"))
+        .filter(F.size("a") > 0)
+    )
+    scored = t.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (
+            F.size(F.filter("a", lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.size("a")
+        ).alias("score"),
+    )
+    per = scored.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.count("*").alias("nt"),
+    )
+    wo = Window.orderBy("score")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    d38 = "decimal(38,0)"
+    ord_ = per.select(
+        "score",
+        "np",
+        "nt",
+        F.row_number().over(wo).alias("id"),
+        F.sum("np").over(wrun).cast(d38).alias("sp"),
+        F.sum("nt").over(wrun).cast(d38).alias("sc"),
+    ).localCheckpoint(eager=False)
+    a = ord_.select(
+        F.col("id").alias("j"),
+        F.col("sp").alias("asp"),
+        F.col("sc").alias("asc_"),
+        F.col("np").cast(d38).alias("anp"),
+        F.col("nt").cast(d38).alias("ant"),
+    )
+    b = ord_.select(
+        F.col("id").alias("k"),
+        F.col("sp").alias("bsp"),
+        F.col("sc").alias("bsc"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "CAST((CAST(1000000000000 AS DECIMAL(38,0))"
+                " * (bsp - asp + anp)) div (bsc - asc_ + ant) AS DECIMAL(38,0))"
+            ).alias("q"),
+        )
+    )
+    wsuf = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    smin = pairs.select("j", "k", F.min("q").over(wsuf).alias("m"))
+    iso = smin.groupBy("k").agg(F.max("m").cast("long").alias("iso_q12"))
+    return ord_.join(iso, ord_.id == iso.k).select(
+        "score", "np", "nt", "iso_q12"
+    )

@@ -613,3 +613,44 @@ def test_sbd_properties_and_kshape_recovery(spark):
     }
     for (a, b), d in list(got.items())[:10]:
         assert d == pytest.approx(_sbd(series[a], series[b]), abs=1e-9)
+
+
+def test_isotonic_minimax_equals_pav(spark):
+    """The minimax-formula isotonic fit must equal sequential
+    pool-adjacent-violators (they are the same estimator; Robertson,
+    Wright & Dykstra 1988) and be monotone nondecreasing."""
+    from energy_consumption_forecasting_spark.queries.ml_queries import (
+        m32_isotonic_calibration,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        m32_isotonic_calibration(spark, SF_SMALL).collect(),
+        key=lambda r: r.score,
+    )
+    # sequential PAV over the same weighted per-score table
+    blocks = []  # (num, den) exact-fraction pools
+    for r in rows:
+        blocks.append((r.np, r.nt))
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            n2, d2 = blocks.pop()
+            n1, d1 = blocks.pop()
+            blocks.append((n1 + n2, d1 + d2))
+    # re-expand pools positionally (one fitted value per member score)
+    expanded = []
+    i = 0
+    for n, d in blocks:
+        # d counts documents, not scores — re-derive member count
+        cnt = 0
+        dd = 0
+        while dd < d:
+            dd += rows[i + cnt].nt
+            cnt += 1
+        for _ in range(cnt):
+            expanded.append((10**12 * n) // d)
+        i += cnt
+    got = [r.iso_q12 for r in rows]
+    assert got == expanded
+    assert all(b >= a for a, b in zip(got, got[1:]))
