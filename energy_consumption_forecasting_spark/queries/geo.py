@@ -131,3 +131,68 @@ def geo_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell"),
         (dlat * dlat + dlon * dlon).cast("long").alias("d2_q"),
     )
+
+
+@query(
+    "geo_nearest_supplier",
+    oracle=f"""
+    WITH cust AS ({_CUST_SQL}),
+    supp AS ({_SUPP_SQL}),
+    pairs AS (
+      SELECT c.k AS custkey, s.k AS suppkey,
+             CAST((c.latq - s.latq) * (c.latq - s.latq)
+                  + (c.lonq - s.lonq) * (c.lonq - s.lonq) AS BIGINT) AS d2_q
+      FROM cust c, supp s
+    )
+    SELECT custkey, suppkey, d2_q FROM (
+      SELECT custkey, suppkey, d2_q,
+             ROW_NUMBER() OVER (PARTITION BY custkey
+                                ORDER BY d2_q, suppkey) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility join: for every customer point, the single
+    nearest supplier by exact quantized squared distance (ties by
+    suppkey) — the spatial argmin join behind "closest warehouse /
+    station" assignment, here in its small-dimension regime: the
+    supplier side broadcasts, the distance-argmin collapses to ONE
+    ``min(struct(d2, key))`` aggregation per customer — a map-side
+    combinable groupBy, no window over the pair fan-out.
+
+    When BOTH sides are large this exact plan is wrong — use the
+    geohash-cell candidates (geo_geohash_join) with ring expansion for
+    the refine; this query is the broadcast tier of that same family,
+    the one a 100 TB fact side actually wants against a dimension-sized
+    facility list.  Flat (unwrapped) quantized coordinates, same
+    deterministic point derivation as the cell join."""
+    c = tbl(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS custkey",
+        f"{_LAT_SQL.format(k='c_custkey')} AS clat",
+        f"{_LON_SQL.format(k='c_custkey')} AS clon",
+    )
+    s = tbl(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS suppkey",
+        f"{_LAT_SQL.format(k='s_suppkey')} AS slat",
+        f"{_LON_SQL.format(k='s_suppkey')} AS slon",
+    )
+    d2 = (
+        (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat"))
+        + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
+    ).cast("long")
+    best = (
+        c.crossJoin(F.broadcast(s))
+        .select("custkey", "suppkey", d2.alias("d2_q"))
+        .groupBy("custkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("d2_q").alias("d2_q"), F.col("suppkey").alias("suppkey")
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        "custkey", F.col("m.suppkey").alias("suppkey"), F.col("m.d2_q").alias("d2_q")
+    )

@@ -964,3 +964,177 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * num) div NULLIF(den, 0) AS BIGINT)"
         ).alias("acf_ppm"),
     )
+
+
+# --- interval coalescing (merge overlapping activity intervals) -----------------------
+@query(
+    "w_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(MIN(s_us) AS BIGINT) AS merged_start_us,
+           CAST(MAX(e_us) AS BIGINT) AS merged_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: each event opens a 30-minute activity
+    interval; overlapping (or touching) intervals per user merge into
+    maximal spans — the union-of-intervals primitive behind session
+    stitching, on-call coverage, and machine-uptime rollups, and the
+    second classic gaps-and-islands shape next to w_streak_islands.
+
+    The merge is the running-max trick: a row starts a new island iff
+    its start exceeds the max end of ALL preceding intervals (ROWS ...
+    1 PRECEDING window), then the island id is a running sum of those
+    flags — two windows PARTITIONED BY user (user-bounded state, never
+    global), one groupBy.  Determinism: the frame orders by the
+    (s_us, e_us) pair made unique by the DISTINCT collapse; times stay
+    exact BIGINT microseconds end-to-end (no timestamp column ever
+    emitted, per the tz rule)."""
+    iv = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_us"),
+        )
+        .distinct()
+        .withColumn("e_us", F.col("s_us") + F.lit(1800000000).cast("long"))
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(F.max("e_us").over(wprev), F.lit(-1).cast("long")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(wrun).cast("long")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("merged_start_us"),
+        F.max("e_us").alias("merged_end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- Wald–Wolfowitz runs test on the daily series -------------------------------------
+@query(
+    "ts_runs_test",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
+      FROM events GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d, vc - LAG(vc) OVER (ORDER BY d) AS dv FROM v
+    ),
+    signs AS (
+      SELECT d, CASE WHEN dv > 0 THEN 1 ELSE 0 END AS up
+      FROM diffs WHERE dv IS NOT NULL AND dv <> 0
+    ),
+    flips AS (
+      SELECT up, CASE WHEN up <> LAG(up) OVER (ORDER BY d) THEN 1 ELSE 0 END AS flip
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+             CAST(1 + SUM(flip) AS BIGINT) AS n_runs
+      FROM flips
+    )
+    SELECT n_up, n_down, n_runs,
+           (CAST(n_runs AS DOUBLE)
+              - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / SQRT(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down)
+                       * (n_up + n_down - 1.0))) AS z
+    FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily series'
+    up/down moves — the nonparametric "is this trend or noise?" check
+    that belongs beside the ACF in the Box-Jenkins identification
+    toolbox.  Zero-diff days are excluded (the standard treatment); the
+    run count, n_up and n_down are exact integers and the z statistic
+    is ONE shared IEEE expression over them (the cross-engine float
+    rule).
+
+    The two unpartitioned windows ride the calendar-bounded daily
+    aggregate (m7/j3 justification); everything before them is one
+    map-side-combinable date aggregation."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    wd = Window.orderBy("d")
+    diffs = v.select("d", (F.col("vc") - F.lag("vc").over(wd)).alias("dv"))
+    signs = diffs.filter(
+        F.col("dv").isNotNull() & (F.col("dv") != 0)
+    ).select("d", F.when(F.col("dv") > 0, 1).otherwise(0).alias("up"))
+    flips = signs.select(
+        "up",
+        F.when(F.col("up") != F.lag("up").over(wd), 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count("*") - F.sum("up")).cast("long").alias("n_down"),
+        (1 + F.sum("flip")).cast("long").alias("n_runs"),
+    )
+    nu, nd, nr = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    mu = 2.0 * nu * nd / (nu + nd) + 1.0
+    var = (
+        2.0
+        * nu
+        * nd
+        * (2.0 * nu * nd - nu - nd)
+        / ((nu + nd) * (nu + nd) * (nu + nd - 1.0))
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        ((nr.cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
