@@ -92,6 +92,15 @@ HEADLINE = [
     "sim_mmr_rerank",
     "pipeline_span_corruption",
     "w_time_weighted_avg",
+    # round-5 fourth wave: a second iterative-graph entry (synchronous
+    # LPA), the exact-PAV calibration (bounded B^2 interval expansion),
+    # the multimodal perceptual-hash grouping, and the two new
+    # gaps-and-islands window shapes
+    "graph_label_propagation",
+    "m32_isotonic_calibration",
+    "mm_phash_dedup",
+    "w_streak_islands",
+    "w_interval_merge",
 ]
 
 
@@ -124,6 +133,7 @@ def main() -> None:
         # sf0.001 warm pass — same rule as the rank family above
         "graph_pagerank",
         "dedup_connected_components",
+        "graph_label_propagation",
     ):
         qs[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

@@ -179,6 +179,18 @@ AUDITED = [
     "ds_q51_cumulative_channels",
     "ds_q35_exists_profile",
     "w_cohort_ltv",
+    # round-5 fourth wave
+    "w_streak_islands",
+    "ts_acf",
+    "graph_label_propagation",
+    "ds_q47_sales_deviation",
+    "ds_q74_yoy_growth",
+    "text_hashing_features",
+    "m32_isotonic_calibration",
+    "mm_phash_dedup",
+    "geo_nearest_supplier",
+    "w_interval_merge",
+    "ts_runs_test",
 ]
 
 

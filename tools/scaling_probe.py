@@ -63,6 +63,10 @@ PROBES = [
     ("w_time_weighted_avg", "type-partitioned lead window + agg"),
     ("graph_link_prediction", "wedge-join candidates + degree joins"),
     ("mm_audio_rms", "payload-local window moments (mapInPandas)"),
+    ("graph_label_propagation", "4-round sync LPA join+argmax"),
+    ("mm_phash_dedup", "decode+resize kernel + signature groupBy"),
+    ("m32_isotonic_calibration", "bounded B^2 interval windows"),
+    ("w_interval_merge", "per-user running-max island windows"),
 ]
 
 
