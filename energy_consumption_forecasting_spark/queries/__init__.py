@@ -24,6 +24,14 @@ across engines:
   both engines.  Caution: Python's ``//`` FLOORS (differs on negative
   operands) — a pandas-side mirror of a signed fixed-point metric must
   use ``int(num / den)``-style truncation, not ``//``.
+* NEVER cast a FLOAT column straight to DECIMAL: Spark routes
+  float→decimal through the float's SHORTEST string representation
+  (≈9 sig digits) while DuckDB converts the exact binary value, so
+  the two can round to different grid cells (measured ±1 ulp at q6 on
+  emb_dim_stats).  Widen to DOUBLE first on BOTH sides — the double's
+  17-digit round-trip repr cannot straddle a decimal grid a float sits
+  near, so double→decimal is engine-identical (and tie-free: no binary
+  float lands exactly on a half-grid with a 5^k denominator).
 """
 
 from __future__ import annotations

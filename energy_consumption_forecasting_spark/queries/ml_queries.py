@@ -2010,3 +2010,79 @@ def m32_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ord_.join(iso, ord_.id == iso.k).select(
         "score", "np", "nt", "iso_q12"
     )
+
+
+# --- embedding-space per-dimension profile ------------------------------------------
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH comp AS (
+      SELECT CAST(s.i AS INT) AS idx,
+             CAST(CAST(CAST(embedding[s.i] AS DOUBLE) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS v_q6
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    ),
+    agg AS (
+      SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v_q6 AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v_q6 AS HUGEINT) * CAST(v_q6 AS HUGEINT))
+                  AS HUGEINT) AS ssq,
+             CAST(MIN(v_q6) AS BIGINT) AS min_q6,
+             CAST(MAX(v_q6) AS BIGINT) AS max_q6
+      FROM comp GROUP BY idx
+    )
+    SELECT idx, n,
+           CAST((1000 * s) // n AS BIGINT) AS mean_q9,
+           CAST((n * ssq - s * s) // (n * n) AS BIGINT) AS var_q12,
+           min_q6, max_q6
+    FROM agg
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding space (mean, variance,
+    range per coordinate) — the drift/collapse monitor every vector
+    pipeline runs before trusting an index rebuild: a dimension whose
+    variance collapses or mean shifts signals a bad encoder deploy.
+
+    Exactness: components quantize to q6 integers FIRST (a binary
+    float can never land on the q6 half-grid, so the decimal cast is
+    tie-free and engine-identical), then every moment is exact integer
+    arithmetic in DECIMAL(38,0)/HUGEINT and the emitted mean/variance
+    are truncating fixed-point divisions — no float ever aggregated.
+    Unlike the ordered-fold pattern (emb_centroid_by_label), the
+    quantized sums are ASSOCIATIVE, so the aggregation is map-side
+    combinable with no window — the preferred 100 TB shape when a
+    documented quantization is acceptable.
+
+    Plan: posexplode -> ONE groupBy on the 64-value dimension key."""
+    d38 = "decimal(38,0)"
+    comp = (
+        tbl(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("idx"),
+            (F.col("vf").cast("double").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .alias("v_q6"),
+        )
+    )
+    agg = comp.groupBy("idx").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v_q6").cast(d38)).cast(d38).alias("s"),
+        F.sum(F.col("v_q6").cast(d38) * F.col("v_q6").cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+        F.min("v_q6").alias("min_q6"),
+        F.max("v_q6").alias("max_q6"),
+    )
+    return agg.select(
+        "idx",
+        "n",
+        F.expr("CAST((1000 * s) div n AS BIGINT)").alias("mean_q9"),
+        F.expr("CAST((n * ssq - s * s) div (n * n) AS BIGINT)").alias(
+            "var_q12"
+        ),
+        "min_q6",
+        "max_q6",
+    )

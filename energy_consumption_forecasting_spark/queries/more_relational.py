@@ -984,3 +984,39 @@ def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderkey").cast("string"))
         .alias("maybe_key"),
     )
+
+
+# --- Spark 4 SQL pipe syntax ---------------------------------------------------------
+@query(
+    "f_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def f_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555 — the `|>` operator
+    chain from the Google 'Pipe Syntax in SQL' paper): the same
+    filter→aggregate shape expressed as sequential pipe stages.  The
+    parser lowers pipes to the identical logical plan as nested SQL,
+    so pushdown/codegen are unchanged — the gate proves the surface
+    works end-to-end against a standard-SQL oracle (DuckDB has no pipe
+    dialect; the oracle is the classical form, which is the point:
+    same semantics, different syntax)."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pipe")
+    return spark.sql(
+        """
+        FROM v_orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS revenue_c
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue_c
+        """
+    )

@@ -810,3 +810,120 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+# --- quality-filter funnel attribution ------------------------------------------------
+@query(
+    "pipeline_quality_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(a) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(a, x -> list_contains({STOPWORDS!r}, x)))
+                  AS BIGINT) AS n_stop,
+             CAST(list_aggregate(list_transform(a, x -> length(x)), 'sum')
+                  AS BIGINT) AS total_len,
+             CAST(len(list_distinct(a)) AS BIGINT) AS n_distinct
+      FROM t
+    ),
+    flags AS (
+      SELECT (n_tokens >= 20) AS r1,
+             (3 * n_tokens <= total_len AND total_len <= 10 * n_tokens) AS r2,
+             (20 * n_stop >= n_tokens) AS r3,
+             (10 * n_distinct >= 3 * n_tokens) AS r4
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM((NOT r1)::INT) AS BIGINT) AS f1,
+             CAST(SUM((NOT r2)::INT) AS BIGINT) AS f2,
+             CAST(SUM((NOT r3)::INT) AS BIGINT) AS f3,
+             CAST(SUM((NOT r4)::INT) AS BIGINT) AS f4,
+             CAST(SUM((r1 AND NOT r2)::INT) AS BIGINT) AS s2,
+             CAST(SUM((r1 AND r2 AND NOT r3)::INT) AS BIGINT) AS s3,
+             CAST(SUM((r1 AND r2 AND r3 AND NOT r4)::INT) AS BIGINT) AS s4,
+             CAST(SUM((r1)::INT) AS BIGINT) AS a1,
+             CAST(SUM((r1 AND r2)::INT) AS BIGINT) AS a2,
+             CAST(SUM((r1 AND r2 AND r3)::INT) AS BIGINT) AS a3,
+             CAST(SUM((r1 AND r2 AND r3 AND r4)::INT) AS BIGINT) AS a4
+      FROM flags
+    )
+    SELECT u.stage, u.rule, u.fail_alone, u.fail_at_stage, u.survivors_after
+    FROM agg, LATERAL (
+      VALUES (1, 'min_length',     f1, f1, a1),
+             (2, 'word_length',    f2, s2, a2),
+             (3, 'stopword_ratio', f3, s3, a3),
+             (4, 'type_token',     f4, s4, a4)
+    ) AS u(stage, rule, fail_alone, fail_at_stage, survivors_after)
+    """,
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attribution for a Gopher/C4-style quality gate:
+    four cheap rules (min length >= 20 tokens, mean word length in
+    [3,10], stopword ratio >= 5%, type-token ratio >= 0.3) evaluated
+    in their pipeline order, reporting per rule (a) how many documents
+    it kills in isolation, (b) how many it kills AT its stage (i.e.
+    among survivors of earlier rules), and (c) cumulative survivors —
+    the report every corpus-cleaning run ships so rule costs are
+    attributable before anything is actually dropped.
+
+    Every rule is an integer cross-product (no float thresholds), all
+    metrics are row-local array folds (zero shuffles before the single
+    scalar aggregation), and the 4-row funnel is unpivoted from ONE
+    aggregate — corpus-size-independent output."""
+    t = tbl(spark, sf_dir, "documents").select("doc_id", _toks().alias("a"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = t.select(
+        F.size("a").cast("long").alias("n_tokens"),
+        F.size(F.filter("a", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+        F.aggregate(
+            F.transform("a", lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("total_len"),
+        F.size(F.array_distinct("a")).cast("long").alias("n_distinct"),
+    )
+    flags = m.select(
+        (F.col("n_tokens") >= 20).alias("r1"),
+        (
+            (3 * F.col("n_tokens") <= F.col("total_len"))
+            & (F.col("total_len") <= 10 * F.col("n_tokens"))
+        ).alias("r2"),
+        (20 * F.col("n_stop") >= F.col("n_tokens")).alias("r3"),
+        (10 * F.col("n_distinct") >= 3 * F.col("n_tokens")).alias("r4"),
+    )
+
+    def cnt(cond):
+        return F.sum(cond.cast("int")).cast("long")
+
+    r1, r2, r3, r4 = (F.col(c) for c in ("r1", "r2", "r3", "r4"))
+    agg = flags.agg(
+        cnt(~r1).alias("f1"),
+        cnt(~r2).alias("f2"),
+        cnt(~r3).alias("f3"),
+        cnt(~r4).alias("f4"),
+        cnt(r1 & ~r2).alias("s2"),
+        cnt(r1 & r2 & ~r3).alias("s3"),
+        cnt(r1 & r2 & r3 & ~r4).alias("s4"),
+        cnt(r1).alias("a1"),
+        cnt(r1 & r2).alias("a2"),
+        cnt(r1 & r2 & r3).alias("a3"),
+        cnt(r1 & r2 & r3 & r4).alias("a4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             1, 'min_length',     f1, f1, a1,
+             2, 'word_length',    f2, s2, a2,
+             3, 'stopword_ratio', f3, s3, a3,
+             4, 'type_token',     f4, s4, a4)
+           AS (stage, rule, fail_alone, fail_at_stage, survivors_after)"""
+    )

@@ -543,3 +543,112 @@ def ds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("growth_ppm"), F.asc("custkey"))
         .limit(100)
     )
+
+
+@query(
+    "ds_q36_margin_rank",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN GROUPING(p.p_type) = 1 THEN '(all)' ELSE p.p_type END
+               AS type_l,
+             CASE WHEN GROUPING(p.p_brand) = 1 THEN '(all)' ELSE p.p_brand END
+               AS brand_l,
+             CAST(GROUPING(p.p_type) + GROUPING(p.p_brand) AS INT)
+               AS lochierarchy,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS gross_c,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l.l_discount AS DECIMAL(4,2)) * 10000
+                           AS BIGINT)) AS BIGINT) AS disc_q4
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY ROLLUP(p.p_type, p.p_brand)
+    ),
+    ranked AS (
+      SELECT type_l, brand_l, lochierarchy, gross_c, disc_q4,
+             CAST((1000000 * CAST(disc_q4 AS HUGEINT))
+                  // NULLIF(100 * CAST(gross_c AS HUGEINT), 0) AS BIGINT)
+               AS disc_ppm
+      FROM base
+    )
+    SELECT type_l, brand_l, lochierarchy, gross_c, disc_q4, disc_ppm,
+           CAST(RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN lochierarchy = 0 THEN type_l
+                               ELSE '(all)' END
+             ORDER BY disc_ppm DESC, type_l, brand_l) AS INT) AS rank_in_parent
+    FROM ranked
+    """,
+)
+def ds_q36_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q36 shape: discount-intensity ranking at every level of the
+    type→brand hierarchy in ONE pass — ROLLUP with lochierarchy =
+    sum of GROUPING bits, then RANK *within the parent group* (leaf
+    rows rank among siblings under their type; subtotal rows rank
+    across types).  The reporting pattern behind every drill-down
+    margin dashboard.
+
+    Exactness: grouping-set labels are resolved from GROUPING() BEFORE
+    the window (the ds_q67 lesson — engines order NULL vs label
+    differently); the ranking key is the truncating ppm ratio of two
+    exact integer sums (never a float division), deterministically
+    tie-broken by the labeled keys.  Scale: Expand multiplies rows by
+    3 grouping sets BEFORE the shuffle, partial-agg absorbs it
+    map-side; the rank window partitions on (lochierarchy, parent) —
+    hierarchy-cardinality state, never a global sort."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    gross = F.sum(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    ).cast("long")
+    disc = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(4,2)")
+            * 10000
+        ).cast("long")
+    ).cast("long")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.grouping("p_type").alias("g_t"),
+            F.grouping("p_brand").alias("g_b"),
+            gross.alias("gross_c"),
+            disc.alias("disc_q4"),
+        )
+        .select(
+            F.when(F.col("g_t") == 1, F.lit("(all)"))
+            .otherwise(F.col("p_type"))
+            .alias("type_l"),
+            F.when(F.col("g_b") == 1, F.lit("(all)"))
+            .otherwise(F.col("p_brand"))
+            .alias("brand_l"),
+            (F.col("g_t") + F.col("g_b")).cast("int").alias("lochierarchy"),
+            "gross_c",
+            "disc_q4",
+        )
+    )
+    ranked = base.withColumn(
+        "disc_ppm",
+        F.expr(
+            "CAST((1000000 * CAST(disc_q4 AS DECIMAL(38,0)))"
+            " div NULLIF(100 * CAST(gross_c AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("type_l")).otherwise(
+            F.lit("(all)")
+        ),
+    ).orderBy(F.desc("disc_ppm"), "type_l", "brand_l")
+    return ranked.select(
+        "type_l",
+        "brand_l",
+        "lochierarchy",
+        "gross_c",
+        "disc_q4",
+        "disc_ppm",
+        F.rank().over(w).cast("int").alias("rank_in_parent"),
+    )
