@@ -2086,3 +2086,61 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_q6",
         "max_q6",
     )
+
+
+# --- M34: leave-one-out target encoding ----------------------------------------------
+@query(
+    "m34_target_encoding",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_c) AS BIGINT) AS s
+      FROM ev GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(CASE WHEN st.n > 1
+                     THEN (10000 * (st.s - e.v_c)) // (100 * (st.n - 1))
+                     ELSE NULL END AS BIGINT) AS loo_enc_q4,
+           st.n AS category_n
+    FROM ev e JOIN stats st USING (event_type)
+    """,
+)
+def m34_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the mean-encoding featurization
+    for high-cardinality categoricals, Micci-Barreca 2001): each row's
+    category feature is the mean target of all OTHER rows in its
+    category, (S_cat − y_i)/(n_cat − 1) — the leakage-free form every
+    gradient-boosting pipeline uses.  Singleton categories encode NULL
+    on both engines (no other rows to average).
+
+    Exact q4 fixed point: cents numerator, one truncating integer
+    division.  Plan: ONE map-side-combinable category aggregation
+    broadcast-joined back to the fact — the per-row encode is pure
+    column algebra, so at 100 TB this costs one dim-sized shuffle plus
+    a projection, never a window over the fact."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_c"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("v_c").cast("long").alias("s")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN n > 1"
+                " THEN (10000 * (s - v_c)) div (100 * (n - 1))"
+                " ELSE NULL END AS BIGINT)"
+            ).alias("loo_enc_q4"),
+            F.col("n").alias("category_n"),
+        )
+    )

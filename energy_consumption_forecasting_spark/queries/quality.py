@@ -1138,3 +1138,164 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         ((nr.cast("double") - mu) / F.sqrt(var)).alias("z"),
     )
+
+
+# --- two-sample Kolmogorov–Smirnov test ------------------------------------------------
+@query(
+    "m33_ks_two_sample",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS l,
+             (lang = 'en') AS is_en
+      FROM documents
+    ),
+    per AS (
+      SELECT l,
+             CAST(SUM(is_en::INT) AS BIGINT) AS c_en,
+             CAST(SUM((NOT is_en)::INT) AS BIGINT) AS c_ot
+      FROM lens GROUP BY l
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_en) AS HUGEINT) AS n1,
+             CAST(SUM(c_ot) AS HUGEINT) AS n2
+      FROM per
+    ),
+    cum AS (
+      SELECT l,
+             SUM(CAST(c_en AS HUGEINT)) OVER (ORDER BY l) AS f1,
+             SUM(CAST(c_ot AS HUGEINT)) OVER (ORDER BY l) AS f2
+      FROM per
+    ),
+    d AS (
+      SELECT l, ABS(f1 * tot.n2 - f2 * tot.n1) AS num FROM cum, tot
+    ),
+    best AS (
+      SELECT MIN(l) AS ks_at_len FROM d WHERE num = (SELECT MAX(num) FROM d)
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n_en,
+           CAST(tot.n2 AS BIGINT) AS n_other,
+           best.ks_at_len,
+           CAST((1000000 * (SELECT MAX(num) FROM d))
+                // (tot.n1 * tot.n2) AS BIGINT) AS d_ppm
+    FROM tot, best
+    """,
+)
+def m33_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic comparing the token-
+    length distributions of English vs non-English documents — the
+    standard distribution-shift test (next to dq_drift_chi2's binned
+    chi-square) a corpus monitor runs between snapshots: D = max over
+    thresholds of |ECDF_en − ECDF_other|.
+
+    Exact throughout: the ECDF difference at each distinct length is
+    the integer |F1·n2 − F2·n1| (never a float ECDF), the maximum and
+    its earliest attaining length are deterministic, and D emits as ONE
+    truncating ppm division.  The cumulative window rides the
+    distinct-length table (value-cardinality support, m23/m24
+    argument) — all corpus-scale work is one groupBy."""
+    from .text import _toks
+
+    lens = tbl(spark, sf_dir, "documents").select(
+        F.size(_toks()).cast("long").alias("l"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    per = lens.groupBy("l").agg(
+        F.sum(F.col("is_en").cast("int")).cast("long").alias("c_en"),
+        F.sum((~F.col("is_en")).cast("int")).cast("long").alias("c_ot"),
+    )
+    d38 = "decimal(38,0)"
+    tot = per.agg(
+        F.sum("c_en").cast(d38).alias("n1"),
+        F.sum("c_ot").cast(d38).alias("n2"),
+    )
+    wcum = Window.orderBy("l").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "l",
+        F.sum(F.col("c_en").cast(d38)).over(wcum).cast(d38).alias("f1"),
+        F.sum(F.col("c_ot").cast(d38)).over(wcum).cast(d38).alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "l",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .cast(d38)
+        .alias("num"),
+    )
+    best = d.agg(
+        F.min(
+            F.struct((-F.col("num")).alias("nn"), F.col("l").alias("l"))
+        ).alias("m"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    return best.select(
+        F.col("n1").cast("long").alias("n_en"),
+        F.col("n2").cast("long").alias("n_other"),
+        F.col("m.l").alias("ks_at_len"),
+        F.expr(
+            "CAST((1000000 * CAST(-m.nn AS DECIMAL(38,0))) div (n1 * n2)"
+            " AS BIGINT)"
+        ).alias("d_ppm"),
+    )
+
+
+# --- k-anonymity audit ----------------------------------------------------------------
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    grp AS (
+      SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS g
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(g) AS BIGINT) AS n_rows,
+           CAST(SUM((g < 5)::INT) AS BIGINT) AS groups_lt_k,
+           CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT)
+             AS rows_lt_k,
+           CAST(MIN(g) AS BIGINT) AS min_group,
+           CAST((1000000 * SUM(CASE WHEN g < 5 THEN g ELSE 0 END))
+                // SUM(g) AS BIGINT) AS risk_ppm
+    FROM grp
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket) — the re-identification risk gate (Sweeney 2002) a
+    governance layer runs before releasing or training on a corpus:
+    any row whose QI combination is shared by fewer than k documents
+    is linkable.  Reports group/row counts below k=5, the worst group
+    size, and the at-risk row fraction in exact truncating ppm.
+
+    Plan: one integer bucketing projection + ONE map-side-combinable
+    groupBy + a scalar rollup — two shuffles total, the second over
+    group-cardinality state.  The same shape audits any QI set at any
+    scale; the length bucket shows the standard generalization step
+    (coarsen a continuous QI until groups clear k)."""
+    qi = tbl(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("CAST(n_chars div 100 AS BIGINT)").alias("len_bucket"),
+    )
+    grp = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").alias("g")
+    )
+    lt = F.when(F.col("g") < 5, F.col("g")).otherwise(F.lit(0))
+    return grp.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum("g").cast("long").alias("n_rows"),
+        F.sum((F.col("g") < 5).cast("int")).cast("long").alias("groups_lt_k"),
+        F.sum(lt).cast("long").alias("rows_lt_k"),
+        F.min("g").alias("min_group"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN g < 5 THEN g ELSE 0 END))"
+            " div SUM(g) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )
