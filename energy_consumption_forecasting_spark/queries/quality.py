@@ -1299,3 +1299,86 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(g) AS BIGINT)"
         ).alias("risk_ppm"),
     )
+
+
+# --- Welch's unequal-variance t-test ---------------------------------------------------
+@query(
+    "m35_welch_ttest",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS l,
+             (lang = 'en') AS is_en
+      FROM documents
+    ),
+    g AS (
+      SELECT is_en, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(l) AS HUGEINT) AS s,
+             CAST(SUM(l * l) AS HUGEINT) AS ssq
+      FROM lens GROUP BY is_en
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN is_en THEN n END) AS n1,
+             CAST(MAX(CASE WHEN is_en THEN s END) AS HUGEINT) AS s1,
+             CAST(MAX(CASE WHEN is_en THEN ssq END) AS HUGEINT) AS q1,
+             MAX(CASE WHEN NOT is_en THEN n END) AS n2,
+             CAST(MAX(CASE WHEN NOT is_en THEN s END) AS HUGEINT) AS s2,
+             CAST(MAX(CASE WHEN NOT is_en THEN ssq END) AS HUGEINT) AS q2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n2 AS BIGINT) AS n_other,
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(
+                 (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / (n1 * n1 * (n1 - 1.0)))
+               + (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / (n2 * n2 * (n2 - 1.0)))
+             ) AS t_welch
+    FROM w
+    """,
+)
+def m35_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for the en vs non-en mean
+    token-length difference — the mean-shift companion to the KS
+    (shape) and chi-square (binned) drift tests, closing the classical
+    two-sample toolbox.
+
+    Both groups' moments are exact integer sums (HUGEINT/DECIMAL(38));
+    t is ONE shared IEEE expression over them, per the cross-engine
+    float rule — the integer moments stay well under 2^53 after the
+    double conversion guard (n·ssq ≤ ~1e13 at sf1).  Plan: one
+    map-side-combinable two-group aggregation, one pivot row — no
+    window, no join, corpus-size-independent state."""
+    from .text import _toks
+
+    lens = tbl(spark, sf_dir, "documents").select(
+        F.size(_toks()).cast("long").alias("l"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    d38 = "decimal(38,0)"
+    g = lens.groupBy("is_en").agg(
+        F.count("*").alias("n"),
+        F.sum("l").cast(d38).alias("s"),
+        F.sum(F.col("l") * F.col("l")).cast(d38).alias("ssq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("is_en"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("is_en"), F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("is_en"), F.col("ssq"))).alias("q1"),
+        F.max(F.when(~F.col("is_en"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("is_en"), F.col("s"))).alias("s2"),
+        F.max(F.when(~F.col("is_en"), F.col("ssq"))).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mean_diff = F.col("s1").cast("double") / n1 - F.col("s2").cast(
+        "double"
+    ) / n2
+    v1 = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1 * n1 * (n1 - F.lit(1.0))
+    )
+    v2 = (n2 * F.col("q2") - F.col("s2") * F.col("s2")).cast("double") / (
+        n2 * n2 * (n2 - F.lit(1.0))
+    )
+    return w.select(
+        n1.cast("long").alias("n_en"),
+        n2.cast("long").alias("n_other"),
+        (mean_diff / F.sqrt(v1 + v2)).alias("t_welch"),
+    )

@@ -621,3 +621,149 @@ def test_basket_pair_explode_property(spark, lines):
         .collect()
     }
     assert got == ref
+
+
+# --- gaps-and-islands ops vs pure-python references ------------------------------
+@st.composite
+def user_days(draw):
+    n_users = draw(st.integers(min_value=1, max_value=4))
+    out = []
+    for u in range(n_users):
+        days = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=40),
+                min_size=1,
+                max_size=25,
+            )
+        )
+        out.extend((u, d) for d in days)
+    return out
+
+
+def ref_streaks(pairs):
+    """(user -> (longest, active_days, n_streaks)) by direct scan."""
+    byu = {}
+    for u, d in pairs:
+        byu.setdefault(u, set()).add(d)
+    out = {}
+    for u, ds in byu.items():
+        ds = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        out[u] = (max(runs), len(ds), len(runs))
+    return out
+
+
+@SET
+@given(user_days())
+def test_streak_islands_matches_reference(spark, pairs):
+    from datetime import date, timedelta
+
+    from pyspark.sql import Window
+
+    base = date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + timedelta(days=d)) for u, d in pairs],
+        "user_id INT, d DATE",
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        df.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("len"))
+    )
+    got = {
+        r.user_id: (r.longest, r.active, r.n)
+        for r in runs.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest"),
+            F.sum("len").cast("long").alias("active"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == ref_streaks(pairs)
+
+
+@st.composite
+def user_intervals(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=500),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+
+
+def ref_merge(starts, width):
+    """Union of [s, s+width] per the running-max island rule."""
+    merged = []
+    for s in sorted(set(starts)):
+        e = s + width
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e), merged[-1][2] + 1)
+        else:
+            merged.append((s, e, 1))
+    return merged
+
+
+@SET
+@given(user_intervals())
+def test_interval_merge_matches_reference(spark, pairs):
+    from pyspark.sql import Window
+
+    width = 30
+    iv = (
+        spark.createDataFrame(pairs, "user_id INT, s_us LONG")
+        .distinct()
+        .withColumn("e_us", F.col("s_us") + F.lit(width).cast("long"))
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(F.max("e_us").over(wprev), F.lit(-1).cast("long")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    got = (
+        flagged.withColumn("island", F.sum("new_island").over(wrun))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("s_us").alias("ms"),
+            F.max("e_us").alias("me"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    by_user_got = {}
+    for r in got:
+        by_user_got.setdefault(r.user_id, []).append((r.ms, r.me, r.n))
+    for u in by_user_got:
+        by_user_got[u].sort()
+    by_user_ref = {}
+    for u in {p[0] for p in pairs}:
+        starts = [s for uu, s in pairs if uu == u]
+        by_user_ref[u] = ref_merge(starts, width)
+    assert by_user_got == by_user_ref
