@@ -879,11 +879,10 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- autocorrelation function of the daily series -------------------------------------
-@query(
-    "ts_acf",
-    oracle="""
-    WITH v AS (
+# --- autocorrelation / partial autocorrelation of the daily series -------------------
+# Shared oracle fragment: centered daily series + per-lag ACF moments
+# (ts_acf AND ts_pacf build from this, so the two cannot drift).
+_ACF_CTES = """v AS (
       SELECT CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
       FROM events GROUP BY 1
@@ -903,29 +902,13 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(a.c * b.c) AS num
       FROM lags, c a JOIN c b ON b.d = a.d + CAST(lag || ' days' AS INTERVAL)
       GROUP BY lag
-    )
-    SELECT CAST(lag AS INT) AS lag, n_pairs,
-           CAST((1000000 * num) // NULLIF(den.den, 0) AS BIGINT) AS acf_ppm
-    FROM num, den
-    """,
-)
-def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample autocorrelation of the daily total-value series at lags
-    1..7 — the Box-Jenkins identification tool the reference's ARIMA
-    workflow starts from (order selection reads the ACF/PACF).
+    )"""
 
-    Exact integer ppm end-to-end: with v_t the daily cents, center by
-    the scaled residual c_t = n*v_t - S (no fraction ever formed), then
-    r_k = sum(c_t * c_{t+k}) / sum(c_t^2) emitted as ONE truncating
-    integer division in parts-per-million.  Moments ride DECIMAL(38,0)
-    (DuckDB HUGEINT) per the >2**53 integer->double ban.
 
-    Plan: one calendar-bounded daily aggregation, a scalar stats row
-    broadcast back (sanctioned 1-row crossJoin), a 7-row lag grid
-    cross join, and a date-shifted self-equi-join — all state is
-    calendar-cardinality, independent of event volume."""
-    ev = tbl(spark, sf_dir, "events")
+def _acf_frames(spark: SparkSession, sf_dir: str):
+    """Spark half of ``_ACF_CTES``: (per-lag num frame, den frame)."""
     d38 = "decimal(38,0)"
+    ev = tbl(spark, sf_dir, "events")
     v = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.col("value").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -957,6 +940,34 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("cb")).cast(d38).alias("num"),
         )
     )
+    return num, den
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH {_ACF_CTES}
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           CAST((1000000 * num) // NULLIF(den.den, 0) AS BIGINT) AS acf_ppm
+    FROM num, den
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily total-value series at lags
+    1..7 — the Box-Jenkins identification tool the reference's ARIMA
+    workflow starts from (order selection reads the ACF/PACF).
+
+    Exact integer ppm end-to-end: with v_t the daily cents, center by
+    the scaled residual c_t = n*v_t - S (no fraction ever formed), then
+    r_k = sum(c_t * c_{t+k}) / sum(c_t^2) emitted as ONE truncating
+    integer division in parts-per-million.  Moments ride DECIMAL(38,0)
+    (DuckDB HUGEINT) per the >2**53 integer->double ban.
+
+    Plan: one calendar-bounded daily aggregation, a scalar stats row
+    broadcast back (sanctioned 1-row crossJoin), a 7-row lag grid
+    cross join, and a date-shifted self-equi-join — all state is
+    calendar-cardinality, independent of event volume."""
+    num, den = _acf_frames(spark, sf_dir)
     return num.crossJoin(F.broadcast(den)).select(
         "lag",
         "n_pairs",
@@ -1381,4 +1392,135 @@ def m35_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("long").alias("n_en"),
         n2.cast("long").alias("n_other"),
         (mean_diff / F.sqrt(v1 + v2)).alias("t_welch"),
+    )
+
+
+@query(
+    "ts_pacf",
+    oracle=f"""
+    WITH {_ACF_CTES},
+    r AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN q END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN q END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN q END) AS r3
+      FROM (SELECT lag,
+                   (1000000000 * num) // NULLIF(den.den, 0) AS q
+            FROM num, den)
+    ),
+    dets AS (
+      SELECT r1, r2, r3,
+             CAST(1000000000 AS HUGEINT) AS s,
+             (CAST(1000000000 AS HUGEINT) * 1000000000 - r1 * r1)
+               AS d2,
+             (CAST(1000000000 AS HUGEINT) * r2 - r1 * r1) AS d2s
+      FROM r
+    ),
+    d3 AS (
+      SELECT r1, r2, r3, d2, d2s,
+             s * (s * s - r1 * r1) - r1 * (r1 * s - r1 * r2)
+               + r2 * (r1 * r1 - s * r2) AS det3,
+             s * (s * r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
+               + r1 * (r1 * r1 - s * r2) AS det3s
+      FROM dets
+    )
+    SELECT u.lag, u.pacf_ppm FROM d3, LATERAL (
+      VALUES (CAST(1 AS INT), CAST(r1 // 1000 AS BIGINT)),
+             (2, CAST((1000000 * d2s) // NULLIF(d2, 0) AS BIGINT)),
+             (3, CAST((1000000 * det3s) // NULLIF(det3, 0) AS BIGINT))
+    ) AS u(lag, pacf_ppm)
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily series at lags 1..3 — the
+    other half of Box-Jenkins order identification (the AR order reads
+    off where the PACF cuts).  Computed by the Yule-Walker determinant
+    form, phi_kk = det(P*_k)/det(P_k) over the Toeplitz correlation
+    matrix — Durbin-Levinson unrolled, no recursion on either engine.
+
+    Exactness: the ACFs quantize to q9 integers FIRST (one truncating
+    division each, shared with ts_acf's moment fragment so the two
+    cannot drift), then every determinant is exact integer algebra —
+    ppm-scaled degree-3 products of q9 values stay under DECIMAL(38)/HUGEINT —
+    and each PACF emits as one truncating ppm division.  All work
+    after the shared daily aggregation is constant-size."""
+    num, den = _acf_frames(spark, sf_dir)
+    r = (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.expr(
+                "CAST((1000000000 * num) div NULLIF(den, 0)"
+                " AS DECIMAL(38,0))"
+            ).alias("q"),
+        )
+        .agg(
+            F.max(F.when(F.col("lag") == 1, F.col("q"))).alias("r1"),
+            F.max(F.when(F.col("lag") == 2, F.col("q"))).alias("r2"),
+            F.max(F.when(F.col("lag") == 3, F.col("q"))).alias("r3"),
+        )
+    )
+    d3 = r.selectExpr(
+        "r1",
+        "r2",
+        "r3",
+        "CAST(1000000000 AS DECIMAL(38,0)) AS s",
+    ).selectExpr(
+        "r1",
+        "CAST(s * s - r1 * r1 AS DECIMAL(38,0)) AS d2",
+        "CAST(s * r2 - r1 * r1 AS DECIMAL(38,0)) AS d2s",
+        "CAST(s * (s * s - r1 * r1) - r1 * (r1 * s - r1 * r2)"
+        " + r2 * (r1 * r1 - s * r2) AS DECIMAL(38,0)) AS det3",
+        "CAST(s * (s * r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)"
+        " + r1 * (r1 * r1 - s * r2) AS DECIMAL(38,0)) AS det3s",
+    )
+    return d3.selectExpr(
+        """stack(3,
+             CAST(1 AS INT), CAST(r1 div 1000 AS BIGINT),
+             2, CAST((1000000 * d2s) div NULLIF(d2, 0) AS BIGINT),
+             3, CAST((1000000 * det3s) div NULLIF(det3, 0) AS BIGINT))
+           AS (lag, pacf_ppm)"""
+    )
+
+
+# --- new vs returning daily actives ----------------------------------------------------
+@query(
+    "a_new_vs_returning",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT a.d,
+           CAST(SUM((a.d = fs.d0)::INT) AS BIGINT) AS n_new,
+           CAST(SUM((a.d > fs.d0)::INT) AS BIGINT) AS n_returning
+    FROM act a JOIN fs USING (user_id)
+    GROUP BY a.d
+    """,
+)
+def a_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split new vs returning — the growth-
+    accounting headline every product dashboard leads with (paired
+    with w_cohort_retention and w_rolling_mau).
+
+    Plan: first-seen is ONE user-keyed min aggregation, actives ONE
+    distinct — both shuffle on the natural user key — then an equi-join
+    and a date-keyed count.  Exact integer counts throughout; at
+    100 TB the first-seen frame is user-cardinality and the join is
+    user-partitioned, never a window over raw events."""
+    ev = tbl(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(fs, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum((F.col("d") == F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("d") > F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("n_returning"),
+        )
     )

@@ -77,7 +77,10 @@ SF1_JSON = "/root/repo/.stage/sf1_probe.json"
 # verdict (item 6) asked for a SECOND decade to settle whether the
 # documented output-bound / linear-term explanations hold.
 SF1_PROBES = ["dedup_semantic", "dedup_prefix_filter_join", "a_basket_pairs",
-              "m27_croston"]
+              "m27_croston",
+              # round-5 fourth wave: the new iterative-graph entry and
+              # the decode-bound multimodal signature pass
+              "graph_label_propagation", "mm_phash_dedup"]
 
 
 def _gen_sf1() -> None:
@@ -311,6 +314,18 @@ def main() -> None:
             "m27_croston": (
                 "series-bound, at-or-below linear: the partition-fit "
                 "mapInPandas amortizes per-group overhead"
+            ),
+            "graph_label_propagation": (
+                "SUB-linear (≈2.1× on 10× edges): per-round cost is one "
+                "edge-keyed join + argmax agg, so the decade is "
+                "shuffle-bandwidth-bound; local wall stays "
+                "scheduling-floor-dominated like pagerank"
+            ),
+            "mm_phash_dedup": (
+                "decode-bound, below-linear wall (≈4.5× on 10× docs): "
+                "the Arrow mapInPandas decode is linear in payload "
+                "bytes and parallelizes across batches; the signature "
+                "groupBy is key-cardinality work"
             ),
         }
         for name in SF1_PROBES:
