@@ -1247,3 +1247,177 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return card.crossJoin(F.broadcast(dup)).withColumnRenamed(
         "n_exact_dups", "corpus_exact_dups"
     )
+
+
+# --- deterministic hash-based dataset split --------------------------------------------
+@query(
+    "pipeline_dataset_split_hash",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             CAST(strpos('0123456789abcdef',
+                         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                  - 1 AS INT) AS nib
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN nib < 13 THEN 'train'
+                  WHEN nib < 14 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged GROUP BY split, lang
+    """,
+)
+def pipeline_dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the split
+    every training pipeline needs to be REPRODUCIBLE and stable under
+    corpus growth: a document's split is a pure function of its id
+    (first md5 nibble: 13/16 train, 1/16 val, 2/16 test), so re-runs,
+    backfills, and incremental ingests never migrate an example across
+    splits (the leakage mode random splits suffer).  The gate reports
+    the per-split × language composition the pipeline would log.
+
+    Row-local hash + CASE, ONE map-side-combinable groupBy; bucket
+    keys stay hex-character arithmetic (the CMS convention), identical
+    on both engines at any scale."""
+    h = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        ).alias("c"),
+    )
+    tagged = h.select(
+        "lang",
+        "source",
+        F.when(F.col("c") < "d", F.lit("train"))
+        .when(F.col("c") < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+# --- contrastive triplet construction ---------------------------------------------------
+@query(
+    "pipeline_contrastive_triplets",
+    oracle="""
+    WITH ranked AS (
+      SELECT vec_id, CAST(label AS INT) AS label,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM embeddings
+    ),
+    labels AS (
+      SELECT CAST(label AS INT) AS label,
+             ROW_NUMBER() OVER (ORDER BY label) AS li,
+             COUNT(*) OVER () AS nl
+      FROM (SELECT DISTINCT label FROM embeddings)
+    ),
+    pos AS (
+      SELECT a.vec_id AS anchor_id, a.label,
+             b.vec_id AS pos_id, a.r, a.n
+      FROM ranked a JOIN ranked b
+        ON b.label = a.label AND b.r = (a.r % a.n) + 1
+      WHERE a.n >= 2
+    ),
+    neg AS (
+      SELECT p.anchor_id, p.label, p.pos_id, nb.vec_id AS neg_id,
+             nb.label AS neg_label
+      FROM pos p
+      JOIN labels la ON la.label = p.label
+      JOIN labels ln ON ln.li = (la.li % la.nl) + 1
+      JOIN ranked nb ON nb.label = ln.label
+        AND nb.r = ((p.r - 1) % nb.n) + 1
+    )
+    SELECT anchor_id, CAST(label AS INT) AS label, pos_id, neg_id,
+           CAST(neg_label AS INT) AS neg_label
+    FROM neg
+    """,
+)
+def pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet construction for
+    contrastive/metric learning over the embedding corpus — the
+    dataset-prep step behind triplet-loss training: positive = the
+    next vector (cyclically) within the anchor's label, negative = the
+    rank-aligned vector from the NEXT label (cyclically), so every
+    anchor gets exactly one deterministic triplet, reproducible across
+    runs and engines (no sampling RNG anywhere).
+
+    Plan: two per-label windows (label-partitioned — label-bounded
+    state), a label directory small enough to broadcast, and two
+    equi-joins on (label, rank) — at 100 TB everything shuffles on the
+    label/rank keys; the cyclic wrap is modulo arithmetic, not a self
+    cross-join.  Labels with one member yield no triplet (no positive
+    exists) on both engines."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    ranked = emb.select(
+        "vec_id",
+        "label",
+        F.row_number().over(wl).alias("r"),
+        F.count("*").over(Window.partitionBy("label")).alias("n"),
+    ).localCheckpoint(eager=False)
+    labels = (
+        emb.select("label")
+        .distinct()
+        .select(
+            "label",
+            F.row_number().over(Window.orderBy("label")).alias("li"),
+            F.count("*").over(Window.partitionBy()).alias("nl"),
+        )
+    )
+    b = ranked.select(
+        F.col("label").alias("bl"), F.col("r").alias("br"),
+        F.col("vec_id").alias("pos_id"),
+    )
+    pos = (
+        ranked.filter(F.col("n") >= 2)
+        .join(
+            b,
+            (F.col("bl") == F.col("label"))
+            & (F.col("br") == (F.col("r") % F.col("n")) + 1),
+        )
+        .select(
+            F.col("vec_id").alias("anchor_id"), "label", "pos_id", "r"
+        )
+    )
+    la = labels.select(
+        F.col("label").alias("al"), F.col("li").alias("ali"), "nl"
+    )
+    ln = labels.select(
+        F.col("label").alias("neg_label"), F.col("li").alias("nli")
+    )
+    nb = ranked.select(
+        F.col("label").alias("nbl"), F.col("r").alias("nbr"),
+        F.col("n").alias("nbn"), F.col("vec_id").alias("neg_id"),
+    )
+    return (
+        pos.join(F.broadcast(la), F.col("al") == F.col("label"))
+        .join(
+            F.broadcast(ln),
+            F.col("nli") == (F.col("ali") % F.col("nl")) + 1,
+        )
+        .join(
+            nb,
+            (F.col("nbl") == F.col("neg_label"))
+            & (
+                F.col("nbr")
+                == ((F.col("r") - 1) % F.col("nbn")) + 1
+            ),
+        )
+        .select("anchor_id", "label", "pos_id", "neg_id", "neg_label")
+    )
