@@ -101,6 +101,10 @@ HEADLINE = [
     "mm_phash_dedup",
     "w_streak_islands",
     "w_interval_merge",
+    # round-5 fifth wave: per-node triangle credit (the heaviest new
+    # plan) and the LOO encode's fact-side broadcast join
+    "graph_local_clustering",
+    "m34_target_encoding",
 ]
 
 

@@ -1060,3 +1060,118 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("n").alias("node"), F.col("lab").alias("community")
     )
+
+
+# --- local clustering coefficient -----------------------------------------------------
+@query(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+      FROM edges e
+      JOIN deg du ON du.n = e.u
+      JOIN deg dv ON dv.n = e.v
+    ),
+    od AS (
+      SELECT o.a, o.b, da.d AS d_a, db.d AS d_b
+      FROM oriented o JOIN deg da ON da.n = o.a JOIN deg db ON db.n = o.b
+    ),
+    closed AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM od e1
+      JOIN od e2 ON e2.a = e1.a
+                AND (e1.d_b, e1.b) < (e2.d_b, e2.b)
+      JOIN od e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS n FROM closed
+      UNION ALL SELECT y FROM closed
+      UNION ALL SELECT z FROM closed
+    ),
+    pernode AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corners GROUP BY n
+    )
+    SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+           COALESCE(p.n_tri, 0) AS n_triangles,
+           CAST(CASE WHEN deg.d >= 2
+                THEN (2000000 * COALESCE(p.n_tri, 0))
+                       // (deg.d * (deg.d - 1)) END AS BIGINT) AS lcc_ppm
+    FROM deg LEFT JOIN pernode p ON p.n = deg.n
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    2·triangles(v) / (deg(v)·(deg(v)−1)) on the co-purchase graph —
+    the per-node "how clique-like is my neighborhood" metric next to
+    the global triangle count and assortativity.
+
+    Triangles are enumerated ONCE by the same degree-ordered
+    compact-forward wedge join as graph_triangle_count (O(m^1.5) wedge
+    fan-out; shared `_COPURCHASE_SQL`/`_copurchase_edges` so operator
+    and oracle cannot drift), then each closed triangle credits its
+    three corners via a 3-way unpivot — one extra groupBy on the node
+    key, no new wedge work.  The coefficient is a truncating ppm
+    division of exact integers; degree-1 nodes emit NULL (undefined)
+    on both engines."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=False)
+    du, dv = deg.alias("du"), deg.alias("dv")
+    tagged = (
+        edges.join(du, F.col("u") == F.col("du.n"))
+        .join(dv, F.col("v") == F.col("dv.n"))
+        .select(
+            "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
+        )
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    od = tagged.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("d_u")).otherwise(F.col("d_v")).alias("d_a"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
+    )
+    e1, e2, e3 = od.alias("e1"), od.alias("e2"), od.alias("e3")
+    lt = (F.col("e1.d_b") < F.col("e2.d_b")) | (
+        (F.col("e1.d_b") == F.col("e2.d_b")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    closed = (
+        e1.join(e2, (F.col("e2.a") == F.col("e1.a")) & lt)
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    corners = closed.selectExpr("stack(3, x, y, z) AS (n)")
+    pernode = corners.groupBy("n").agg(F.count("*").alias("n_tri"))
+    return (
+        deg.join(pernode.withColumnRenamed("n", "pn"),
+                 F.col("pn") == F.col("n"), "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(CASE WHEN d >= 2 THEN (2000000 *"
+                " COALESCE(n_tri, CAST(0 AS BIGINT)))"
+                " div (CAST(d AS BIGINT) * (d - 1)) END AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+    )

@@ -191,6 +191,20 @@ AUDITED = [
     "geo_nearest_supplier",
     "w_interval_merge",
     "ts_runs_test",
+    # round-5 fifth wave
+    "f_pipe_syntax",
+    "ds_q36_margin_rank",
+    "pipeline_quality_funnel",
+    "emb_dim_stats",
+    "m33_ks_two_sample",
+    "m34_target_encoding",
+    "dq_k_anonymity",
+    "m35_welch_ttest",
+    "ts_pacf",
+    "a_new_vs_returning",
+    "pipeline_dataset_split_hash",
+    "pipeline_contrastive_triplets",
+    "graph_local_clustering",
 ]
 
 
