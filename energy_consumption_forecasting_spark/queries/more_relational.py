@@ -1020,3 +1020,52 @@ def f_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, revenue_c
         """
     )
+
+
+# --- re-aggregatable HLL sketches (DataSketches surface) -------------------------------
+@query(
+    "sketch_hll_union",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM ts) AS INT) AS mo,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting — the 100 TB dashboard
+    pattern: build a DataSketches HLL sketch PER DAY
+    (``hll_sketch_agg``, Spark 3.5+/4 binary sketch surface), then
+    roll days into months by ``hll_union_agg`` WITHOUT rescanning the
+    facts — the property ``approx_count_distinct`` lacks (its estimate
+    can't be re-aggregated across groups).  The gate emits the exact
+    monthly distinct (oracle-checked) plus a boolean asserting the
+    unioned sketch estimate lands within 5% — the sketch VALUE itself
+    is implementation-defined, so only the verdict is hashed (the
+    a_approx_percentile_eval convention for sketch gates).
+
+    HLL register merges are max-based — order- and duplicate-
+    insensitive — so the daily→monthly union is exactly the shuffle-
+    free incremental rollup a snapshotted metrics store performs."""
+    ev = tbl(spark, sf_dir, "events").select(
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dy"),
+        "user_id",
+    )
+    daily = ev.groupBy("mo", "dy").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    monthly = daily.groupBy("mo").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy("mo").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(monthly, "mo").select(
+        "mo",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("within_5pct"),
+    )

@@ -1100,3 +1100,137 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "query_id", F.col("step").cast("int").alias("step"), "sel_id", "mmr_score"
     )
+
+
+# --- filtered ANN: pre-filter ground truth vs post-filter LSH recall -------------------
+@query(
+    "sim_filtered_lsh_eval",
+    oracle=f"""
+    WITH planes AS (SELECT {{planes}} AS ps),
+    e AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding::DOUBLE[] AS v,
+             (SELECT string_agg(
+                CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                     THEN '1' ELSE '0' END, '' ORDER BY j)
+              FROM (SELECT unnest(ps) AS p,
+                           generate_subscripts(ps, 1) AS j
+                    FROM planes) t) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+        FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    post AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+        FROM q JOIN e c ON c.bucket = q.bucket AND c.label = q.label
+                        AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM((p.neighbor_id IS NOT NULL)::INT) AS BIGINT) AS n_hit,
+           CAST((1000000 * SUM((p.neighbor_id IS NOT NULL)::INT))
+                // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN post p ON p.query_id = t.query_id
+                    AND p.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """.replace("{planes}", _planes_sql()),
+)
+def sim_filtered_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search evaluation — the vector-DB question
+    every metadata-constrained workload asks: when top-k must satisfy
+    a predicate (here: same label as the query, the tenant/language
+    filter), does POST-filtering an ANN candidate set lose recall vs
+    the PRE-filtered exact search?  Ground truth pre-filters (the
+    predicate becomes the JOIN key — label-partitioned exact top-k);
+    the candidate path intersects the LSH bucket with the predicate
+    and top-ks what survives; recall is exact integer hits per query
+    in truncating ppm.
+
+    Deterministic end-to-end (fixed checked-in hyperplanes, id
+    tie-breaks), so the gate is oracle-hash-checked — the same
+    measure-the-operator-from-its-own-frames pattern as
+    dedup_lsh_quality / sim_ann_recall.  At 100 TB the lesson this
+    gate encodes: push predicates into the bucket join key (partition
+    the index BY tenant) rather than post-filtering a fixed-size
+    candidate list."""
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            as_double("embedding").alias("v"),
+        )
+        .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
+    ).localCheckpoint(eager=False)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("bucket").alias("qbucket"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = cosine_prenormed(
+        F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")
+    )
+
+    def topk(joined):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), "neighbor_id"
+        )
+        return (
+            joined.select(
+                F.col("qid").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(
+        q.join(
+            e,
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+    )
+    post = topk(
+        q.join(
+            e,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+    ).withColumnRenamed("neighbor_id", "p_neighbor")
+    hits = truth.join(
+        post,
+        (post.query_id == truth.query_id)
+        & (F.col("p_neighbor") == F.col("neighbor_id")),
+        "left",
+    ).select(truth.query_id.alias("query_id"), "p_neighbor")
+    return hits.groupBy("query_id").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.col("p_neighbor").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_hit"),
+        F.expr(
+            "CAST((1000000 * SUM(CAST(p_neighbor IS NOT NULL AS INT)))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
