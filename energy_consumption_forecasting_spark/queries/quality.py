@@ -1524,3 +1524,112 @@ def a_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+# --- Theil–Sen robust trend ------------------------------------------------------------
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
+      FROM events GROUP BY 1
+    ),
+    base AS (SELECT MIN(d) AS d0 FROM v),
+    idx AS (
+      SELECT CAST(d - base.d0 AS BIGINT) AS t, vc FROM v, base
+    ),
+    slopes AS (
+      SELECT (10000 * (b.vc - a.vc)) // (b.t - a.t) AS s_q4
+      FROM idx a JOIN idx b ON b.t > a.t
+    ),
+    m AS (
+      SELECT s_q4 AS slope_q4,
+             CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs
+      FROM (SELECT s_q4, ROW_NUMBER() OVER (ORDER BY s_q4) AS rn
+            FROM slopes)
+      WHERE rn = ((SELECT COUNT(*) + 1 FROM slopes) // 2)
+    ),
+    res AS (
+      SELECT (10000 * idx.vc - m.slope_q4 * idx.t) AS r_q4, m.slope_q4,
+             m.n_pairs
+      FROM idx, m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+           n_pairs, slope_q4,
+           CAST(r_q4 AS BIGINT) AS intercept_q4
+    FROM (SELECT r_q4, slope_q4, n_pairs,
+                 ROW_NUMBER() OVER (ORDER BY r_q4) AS rn,
+                 COUNT(*) OVER () AS cnt
+          FROM res)
+    WHERE rn = (cnt + 1) // 2
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily series: slope = median of
+    all pairwise slopes, intercept = median residual at that slope —
+    the 29%-breakdown-point trend estimator that shrugs off the
+    outliers which bend OLS (the robust sibling of m21's exact OLS,
+    completing the robust toolbox with dq_outlier_mad and
+    m7_stl_robust).
+
+    Exactness: each pairwise slope is ONE truncating q4 division of
+    integer cents over integer day gaps; medians are exact order
+    statistics (integer rank (n+1)//2 — the m31 lesson: never compute
+    an order-statistic index in floating point) over those integers,
+    so both engines agree bit-for-bit.  The O(days²) pair join runs on
+    the CALENDAR-bounded daily aggregate (≤366 rows/year — constant
+    work at any corpus size); the unpartitioned rank windows ride that
+    bounded frame per the m23/m24 discipline."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    base = v.agg(F.min("d").alias("d0"))
+    idx = v.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"), "vc"
+    ).localCheckpoint(eager=False)
+    a = idx.select(F.col("t").alias("ta"), F.col("vc").alias("va"))
+    slopes = (
+        idx.join(a, F.col("t") > F.col("ta"))
+        .select(
+            F.expr("(10000 * (vc - va)) div (t - ta)").alias("s_q4")
+        )
+    )
+    w = Window.orderBy("s_q4")
+    ranked = slopes.select(
+        "s_q4",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    m = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select(F.col("s_q4").alias("slope_q4"), F.col("cnt").alias("n_pairs"))
+    res = idx.crossJoin(F.broadcast(m)).select(
+        (10000 * F.col("vc") - F.col("slope_q4") * F.col("t")).alias("r_q4"),
+        "slope_q4",
+        "n_pairs",
+    )
+    wr = Window.orderBy("r_q4")
+    picked = (
+        res.select(
+            "r_q4",
+            "slope_q4",
+            "n_pairs",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+    )
+    n_days = idx.agg(F.count("*").alias("n_days"))
+    return picked.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "n_pairs",
+        "slope_q4",
+        F.col("r_q4").cast("long").alias("intercept_q4"),
+    )

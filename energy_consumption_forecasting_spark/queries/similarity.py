@@ -1234,3 +1234,84 @@ def sim_filtered_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# --- hard-negative mining --------------------------------------------------------------
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH planes AS (SELECT {{planes}} AS ps),
+    e AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding::DOUBLE[] AS v,
+             (SELECT string_agg(
+                CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                     THEN '1' ELSE '0' END, '' ORDER BY j)
+              FROM (SELECT unnest(ps) AS p,
+                           generate_subscripts(ps, 1) AS j
+                    FROM planes) t) AS bucket
+      FROM embeddings
+    )
+    SELECT anchor_id, label, neg_id, neg_label, cos_sim
+    FROM (
+      SELECT q.vec_id AS anchor_id, q.label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+      FROM e q JOIN e c ON c.bucket = q.bucket AND c.label <> q.label
+    ) WHERE rnk = 1
+    """.replace("{planes}", _planes_sql()),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY vector,
+    the most-similar vector with a DIFFERENT label among its LSH-bucket
+    candidates — the negatives that actually move a metric-learning
+    loss (random negatives are trivially separable; hard ones come
+    from the collision structure).  Complements
+    pipeline_contrastive_triplets' rank-aligned easy negatives.
+
+    Candidates come from the 8-plane signature bucket — NEVER all
+    pairs: at 100 TB the mining cost is the bucket join's collision
+    mass, the same scale shape as the dedup family.  Anchors whose
+    bucket holds no other-label vector yield no row (no hard negative
+    exists at this operating point — widen bands to trade recall, the
+    dedup_lsh_quality_hi lesson).  Deterministic planes + id
+    tie-breaks make the mined pairs oracle-hash-checkable."""
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            as_double("embedding").alias("v"),
+        )
+        .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
+    ).localCheckpoint(eager=False)
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("bucket").alias("cbucket"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = cosine_prenormed(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        e.join(
+            c,
+            (F.col("cbucket") == F.col("bucket"))
+            & (F.col("neg_label") != F.col("label")),
+        )
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            "label",
+            "neg_id",
+            "neg_label",
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w.partitionBy("anchor_id")))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
