@@ -1533,3 +1533,104 @@ def dedup_signal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         hamming.alias("simhash_hamming"),
     )
+
+
+# --- cross-split leakage screen ---------------------------------------------------------
+def _split_leakage_oracle() -> str:
+    from .pipeline_ops import SPLIT_CASE_SQL
+
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, list(mh ORDER BY h) AS sig FROM hashes GROUP BY doc_id
+    ),
+    splits AS (
+      SELECT doc_id, {SPLIT_CASE_SQL} AS split FROM documents
+    ),
+    scored AS (
+      SELECT LEAST(pa.split, pb.split) AS split_a,
+             GREATEST(pa.split, pb.split) AS split_b,
+             len(list_filter(range({N_HASHES}),
+                             i -> sa.sig[i+1] = sb.sig[i+1])) AS agree
+      FROM cand
+      JOIN sigs sa ON doc_a = sa.doc_id
+      JOIN sigs sb ON doc_b = sb.doc_id
+      JOIN splits pa ON doc_a = pa.doc_id
+      JOIN splits pb ON doc_b = pb.doc_id
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM((2 * agree >= {N_HASHES})::INT) AS BIGINT) AS n_leaky
+    FROM scored GROUP BY split_a, split_b
+    """
+
+
+@query("pipeline_split_leakage", oracle=_split_leakage_oracle())
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination screen: counts near-duplicate
+    candidate pairs (MinHash bands, est. Jaccard >= 0.5) per
+    split-pair cell of the deterministic train/val/test assignment —
+    the eval-integrity check every LLM data pipeline must run, because
+    a random split of a deduplicated-but-not-perfectly corpus leaks
+    train near-copies into test and inflates benchmarks.  Off-diagonal
+    cells (train/test, train/val, val/test) are the leaks; diagonal
+    cells are residual intra-split duplication for context.
+
+    Reuses the EXACT band/signature fragments of dedup_minhash_lsh and
+    the split rule of pipeline_dataset_split_hash (shared constants —
+    neither can drift from its operator), so candidates come from the
+    banded bucket join, never an all-pairs comparison; the split tag
+    joins on doc_id.  The leak verdict 2·agree >= n_perm is an integer
+    cross-product."""
+    from .pipeline_ops import split_col
+
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=False)
+    band_rows = _band_rows(sigs)
+    members = (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    cand = _pairs_from_members(members).distinct()
+    splits = tbl(spark, sf_dir, "documents").select(
+        "doc_id", split_col().alias("split")
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    pa = splits.select(
+        F.col("doc_id").alias("pa_id"), F.col("split").alias("sp_a")
+    )
+    pb = splits.select(
+        F.col("doc_id").alias("pb_id"), F.col("split").alias("sp_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # splits is doc-cardinality — no explicit broadcast hint (the
+        # round-4 advice on dedup_signal_panel): AQE picks broadcast at
+        # gate SF and hash join at corpus scale.
+        .join(pa, F.col("doc_a") == F.col("pa_id"))
+        .join(pb, F.col("doc_b") == F.col("pb_id"))
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            agree.alias("agree"),
+        )
+    )
+    return scored.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((2 * F.col("agree") >= N_HASHES).cast("int"))
+        .cast("long")
+        .alias("n_leaky"),
+    )

@@ -1250,22 +1250,35 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- deterministic hash-based dataset split --------------------------------------------
+# Shared split rule: first md5 nibble of 'split:<doc_id>' — 13/16 train,
+# 1/16 val, 2/16 test.  pipeline_dataset_split_hash AND the cross-split
+# leakage gate (queries/dedup.py::pipeline_split_leakage) build from
+# these two fragments so the assignment can never drift between them.
+SPLIT_CASE_SQL = """CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                  THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END"""
+
+
+def split_col():
+    """Spark twin of ``SPLIT_CASE_SQL`` (expects a ``doc_id`` column)."""
+    c = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return (
+        F.when(c < "d", F.lit("train"))
+        .when(c < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 @query(
     "pipeline_dataset_split_hash",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id, lang, source,
-             CAST(strpos('0123456789abcdef',
-                         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1))
-                  - 1 AS INT) AS nib
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, lang, source, {SPLIT_CASE_SQL} AS split
       FROM documents
-    ),
-    tagged AS (
-      SELECT doc_id, lang, source,
-             CASE WHEN nib < 13 THEN 'train'
-                  WHEN nib < 14 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM h
     )
     SELECT split, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1285,23 +1298,8 @@ def pipeline_dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-local hash + CASE, ONE map-side-combinable groupBy; bucket
     keys stay hex-character arithmetic (the CMS convention), identical
     on both engines at any scale."""
-    h = tbl(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.substring(
-            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-            1,
-            1,
-        ).alias("c"),
-    )
-    tagged = h.select(
-        "lang",
-        "source",
-        F.when(F.col("c") < "d", F.lit("train"))
-        .when(F.col("c") < "e", F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+    tagged = tbl(spark, sf_dir, "documents").select(
+        "lang", "source", split_col().alias("split")
     )
     return tagged.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
