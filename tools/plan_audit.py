@@ -205,6 +205,12 @@ AUDITED = [
     "pipeline_dataset_split_hash",
     "pipeline_contrastive_triplets",
     "graph_local_clustering",
+    # round-5 sixth wave
+    "sim_filtered_lsh_eval",
+    "sketch_hll_union",
+    "ts_theil_sen",
+    "sim_hard_negatives",
+    "pipeline_split_leakage",
 ]
 
 
