@@ -1214,7 +1214,7 @@ def m33_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lens.groupBy("l").agg(
         F.sum(F.col("is_en").cast("int")).cast("long").alias("c_en"),
         F.sum((~F.col("is_en")).cast("int")).cast("long").alias("c_ot"),
-    )
+    ).localCheckpoint(eager=False)  # feeds tot AND cum — share the scan+agg
     d38 = "decimal(38,0)"
     tot = per.agg(
         F.sum("c_en").cast(d38).alias("n1"),

@@ -455,6 +455,9 @@ def ds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sales_c")
         )
     )
+    # ms feeds BOTH the yearly stats agg and the window join — one lazy
+    # checkpoint shares the 3-table join+agg (brand-month cardinality).
+    ms = ms.localCheckpoint(eager=False)
     d38 = "decimal(38,0)"
     ya = ms.groupBy("brand", "yr").agg(
         F.sum(F.col("sales_c").cast(d38)).cast(d38).alias("y"),
