@@ -804,3 +804,164 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prominence_c"
         ),
     )
+
+
+# --- energy analytics: load-duration curve / peak-to-average / ramp rates --------------
+# The reference's domain is grid-load forecasting (BASELINE.md): these
+# three are the standard capacity-planning reads of a daily load series
+# — how demand distributes (duration curve), how peaky each month is
+# (PAR), and how fast it moves day-over-day (ramps).
+@query(
+    "ts_load_duration_curve",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
+      FROM events GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vc DESC, d) AS BIGINT) AS rnk,
+           vc AS load_c,
+           CAST((1000000 * ROW_NUMBER() OVER (ORDER BY vc DESC, d))
+                // n.n AS BIGINT) AS exceedance_ppm
+    FROM v, n
+    """,
+)
+def ts_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve: daily loads sorted descending with their
+    exceedance fraction — the capacity-planning chart behind "how many
+    days/year exceed X MW" (peaker sizing, demand-response budgeting).
+    Exact cents, deterministic (value, date) ordering, ppm exceedance;
+    the global rank window rides the calendar-bounded daily aggregate
+    (m23/m24 discipline)."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    n = v.agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("vc"), "d")
+    return (
+        v.crossJoin(F.broadcast(n))
+        .select(
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.col("vc").alias("load_c"),
+            "n",
+        )
+        .selectExpr(
+            "rnk",
+            "load_c",
+            "CAST((1000000 * rnk) div n AS BIGINT) AS exceedance_ppm",
+        )
+    )
+
+
+@query(
+    "ts_peak_to_average",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM ts) AS INT) AS yr,
+             CAST(EXTRACT(month FROM ts) AS INT) AS mo,
+             CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT yr, mo,
+           CAST(MAX(vc) AS BIGINT) AS peak_c,
+           CAST(SUM(CAST(vc AS HUGEINT)) AS BIGINT) AS total_c,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST((1000000 * CAST(MAX(vc) AS HUGEINT) * COUNT(*))
+                // NULLIF(SUM(CAST(vc AS HUGEINT)), 0) AS BIGINT)
+             AS par_ppm
+    FROM v GROUP BY yr, mo
+    """,
+)
+def ts_peak_to_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly peak-to-average ratio of the daily load — the peakiness
+    metric that prices capacity (a PAR near 1 is baseload-shaped; high
+    PAR months need reserves).  PAR = max/mean emitted as the exact
+    cross-multiplied truncating ppm (1e6·max·n) div total — no float
+    mean ever formed."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(
+            F.year("ts").alias("yr"),
+            F.month("ts").alias("mo"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    d38 = "decimal(38,0)"
+    return v.groupBy("yr", "mo").agg(
+        F.max("vc").alias("peak_c"),
+        F.sum(F.col("vc").cast(d38)).cast("long").alias("total_c"),
+        F.count("*").alias("n_days"),
+        F.expr(
+            "CAST((1000000 * CAST(MAX(vc) AS DECIMAL(38,0)) * COUNT(*))"
+            " div NULLIF(SUM(CAST(vc AS DECIMAL(38,0))), 0) AS BIGINT)"
+        ).alias("par_ppm"),
+    )
+
+
+@query(
+    "ts_ramp_rates",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS vc
+      FROM events GROUP BY 1
+    ),
+    ramps AS (
+      SELECT CAST(EXTRACT(year FROM d) AS INT) AS yr,
+             CAST(EXTRACT(month FROM d) AS INT) AS mo,
+             vc - LAG(vc) OVER (ORDER BY d) AS ramp_c
+      FROM v
+    )
+    SELECT yr, mo,
+           CAST(COUNT(ramp_c) AS BIGINT) AS n_ramps,
+           CAST(MAX(ramp_c) AS BIGINT) AS max_up_ramp_c,
+           CAST(MIN(ramp_c) AS BIGINT) AS max_down_ramp_c,
+           CAST(SUM(ABS(CAST(ramp_c AS HUGEINT))) AS BIGINT)
+             AS total_abs_ramp_c
+    FROM ramps WHERE ramp_c IS NOT NULL GROUP BY yr, mo
+    """,
+)
+def ts_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly ramp-rate profile: the largest day-over-day up/down
+    moves and total absolute movement of the daily load — the
+    flexibility requirement a grid operator reads before committing
+    dispatchable capacity (fast ramps need fast units).  Exact integer
+    cents; the single lag window rides the calendar-bounded daily
+    aggregate; ramps attribute to the month of their LATER day."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    w = Window.orderBy("d")
+    ramps = v.select(
+        F.year("d").alias("yr"),
+        F.month("d").alias("mo"),
+        (F.col("vc") - F.lag("vc").over(w)).alias("ramp_c"),
+    ).filter(F.col("ramp_c").isNotNull())
+    d38 = "decimal(38,0)"
+    return ramps.groupBy("yr", "mo").agg(
+        F.count("ramp_c").alias("n_ramps"),
+        F.max("ramp_c").alias("max_up_ramp_c"),
+        F.min("ramp_c").alias("max_down_ramp_c"),
+        F.sum(F.abs(F.col("ramp_c").cast(d38))).cast("long").alias(
+            "total_abs_ramp_c"
+        ),
+    )
