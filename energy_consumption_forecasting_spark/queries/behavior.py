@@ -431,10 +431,7 @@ def w_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Kaplan-Meier survival: first view -> first purchase ----------------------------
-@query(
-    "w_kaplan_meier",
-    oracle="""
-    WITH v AS (
+_LIFE_TABLE_SQL = """v AS (
       SELECT user_id, MIN(ts) AS t0 FROM events
       WHERE event_type = 'view' GROUP BY user_id
     ),
@@ -460,25 +457,15 @@ def w_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS at_risk
       FROM durations GROUP BY d
-    )
-    SELECT d, at_risk, events,
-           product(1.0 - CAST(events AS DOUBLE) / at_risk) OVER (
-             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS survival
-    FROM tbl
-    """,
-)
-def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival estimate of time from first view to first
-    purchase, right-censored at the observation horizon.  Per-user
-    durations come from the funnel-style conditional-min joins (user-
-    keyed shuffles only); the life table is a day-keyed agg with a
-    descending running count for the risk set; the survival curve is
-    the ordered cumulative product of (1 − dᵢ/nᵢ) — each factor ONE
-    IEEE division and both engines folding the product in the same
-    ROWS-frame day order, so even the floats hash-match."""
-    from pyspark.sql import Window
+    )"""
 
+
+def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of ``_LIFE_TABLE_SQL``: the day-keyed life table
+    (d, events, leaving, at_risk) of first-view -> first-purchase
+    durations, right-censored at the horizon.  Shared by
+    w_kaplan_meier AND w_nelson_aalen so the risk-set definition
+    cannot drift between the two estimators."""
     ev = tbl(spark, sf_dir, "events")
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t0")
@@ -507,18 +494,40 @@ def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev").cast("long").alias("events"),
         F.count("*").cast("long").alias("leaving"),
     )
-    w_risk = (
-        Window.orderBy(F.desc("d"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_risk = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_surv = (
-        Window.orderBy(F.asc("d"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return life.withColumn(
+        "at_risk", F.sum("leaving").over(w_risk).cast("long")
+    )
+
+
+@query(
+    "w_kaplan_meier",
+    oracle=f"""
+    WITH {_LIFE_TABLE_SQL}
+    SELECT d, at_risk, events,
+           product(1.0 - CAST(events AS DOUBLE) / at_risk) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS survival
+    FROM tbl
+    """,
+)
+def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time from first view to first
+    purchase, right-censored at the observation horizon.  Per-user
+    durations come from the funnel-style conditional-min joins (user-
+    keyed shuffles only); the life table is a day-keyed agg with a
+    descending running count for the risk set; the survival curve is
+    the ordered cumulative product of (1 − dᵢ/nᵢ) — each factor ONE
+    IEEE division and both engines folding the product in the same
+    ROWS-frame day order, so even the floats hash-match.  Life table
+    shared with w_nelson_aalen via ``_life_table``/``_LIFE_TABLE_SQL``."""
+    w_surv = Window.orderBy(F.asc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return (
-        life.withColumn(
-            "at_risk", F.sum("leaving").over(w_risk).cast("long")
-        )
+        _life_table(spark, sf_dir)
         .withColumn(
             "survival",
             F.product(
@@ -526,6 +535,42 @@ def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w_surv),
         )
         .select("d", "at_risk", "events", "survival")
+    )
+
+
+@query(
+    "w_nelson_aalen",
+    oracle=f"""
+    WITH {_LIFE_TABLE_SQL}
+    SELECT d, at_risk, events,
+           SUM(CAST(events AS DOUBLE) / at_risk) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_hazard
+    FROM tbl
+    """,
+)
+def w_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(d) = Σ dᵢ/nᵢ over the SAME
+    life table as w_kaplan_meier (shared fragments — the risk-set
+    definition cannot drift between the estimators) — the hazard-scale
+    companion KM practitioners plot to read event-rate CHANGES, where
+    the survival curve flattens everything multiplicatively.
+
+    Same determinism argument as KM: one IEEE division per day,
+    cumulative sum folded in the identical ROWS-frame order on both
+    engines; the window rides the day-keyed bounded life table."""
+    w_cum = Window.orderBy(F.asc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        _life_table(spark, sf_dir)
+        .withColumn(
+            "cum_hazard",
+            F.sum(
+                F.col("events").cast("double") / F.col("at_risk")
+            ).over(w_cum),
+        )
+        .select("d", "at_risk", "events", "cum_hazard")
     )
 
 
