@@ -319,3 +319,129 @@ def pipeline_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "n_vocab", "vocab_chars", "roundtrip_ok", "token_chars_conserved_ok"
     )
+
+
+# --- unigram-LM tokenizer (SentencePiece family) ---------------------------------------
+UNIGRAM_MAX_LEN = 4
+UNIGRAM_TOP_V = 160
+UNIGRAM_ROUNDS = 3
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct alphabetic words with corpus counts (the BPE word rule)."""
+    return (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "pipeline_unigram_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM words WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+      GROUP BY w
+    ),
+    subs AS (
+      SELECT unnest(flatten(list_transform(range(1, {UNIGRAM_MAX_LEN} + 1),
+               l -> list_transform(range(1, greatest(len(w) - l + 1, 0) + 1),
+                                   i -> substr(w, i, l))))) AS piece,
+             cnt
+      FROM vocab
+    ),
+    counts AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weighted_count
+      FROM subs GROUP BY piece
+    ),
+    ranked AS (
+      SELECT piece, weighted_count,
+             ROW_NUMBER() OVER (ORDER BY weighted_count DESC, piece) AS rnk
+      FROM counts
+    )
+    SELECT piece, weighted_count
+    FROM ranked WHERE rnk <= {UNIGRAM_TOP_V} OR len(piece) = 1
+    """,
+)
+def pipeline_unigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 of the unigram-LM tokenizer (Kudo 2018 — SentencePiece's
+    probabilistic algorithm, the alternative family to BPE): the seed
+    piece vocabulary — every substring (len <= {UNIGRAM_MAX_LEN}) of
+    every distinct word weighted by corpus frequency, top-{UNIGRAM_TOP_V}
+    by weighted count with all single characters retained (the closed-
+    vocabulary guarantee that keeps every word segmentable).
+
+    Corpus-scale work is ONE explode + groupBy (substring expansion is
+    row-local on the DISTINCT-word table, so a 100 TB corpus costs its
+    vocabulary, not its token count); the rank window rides the
+    bounded piece-count aggregate."""
+    from ..operators.unigram import candidate_pieces
+
+    return candidate_pieces(
+        _vocab(spark, sf_dir),
+        max_len=UNIGRAM_MAX_LEN,
+        top_v=UNIGRAM_TOP_V,
+    )
+
+
+@query("pipeline_unigram_encode")
+def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram LM ({UNIGRAM_ROUNDS} hard-EM rounds over the
+    distinct-word vocabulary) and Viterbi-encode the corpus with it —
+    the full second-tokenizer-family counterpart of
+    pipeline_bpe_encode.  Per-document piece statistics out.
+
+    Scale shape mirrors the BPE apply: E-steps and the final encode
+    are vocabulary-sized Arrow-batched passes with a KB piece dict in
+    the closure; documents join the encoded vocabulary on the word —
+    corpus-sized work is one explode + one equi-join + one count-agg.
+    Rows-only gate (Viterbi under float log-probs has no reasonable
+    SQL oracle); segmentation semantics are pinned by
+    tests/test_unigram.py (hand-computed Viterbi, EM-likelihood
+    monotonicity, concatenation-identity property)."""
+    from ..operators.unigram import learn_unigram, unigram_encode_words
+
+    vocab = _vocab(spark, sf_dir).localCheckpoint(eager=False)
+    logp = learn_unigram(
+        vocab,
+        rounds=UNIGRAM_ROUNDS,
+        max_len=UNIGRAM_MAX_LEN,
+        top_v=UNIGRAM_TOP_V,
+    )
+    encoded = unigram_encode_words(
+        vocab, logp, max_len=UNIGRAM_MAX_LEN
+    ).withColumnRenamed("w", "ew")
+    doc_words = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    return (
+        doc_words.join(encoded, F.col("w") == F.col("ew"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.expr(
+                "CAST((1000000 * SUM(CAST(n_pieces AS BIGINT)))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+    )
