@@ -1107,3 +1107,104 @@ def w_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("long").alias("active_days"),
         F.count("*").alias("n_streaks"),
     )
+
+
+# --- user lifecycle state machine ------------------------------------------------------
+@query(
+    "w_lifecycle_states",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS wk
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    horizon AS (SELECT MAX(wk) AS max_wk FROM uw),
+    states AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM seq
+      UNION ALL
+      SELECT wk + 1 AS wk, 'churned' AS state
+      FROM seq, horizon
+      WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= horizon.max_wk
+    )
+    SELECT wk,
+           CAST(SUM((state = 'new')::INT) AS BIGINT) AS n_new,
+           CAST(SUM((state = 'retained')::INT) AS BIGINT) AS n_retained,
+           CAST(SUM((state = 'resurrected')::INT) AS BIGINT) AS n_resurrected,
+           CAST(SUM((state = 'churned')::INT) AS BIGINT) AS n_churned
+    FROM states GROUP BY wk
+    """,
+)
+def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the lifecycle state machine every
+    subscription/consumer dashboard decomposes its actives into: NEW
+    (first active week), RETAINED (active, active the week before),
+    RESURRECTED (active after a gap), plus CHURNED events attributed
+    to the first inactive week (bounded by the observation horizon).
+    Identity: actives(w) = new + retained + resurrected, and
+    retained(w) = actives(w−1) − churned(w).
+
+    Weeks are Monday-anchored integer indices (epoch-day div 7 — pure
+    integer arithmetic, no engine week-truncation semantics to agree
+    on).  Per-user min/lag/lead windows ride the user-partitioned
+    distinct (user, week) frame — user-bounded state at any scale —
+    and the final shuffle is one week-keyed count."""
+    uw = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05')"
+                " div 7 AS BIGINT)"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("wk")
+    seq = uw.select(
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+        F.lead("wk").over(wo).alias("next_wk"),
+    ).localCheckpoint(eager=False)
+    horizon = uw.agg(F.max("wk").alias("max_wk"))
+    active_states = seq.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), F.lit("new"))
+        .when(F.col("prev_wk") == F.col("wk") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("state"))
+    )
+    states = active_states.unionAll(churn)
+    return states.groupBy("wk").agg(
+        F.sum((F.col("state") == "new").cast("int")).cast("long").alias("n_new"),
+        F.sum((F.col("state") == "retained").cast("int"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((F.col("state") == "resurrected").cast("int"))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum((F.col("state") == "churned").cast("int"))
+        .cast("long")
+        .alias("n_churned"),
+    )
