@@ -105,6 +105,11 @@ HEADLINE = [
     # plan) and the LOO encode's fact-side broadcast join
     "graph_local_clustering",
     "m34_target_encoding",
+    # round-5 seventh wave: the second tokenizer family end-to-end
+    # (hard-EM fit + Viterbi encode) and the growth-accounting state
+    # machine
+    "pipeline_unigram_encode",
+    "w_lifecycle_states",
 ]
 
 

@@ -211,6 +211,15 @@ AUDITED = [
     "ts_theil_sen",
     "sim_hard_negatives",
     "pipeline_split_leakage",
+    # round-5 seventh wave (pipeline_unigram_encode is excluded: its
+    # DataFrame CONSTRUCTION runs the hard-EM collect loop, so an
+    # explain-only audit would still pay the training cost)
+    "ts_load_duration_curve",
+    "ts_peak_to_average",
+    "ts_ramp_rates",
+    "w_nelson_aalen",
+    "pipeline_unigram_candidates",
+    "w_lifecycle_states",
 ]
 
 
