@@ -1208,3 +1208,114 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_churned"),
     )
+
+
+# --- first/last-touch attribution ------------------------------------------------------
+@query(
+    "w_touch_attribution",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.event_id AS pid, p.rev_c,
+             arg_min(e.event_type,
+                     lpad(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS VARCHAR),
+                          20, '0') || ':' ||
+                     lpad(CAST(e.event_id AS VARCHAR), 12, '0'))
+               AS first_touch,
+             arg_max(e.event_type,
+                     lpad(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS VARCHAR),
+                          20, '0') || ':' ||
+                     lpad(CAST(e.event_id AS VARCHAR), 12, '0'))
+               AS last_touch
+      FROM purch p
+      JOIN events e ON e.user_id = p.user_id AND e.ts < p.ts
+                    AND e.event_type <> 'purchase'
+      GROUP BY p.event_id, p.rev_c
+    ),
+    models AS (
+      SELECT first_touch AS channel, 'first' AS model, rev_c FROM touches
+      UNION ALL
+      SELECT last_touch AS channel, 'last' AS model, rev_c FROM touches
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN model = 'first' THEN rev_c ELSE 0 END)
+                AS BIGINT) AS first_touch_rev_c,
+           CAST(SUM(CASE WHEN model = 'last' THEN rev_c ELSE 0 END)
+                AS BIGINT) AS last_touch_rev_c,
+           CAST(SUM((model = 'first')::INT) AS BIGINT) AS n_first,
+           CAST(SUM((model = 'last')::INT) AS BIGINT) AS n_last
+    FROM models GROUP BY channel
+    """,
+)
+def w_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution — the baseline
+    models every attribution suite reports next to the data-driven one
+    (w_markov_attribution's removal effects): each purchase credits
+    100% of its cents to the earliest / latest preceding non-purchase
+    event of that user.  Deterministic touch selection by a
+    zero-padded (micros, event_id) string key — lexicographic equals
+    numeric order, and it is a type both engines' arg_min/max_by accept; attribution sums
+    are exact integer cents.
+
+    Plan: the purchase←history association is a user-keyed equi-join
+    with a ts inequality (user-bounded fan-out, the funnel-family
+    argument), collapsed immediately by ONE min_by/max_by aggregation
+    per purchase — no window over raw events, no per-user arrays."""
+    ev = tbl(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    touches = (
+        purch.join(
+            hist,
+            (F.col("user_id") == F.col("puser")) & (F.col("ts") < F.col("pts")),
+        )
+        .groupBy("pid", "rev_c")
+        .agg(
+            F.expr(
+                "min_by(event_type, lpad(CAST(unix_micros(ts) AS STRING),"
+                " 20, '0') || ':' || lpad(CAST(event_id AS STRING), 12, '0'))"
+            ).alias("first_touch"),
+            F.expr(
+                "max_by(event_type, lpad(CAST(unix_micros(ts) AS STRING),"
+                " 20, '0') || ':' || lpad(CAST(event_id AS STRING), 12, '0'))"
+            ).alias("last_touch"),
+        )
+    )
+    models = touches.select(
+        F.col("first_touch").alias("channel"),
+        F.lit("first").alias("model"),
+        "rev_c",
+    ).unionAll(
+        touches.select(
+            F.col("last_touch").alias("channel"),
+            F.lit("last").alias("model"),
+            "rev_c",
+        )
+    )
+    return models.groupBy("channel").agg(
+        F.sum(F.when(F.col("model") == "first", F.col("rev_c")).otherwise(0))
+        .cast("long")
+        .alias("first_touch_rev_c"),
+        F.sum(F.when(F.col("model") == "last", F.col("rev_c")).otherwise(0))
+        .cast("long")
+        .alias("last_touch_rev_c"),
+        F.sum((F.col("model") == "first").cast("int"))
+        .cast("long")
+        .alias("n_first"),
+        F.sum((F.col("model") == "last").cast("int"))
+        .cast("long")
+        .alias("n_last"),
+    )
