@@ -67,6 +67,10 @@ PROBES = [
     ("mm_phash_dedup", "decode+resize kernel + signature groupBy"),
     ("m32_isotonic_calibration", "bounded B^2 interval windows"),
     ("w_interval_merge", "per-user running-max island windows"),
+    ("ts_theil_sen", "calendar-bounded O(days^2) pair join"),
+    ("pipeline_split_leakage", "banded candidates + split-tag joins"),
+    ("w_lifecycle_states", "per-user lag/lead week windows"),
+    ("pipeline_unigram_candidates", "row-local substring explode + topV"),
 ]
 
 
