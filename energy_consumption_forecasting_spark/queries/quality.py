@@ -1633,3 +1633,130 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_q4",
         F.col("r_q4").cast("long").alias("intercept_q4"),
     )
+
+
+# --- Kruskal–Wallis k-sample rank test ---------------------------------------------------
+@query(
+    "m36_kruskal_wallis",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             event_type AS g
+      FROM events
+    ),
+    per AS (
+      SELECT vc, g, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY vc, g
+    ),
+    perv AS (
+      SELECT vc, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY vc
+    ),
+    ranked AS (
+      SELECT vc, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM perv
+    ),
+    contrib AS (
+      SELECT p.g, CAST(SUM(CAST(p.c AS HUGEINT)
+                           * (2 * r.cum_before + r.t + 1)) AS HUGEINT) AS r2,
+             CAST(SUM(p.c) AS HUGEINT) AS n_g
+      FROM per p JOIN ranked r USING (vc)
+      GROUP BY p.g
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie_q
+      FROM perv
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+             CAST(SUM((1000000 * r2 * r2) // (4 * n_g)) AS HUGEINT) AS s_q
+      FROM contrib
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_total,
+           (SELECT CAST(COUNT(*) AS INT) FROM contrib) AS n_groups,
+           CAST((12 * tot.s_q) // (tot.n * (tot.n + 1))
+                - 3000000 * (tot.n + 1) AS BIGINT) AS h_ppm,
+           CAST((((12 * tot.s_q) // (tot.n * (tot.n + 1))
+                  - 3000000 * (tot.n + 1)) * (tot.n * tot.n * tot.n - tot.n))
+                // NULLIF(tot.n * tot.n * tot.n - tot.n - ties.tie_q, 0)
+             AS BIGINT) AS h_tie_corrected_ppm
+    FROM tot, ties
+    """,
+)
+def m36_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the event types' value distributions —
+    the k-sample nonparametric location test completing the family
+    (m23's Mann–Whitney is its 2-sample special case): do the event
+    types draw values from the same distribution?
+
+    Entirely exact fixed point — a first for a rank test: tied ranks
+    are kept as DOUBLED integers (2·cum_before + t + 1, always odd/even
+    -exact), group rank sums are integer dot products, Σ R_j²/n_j is
+    per-group truncating q6 divisions, H = 12·S/(N(N+1)) − 3(N+1) in
+    ppm, and the standard tie correction 1 − Σ(t³−t)/(N³−N) is one
+    more exact rational multiply — no float forms anywhere, so the
+    statistic strict-hashes (HUGEINT/DECIMAL(38) headroom to sf1 and
+    beyond).
+
+    Plan: one (value, group) agg, one value agg, a cumulative window
+    over the DISTINCT-value table (bounded rational support — the
+    m23/m24 argument), one group agg, one scalar row."""
+    vals = tbl(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc"),
+        F.col("event_type").alias("g"),
+    )
+    per = vals.groupBy("vc", "g").agg(F.count("*").alias("c"))
+    per = per.localCheckpoint(eager=False)  # feeds perv AND contrib
+    perv = per.groupBy("vc").agg(F.sum("c").cast("long").alias("t"))
+    wcum = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = perv.select(
+        "vc",
+        "t",
+        F.coalesce(F.sum("t").over(wcum), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    d38 = "decimal(38,0)"
+    contrib = (
+        per.join(ranked, "vc")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("c").cast(d38)
+                * (2 * F.col("cum_before") + F.col("t") + 1).cast(d38)
+            )
+            .cast(d38)
+            .alias("r2"),
+            F.sum("c").cast(d38).alias("n_g"),
+        )
+    )
+    ties = perv.agg(
+        F.sum(
+            F.col("t").cast(d38) * F.col("t").cast(d38) * F.col("t").cast(d38)
+            - F.col("t").cast(d38)
+        )
+        .cast(d38)
+        .alias("tie_q")
+    )
+    tot = contrib.agg(
+        F.sum("n_g").cast(d38).alias("n"),
+        F.sum(
+            F.expr("CAST((1000000 * r2 * r2) div (4 * n_g) AS DECIMAL(38,0))")
+        )
+        .cast(d38)
+        .alias("s_q"),
+        F.count("*").cast("int").alias("n_groups"),
+    )
+    return tot.crossJoin(F.broadcast(ties)).selectExpr(
+        "CAST(n AS BIGINT) AS n_total",
+        "n_groups",
+        """CAST((12 * s_q) div (n * (n + 1))
+                - 3000000 * (n + 1) AS BIGINT) AS h_ppm""",
+        """CAST((((12 * s_q) div (n * (n + 1)) - 3000000 * (n + 1))
+                 * (n * n * n - n))
+                div NULLIF(n * n * n - n - tie_q, 0)
+             AS BIGINT) AS h_tie_corrected_ppm""",
+    )

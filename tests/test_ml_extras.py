@@ -654,3 +654,47 @@ def test_isotonic_minimax_equals_pav(spark):
     got = [r.iso_q12 for r in rows]
     assert got == expanded
     assert all(b >= a for a, b in zip(got, got[1:]))
+
+
+def test_kruskal_wallis_matches_pure_python(spark):
+    """The exact-fixed-point H must match a direct average-rank
+    implementation (scipy.stats.kruskal formula) within the documented
+    q6/ppm truncation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from energy_consumption_forecasting_spark.queries.quality import (
+        m36_kruskal_wallis,
+    )
+    from tests.conftest import SF_SMALL
+
+    row = m36_kruskal_wallis(spark, SF_SMALL).collect()[0]
+
+    import duckdb
+
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_type"
+        f" FROM read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    # average ranks with ties
+    svals = sorted(v for v, _ in vals)
+    from collections import Counter, defaultdict
+
+    cnt = Counter(svals)
+    rank = {}
+    cum = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = cum + (t + 1) / 2.0
+        cum += t
+    groups = defaultdict(list)
+    for v, g in vals:
+        groups[g].append(rank[v])
+    n = len(vals)
+    s = sum(sum(r) ** 2 / len(r) for r in groups.values())
+    h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    h_corr = h / (1 - tie / (n**3 - n))
+    assert abs(row.h_ppm / 1e6 - h) < 5e-4
+    assert abs(row.h_tie_corrected_ppm / 1e6 - h_corr) < 5e-4
+    assert row.n_total == n
