@@ -1760,3 +1760,192 @@ def m36_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 div NULLIF(n * n * n - n - tie_q, 0)
              AS BIGINT) AS h_tie_corrected_ppm""",
     )
+
+
+# --- Spearman rank correlation ----------------------------------------------------------
+@query(
+    "m37_spearman",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    rx AS (
+      SELECT d, CAST(2 * (RANK() OVER (ORDER BY x) - 1)
+               + COUNT(*) OVER (PARTITION BY x) + 1 AS BIGINT) AS xr2
+      FROM v
+    ),
+    ry AS (
+      SELECT d, CAST(2 * (RANK() OVER (ORDER BY y) - 1)
+               + COUNT(*) OVER (PARTITION BY y) + 1 AS BIGINT) AS yr2
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(xr2 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(yr2 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xr2 AS HUGEINT) * yr2) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(xr2 AS HUGEINT) * xr2) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(yr2 AS HUGEINT) * yr2) AS HUGEINT) AS syy
+      FROM rx JOIN ry USING (d)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_r
+    FROM m
+    """,
+)
+def m37_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily total value and the
+    daily event count — the monotone-association companion to the
+    Pearson family (w_rolling_corr31, ts_cross_correlation), robust to
+    the outliers that bend Pearson.
+
+    Ranks use the SAME doubled-average-rank trick as Kruskal–Wallis —
+    2·(RANK−1) + tie_count + 1, exact integers (a ROWS-frame count
+    would order tied rows arbitrarily; RANK counts strictly-smaller
+    rows, tie-stable on both engines) — over the calendar-bounded
+    daily table, the moment sums are exact
+    HUGEINT/DECIMAL(38) integers, and r is ONE shared IEEE expression
+    — the per-day doubled ranks are <= 2·366, so every moment sits far
+    under 2^53 at any corpus size (the series is calendar-bounded)."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x"),
+            F.count("*").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def ranks(col, out):
+        # RANK()-1 = #rows strictly smaller (tie-stable, unlike a ROWS
+        # frame which counts tied rows in arbitrary order)
+        return v.select(
+            "d",
+            (
+                2 * (F.rank().over(Window.orderBy(col)) - 1)
+                + F.count("*").over(Window.partitionBy(col))
+                + 1
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    d38 = "decimal(38,0)"
+    joined = ranks("x", "xr2").join(ranks("y", "yr2"), "d")
+    m = joined.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("xr2").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("yr2").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("xr2").cast(d38) * F.col("yr2").cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum(F.col("xr2").cast(d38) * F.col("xr2").cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum(F.col("yr2").cast(d38) * F.col("yr2").cast(d38))
+        .cast(d38)
+        .alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("spearman_r"),
+    )
+
+
+# --- Kendall tau-b -----------------------------------------------------------------------
+@query(
+    "m38_kendall_tau",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+      FROM v a JOIN v b ON a.d < b.d
+    ),
+    agg AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS c, CAST(SUM(disc) AS BIGINT) AS dd,
+             CAST(SUM(tx) AS BIGINT) AS tx, CAST(SUM(ty) AS BIGINT) AS ty
+      FROM pairs
+    )
+    SELECT c AS concordant, dd AS discordant, tx AS ties_x, ty AS ties_y,
+           CAST(c - dd AS DOUBLE)
+             / SQRT(CAST((c + dd + tx) AS DOUBLE) * (c + dd + ty)) AS tau_b
+    FROM agg
+    """,
+)
+def m38_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the daily total value and event count —
+    the pairwise-concordance association measure (more robust small-n
+    inference than Spearman, and the one with the clean U-statistic
+    interpretation).  Concordant/discordant/tie counts are exact
+    integers off an O(days²) self-join on the CALENDAR-bounded daily
+    table (<= 366 rows/year — constant work at any corpus size, the
+    Theil–Sen argument); tau-b is ONE shared IEEE expression."""
+    v = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x"),
+            F.count("*").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = v.select(
+        F.col("d").alias("bd"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    dx = F.col("x") - F.col("bx")
+    dy = F.col("y") - F.col("by")
+    pairs = v.join(b, F.col("d") < F.col("bd")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.agg(
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dd"),
+        F.sum("tx").cast("long").alias("tx"),
+        F.sum("ty").cast("long").alias("ty"),
+    )
+    return agg.select(
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        (
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt(
+                (F.col("c") + F.col("dd") + F.col("tx")).cast("double")
+                * (F.col("c") + F.col("dd") + F.col("ty")).cast("double")
+            )
+        ).alias("tau_b"),
+    )
