@@ -1069,3 +1069,53 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+# --- URL parsing surface -----------------------------------------------------------------
+@query(
+    "f_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           CASE WHEN url LIKE 'https://%' THEN 'https' END AS protocol
+    FROM u
+    """,
+)
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the crawl-pipeline scalar surface (domain
+    filtering, per-host caps, UTM scrubbing all start here).  Spark's
+    native ``parse_url`` (HOST/PATH/QUERY with a key) runs JVM-side in
+    codegen; DuckDB has no parse_url, so the oracle decomposes the
+    identical deterministic URLs with anchored regexes — same
+    semantics, two implementations, hash-checked.
+
+    URLs are synthesized deterministically from (source, doc_id, lang)
+    — the gate tests the FUNCTION surface, not a URL column the
+    testdata lacks."""
+    u = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+        F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
+    )

@@ -927,3 +927,72 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              4, 'type_token',     f4, s4, a4)
            AS (stage, rule, fail_alone, fail_at_stage, survivors_after)"""
     )
+
+
+# --- word burstiness (dispersion index) -------------------------------------------------
+@query(
+    "text_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    per AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY w, doc_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents),
+    stats AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq
+      FROM per GROUP BY w
+    )
+    SELECT w, df, CAST(s AS BIGINT) AS total_occurrences,
+           CAST((1000000 * (n.n * ssq - s * s)) // (n.n * s) AS BIGINT)
+             AS dispersion_ppm
+    FROM stats, n
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness: the variance-to-mean dispersion index of each
+    word's per-document count across the WHOLE corpus (zeros included
+    — the moments fold them in algebraically: var/mean =
+    (N·Σc² − S²)/(N·S)).  Church & Gale's observation that content
+    words are bursty (D ≫ 1) while function words are Poisson-ish
+    (D ≈ 1) is a standard corpus-quality / keyword signal a topical-
+    contamination screen reads.
+
+    Exact truncating ppm over HUGEINT/DECIMAL(38) moments; plan is two
+    map-side-combinable aggregations — the (word, doc) collapse then
+    the word rollup — with the corpus size folded in as a broadcast
+    scalar, never a zero-filled dense matrix."""
+    tok = fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    per = tok.groupBy("w", "doc_id").agg(F.count("*").alias("c"))
+    n = tbl(spark, sf_dir, "documents").agg(
+        F.count("*").cast("decimal(38,0)").alias("n")
+    )
+    d38 = "decimal(38,0)"
+    stats = per.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum(F.col("c").cast(d38)).cast(d38).alias("s"),
+        F.sum(F.col("c").cast(d38) * F.col("c").cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+    )
+    return stats.crossJoin(F.broadcast(n)).select(
+        "w",
+        "df",
+        F.col("s").cast("long").alias("total_occurrences"),
+        F.expr(
+            "CAST((1000000 * (n * ssq - s * s)) div (n * s) AS BIGINT)"
+        ).alias("dispersion_ppm"),
+    )
