@@ -1170,6 +1170,7 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wk"),
         )
         .distinct()
+        .localCheckpoint(eager=False)  # feeds seq AND horizon
     )
     wu = Window.partitionBy("user_id")
     wo = wu.orderBy("wk")

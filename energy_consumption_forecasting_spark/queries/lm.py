@@ -378,8 +378,8 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_unigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-0 of the unigram-LM tokenizer (Kudo 2018 — SentencePiece's
     probabilistic algorithm, the alternative family to BPE): the seed
-    piece vocabulary — every substring (len <= {UNIGRAM_MAX_LEN}) of
-    every distinct word weighted by corpus frequency, top-{UNIGRAM_TOP_V}
+    piece vocabulary — every substring (len <= 4) of
+    every distinct word weighted by corpus frequency, top-160
     by weighted count with all single characters retained (the closed-
     vocabulary guarantee that keeps every word segmentable).
 
@@ -398,7 +398,7 @@ def pipeline_unigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("pipeline_unigram_encode")
 def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the unigram LM ({UNIGRAM_ROUNDS} hard-EM rounds over the
+    """Train the unigram LM (3 hard-EM rounds over the
     distinct-word vocabulary) and Viterbi-encode the corpus with it —
     the full second-tokenizer-family counterpart of
     pipeline_bpe_encode.  Per-document piece statistics out.

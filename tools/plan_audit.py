@@ -220,6 +220,13 @@ AUDITED = [
     "w_nelson_aalen",
     "pipeline_unigram_candidates",
     "w_lifecycle_states",
+    # round-5 post-gate wave
+    "w_touch_attribution",
+    "m36_kruskal_wallis",
+    "m37_spearman",
+    "m38_kendall_tau",
+    "text_burstiness",
+    "f_url_parse",
 ]
 
 
