@@ -1119,3 +1119,90 @@ def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
         F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
     )
+
+
+# --- price indices (Laspeyres / Paasche) --------------------------------------------
+@query(
+    "a_price_index",
+    oracle="""
+    WITH pp AS (
+      SELECT l.l_partkey AS part,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ext_c,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1998, 1999)
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT b.part,
+             (10000 * CAST(b.ext_c AS HUGEINT)) // b.qty AS p0_q4,
+             (10000 * CAST(c.ext_c AS HUGEINT)) // c.qty AS p1_q4,
+             CAST(b.qty AS HUGEINT) AS q0, CAST(c.qty AS HUGEINT) AS q1
+      FROM pp b JOIN pp c ON c.part = b.part AND b.yr = 1998 AND c.yr = 1999
+      WHERE b.qty > 0 AND c.qty > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST((1000000 * SUM(p1_q4 * q0)) // SUM(p0_q4 * q0) AS BIGINT)
+             AS laspeyres_ppm,
+           CAST((1000000 * SUM(p1_q4 * q1)) // SUM(p0_q4 * q1) AS BIGINT)
+             AS paasche_ppm
+    FROM paired
+    """,
+)
+def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres and Paasche price indices 1998→1999 over the parts
+    traded in BOTH periods — the econ-analytics primitive behind every
+    energy/CPI price report (Laspeyres weights by base-period
+    quantities, Paasche by current; their gap brackets substitution
+    bias).
+
+    Unit prices quantize to exact q4 cents-per-unit (one truncating
+    division per part-period — the documented quantization), then both
+    indices are single truncating ppm divisions over exact
+    HUGEINT/DECIMAL(38) weighted sums.  Plan: one part×year agg, one
+    part-keyed self-join (part-cardinality frames), one scalar row."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1998, 1999))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("ext_c"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the year self-join
+    )
+    d38 = "decimal(38,0)"
+    b = pp.filter((F.col("yr") == 1998) & (F.col("qty") > 0)).select(
+        "part",
+        F.expr("(10000 * CAST(ext_c AS DECIMAL(38,0))) div qty").alias("p0_q4"),
+        F.col("qty").cast(d38).alias("q0"),
+    )
+    c = pp.filter((F.col("yr") == 1999) & (F.col("qty") > 0)).select(
+        F.col("part").alias("cpart"),
+        F.expr("(10000 * CAST(ext_c AS DECIMAL(38,0))) div qty").alias("p1_q4"),
+        F.col("qty").cast(d38).alias("q1"),
+    )
+    paired = b.join(c, F.col("cpart") == F.col("part"))
+    return paired.agg(
+        F.count("*").alias("n_parts"),
+        F.expr(
+            "CAST((1000000 * SUM(p1_q4 * q0)) div SUM(p0_q4 * q0) AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+        F.expr(
+            "CAST((1000000 * SUM(p1_q4 * q1)) div SUM(p0_q4 * q1) AS BIGINT)"
+        ).alias("paasche_ppm"),
+    )

@@ -1949,3 +1949,57 @@ def m38_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# --- round-number bias ------------------------------------------------------------------
+@query(
+    "dq_round_number_bias",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((vc % 100 = 0)::INT) AS BIGINT) AS whole_dollar,
+           CAST(SUM((vc % 1000 = 0)::INT) AS BIGINT) AS ten_dollar,
+           CAST(SUM((vc % 100 = 99)::INT) AS BIGINT) AS charm_99,
+           CAST((1000000 * SUM((vc % 100 = 0)::INT)) // COUNT(*) AS BIGINT)
+             AS whole_dollar_ppm,
+           CAST(SUM((vc % 100 = 0)::INT) * 100 > 3 * COUNT(*) AS BOOLEAN)
+             AS biased_3pct
+    FROM c
+    """,
+)
+def dq_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number clustering screen — the forensic-accounting sibling
+    of dq_benford_digits: under organic pricing, exact whole-dollar
+    amounts (cents % 100 = 0) occur ~1% of the time; fabricated or
+    hand-keyed figures cluster on round numbers (and psychologically
+    priced ones on .99).  Exact integer modular counts, truncating ppm
+    rate, and an integer cross-product verdict at the 3% threshold —
+    one map-side-combinable scalar aggregation."""
+    c = tbl(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc")
+    )
+    return c.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("vc") % 100 == 0).cast("int"))
+        .cast("long")
+        .alias("whole_dollar"),
+        F.sum((F.col("vc") % 1000 == 0).cast("int"))
+        .cast("long")
+        .alias("ten_dollar"),
+        F.sum((F.col("vc") % 100 == 99).cast("int"))
+        .cast("long")
+        .alias("charm_99"),
+        F.expr(
+            "CAST((1000000 * SUM(CAST(vc % 100 = 0 AS INT)))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("whole_dollar_ppm"),
+        F.expr(
+            "CAST(SUM(CAST(vc % 100 = 0 AS INT)) * 100 > 3 * COUNT(*)"
+            " AS BOOLEAN)"
+        ).alias("biased_3pct"),
+    )
