@@ -965,3 +965,104 @@ def ts_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_abs_ramp_c"
         ),
     )
+
+
+# --- demand intermittency profile (Syntetos–Boylan quadrants) ---------------------------
+@query(
+    "ts_intermittency_profile",
+    oracle="""
+    WITH md AS (
+      SELECT l.l_partkey AS part,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) * 12
+               + CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    horizon AS (
+      SELECT CAST(MAX(mo) - MIN(mo) + 1 AS HUGEINT) AS n_periods FROM md
+    ),
+    per AS (
+      SELECT part,
+             CAST(COUNT(*) AS HUGEINT) AS n_ev,
+             CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ssq
+      FROM md GROUP BY part
+    ),
+    scored AS (
+      SELECT part,
+             CAST((1000000 * horizon.n_periods) // n_ev AS BIGINT) AS adi_ppm,
+             CAST((1000000 * (n_ev * ssq - s * s)) // (s * s) AS BIGINT)
+               AS cv2_ppm,
+             CAST(n_ev AS BIGINT) AS n_demand_months
+      FROM per, horizon
+    )
+    SELECT part, n_demand_months, adi_ppm, cv2_ppm,
+           CASE WHEN adi_ppm < 1320000 AND cv2_ppm < 490000 THEN 'smooth'
+                WHEN adi_ppm < 1320000 THEN 'erratic'
+                WHEN cv2_ppm < 490000 THEN 'intermittent'
+                ELSE 'lumpy' END AS demand_class
+    FROM scored
+    """,
+)
+def ts_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan demand classification per part — THE method-
+    selection screen in front of the forecasting ladder: ADI (average
+    inter-demand interval) × CV² (squared variation of nonzero demand
+    sizes) cut at (1.32, 0.49) into smooth / erratic / intermittent /
+    lumpy, which decides Croston/SBA (m27) vs exponential smoothing
+    (m20/m26) per series.
+
+    Both axes are exact truncating ppm of integer moments (CV² =
+    (nΣq²−S²)/S² over the nonzero months; ADI = horizon/n_events), so
+    the classification thresholds compare exact integers against the
+    ppm constants 1320000/490000 — no float thresholds.  Plan: one
+    part×month agg, one part agg, one broadcast scalar horizon."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    md = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mo"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+        .localCheckpoint(eager=False)  # feeds horizon AND per
+    )
+    horizon = md.agg(
+        (F.max("mo") - F.min("mo") + 1).cast("decimal(38,0)").alias("n_periods")
+    )
+    d38 = "decimal(38,0)"
+    per = md.groupBy("part").agg(
+        F.count("*").cast(d38).alias("n_ev"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("s"),
+        F.sum(F.col("q").cast(d38) * F.col("q").cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+    )
+    scored = per.crossJoin(F.broadcast(horizon)).select(
+        "part",
+        F.col("n_ev").cast("long").alias("n_demand_months"),
+        F.expr(
+            "CAST((1000000 * n_periods) div n_ev AS BIGINT)"
+        ).alias("adi_ppm"),
+        F.expr(
+            "CAST((1000000 * (n_ev * ssq - s * s)) div (s * s) AS BIGINT)"
+        ).alias("cv2_ppm"),
+    )
+    return scored.select(
+        "part",
+        "n_demand_months",
+        "adi_ppm",
+        "cv2_ppm",
+        F.when(
+            (F.col("adi_ppm") < 1320000) & (F.col("cv2_ppm") < 490000),
+            F.lit("smooth"),
+        )
+        .when(F.col("adi_ppm") < 1320000, F.lit("erratic"))
+        .when(F.col("cv2_ppm") < 490000, F.lit("intermittent"))
+        .otherwise(F.lit("lumpy"))
+        .alias("demand_class"),
+    )
