@@ -227,6 +227,9 @@ AUDITED = [
     "m38_kendall_tau",
     "text_burstiness",
     "f_url_parse",
+    "a_price_index",
+    "dq_round_number_bias",
+    "ts_intermittency_profile",
 ]
 
 
