@@ -767,3 +767,88 @@ def test_interval_merge_matches_reference(spark, pairs):
         starts = [s for uu, s in pairs if uu == u]
         by_user_ref[u] = ref_merge(starts, width)
     assert by_user_got == by_user_ref
+
+
+# --- Theil–Sen median-of-slopes vs pure python -----------------------------------
+@st.composite
+def daily_series(draw):
+    n = draw(st.integers(min_value=3, max_value=20))
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return vals
+
+
+@SET
+@given(daily_series())
+def test_theil_sen_matches_reference(spark, vals):
+    from pyspark.sql import Window
+
+    idx = spark.createDataFrame(
+        list(enumerate(vals)), "t long, vc long"
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("vc").alias("va"))
+    slopes = idx.join(a, F.col("t") > F.col("ta")).select(
+        F.expr("(10000 * (vc - va)) div (t - ta)").alias("s_q4")
+    )
+    w = Window.orderBy("s_q4")
+    ranked = slopes.select(
+        "s_q4",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    got = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).collect()[0]
+    # reference: truncating q4 slopes, lower median
+    ref = sorted(
+        int((10000 * (vals[j] - vals[i])) / (j - i))
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    assert got.s_q4 == ref[(len(ref) + 1) // 2 - 1]
+
+
+# --- KS two-sample vs pure python ------------------------------------------------
+@st.composite
+def two_samples(draw):
+    a = draw(st.lists(st.integers(0, 30), min_size=1, max_size=25))
+    b = draw(st.lists(st.integers(0, 30), min_size=1, max_size=25))
+    return a, b
+
+
+@SET
+@given(two_samples())
+def test_ks_statistic_matches_reference(spark, samples):
+    from pyspark.sql import Window
+
+    a, b = samples
+    lens = spark.createDataFrame(
+        [(v, True) for v in a] + [(v, False) for v in b],
+        "l long, is_en boolean",
+    )
+    per = lens.groupBy("l").agg(
+        F.sum(F.col("is_en").cast("int")).cast("long").alias("c_en"),
+        F.sum((~F.col("is_en")).cast("int")).cast("long").alias("c_ot"),
+    )
+    wcum = Window.orderBy("l").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("c_en").over(wcum).alias("f1"),
+        F.sum("c_ot").over(wcum).alias("f2"),
+    )
+    n1, n2 = len(a), len(b)
+    got = cum.agg(
+        F.max(F.abs(F.col("f1") * n2 - F.col("f2") * n1)).alias("m")
+    ).collect()[0].m
+    # reference ECDF max over all thresholds
+    import collections
+
+    ca, cb = collections.Counter(a), collections.Counter(b)
+    f1 = f2 = best = 0
+    for v in sorted(set(a) | set(b)):
+        f1 += ca.get(v, 0)
+        f2 += cb.get(v, 0)
+        best = max(best, abs(f1 * n2 - f2 * n1))
+    assert got == best
