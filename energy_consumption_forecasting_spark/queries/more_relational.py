@@ -1206,3 +1206,133 @@ def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * SUM(p1_q4 * q1)) div SUM(p0_q4 * q1) AS BIGINT)"
         ).alias("paasche_ppm"),
     )
+
+
+# --- revenue bridge (price / volume / mix decomposition) ---------------------------------
+@query(
+    "a_revenue_bridge",
+    oracle="""
+    WITH pp AS (
+      SELECT l.l_partkey AS part,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS ext_c,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1998, 1999)
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT COALESCE(b.part, c.part) AS part,
+             COALESCE((10000 * CAST(b.ext_c AS HUGEINT)) // b.qty, 0) AS p0,
+             COALESCE((10000 * CAST(c.ext_c AS HUGEINT)) // c.qty, 0) AS p1,
+             COALESCE(CAST(b.qty AS HUGEINT), 0) AS q0,
+             COALESCE(CAST(c.qty AS HUGEINT), 0) AS q1,
+             (b.part IS NULL) AS is_new, (c.part IS NULL) AS is_lost
+      FROM (SELECT * FROM pp WHERE yr = 1998 AND qty > 0) b
+      FULL OUTER JOIN (SELECT * FROM pp WHERE yr = 1999 AND qty > 0) c
+        ON c.part = b.part
+    )
+    SELECT CAST(SUM(CASE WHEN NOT is_new AND NOT is_lost
+                    THEN (p1 - p0) * q0 ELSE 0 END) // 10000 AS BIGINT)
+             AS price_effect_c,
+           CAST(SUM(CASE WHEN NOT is_new AND NOT is_lost
+                    THEN p0 * (q1 - q0) ELSE 0 END) // 10000 AS BIGINT)
+             AS volume_effect_c,
+           CAST(SUM(CASE WHEN NOT is_new AND NOT is_lost
+                    THEN (p1 - p0) * (q1 - q0) ELSE 0 END) // 10000
+             AS BIGINT) AS mix_effect_c,
+           CAST(SUM(CASE WHEN is_new THEN p1 * q1 ELSE 0 END) // 10000
+             AS BIGINT) AS new_parts_c,
+           CAST(-SUM(CASE WHEN is_lost THEN p0 * q0 ELSE 0 END) // 10000
+             AS BIGINT) AS lost_parts_c,
+           CAST(SUM((NOT is_new AND NOT is_lost)::INT) AS BIGINT)
+             AS n_continuing,
+           CAST(SUM(is_new::INT) AS BIGINT) AS n_new,
+           CAST(SUM(is_lost::INT) AS BIGINT) AS n_lost
+    FROM j
+    """,
+)
+def a_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge 1998→1999 — the CFO waterfall decomposing the
+    year-over-year change into PRICE effect (Δp·q0), VOLUME effect
+    (p0·Δq), MIX/cross (Δp·Δq), plus NEW and DISCONTINUED parts — the
+    finance-analytics shape next to the price indices
+    (a_price_index), sharing their q4 unit-price quantization so the
+    two reports reconcile.
+
+    One part×year agg, one part-keyed FULL OUTER self-join (the
+    new/lost classification IS the outer join's null pattern), one
+    scalar row; every effect is exact q4 integer algebra emitted in
+    truncating cents."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1998, 1999))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("ext_c"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d38 = "decimal(38,0)"
+    price = F.expr("(10000 * CAST(ext_c AS DECIMAL(38,0))) div qty")
+    b = pp.filter((F.col("yr") == 1998) & (F.col("qty") > 0)).select(
+        F.col("part").alias("bpart"),
+        price.alias("bp"),
+        F.col("qty").cast(d38).alias("bq"),
+    )
+    c = pp.filter((F.col("yr") == 1999) & (F.col("qty") > 0)).select(
+        F.col("part").alias("cpart"),
+        price.alias("cp"),
+        F.col("qty").cast(d38).alias("cq"),
+    )
+    j = b.join(c, F.col("cpart") == F.col("bpart"), "full_outer").select(
+        F.coalesce(F.col("bp"), F.lit(0).cast(d38)).alias("p0"),
+        F.coalesce(F.col("cp"), F.lit(0).cast(d38)).alias("p1"),
+        F.coalesce(F.col("bq"), F.lit(0).cast(d38)).alias("q0"),
+        F.coalesce(F.col("cq"), F.lit(0).cast(d38)).alias("q1"),
+        F.col("bpart").isNull().alias("is_new"),
+        F.col("cpart").isNull().alias("is_lost"),
+    )
+    cont = ~F.col("is_new") & ~F.col("is_lost")
+    return j.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT is_new AND NOT is_lost"
+            " THEN (p1 - p0) * q0 ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            " div 10000 AS BIGINT)"
+        ).alias("price_effect_c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT is_new AND NOT is_lost"
+            " THEN p0 * (q1 - q0) ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            " div 10000 AS BIGINT)"
+        ).alias("volume_effect_c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT is_new AND NOT is_lost"
+            " THEN (p1 - p0) * (q1 - q0) ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            " div 10000 AS BIGINT)"
+        ).alias("mix_effect_c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_new THEN p1 * q1"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END) div 10000 AS BIGINT)"
+        ).alias("new_parts_c"),
+        F.expr(
+            "CAST(-SUM(CASE WHEN is_lost THEN p0 * q0"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END) div 10000 AS BIGINT)"
+        ).alias("lost_parts_c"),
+        F.sum(cont.cast("int")).cast("long").alias("n_continuing"),
+        F.sum(F.col("is_new").cast("int")).cast("long").alias("n_new"),
+        F.sum(F.col("is_lost").cast("int")).cast("long").alias("n_lost"),
+    )

@@ -2003,3 +2003,104 @@ def dq_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BOOLEAN)"
         ).alias("biased_3pct"),
     )
+
+
+# --- session bounce rate ------------------------------------------------------------------
+@query(
+    "w_bounce_rate",
+    oracle="""
+    WITH iv AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(MIN(s_us) AS BIGINT) AS start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id, s_us,
+               SUM(new_island) OVER (
+                 PARTITION BY user_id ORDER BY s_us, e_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+      ) GROUP BY user_id, island
+    )
+    SELECT CAST(to_timestamp(start_us // 1000000) AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM((n_events = 1)::INT) AS BIGINT) AS n_bounce,
+           CAST((1000000 * SUM((n_events = 1)::INT)) // COUNT(*) AS BIGINT)
+             AS bounce_ppm
+    FROM sessions GROUP BY 1
+    """,
+)
+def w_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session bounce rate: sessions (the SAME 30-minute-overlap
+    islands as w_interval_merge — identical window recipe, so the two
+    session definitions cannot diverge) containing exactly ONE event,
+    as a share of sessions starting that day — the engagement-quality
+    headline next to funnel depth and lifecycle states.
+
+    Exact integer counts and one truncating ppm; session timestamps
+    stay BIGINT microseconds until the final date bucketing (UTC
+    micros -> date is identical arithmetic on both engines)."""
+    iv = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_us"),
+        )
+        .distinct()
+        .withColumn("e_us", F.col("s_us") + F.lit(1800000000).cast("long"))
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(F.max("e_us").over(wprev), F.lit(-1).cast("long")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = (
+        flagged.withColumn("island", F.sum("new_island").over(wrun))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("s_us").alias("start_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return (
+        sessions.groupBy(
+            F.to_date(F.timestamp_seconds(F.expr("start_us div 1000000")))
+            .alias("d")
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("long")
+            .alias("n_bounce"),
+            F.expr(
+                "CAST((1000000 * SUM(CAST(n_events = 1 AS INT)))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+    )
