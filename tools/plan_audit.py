@@ -230,6 +230,8 @@ AUDITED = [
     "a_price_index",
     "dq_round_number_bias",
     "ts_intermittency_profile",
+    "a_revenue_bridge",
+    "w_bounce_rate",
 ]
 
 
