@@ -1175,3 +1175,58 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc_ppm"),
         )
     )
+
+
+# --- degree distribution ----------------------------------------------------------------
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    hist AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n_nodes) AS HUGEINT) AS n FROM hist)
+    SELECT CAST(d AS BIGINT) AS degree, n_nodes,
+           CAST((1000000 * CAST(SUM(n_nodes) OVER (ORDER BY d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS HUGEINT)) // tot.n AS BIGINT) AS ccdf_ppm
+    FROM hist, tot
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with the
+    complementary CDF in exact ppm — the scale-free diagnostic read
+    (a straight CCDF on log-log axes ⇒ power-law tail ⇒ expect hubs,
+    plan for skew) that motivates the engine's salting and
+    degree-ordered wedge strategies.
+
+    Shares `_COPURCHASE_SQL`/`_copurchase_edges` with the rest of the
+    graph family; the CCDF window rides the DEGREE-VALUE histogram
+    (value-cardinality support, m23/m24 argument), never the node
+    table."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").cast("decimal(38,0)").alias("n"))
+    wc = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("long").alias("degree"),
+            "n_nodes",
+            F.sum("n_nodes").over(wc).cast("decimal(38,0)").alias("cum"),
+            "n",
+        )
+        .selectExpr(
+            "degree",
+            "n_nodes",
+            "CAST((1000000 * cum) div n AS BIGINT) AS ccdf_ppm",
+        )
+    )

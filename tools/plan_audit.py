@@ -232,6 +232,7 @@ AUDITED = [
     "ts_intermittency_profile",
     "a_revenue_bridge",
     "w_bounce_rate",
+    "graph_degree_histogram",
 ]
 
 
