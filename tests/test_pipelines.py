@@ -161,3 +161,40 @@ def test_assemble_dataset_end_to_end(spark):
     assert {r["date"] for r in out} == {dt.date(2021, 1, 1), dt.date(2021, 1, 2)}
     total = sum(r["consumption"] for r in out)
     assert total == pytest.approx(1760.0, abs=1.0)  # disaggregation conserves
+
+
+def test_lifecycle_growth_accounting_identity(spark):
+    """Growth-accounting invariants: actives(w) = new + retained +
+    resurrected, and retained(w) = actives(w-1) - churned(w) for every
+    interior week (the identity the dashboard reconciles on)."""
+    from energy_consumption_forecasting_spark.queries.behavior import (
+        w_lifecycle_states,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = {r.wk: r for r in w_lifecycle_states(spark, SF_SMALL).collect()}
+    actives = {
+        wk: r.n_new + r.n_retained + r.n_resurrected for wk, r in rows.items()
+    }
+    for wk, r in rows.items():
+        prev = actives.get(wk - 1)
+        if prev is not None:
+            assert r.n_retained == prev - r.n_churned, (wk, r, prev)
+
+
+def test_bounce_sessions_equal_interval_merge_islands(spark):
+    """w_bounce_rate's session definition must coincide with
+    w_interval_merge's islands: total sessions == total merged
+    intervals and the single-event session count matches."""
+    from energy_consumption_forecasting_spark.queries.quality import (
+        w_bounce_rate,
+        w_interval_merge,
+    )
+    from tests.conftest import SF_SMALL
+
+    bounce = w_bounce_rate(spark, SF_SMALL).collect()
+    islands = w_interval_merge(spark, SF_SMALL).collect()
+    assert sum(r.n_sessions for r in bounce) == len(islands)
+    assert sum(r.n_bounce for r in bounce) == sum(
+        1 for r in islands if r.n_events == 1
+    )
