@@ -198,3 +198,18 @@ def test_bounce_sessions_equal_interval_merge_islands(spark):
     assert sum(r.n_bounce for r in bounce) == sum(
         1 for r in islands if r.n_events == 1
     )
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    """phi_11 IS r_1: the PACF's q9->ppm truncation chain must agree
+    with the ACF's direct ppm emission (trunc(trunc(1000x)/1000) ==
+    trunc(x) holds for truncation toward zero)."""
+    from energy_consumption_forecasting_spark.queries.quality import (
+        ts_acf,
+        ts_pacf,
+    )
+    from tests.conftest import SF_SMALL
+
+    acf1 = {r.lag: r.acf_ppm for r in ts_acf(spark, SF_SMALL).collect()}[1]
+    pacf1 = {r.lag: r.pacf_ppm for r in ts_pacf(spark, SF_SMALL).collect()}[1]
+    assert pacf1 == acf1
