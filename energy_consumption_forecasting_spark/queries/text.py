@@ -996,3 +996,82 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * (n * ssq - s * s)) div (n * s) AS BIGINT)"
         ).alias("dispersion_ppm"),
     )
+
+
+# --- Heaps' law vocabulary-growth curve ---------------------------------------------------
+@query(
+    "text_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    first_doc AS (
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS d0 FROM tok GROUP BY w
+    ),
+    perdoc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM((f.d0 = t.doc_id)::INT) AS BIGINT) AS new_words
+      FROM tok t JOIN first_doc f ON f.w = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(new_words) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM perdoc
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct words vs
+    cumulative tokens in doc_id order — the sub-linearity check
+    (V ≈ K·N^β, β<1) a tokenizer-budget plan reads before fixing a
+    vocabulary size, and an early detector of synthetic/templated text
+    (whose curve flattens abnormally fast).
+
+    The cumulative-distinct is made distributable by the
+    first-occurrence trick: a word contributes to the doc where its
+    MIN(doc_id) lands, so "distinct so far" = prefix sum of per-doc
+    new-word counts — and both prefixes run through the two-pass
+    distributed prefix sum (operators/ranking.global_prefix_sum), NOT
+    a single-partition global window: the per-doc frame is
+    corpus-cardinality, exactly the case the two-pass rank exists
+    for."""
+    from ..operators.ranking import global_prefix_sum
+
+    tok = fanout(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    first_doc = tok.groupBy("w").agg(F.min("doc_id").alias("d0"))
+    perdoc = (
+        tok.join(first_doc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("d0") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("new_words"),
+        )
+    )
+    with_tok, _ = global_prefix_sum(
+        perdoc, ["doc_id"], "n_tokens", cum_col="cum_tokens"
+    )
+    with_both, _ = global_prefix_sum(
+        with_tok, ["doc_id"], "new_words", cum_col="cum_vocab"
+    )
+    return with_both.select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    )

@@ -233,6 +233,7 @@ AUDITED = [
     "a_revenue_bridge",
     "w_bounce_rate",
     "graph_degree_histogram",
+    "text_heaps_law",
 ]
 
 
