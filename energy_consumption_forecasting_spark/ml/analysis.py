@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .cv import folds
 from .metrics import mae
@@ -242,12 +243,20 @@ def kernel_shap(
         phi_head = np.linalg.solve(aw.T @ A, aw.T @ y)
         phis = list(phi_head) + [float(fx - v0) - float(phi_head.sum())]
         out_rows.extend(
-            (str(sid), c, float(p)) for c, p in zip(feature_cols, phis)
+            (sid, c, float(p)) for c, p in zip(feature_cols, phis)
         )
+    # Emit the ORIGINAL id values/type (matching shapley_values) so a
+    # caller can join phi back onto explain_df without a cast; str(sid)
+    # is only a stable sort key above, never the emitted value.
     spark = explain_df.sparkSession
-    return spark.createDataFrame(
-        out_rows, f"{id_col} string, feature string, phi double"
+    out_schema = T.StructType(
+        [
+            explain_df.schema[id_col],
+            T.StructField("feature", T.StringType()),
+            T.StructField("phi", T.DoubleType()),
+        ]
     )
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def permutation_importance(

@@ -1225,12 +1225,12 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
              arg_min(e.event_type,
                      lpad(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS VARCHAR),
                           20, '0') || ':' ||
-                     lpad(CAST(e.event_id AS VARCHAR), 12, '0'))
+                     lpad(CAST(e.event_id AS VARCHAR), 20, '0'))
                AS first_touch,
              arg_max(e.event_type,
                      lpad(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS VARCHAR),
                           20, '0') || ':' ||
-                     lpad(CAST(e.event_id AS VARCHAR), 12, '0'))
+                     lpad(CAST(e.event_id AS VARCHAR), 20, '0'))
                AS last_touch
       FROM purch p
       JOIN events e ON e.user_id = p.user_id AND e.ts < p.ts
@@ -1259,7 +1259,9 @@ def w_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% of its cents to the earliest / latest preceding non-purchase
     event of that user.  Deterministic touch selection by a
     zero-padded (micros, event_id) string key — lexicographic equals
-    numeric order, and it is a type both engines' arg_min/max_by accept; attribution sums
+    numeric order because both pad widths (20) exceed the 19-digit
+    maximum of a positive BIGINT, so no value can be truncated — and it
+    is a type both engines' arg_min/max_by accept; attribution sums
     are exact integer cents.
 
     Plan: the purchase←history association is a user-keyed equi-join
@@ -1287,11 +1289,11 @@ def w_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "min_by(event_type, lpad(CAST(unix_micros(ts) AS STRING),"
-                " 20, '0') || ':' || lpad(CAST(event_id AS STRING), 12, '0'))"
+                " 20, '0') || ':' || lpad(CAST(event_id AS STRING), 20, '0'))"
             ).alias("first_touch"),
             F.expr(
                 "max_by(event_type, lpad(CAST(unix_micros(ts) AS STRING),"
-                " 20, '0') || ':' || lpad(CAST(event_id AS STRING), 12, '0'))"
+                " 20, '0') || ':' || lpad(CAST(event_id AS STRING), 20, '0'))"
             ).alias("last_touch"),
         )
     )

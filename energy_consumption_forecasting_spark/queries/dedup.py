@@ -1615,11 +1615,13 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        # splits is doc-cardinality — no explicit broadcast hint (the
-        # round-4 advice on dedup_signal_panel): AQE picks broadcast at
-        # gate SF and hash join at corpus scale.
+        # sigs and splits are both doc-cardinality — no explicit
+        # broadcast hints (the round-4 advice on dedup_signal_panel):
+        # AQE picks broadcast at gate SF and hash join at corpus scale;
+        # a forced broadcast of full MinHash signatures would exhaust
+        # the driver at larger SFs.
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .join(pa, F.col("doc_a") == F.col("pa_id"))
         .join(pb, F.col("doc_b") == F.col("pb_id"))
         .select(

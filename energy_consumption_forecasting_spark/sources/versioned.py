@@ -227,6 +227,22 @@ def merge_upsert(
             & (raw["__dv_pos"] == dv["pos"]),
             "left_anti",
         )
+    # MERGE INTO semantics: multiple source rows matching one target key
+    # is an error (ANSI "multiple matches"), and silently appending both
+    # would land duplicate rows since the append side is written as-is.
+    # Callers with multi-row batches must pre-reduce to one row per key
+    # (as upsert_stream._batch_latest does).
+    key_stats = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
+    ).first()
+    if key_stats["n"] != key_stats["k"]:
+        raise ValueError(
+            f"merge_upsert: updates has {key_stats['n']} rows but only "
+            f"{key_stats['k']} distinct keys on {key_cols}; reduce to one "
+            "row per key before merging (MERGE INTO rejects multiple "
+            "source matches)"
+        )
     keys = updates.select(*key_cols).distinct()
     new_dels = raw.join(keys, key_cols, "left_semi").select(
         F.col("__dv_file").alias("file_path"), F.col("__dv_pos").alias("pos")

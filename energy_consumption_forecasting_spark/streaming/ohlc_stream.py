@@ -200,6 +200,7 @@ def run_ohlc_available_now(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -207,16 +208,27 @@ def run_ohlc_available_now(
 
     sink = f"ohlc_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ecf_ohlc_ckpt_")
-    with pinned_stream_partitions(spark):
-        q = (
-            ohlc_stream(spark, events_dir, glob, max_files_per_trigger)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                ohlc_stream(spark, events_dir, glob, max_files_per_trigger)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        sealed = spark.table(sink).dropDuplicates(["event_type", "d"])
+        # Materialize (daily bars: bounded by event_types × days — the
+        # memory sink already holds this on the driver) so the returned
+        # frame's lineage no longer reads the checkpoint statestore or
+        # the memory-sink view, then reclaim both: repeated gate/bench
+        # invocations must not leak a tempdir + temp view per call.
+        return sealed.unionByName(_tail_bars(spark, ckpt)).localCheckpoint(
+            eager=True
         )
-        q.awaitTermination()
-    sealed = spark.table(sink).dropDuplicates(["event_type", "d"])
-    return sealed.unionByName(_tail_bars(spark, ckpt))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(sink)

@@ -18,6 +18,7 @@ TABLE is the state — bounded by key cardinality, not stream length.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +72,7 @@ def run_cdc_upsert_available_now(
         txn_seen,
     )
 
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_cdc_ckpt_")
     run_id = run_id_for_checkpoint(ckpt)
     stream = events_stream(
@@ -92,12 +94,20 @@ def run_cdc_upsert_available_now(
             commit_snapshot(latest, table_dir, note=f"txn {key}")
         txn_record(table_dir, key)
 
-    with pinned_stream_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(apply)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(apply)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # The returned snapshot reads only table_dir, never the
+        # checkpoint — reclaim a self-created tempdir so repeated
+        # invocations don't leak one per call.  Caller-supplied
+        # checkpoint dirs are the caller's (resume contract).
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return read_snapshot(spark, table_dir)

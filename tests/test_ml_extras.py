@@ -698,3 +698,31 @@ def test_kruskal_wallis_matches_pure_python(spark):
     assert abs(row.h_ppm / 1e6 - h) < 5e-4
     assert abs(row.h_tie_corrected_ppm / 1e6 - h_corr) < 5e-4
     assert row.n_total == n
+
+
+def test_kernel_shap_preserves_id_type(spark):
+    """kernel_shap must emit the ORIGINAL id values/type (round-6
+    advice): an int id column comes back as ints, joinable against the
+    explain frame without a cast — matching shapley_values."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.ml.analysis import kernel_shap
+
+    explain = spark.createDataFrame(
+        [(7, 2.0, 5.0), (13, -1.0, 0.5)], "rid int, x1 double, x2 double"
+    )
+    background = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 2.0)], "x1 double, x2 double"
+    )
+
+    def predict(df):
+        return df.withColumn("prediction", F.col("x1") + 2 * F.col("x2"))
+
+    res = kernel_shap(predict, explain, background, ["x1", "x2"], id_col="rid")
+    assert dict(res.dtypes)["rid"] == "int"
+    joined = explain.join(res, "rid")
+    assert joined.count() == 4  # 2 ids x 2 features, zero lost to type skew
+    assert sorted(r["rid"] for r in res.select("rid").distinct().collect()) == [
+        7,
+        13,
+    ]

@@ -102,3 +102,28 @@ def test_multibatch_equals_batch(spark):
         ).collect()
     }
     assert got == _batch_truth(spark, flat) and len(got) > 0
+
+
+def test_available_now_leaves_no_checkpoint_or_view(spark):
+    """run_ohlc_available_now must reclaim its tempdir checkpoint and
+    memory-sink view (round-6 advice: repeated gate/bench invocations
+    leaked one of each per call), while the returned frame stays
+    readable after cleanup (lineage cut via localCheckpoint)."""
+    import glob
+    import tempfile
+
+    from energy_consumption_forecasting_spark.streaming.ohlc_stream import (
+        run_ohlc_available_now,
+    )
+
+    flat = _stage_split(spark, n_chunks=2)
+    pat = os.path.join(tempfile.gettempdir(), "ecf_ohlc_ckpt_*")
+    before = set(glob.glob(pat))
+    views_before = {t.name for t in spark.catalog.listTables()}
+    out = run_ohlc_available_now(spark, flat, glob="*.parquet")
+    assert set(glob.glob(pat)) == before, "checkpoint tempdir leaked"
+    leaked = {
+        t.name for t in spark.catalog.listTables()
+    } - views_before
+    assert not {v for v in leaked if v.startswith("ohlc_")}, leaked
+    assert out.count() > 0  # readable post-cleanup

@@ -285,3 +285,25 @@ def test_merge_upsert_update_insert_chain(spark):
         for r in read_snapshot(spark, table, version=v).collect()
     )
     assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "I9v2")]
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    """MERGE INTO semantics: two source rows matching one key is an
+    error, not a silent duplicate-row append (round-6 advice)."""
+    from energy_consumption_forecasting_spark.sources.versioned import (
+        merge_upsert,
+    )
+
+    table = TABLE + "_dupkeys"
+    shutil.rmtree(table, ignore_errors=True)
+    commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string"), table, "base"
+    )
+    dup = spark.createDataFrame(
+        [(1, "first"), (1, "second")], "k int, s string"
+    )
+    with pytest.raises(ValueError, match="distinct keys"):
+        merge_upsert(spark, table, dup, ["k"])
+    # the failed merge must not have committed anything
+    assert versions(table) == [1]
+    assert read_snapshot(spark, table).count() == 1
