@@ -1062,52 +1062,70 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.localCheckpoint(eager=False)
     dt = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
-    # Adaptive verification tier: when the corpus vocabulary fits ONE
-    # 64-bit bitset word, each doc's token set becomes a single LONG
-    # and exact intersection is bit_count(a & b) — one codegen'd
-    # AND+popcount per candidate, cheap enough to verify INSIDE the
-    # candidate join (no candidate shuffle, no per-pair set
-    # intersect).  The count is a 1-row driver scalar off the
-    # vocabulary aggregate — an ACTION at DataFrame-construction time,
-    # the price of a data-adaptive physical plan (plan_audit sees the
-    # post-probe plan for this query); larger vocabularies run the general
-    # set-intersect tier below.  Both tiers are EXACT — the all-pairs
-    # oracle proves the bitmap algebra, not just the pruning.
-    vocab_n = freq.count()
-    bitmap = vocab_n <= _BITMAP_VOCAB_MAX
+    # Adaptive verification tier, chosen INSIDE the plan (round-6 rule:
+    # query construction launches ZERO Spark jobs): when the corpus
+    # vocabulary fits ONE 64-bit bitset word, each doc's token set
+    # becomes a single LONG and exact intersection is bit_count(a & b)
+    # — one codegen'd AND+popcount per candidate; larger vocabularies
+    # verify by array_intersect on the candidate set.  The tier gate is
+    # the corpus-global vocabulary total, computed LAZILY by the same
+    # zero-action distributed rank that assigns bit positions
+    # (global_row_number_lazy's total_col: a ≤64-bucket aggregate
+    # subtree broadcast into the token pass — never a driver count), so
+    # BOTH tiers live in one static plan and the untaken branch costs a
+    # null column through two hash joins.  Both tiers are EXACT — the
+    # all-pairs oracle proves the bitmap algebra, not just the pruning.
+    from ..operators.ranking import global_row_number_lazy
+
+    freq = global_row_number_lazy(
+        freq,
+        ["tok"],
+        # any total order yields a valid bit-position bijection; a
+        # hash-prefix bucket keeps the rank fully distributed (fixed
+        # 64-way fan-out — independent of the tier threshold)
+        bucket=F.pmod(F.xxhash64("tok"), F.lit(64)),
+        rn_col="__rk",
+        total_col="__vn",
+    ).select(
+        "tok",
+        "f",
+        (F.col("__rk") - 1).cast("int").alias("tid"),
+        F.col("__vn").alias("vn"),
+    )
+    small = F.col("vn") <= _BITMAP_VOCAB_MAX
     sort_agg = F.transform(
         F.array_sort(F.collect_list(F.struct("f", "tok"))),
         lambda s: s["tok"],
     ).alias("sorted_toks")
-    if bitmap:
-        from pyspark.sql import Window
-
-        # vocabulary-sized frame: the single-partition rank window is
-        # bounded by 64 rows by construction
-        wv = Window.orderBy("f", "tok")
-        freq = freq.withColumn(
-            "tid", (F.row_number().over(wv) - 1).cast("int")
+    ordered = (
+        dt.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            sort_agg,
+            # tids are collected only in the bitmap tier (vn is
+            # corpus-global, so per doc it's all or none); rk <= vn
+            # <= 64 then guarantees tid < 64 for shiftleft.
+            F.collect_list(F.when(small, F.col("tid"))).alias("tids"),
+            F.max("vn").alias("vn"),
         )
-        ordered = (
-            dt.join(freq, "tok")
-            .groupBy("doc_id")
-            .agg(sort_agg, F.collect_list("tid").alias("tids"))
-            # tids are distinct per doc, so the sum of 2^tid IS the OR
-            .withColumn(
-                "mask",
-                F.expr("aggregate(tids, 0L, (acc, t) -> acc + shiftleft(1L, t))"),
-            )
+        # tids are distinct per doc, so the sum of 2^tid IS the OR;
+        # NULL in the general tier.
+        .withColumn(
+            "mask",
+            F.when(
+                F.col("vn") <= _BITMAP_VOCAB_MAX,
+                F.expr(
+                    "aggregate(tids, 0L, (acc, t) -> acc + shiftleft(1L, t))"
+                ),
+            ),
         )
-    else:
-        ordered = (
-            dt.join(freq, "tok").groupBy("doc_id").agg(sort_agg)
-        )
+    )
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
     prefixes = ordered.select(
         "doc_id",
         n.alias("n"),
-        *(["mask"] if bitmap else []),
+        "mask",
         F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
     )
     # length filter (PPJoin): Jaccard >= tau forces min(|x|,|y|) >=
@@ -1125,49 +1143,64 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    if bitmap:
-        # masks ride the prefix rows: score each candidate in the
-        # join's own partitions, then dedupe only the tau-survivors (a
-        # pair sharing k prefix tokens appears k times with the SAME
-        # jaccard — distinct on the scored triple is exact).
-        inter = F.bit_count(
-            F.col("pa.mask").bitwiseAND(F.col("pb.mask"))
-        )
-        union = F.col("pa.n") + F.col("pb.n") - inter
-        return (
-            pair.select(
-                F.col("pa.doc_id").alias("doc_a"),
-                F.col("pb.doc_id").alias("doc_b"),
-                (inter.cast("double") / union.cast("double")).alias(
-                    "jaccard"
-                ),
-            )
-            .filter(F.col("jaccard") >= PREFIX_TAU)
-            .distinct()
-        )
+    # Bitmap-tier scoring rides the prefix rows (masks are popcount'd
+    # in the join's own partitions); inter_bm is NULL in the general
+    # tier.  Bitmap tau-losers are shed HERE, before the distinct — a
+    # pair sharing k prefix tokens appears k times with the same
+    # popcount, so distinct on the pair-functional tuple is exact —
+    # while general-tier rows (NULL inter_bm) pass through to the
+    # array verification below.
+    inter_bm = F.bit_count(F.col("pa.mask").bitwiseAND(F.col("pb.mask")))
     cand = (
         pair.select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
+            inter_bm.alias("inter_bm"),
+        )
+        .filter(
+            F.col("inter_bm").isNull()
+            | (
+                F.col("inter_bm").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_bm")).cast(
+                    "double"
+                )
+                >= PREFIX_TAU
+            )
         )
         # spread the candidate set by WORK before the per-pair set
-        # intersects: candidate rows are 16 bytes but each downstream
-        # row costs an array_intersect over two token sets, so AQE's
-        # byte-sized coalescing can pack the dedup + verification into
-        # one task (observed 13s single-task at sf0.1 on a 64-token
-        # corpus forced down this tier).  A user-numbered repartition
-        # is never coalesced and satisfies the distinct's distribution.
+        # intersects: candidate rows are ~32 bytes but each downstream
+        # general-tier row costs an array_intersect over two token
+        # sets, so AQE's byte-sized coalescing can pack the dedup +
+        # verification into one task (observed 13s single-task at
+        # sf0.1 on a 64-token corpus forced down this tier).  A
+        # user-numbered repartition is never coalesced and satisfies
+        # the distinct's distribution.
         .repartition(
             pair.sparkSession.sparkContext.defaultParallelism,
             "doc_a",
             "doc_b",
         )
+        # na/nb/inter_bm are functions of the pair, so this distinct
+        # has exactly pair cardinality
         .distinct()
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size("ta") + F.size("tb") - inter
+    # Verification arrays exist only in the general tier; in the
+    # bitmap tier these joins carry NULL arrays on tau-filtered
+    # (output-sized) candidates — the price of one static plan.
+    dv = ordered.select(
+        "doc_id",
+        F.when(
+            F.col("vn") > _BITMAP_VOCAB_MAX, F.col("sorted_toks")
+        ).alias("vtoks"),
+    )
+    a = dv.select(F.col("doc_id").alias("doc_a"), F.col("vtoks").alias("ta"))
+    b = dv.select(F.col("doc_id").alias("doc_b"), F.col("vtoks").alias("tb"))
+    inter = F.coalesce(
+        F.col("inter_bm"), F.size(F.array_intersect("ta", "tb"))
+    )
+    union = F.col("na") + F.col("nb") - inter
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")

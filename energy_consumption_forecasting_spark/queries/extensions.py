@@ -716,18 +716,25 @@ def stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge (sorted-union-truncate — associative, commutative,
     idempotent), so batch boundaries and arrival order cannot change
     the kept set.  Shares the batch operator's oracle verbatim."""
+    import shutil
     import tempfile
 
     from ..session import ensure_utc
     from ..streaming.source_cap_stream import run_source_cap_available_now
 
     ensure_utc(spark)
-    return run_source_cap_available_now(
-        spark,
-        sf_dir.rstrip("/"),
-        tempfile.mkdtemp(prefix="ecf_srccap_state_"),
-        glob="documents.parquet",
-    )
+    state_dir = tempfile.mkdtemp(prefix="ecf_srccap_state_")
+    try:
+        # materialize (kept set: sources × cap rows) so the ephemeral
+        # state table can be reclaimed before returning
+        return run_source_cap_available_now(
+            spark,
+            sf_dir.rstrip("/"),
+            state_dir,
+            glob="documents.parquet",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 # --- Structured Streaming Markov transitions (event-time-ordered state) --------------
@@ -798,10 +805,9 @@ def stream_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.groupBy("event_type").agg(
         (F.sum("x").cast("double") / F.count("*")).alias("mu")
     )
-    mu_by_type = {r["event_type"]: r["mu"] for r in stats.collect()}
-    return run_cusum_available_now(
-        spark, sf_dir.rstrip("/"), mu_by_type
-    )
+    # calibration ships as a DataFrame (stream-static join inside
+    # cusum_stream) — constructing this query launches zero jobs
+    return run_cusum_available_now(spark, sf_dir.rstrip("/"), stats)
 
 
 @query(

@@ -314,11 +314,18 @@ def pipeline_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("yc")
         )
     )
-    hi = daily.agg(F.max("d")).collect()[0][0]
+    # the split boundary is a broadcast 1-row aggregate joined into the
+    # plan (never a driver collect: query construction launches zero
+    # Spark jobs — round-6 rule)
+    hi = daily.agg(F.max("d").alias("hi"))
     w = Window.orderBy("d")
-    scored = daily.select(
-        "d", "yc", F.lag("yc").over(w).alias("pc")
-    ).filter(F.col("pc").isNotNull() & (F.col("d") > F.date_sub(F.lit(hi), 30)))
+    scored = (
+        daily.select("d", "yc", F.lag("yc").over(w).alias("pc"))
+        .crossJoin(F.broadcast(hi))
+        .filter(
+            F.col("pc").isNotNull() & (F.col("d") > F.date_sub(F.col("hi"), 30))
+        )
+    )
     ae = F.abs(F.col("yc").cast("decimal(19,0)") - F.col("pc"))
     return scored.agg(
         F.count("*").alias("n_test"),

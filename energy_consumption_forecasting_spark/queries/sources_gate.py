@@ -715,18 +715,20 @@ def s19_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream(spark, sf_dir.rstrip("/"), "events.parquet").select(
         "event_id", "event_type", "value"
     )
-    with pinned_stream_partitions(spark):
-        q = (
-            src.writeStream.format("ecf_jsonl")
-            .option("path", out)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ecf_s19_ckpt_"),
+    ckpt = tempfile.mkdtemp(prefix="ecf_s19_ckpt_")
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                src.writeStream.format("ecf_jsonl")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
+    finally:
+        # result reads the jsonl dir, never the checkpoint
+        shutil.rmtree(ckpt, ignore_errors=True)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

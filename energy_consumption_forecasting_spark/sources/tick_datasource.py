@@ -99,36 +99,44 @@ def drain_ticks(
     import time
     import uuid
 
+    import shutil
+
     spark.dataSource.register(TickDataSource)
     sink = f"ticks_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("ticks")
-        .option("rowsPerBatch", str(rows_per_batch))
-        .option("maxRows", str(max_rows))
-        .load()
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ecf_ticks_"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = time.time() + timeout_s
+    ckpt = tempfile.mkdtemp(prefix="ecf_ticks_")
     try:
-        while time.time() < deadline:
-            if spark.table(sink).count() >= max_rows:
-                break
-            time.sleep(0.2)
-    finally:
-        q.stop()
-        q.awaitTermination()
-    drained = spark.table(sink).count()
-    if drained < max_rows:
-        # Fail loudly with the real cause: a partially-drained table
-        # would otherwise surface downstream as a confusing row-count
-        # mismatch in the s16 gate.
-        raise TimeoutError(
-            f"tick stream drained only {drained}/{max_rows} rows "
-            f"within {timeout_s}s (sink table '{sink}')"
+        q = (
+            spark.readStream.format("ticks")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("maxRows", str(max_rows))
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
         )
-    return spark.table(sink)
+        deadline = time.time() + timeout_s
+        try:
+            while time.time() < deadline:
+                if spark.table(sink).count() >= max_rows:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        drained = spark.table(sink).count()
+        if drained < max_rows:
+            # Fail loudly with the real cause: a partially-drained table
+            # would otherwise surface downstream as a confusing row-count
+            # mismatch in the s16 gate.
+            raise TimeoutError(
+                f"tick stream drained only {drained}/{max_rows} rows "
+                f"within {timeout_s}s (sink table '{sink}')"
+            )
+        # materialize so the checkpoint + sink view can be reclaimed
+        return spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(sink)

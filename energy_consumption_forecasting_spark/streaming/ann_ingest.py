@@ -123,6 +123,7 @@ def ingest_vectors_available_now(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v")
     )
 
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_annin_ckpt_")
     run_id = run_id_for_checkpoint(ckpt)
 
@@ -187,11 +188,16 @@ def ingest_vectors_available_now(
         shutil.rmtree(stage, ignore_errors=True)
         txn_record(index_dir, key)
 
-    with pinned_stream_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(append)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(append)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # the index lives under index_dir, never the checkpoint
+        if own_ckpt:
+            _shutil.rmtree(ckpt, ignore_errors=True)

@@ -137,32 +137,19 @@ def run_anomaly_available_now(
 ) -> DataFrame:
     """Drain the static directory; keep the LATEST emission per
     (event_type, day) — update-mode consumers' contract."""
-    import tempfile
-    import uuid
+    from . import drain_available_now
 
-    from . import pinned_stream_partitions
-
-    sink = f"anom_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            anomaly_stream(spark, events_dir, glob, max_files_per_trigger)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_anom_ckpt_")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     # DRAIN-SIDE ONLY: the memory sink holds the per-day anomaly rows
     # (bounded by calendar days x event types, not event volume), and
     # this toPandas is test/gate plumbing to collapse update-mode
     # re-emissions.  It must NOT migrate into an operator data path — a
     # production stream writes to a real sink and dedupes with a keyed
     # upsert (round-4 VERDICT nit, pinned here so it stays drain-side).
-    pdf = spark.table(sink).toPandas()
+    pdf = drain_available_now(
+        anomaly_stream(spark, events_dir, glob, max_files_per_trigger),
+        "anom",
+        "update",
+    ).toPandas()
     if len(pdf):
         pdf = pdf.drop_duplicates(subset=["event_type", "d"], keep="last")
     return spark.createDataFrame(pdf, OUTPUT_SCHEMA)

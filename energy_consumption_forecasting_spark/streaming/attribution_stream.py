@@ -67,21 +67,11 @@ def attribution_stream(
 def run_attribution_available_now(
     spark: SparkSession, events_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"attrib_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            attribution_stream(spark, events_dir, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ecf_attrib_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return drain_available_now(
+        attribution_stream(spark, events_dir, glob), "attrib", "append"
+    )
 
 
 # --- left-outer stream-stream join: unconverted views -------------------------------
@@ -142,27 +132,14 @@ def run_abandoned_available_now(
     converted; left-outer emits one row per match plus none for the
     null side, so the unmatched set is views absent from the matched
     set — computed here batch-side on the drained sink)."""
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"abandon_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            abandoned_views_stream(spark, events_dir, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ecf_abandon_ckpt_"),
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    out = spark.table(sink)
-    return (
-        out.groupBy("user_id", "view_id")
+    return drain_available_now(
+        abandoned_views_stream(spark, events_dir, glob),
+        "abandon",
+        "append",
+        finish=lambda table, _ckpt: table.groupBy("user_id", "view_id")
         .agg(F.max("purchase_id").alias("any_purchase"))
         .filter(F.col("any_purchase").isNull())
-        .select("user_id", "view_id")
+        .select("user_id", "view_id"),
     )

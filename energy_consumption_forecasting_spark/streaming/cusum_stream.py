@@ -2,11 +2,13 @@
 ordered-seal pattern introduced by ``markov_stream``.
 
 Real-world monitoring shape: the control parameters (target mu, slack
-k, threshold h) are CALIBRATED OFFLINE from reference data and shipped
-to the stream as constants — exactly how production control charts
-run.  Here they come from the same exact-decimal batch statistics the
-batch query (``ts_cusum_chart``) derives, so the streamed chart equals
-the batch chart bit-for-bit and SHARES its oracle.
+k, threshold h) are CALIBRATED OFFLINE from reference data and reach
+the stream through a stream-static join on the calibration table —
+exactly how production control charts run (and zero driver-side
+collects: building the chart launches no jobs).  Here the calibration
+frame is the same exact-decimal batch statistic the batch query
+(``ts_cusum_chart``) derives, so the streamed chart equals the batch
+chart bit-for-bit and SHARES its oracle.
 
 Ordered-seal mechanics (see markov_stream for the general argument):
 
@@ -76,61 +78,82 @@ def _cusum_steps(
     return out, cp, cm
 
 
-def _make_update(mu_by_type: dict[str, float]):
-    def _update(
-        key: tuple[Any, ...],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        (event_type,) = key
-        if state.hasTimedOut:  # pragma: no cover
-            state.remove()
-            return
-        if state.exists:
-            days, cents_l, cp, cm = state.get
-            cents = dict(zip(days, cents_l))
-        else:
-            cents, cp, cm = {}, 0.0, 0.0
-        for pdf in pdfs:
-            day = (pdf["ts_us"] // _US_PER_DAY).astype("int64")
-            c = cents_half_up(pdf["value"])
-            for d, s in c.groupby(day).sum().items():
-                cents[int(d)] = cents.get(int(d), 0) + int(s)
-        # a day D is sealed once the watermark passed its END:
-        # wm >= (D+1)*day ⟺ no event with ts inside D can still arrive
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        sealed = sorted(d for d in cents if (d + 1) * _US_PER_DAY <= wm_us)
-        try:
-            mu = mu_by_type[event_type]  # missing calibration must fail loudly
-        except KeyError:
-            raise KeyError(
-                f"no CUSUM calibration (mu) for event_type {event_type!r}; "
-                f"calibrated types: {sorted(mu_by_type)}"
-            ) from None
-        rows, cp, cm = _cusum_steps(sealed, cents, cp, cm, mu)
-        for d in sealed:
-            del cents[d]
-        state.update(
-            (list(cents), [cents[d] for d in cents], float(cp), float(cm))
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.hasTimedOut:  # pragma: no cover
+        state.remove()
+        return
+    if state.exists:
+        days, cents_l, cp, cm = state.get
+        cents = dict(zip(days, cents_l))
+    else:
+        cents, cp, cm = {}, 0.0, 0.0
+    # mu rides every row via the stream-static calibration join (no
+    # driver-side dict: query construction launches zero jobs); a key
+    # is only invoked with rows under NoTimeout, so the first row of
+    # the first batch always carries it.  NULL mu = uncalibrated type
+    # that the left join kept visible — fail as loudly as the old
+    # KeyError contract did.
+    mu: float | None = None
+    for pdf in pdfs:
+        if mu is None and len(pdf):
+            m = pdf["mu"].iloc[0]
+            mu = None if pd.isna(m) else float(m)
+        day = (pdf["ts_us"] // _US_PER_DAY).astype("int64")
+        c = cents_half_up(pdf["value"])
+        for d, s in c.groupby(day).sum().items():
+            cents[int(d)] = cents.get(int(d), 0) + int(s)
+    if mu is None:
+        raise KeyError(
+            f"no CUSUM calibration (mu) for event_type {event_type!r}"
         )
-        if rows:
-            yield pd.DataFrame(
-                {
-                    "event_type": event_type,
-                    "d": [_EPOCH + timedelta(days=d) for d, _, _, _ in rows],
-                    "cplus": [v for _, v, _, _ in rows],
-                    "cminus": [v for _, _, v, _ in rows],
-                    "alert": [a for _, _, _, a in rows],
-                }
-            )
+    # a day D is sealed once the watermark passed its END:
+    # wm >= (D+1)*day ⟺ no event with ts inside D can still arrive
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    sealed = sorted(d for d in cents if (d + 1) * _US_PER_DAY <= wm_us)
+    rows, cp, cm = _cusum_steps(sealed, cents, cp, cm, mu)
+    for d in sealed:
+        del cents[d]
+    state.update(
+        (list(cents), [cents[d] for d in cents], float(cp), float(cm))
+    )
+    if rows:
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "d": [_EPOCH + timedelta(days=d) for d, _, _, _ in rows],
+                "cplus": [v for _, v, _, _ in rows],
+                "cminus": [v for _, _, v, _ in rows],
+                "alert": [a for _, _, _, a in rows],
+            }
+        )
 
-    return _update
+
+def _mu_frame(
+    spark: SparkSession, mu_by_type: dict[str, float] | DataFrame
+) -> DataFrame:
+    """Calibration as a DataFrame (event_type, mu).  A dict becomes a
+    local relation — either way, nothing is collected: the calibration
+    reaches executors through a stream-static join, the production
+    control-chart topology."""
+    if isinstance(mu_by_type, DataFrame):
+        return mu_by_type.select(
+            "event_type", F.col("mu").cast("double").alias("mu")
+        )
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in mu_by_type.items()],
+        "event_type string, mu double",
+    )
 
 
 def cusum_stream(
     spark: SparkSession,
     events_dir: str,
-    mu_by_type: dict[str, float],
+    mu_by_type: dict[str, float] | DataFrame,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
@@ -140,8 +163,12 @@ def cusum_stream(
     stream = src.withWatermark("ts", WATERMARK_DELAY).select(
         "ts", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
     )
+    # LEFT stream-static join: an uncalibrated type stays visible (NULL
+    # mu) and fails loudly inside the state update, preserving the old
+    # KeyError contract an inner join would silently swallow.
+    stream = stream.join(_mu_frame(spark, mu_by_type), "event_type", "left")
     return stream.groupBy("event_type").applyInPandasWithState(
-        _make_update(mu_by_type),
+        _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
@@ -150,7 +177,7 @@ def cusum_stream(
 
 
 def _tail_rows(
-    spark: SparkSession, ckpt: str, mu_by_type: dict[str, float]
+    spark: SparkSession, ckpt: str, mu_by_type: dict[str, float] | DataFrame
 ) -> DataFrame:
     """Continue each series' recursion over its unsealed buffered days,
     read from the final state snapshot via the statestore reader."""
@@ -158,18 +185,23 @@ def _tail_rows(
     g = ss.select(
         F.col("key.event_type").alias("event_type"),
         F.col("value.groupState.*"),
-    )
+    ).join(_mu_frame(spark, mu_by_type), "event_type", "left")
 
     def finish(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, r in pdf.iterrows():
+            if pd.isna(r["mu"]):
+                raise KeyError(
+                    "no CUSUM calibration (mu) for event_type "
+                    f"{r['event_type']!r}"
+                )
             cents = {int(d): int(c) for d, c in zip(r["days"], r["cents"])}
             rows, _, _ = _cusum_steps(
                 sorted(cents),
                 cents,
                 float(r["cplus"]),
                 float(r["cminus"]),
-                mu_by_type[r["event_type"]],
+                float(r["mu"]),
             )
             out.extend(
                 (
@@ -191,29 +223,17 @@ def _tail_rows(
 def run_cusum_available_now(
     spark: SparkSession,
     events_dir: str,
-    mu_by_type: dict[str, float],
+    mu_by_type: dict[str, float] | DataFrame,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    import tempfile
-    import uuid
+    from . import drain_available_now
 
-    from . import pinned_stream_partitions
-
-    sink = f"cusum_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ecf_cusum_ckpt_")
-    with pinned_stream_partitions(spark):
-        q = (
-            cusum_stream(
-                spark, events_dir, mu_by_type, glob, max_files_per_trigger
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    sealed = spark.table(sink).dropDuplicates(["event_type", "d"])
-    return sealed.unionByName(_tail_rows(spark, ckpt, mu_by_type))
+    return drain_available_now(
+        cusum_stream(spark, events_dir, mu_by_type, glob, max_files_per_trigger),
+        "cusum",
+        "update",
+        finish=lambda table, ckpt: table.dropDuplicates(
+            ["event_type", "d"]
+        ).unionByName(_tail_rows(spark, ckpt, mu_by_type)),
+    )

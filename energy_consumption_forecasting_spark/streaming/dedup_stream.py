@@ -50,20 +50,6 @@ def run_dedup_available_now(
     spark: SparkSession, docs_dir: str, glob: str = "documents.parquet"
 ) -> DataFrame:
     """Drain a static directory once; returns the surviving documents."""
-    from . import pinned_stream_partitions
+    from . import drain_available_now
 
-    sink = f"dedupstream_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            dedup_stream(spark, docs_dir, glob)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_dedup_ckpt_")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return drain_available_now(dedup_stream(spark, docs_dir, glob), "dedupstream", "append")

@@ -22,6 +22,7 @@ snapshot commit writes only the new state version.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +83,7 @@ def run_incremental_rollup(
         txn_seen,
     )
 
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_incr_ckpt_")
     run_id = run_id_for_checkpoint(ckpt)
     stream = events_stream(
@@ -116,12 +118,18 @@ def run_incremental_rollup(
         commit_snapshot(merged, table_dir, note=f"txn {key}")
         txn_record(table_dir, key)
 
-    with pinned_stream_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # the returned snapshot reads table_dir, never the checkpoint;
+        # a caller-supplied checkpoint is the caller's (resume contract)
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return read_snapshot(spark, table_dir)

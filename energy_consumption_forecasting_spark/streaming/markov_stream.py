@@ -202,37 +202,27 @@ def run_markov_available_now(
 ) -> DataFrame:
     """Drain the static directory; return the EXACT global transition
     matrix: last-wins cumulative emissions + statestore buffer tail."""
-    import tempfile
-    import uuid
+    from . import drain_available_now
 
-    from . import pinned_stream_partitions
-
-    sink = f"markov_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ecf_markov_ckpt_")
-    with pinned_stream_partitions(spark):
-        q = (
-            markov_stream(spark, events_dir, glob, max_files_per_trigger)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    def finish(table, ckpt):
+        # Cumulative per-key counts are MONOTONE, so "latest emission"
+        # == per-key MAX — order-independent, no reliance on the memory
+        # sink preserving batch-append order.
+        sealed = (
+            table.groupBy("user_id", "prev_type", "next_type")
+            .agg(F.max("n").alias("n"))
+            .groupBy("prev_type", "next_type")
+            .agg(F.sum("n").alias("n"))
         )
-        q.awaitTermination()
-    # Cumulative per-key counts are MONOTONE, so "latest emission" ==
-    # per-key MAX — order-independent, no reliance on the memory sink
-    # preserving batch-append order.
-    sealed = (
-        spark.table(sink)
-        .groupBy("user_id", "prev_type", "next_type")
-        .agg(F.max("n").alias("n"))
-        .groupBy("prev_type", "next_type")
-        .agg(F.sum("n").alias("n"))
-    )
-    tail = _tail_transitions(spark, ckpt)
-    return (
-        sealed.unionByName(tail)
-        .groupBy("prev_type", "next_type")
-        .agg(F.sum("n").cast("long").alias("n"))
+        return (
+            sealed.unionByName(_tail_transitions(spark, ckpt))
+            .groupBy("prev_type", "next_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    return drain_available_now(
+        markov_stream(spark, events_dir, glob, max_files_per_trigger),
+        "markov",
+        "update",
+        finish=finish,
     )

@@ -107,29 +107,13 @@ def run_minhash_dedup_available_now(
 ) -> DataFrame:
     """Drain a static directory; one verdict per flagged doc:
     (doc_id, dup_of = smallest first-writer across its colliding bands)."""
-    import tempfile
-    import uuid
+    from . import drain_available_now
 
-    from . import pinned_stream_partitions
-
-    sink = f"mhstream_{uuid.uuid4().hex[:8]}"
-    with pinned_stream_partitions(spark):
-        q = (
-            minhash_collisions_stream(
-                spark, docs_dir, glob, max_files_per_trigger
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ecf_mh_ckpt_")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        spark.table(sink)
-        .groupBy("doc_id")
-        .agg(F.min("dup_of").alias("dup_of"))
+    return drain_available_now(
+        minhash_collisions_stream(spark, docs_dir, glob, max_files_per_trigger),
+        "mhstream",
+        "update",
+        finish=lambda table, _ckpt: table.groupBy("doc_id").agg(
+            F.min("dup_of").alias("dup_of")
+        ),
     )

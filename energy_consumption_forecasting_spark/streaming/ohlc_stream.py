@@ -200,35 +200,13 @@ def run_ohlc_available_now(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
+    from . import drain_available_now
 
-    from . import pinned_stream_partitions
-
-    sink = f"ohlc_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ecf_ohlc_ckpt_")
-    try:
-        with pinned_stream_partitions(spark):
-            q = (
-                ohlc_stream(spark, events_dir, glob, max_files_per_trigger)
-                .writeStream.format("memory")
-                .queryName(sink)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        sealed = spark.table(sink).dropDuplicates(["event_type", "d"])
-        # Materialize (daily bars: bounded by event_types × days — the
-        # memory sink already holds this on the driver) so the returned
-        # frame's lineage no longer reads the checkpoint statestore or
-        # the memory-sink view, then reclaim both: repeated gate/bench
-        # invocations must not leak a tempdir + temp view per call.
-        return sealed.unionByName(_tail_bars(spark, ckpt)).localCheckpoint(
-            eager=True
-        )
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-        spark.catalog.dropTempView(sink)
+    return drain_available_now(
+        ohlc_stream(spark, events_dir, glob, max_files_per_trigger),
+        "ohlc",
+        "update",
+        finish=lambda table, ckpt: table.dropDuplicates(
+            ["event_type", "d"]
+        ).unionByName(_tail_bars(spark, ckpt)),
+    )

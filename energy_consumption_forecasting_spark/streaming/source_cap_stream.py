@@ -18,6 +18,7 @@ state + lineage-scoped txn keys give exactly-once folds under replay
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -115,6 +116,7 @@ def run_source_cap_available_now(
         txn_seen,
     )
 
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ecf_srccap_ckpt_")
     run_id = run_id_for_checkpoint(ckpt)
     stream = docs_stream(
@@ -136,14 +138,19 @@ def run_source_cap_available_now(
         commit_snapshot(_merge(prior, delta), table_dir, note=f"txn {key}")
         txn_record(table_dir, key)
 
-    with pinned_stream_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with pinned_stream_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # the returned snapshot reads table_dir, never the checkpoint
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     if not versions(table_dir):
         # zero batches drained (empty source): the batch op returns an

@@ -89,6 +89,45 @@ def _ts_kind(arrow_type) -> str:
     return "other"
 
 
+def _footer_spark_schema(path: str, ts_as_long: bool = False):
+    """Spark read schema derived DRIVER-SIDE from the parquet footer —
+    supplying it to ``spark.read.schema(...)`` removes the
+    schema-inference Spark job that ``spark.read.parquet`` otherwise
+    launches per call (round-6 rule: constructing a query runs zero
+    jobs).  ``prefer_timestamp_ntz=True`` mirrors Spark 4's parquet
+    inference (``spark.sql.parquet.inferTimestampNTZ``), pinned equal
+    to the engine's own inference for every testdata table by
+    tests/test_testdata_contract.py.  Returns None when the footer
+    types don't convert (future physical-type drift) — callers then
+    fall back to plain inference, trading one job for resilience."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    try:
+        schema = from_arrow_schema(
+            probe_arrow_schema(path), prefer_timestamp_ntz=True
+        )
+    except Exception:
+        return None
+    if ts_as_long:
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType(), f.nullable)
+                if f.name == "ts"
+                else f
+                for f in schema.fields
+            ]
+        )
+    return schema
+
+
+def _read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
 def load_events(spark: SparkSession, path: str) -> DataFrame:
     """Type-adaptive events scan — see module docstring for the contract."""
     from pyspark.sql import functions as F
@@ -97,9 +136,9 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     kind = _ts_kind(probe_arrow_schema(path).field("ts").type)
     if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path, _footer_spark_schema(path, ts_as_long=True))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    df = spark.read.parquet(path)
+    df = _read_parquet(spark, path, _footer_spark_schema(path))
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -114,7 +153,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         return load_events(spark, path)
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path, _footer_spark_schema(path))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
