@@ -253,7 +253,10 @@ def m30_forecast_metrics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m12_blocked_cv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.cv import label_folds
 
-    labeled = label_folds(_daily(spark, sf_dir), ["d"])
+    # bounded=True: _daily is a calendar-bounded aggregate, the window
+    # fast path's documented domain (the raw-frame default is the
+    # two-pass distributed rank — ml/cv.py scale contract)
+    labeled = label_folds(_daily(spark, sf_dir), ["d"], bounded=True)
     return (
         labeled.groupBy(F.col("fold").cast("int").alias("fold"), "role")
         .agg(

@@ -215,3 +215,51 @@ def test_m7_stl_robust_weights_and_alignment(spark):
     rr = [r["resid"] for r in robust.values() if r["resid"] is not None]
     rc = [r["resid"] for r in classical.values() if r["resid"] is not None]
     assert statistics.pstdev(rr) < 2 * statistics.pstdev(rc)
+
+
+def test_label_folds_distributed_equals_window_form(spark, series_df):
+    """The default (two-pass rank) path, the bucket lazy path, and the
+    bounded window fast path must assign bit-identical (fold, role) —
+    the integer ntile algebra mirrors the window ntile exactly."""
+    def key(df):
+        return {
+            r["d"]: (r["fold"], r["role"])
+            for r in df.select("d", "fold", "role").collect()
+        }
+
+    base = key(label_folds(series_df, ["d"], bounded=True))
+    assert key(label_folds(series_df, ["d"])) == base
+    bucketed = label_folds(
+        series_df, ["d"], bucket=F.month("d").cast("long")
+    )
+    assert key(bucketed) == base
+
+
+def test_label_folds_raw_frame_never_single_partitions(spark):
+    """Round-6 VERDICT item 4 plan contract: label_folds on a RAW
+    (unbounded-source) frame must not put an unpartitioned Window over
+    that source — the library default is the two-pass distributed
+    rank.  Walks the optimized plan exactly as tools/plan_audit.py's
+    hard guard does."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit_unpartitioned_windows
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    labeled = label_folds(raw, ["o_orderdate", "o_orderkey"])
+    assert audit_unpartitioned_windows(labeled) == []
+    tr, te = train_test_split(raw, ["o_orderdate", "o_orderkey"])
+    assert audit_unpartitioned_windows(tr) == []
+    # the lazy-bucket variant is action-free AND clean
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    lazy = label_folds(
+        raw,
+        ["o_orderdate", "o_orderkey"],
+        bucket=(F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+            "long"
+        ),
+    )
+    assert dag.numTotalJobs() == before, "bucket path must launch zero jobs"
+    assert audit_unpartitioned_windows(lazy) == []
