@@ -25,6 +25,15 @@ distributed HR+CSS estimator lands within tolerance (coefficients AND
 per-observation log-likelihood gap).  If statsmodels ever appears in
 the environment, the optional-deps test compares this MLE against it
 directly.
+
+The evaluator itself is pinned against EXTERNAL ground truth (round-6):
+tests/fixtures/arima_external_goldens.json commits hand-derived exact
+rational (y' Sigma^{-1} y, det Sigma) pairs for MA(1)/AR(1)/ARMA(1,1)
+— the published exact Gaussian likelihood reproduced with pen-and-paper
+rational arithmetic (derivations in the fixture) — plus the AR(1)
+profile-score cubic whose stationary root the likelihood's argmax must
+hit.  No number in that fixture originates from this repository, so
+the golden loop is no longer self-referential.
 """
 
 from __future__ import annotations
