@@ -1038,7 +1038,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("s").alias("n")).distinct().select(
         "n", F.col("n").alias("lab")
     )
-    for _ in range(LPA_ROUNDS):
+    for i in range(LPA_ROUNDS):
         nb = (
             und.join(labels.select(F.col("n").alias("t2"), "lab"),
                      F.col("t2") == F.col("t"))
@@ -1055,8 +1055,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
             .select(F.col("s").alias("n"), F.col("m.lab").alias("lab"))
-            .localCheckpoint(eager=False)
         )
+        # lineage truncation every 3rd round, not every round (round-6
+        # item 2: each checkpoint is a job barrier and the per-round
+        # math is barrier-dominated at gate SF — measured ~2.9s -> 2.5s
+        # at sf0.1); label lineage is linear, so short lazy chains are
+        # safe
+        if (i + 1) % 3 == 0 and i + 1 < LPA_ROUNDS:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select(
         F.col("n").alias("node"), F.col("lab").alias("community")
     )

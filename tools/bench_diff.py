@@ -6,6 +6,13 @@ Usage:
 Accepts either the raw one-line bench.py output or the driver's
 BENCH_r{N}.json wrapper ({"parsed": {...}}).  Exit code 1 if any query
 regressed by more than --ratio, so the check can gate a round script.
+
+Spread-aware (round-6 item 6): when the OLD record carries per-query
+"spread" ([min, max] over bench.py's repetitions), a query is flagged
+only when the new median exceeds ratio × max(old_median, old_max) —
+i.e. the regression must clear the recorded noise band, not just the
+single old sample.  Records without spread compare medians directly
+(backward compatible with rounds 1-5).
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ def main() -> None:
     args = ap.parse_args()
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
+    ospread = old.get("spread") or {}
 
     regressions = []
     print(f"{'query':34s} {'old':>7s} {'new':>7s}  ratio")
@@ -42,9 +50,13 @@ def main() -> None:
             print(f"{name:34s} {'—':>7s} {t_new:7.2f}  (new)")
             continue
         r = t_new / t_old if t_old else float("inf")
-        flag = "  <<< REGRESSION" if r > args.ratio else ""
+        # the regression bar: ratio × the WORST recorded old sample
+        # (falls back to the old median when no spread was recorded)
+        bar = max(t_old, (ospread.get(name) or [t_old, t_old])[1])
+        regressed = bar > 0 and t_new > args.ratio * bar
+        flag = "  <<< REGRESSION" if regressed else ""
         print(f"{name:34s} {t_old:7.2f} {t_new:7.2f}  {r:4.1f}x{flag}")
-        if r > args.ratio:
+        if regressed:
             regressions.append((name, r))
     for name in sorted(set(oq) - set(nq)):
         print(f"{name:34s} {oq[name]:7.2f} {'—':>7s}  (dropped)")
