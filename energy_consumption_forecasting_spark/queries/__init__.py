@@ -73,6 +73,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             behavior,
             components,
             dedup,
+            eval_gates,
             extensions,
             geo,
             joins,

@@ -119,6 +119,13 @@ EXEMPT: dict[str, str] = {
     "pipeline_unigram_encode": "FIT",
     "emb_whitening_eval": "FIT",
     "a_approx_percentile_eval": "FIT",
+    "m11_lstm_eval": "FIT",
+    "m15_shap_eval": "FIT",
+    "m16_ablation_eval": "FIT",
+    "m17_sensitivity_eval": "FIT",
+    "m21_som_eval": "FIT",
+    "pipeline_unigram_eval": "FIT",
+    "pipeline_classifier_eval": "FIT",
     "dq_referential_integrity": "FIT",
     "sim_ivf_topk": "FIT",
     "sim_pq_topk": "FIT",
