@@ -128,11 +128,23 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("ecf_jsonl stream sink requires a path option")
         self.fields = [f.name for f in schema.fields]
+        # Failpoint for the crash-window tests (the DataSource commit
+        # runs in a worker process, out of monkeypatch's reach): when
+        # set, the FIRST commit crashes after staging but before any
+        # promote — the marker file arms exactly one crash, so the
+        # replayed batch proceeds normally.  Never set in production.
+        self.crash_once = options.get("crashoncepath")
 
     def write(self, iterator) -> JsonlCommit:
         return _stage_rows(self.path, self.fields, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        if self.crash_once and not os.path.exists(self.crash_once):
+            with open(self.crash_once, "w") as f:
+                f.write(f"fired at batch {batchId}")
+            raise RuntimeError(
+                "injected: crash between staging and promote (failpoint)"
+            )
         os.makedirs(self.path, exist_ok=True)  # empty batch: no write() ran
         prefix = f"batch-{batchId:09d}-"
         for fn in os.listdir(self.path):  # replay: drop our own batch
