@@ -126,3 +126,107 @@ def test_non_utc_session_date_grouping(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert utc == ny and len(utc[0]) > 0 and len(utc[1]) > 0
+
+
+# --- distribution pins (round-6 VERDICT item 8) -------------------------------------
+# If the driver regenerates the testdata with a different SHAPE (row
+# counts, key cardinalities, value domains), diagnose it HERE in one
+# failing test instead of a red 371-query sweep.  Exact pins for the
+# structural facts queries build on (scale-linear row counts, dimension
+# sizes, label domains, embedding width); loose range pins for the
+# seeded value distributions (a reseed must not fail the contract, a
+# domain change must).
+_ROWS = {
+    # table: rows per SF keyed by the sf directory suffix
+    "region": {"0.001": 5, "0.01": 5, "0.1": 5},
+    "nation": {"0.001": 25, "0.01": 25, "0.1": 25},
+    "customer": {"0.001": 150, "0.01": 1500, "0.1": 15000},
+    "supplier": {"0.001": 10, "0.01": 100, "0.1": 1000},
+    "part": {"0.001": 200, "0.01": 2000, "0.1": 20000},
+    "orders": {"0.001": 1500, "0.01": 15000, "0.1": 150000},
+    "lineitem": {"0.001": 6000, "0.01": 60000, "0.1": 600000},
+    "events": {"0.001": 1000, "0.01": 10000, "0.1": 100000},
+    "documents": {"0.001": 500, "0.01": 500, "0.1": 5000},
+    "embeddings": {"0.001": 500, "0.01": 500, "0.1": 2000},
+}
+
+
+def _sf_key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_row_counts_pinned(spark, sf_dir):
+    key = _sf_key(sf_dir)
+    got = {
+        name: load_table(spark, sf_dir, name).count() for name in TABLE_NAMES
+    }
+    want = {name: _ROWS[name][key] for name in TABLE_NAMES}
+    assert got == want, f"testdata regenerated with different row counts at {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_key_cardinalities_and_domains(spark, sf_dir):
+    key = _sf_key(sf_dir)
+
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderkey").alias("ok"),
+        F.countDistinct("o_custkey").alias("ck"),
+        F.min(F.year("o_orderdate")).alias("y0"),
+        F.max(F.year("o_orderdate")).alias("y1"),
+        F.min("o_totalprice").alias("p0"),
+        F.max("o_totalprice").alias("p1"),
+    ).first()
+    assert o["ok"] == _ROWS["orders"][key], "o_orderkey is not unique"
+    # every customer (minus seed jitter) places orders
+    assert o["ck"] >= 0.99 * _ROWS["customer"][key]
+    assert 1992 <= o["y0"] <= o["y1"] <= 2005, "order-date window moved"
+    assert 0 < o["p0"] and o["p1"] < 1_000_000, "price domain moved"
+
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("pk"),
+        F.countDistinct("l_suppkey").alias("sk"),
+        F.min("l_quantity").alias("q0"),
+        F.max("l_quantity").alias("q1"),
+    ).first()
+    assert li["pk"] == _ROWS["part"][key], "lineitem does not cover parts"
+    assert li["sk"] == _ROWS["supplier"][key], "lineitem does not cover suppliers"
+    assert (li["q0"], li["q1"]) == (1.0, 50.0), "quantity domain moved"
+
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("event_id").alias("eid"),
+        F.countDistinct("user_id").alias("uid"),
+        F.countDistinct("event_type").alias("et"),
+        F.min("value").alias("v0"),
+    ).first()
+    assert ev["eid"] == _ROWS["events"][key], "event_id is not unique"
+    assert ev["et"] == 5, "event_type domain changed"
+    assert 0 < ev["uid"] < _ROWS["events"][key], "user fan-out collapsed"
+    assert ev["v0"] >= 0, "event values went negative"
+
+    doc = load_table(spark, sf_dir, "documents").agg(
+        F.countDistinct("doc_id").alias("did"),
+        F.countDistinct("source").alias("src"),
+        F.min(F.length("text")).alias("t0"),
+    ).first()
+    assert doc["did"] == _ROWS["documents"][key], "doc_id is not unique"
+    assert doc["src"] == 20, "documents.source domain changed"
+    assert doc["t0"] > 0, "empty documents appeared"
+
+    em = load_table(spark, sf_dir, "embeddings").agg(
+        F.countDistinct("vec_id").alias("vid"),
+        F.countDistinct("label").alias("lab"),
+        F.min(F.size("embedding")).alias("d0"),
+        F.max(F.size("embedding")).alias("d1"),
+    ).first()
+    assert em["vid"] == _ROWS["embeddings"][key], "vec_id is not unique"
+    assert em["lab"] == 10, "embedding label domain changed"
+    assert em["d0"] == em["d1"] == 64, "embedding width changed"
+
+    cu = load_table(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_custkey").alias("ck"),
+        F.countDistinct("c_mktsegment").alias("seg"),
+        F.countDistinct("c_nationkey").alias("nk"),
+    ).first()
+    assert cu["ck"] == _ROWS["customer"][key]
+    assert cu["seg"] == 5 and cu["nk"] == 25, "customer dims changed"
