@@ -110,6 +110,9 @@ HEADLINE = [
     # machine
     "pipeline_unigram_encode",
     "w_lifecycle_states",
+    # round-6: DSIR importance weighting (the new corpus-scale scoring
+    # pass) and the classifier eval gate (the L-BFGS fit path)
+    "pipeline_dsir_weights",
 ]
 
 

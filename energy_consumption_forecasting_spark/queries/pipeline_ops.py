@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import fanout, tbl
 
 
 def _tokens(c):
@@ -1418,4 +1418,201 @@ def pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
         .select("anchor_id", "label", "pos_id", "neg_id", "neg_label")
+    )
+
+
+# --- DSIR: data selection via importance resampling ---------------------------------
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): estimate target vs raw distributions over HASHED n-gram
+# features, weight every raw example by its importance ratio, and
+# resample the highest-weight examples.  Cross-engine exactness forces
+# two published-faithful substitutions, both documented where they
+# matter: (1) the per-bucket ratio is fixed-point integer arithmetic
+# (ln() is not bit-stable across engines — the bm25 rule), so each
+# bigram contributes the CENTERED ratio (r − 1)·SCALE — the first-order
+# surrogate of ln r, sign-faithful and length-unbiased where the raw
+# ratio-sum is length-dominated (measured rho = −0.99 raw vs +0.9996
+# centered against the paper's log-pooled weight;
+# tests/test_scale_ops.py pins it); (2) resampling is the deterministic
+# argmax (top-k by weight, doc_id tie-break) rather than gumbel-noised
+# sampling, the reproducible form a data pipeline actually ships.
+DSIR_SCALE = 10**6  # fixed-point ratio quantum
+DSIR_TOPK = 100
+# 256 hashed feature buckets = the first two hex chars of md5(bigram)
+# — the engine-portable hash family every dedup sketch here uses.
+_DSIR_BG_SQL = r"""docs AS (
+      SELECT doc_id,
+             substr(md5('dsir:' || source), 1, 1) < '4' AS is_target,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, is_target,
+             substr(md5(a[CAST(i AS INT)] || ' ' ||
+                        a[CAST(i + 1 AS INT)]), 1, 2) AS b
+      FROM docs, unnest(range(1, len(a))) t(i)
+    ),
+    ct AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg
+      WHERE is_target GROUP BY b
+    ),
+    cr AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg
+      WHERE NOT is_target GROUP BY b
+    ),
+    u AS (
+      SELECT COALESCE(ct.b, cr.b) AS b,
+             ((COALESCE(ct, 0) + 1) * CAST(1000000 AS BIGINT))
+               // (COALESCE(cr, 0) + 1)
+               - CAST(1000000 AS BIGINT) AS u
+      FROM ct FULL JOIN cr ON ct.b = cr.b
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             d.is_target,
+             CAST(COUNT(u.b) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(SUM(u.u), 0) AS BIGINT) AS score_fp
+      FROM docs d
+      LEFT JOIN (SELECT bg.doc_id, bg.b, u.u FROM bg JOIN u ON u.b = bg.b)
+        u ON u.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.is_target
+    )"""
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring frame: (doc_id, is_target, n_bigrams,
+    score_fp).
+
+    Scale shape: bigram hashing is row-local (one explode), the two
+    distribution estimates are 256-row aggregates, the per-bucket
+    ratio table broadcast-joins back onto the bigram stream, and one
+    groupBy(doc_id) finishes — shuffles carry (2-hex-char, count)
+    pairs and doc ids, never text.  Fixed-point bounds: u[b] <=
+    (|target bigrams|+1)·1e6 and score <= n_bigrams·max(u) — int64 at
+    every gate SF; a 100-TB run raises DSIR_SCALE precision by
+    computing u in DECIMAL(38,0) (documented, not needed here)."""
+    docs = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            (
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), F.col("source"))), 1, 1
+                )
+                < "4"
+            ).alias("is_target"),
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            ).alias("a"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard short docs with an
+    # explicit empty array (the cross-engine rule in queries/__init__)
+    bigram_hashes = F.when(
+        F.size("a") >= 2,
+        F.expr(
+            "transform(sequence(1, size(a) - 1), i -> "
+            "substring(md5(concat(element_at(a, i), ' ', "
+            "element_at(a, i + 1))), 1, 2))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        "doc_id", "is_target", F.explode(bigram_hashes).alias("b")
+    )
+    ct = bg.filter("is_target").groupBy("b").agg(F.count("*").alias("ct"))
+    cr = bg.filter(~F.col("is_target")).groupBy("b").agg(
+        F.count("*").alias("cr")
+    )
+    u = (
+        ct.join(cr, "b", "full")
+        .select(
+            "b",
+            (
+                F.expr(
+                    f"((coalesce(ct, 0L) + 1L) * {DSIR_SCALE}L)"
+                    " div (coalesce(cr, 0L) + 1L)"
+                )
+                - DSIR_SCALE
+            ).alias("u"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(u), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("u").alias("score_fp"),
+        )
+    )
+    return docs.select("doc_id", "is_target").join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "is_target",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("score_fp", F.lit(0)).cast("long").alias("score_fp"),
+    )
+
+
+@query(
+    "pipeline_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_BG_SQL}
+    SELECT doc_id, is_target, n_bigrams, score_fp FROM scored
+    """,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) over hashed word
+    bigrams: the target distribution is estimated from the documents
+    of a deterministic quarter of the sources (the 'curated corpus'
+    stand-in: md5-hash-selected, reproducible on any engine), the raw
+    distribution from the rest; every document scores the Laplace-
+    smoothed target/raw ratio of each of its bigram buckets, summed in
+    exact fixed point (see _dsir_scored for the ln()-free estimator
+    note and the 100-TB bounds)."""
+    return _dsir_scored(spark, sf_dir)
+
+
+@query(
+    "pipeline_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_BG_SQL},
+    sel AS (
+      SELECT doc_id, score_fp FROM scored WHERE NOT is_target
+      ORDER BY score_fp DESC, doc_id LIMIT {DSIR_TOPK}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, score_fp
+    FROM sel
+    """,
+)
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: the top-{k} raw-pool documents by
+    importance weight (deterministic argmax form; doc_id tie-break).
+
+    Plan: distributed top-k (TakeOrderedAndProject — never a global
+    sort), then ranks minted by posexplode over the k-row collected
+    aggregate (bounded by construction, the repo's top-k rank
+    idiom)."""
+    sel = (
+        _dsir_scored(spark, sf_dir)
+        .filter(~F.col("is_target"))
+        .select("doc_id", "score_fp")
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+    packed = sel.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("score_fp")).alias("ns"), "doc_id"))
+        ).alias("xs")
+    )
+    return packed.select(
+        F.posexplode("xs").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("x.doc_id").alias("doc_id"),
+        (-F.col("x.ns")).cast("long").alias("score_fp"),
     )

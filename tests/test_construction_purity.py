@@ -183,6 +183,8 @@ EXEMPT: dict[str, str] = {
     "ts_intermittency_profile": "SHARED",
     "w5_transpose_native": "SHARED",
     "w_lifecycle_states": "SHARED",
+    "pipeline_dsir_weights": "SHARED",
+    "pipeline_dsir_resample": "SHARED",
     "f_sql_scripting_trim": "ROUNDTRIP",  # EXECUTE IMMEDIATE runs the script
     # --- documented bounded collects --------------------------------------
     "w_markov_attribution": "BOUNDED",  # event-type transition matrix solve

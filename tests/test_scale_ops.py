@@ -435,3 +435,85 @@ def test_minhash_parameterization_prefix_consistent(spark):
     m4 = {key(r): r["bucket"] for r in b4}
     m8 = {key(r): r["bucket"] for r in b8 if r["band"] < 4}
     assert m4 == m8
+
+
+def test_dsir_fixed_point_tracks_log_pooled_weights(spark):
+    """The registered DSIR score is the ln()-free fixed-point ratio-sum
+    (cross-engine exactness rule); the PAPER's estimator is the
+    log-ratio sum.  Pin the substitution: on the gate corpus the two
+    rankings of the raw pool must agree strongly (Spearman rho), and
+    the top-20 by either ranking must overlap heavily."""
+    import math
+
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+        DSIR_SCALE,
+        _dsir_scored,
+    )
+    from energy_consumption_forecasting_spark.queries._util import fanout, tbl
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    scored = {
+        r["doc_id"]: r["score_fp"]
+        for r in _dsir_scored(spark, sf).filter(~F.col("is_target")).collect()
+    }
+
+    # independent log-pooled recompute (numpy, from the same features)
+    docs = (
+        tbl(spark, sf, "documents")
+        .select(
+            "doc_id",
+            (
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("source"))), 1, 1)
+                < "4"
+            ).alias("t"),
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("a"),
+        )
+        .collect()
+    )
+    import hashlib
+
+    def buckets(words):
+        return [
+            hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:2]
+            for w1, w2 in zip(words, words[1:])
+        ]
+
+    ct: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    per_doc = {}
+    for r in docs:
+        bs = buckets(list(r["a"]))
+        per_doc[r["doc_id"]] = (r["t"], bs)
+        tgt = ct if r["t"] else cr
+        for b in bs:
+            tgt[b] = tgt.get(b, 0) + 1
+    log_w = {
+        did: sum(
+            math.log((ct.get(b, 0) + 1) / (cr.get(b, 0) + 1)) for b in bs
+        )
+        for did, (t, bs) in per_doc.items()
+        if not t
+    }
+    # sanity: the engine's fixed-point u matches the hand algebra on a
+    # few buckets
+    some_doc = next(iter(log_w))
+    _, bs = per_doc[some_doc]
+    manual_fp = sum(
+        ((ct.get(b, 0) + 1) * DSIR_SCALE) // (cr.get(b, 0) + 1) - DSIR_SCALE
+        for b in bs
+    )
+    assert scored[some_doc] == manual_fp
+
+    ids = sorted(log_w)
+    a = np.array([scored[i] for i in ids], dtype=float)
+    b = np.array([log_w[i] for i in ids], dtype=float)
+    ra = np.argsort(np.argsort(a))
+    rb = np.argsort(np.argsort(b))
+    rho = np.corrcoef(ra, rb)[0, 1]
+    assert rho > 0.95, f"fixed-point ranking diverged from log-pooled: rho={rho}"
+    top_fp = set(np.array(ids)[np.argsort(-a)][:20])
+    top_ln = set(np.array(ids)[np.argsort(-b)][:20])
+    assert len(top_fp & top_ln) >= 12, (top_fp, top_ln)

@@ -220,6 +220,9 @@ AUDITED = [
     "w_nelson_aalen",
     "pipeline_unigram_candidates",
     "w_lifecycle_states",
+    # round-6: DSIR importance weighting (hashed-bigram streams + the
+    # 256-row broadcast ratio table)
+    "pipeline_dsir_weights",
     # round-5 post-gate wave
     "w_touch_attribution",
     "m36_kruskal_wallis",

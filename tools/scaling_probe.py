@@ -35,6 +35,7 @@ PROBES = [
     ("scale_zorder_layout", "row-local bit algebra + 4096-key agg"),
     ("graph_pagerank", "10-round power iteration"),
     ("pipeline_pack_sequences", "two-pass distributed prefix sum"),
+    ("pipeline_dsir_weights", "hashed-bigram DSIR scoring + broadcast ratio join"),
     ("dedup_winnow", "row-local winnow select + capped pair join"),
     ("sim_knn_graph", "banded-LSH candidates + per-src top-k"),
     ("w_funnel_conversion", "staged conditional-min user joins"),
