@@ -113,6 +113,7 @@ HEADLINE = [
     # round-6: DSIR importance weighting (the new corpus-scale scoring
     # pass) and the classifier eval gate (the L-BFGS fit path)
     "pipeline_dsir_weights",
+    "pipeline_fim_transform",
 ]
 
 

@@ -1616,3 +1616,220 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.doc_id").alias("doc_id"),
         (-F.col("x.ns")).cast("long").alias("score_fp"),
     )
+
+
+# --- FIM: fill-in-the-middle transformation ------------------------------------------
+# Bavarian et al. 2022 ("Efficient Training of Language Models to Fill
+# in the Middle"): with rate p, a document is split into (prefix,
+# middle, suffix) at uniform positions and re-serialized in PSM order
+# with sentinel tokens, teaching an autoregressive model to infill.
+# Deterministic engine form: the apply decision and BOTH split points
+# derive from md5(doc_id) (the paper's 0.5 rate), so the transform is
+# reproducible across engines, partitionings, and reruns — the same
+# discipline as pipeline_span_corruption / epoch_shuffle.
+FIM_RATE_HEX = "8"  # first md5 hex char < '8' => 50% of docs
+
+
+def _hex4_sql(s: str) -> str:
+    """First 16 bits of md5(s) as an integer, in portable SQL (the
+    strpos hex-digit idiom the simhash oracle uses)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({s}), {k + 1}, 1)) - 1)"
+            f" * {16 ** (3 - k)}"
+            for k in range(4)
+        )
+        + ")"
+    )
+
+
+@query(
+    "pipeline_fim_transform",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS a,
+             substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               < '{FIM_RATE_HEX}' AS chosen
+      FROM documents
+    ),
+    sized AS (SELECT *, len(a) AS n FROM d),
+    split AS (
+      SELECT doc_id, a, n, chosen AND n >= 1 AS fim_applied,
+             1 + ({_hex4_sql("'fim_i:' || CAST(doc_id AS VARCHAR)")} % GREATEST(n, 1)) AS p1,
+             1 + ({_hex4_sql("'fim_j:' || CAST(doc_id AS VARCHAR)")} % GREATEST(n, 1)) AS p2
+      FROM sized
+    ),
+    pts AS (
+      SELECT doc_id, a, n, fim_applied,
+             LEAST(p1, p2) AS i, GREATEST(p1, p2) AS j
+      FROM split
+    )
+    SELECT doc_id,
+           fim_applied,
+           CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN fim_applied
+                THEN CAST(j - i + 1 AS BIGINT) ELSE 0 END AS middle_len,
+           CASE WHEN fim_applied
+                THEN '<fim_pre> '
+                     || COALESCE(array_to_string(a[1:CAST(i - 1 AS INT)], ' '), '')
+                     || ' <fim_suf> '
+                     || COALESCE(array_to_string(a[CAST(j + 1 AS INT):CAST(n AS INT)], ' '), '')
+                     || ' <fim_mid> '
+                     || COALESCE(array_to_string(a[CAST(i AS INT):CAST(j AS INT)], ' '), '')
+                ELSE COALESCE(array_to_string(a, ' '), '') END AS input_text
+    FROM pts
+    """,
+)
+def pipeline_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM/PSM training transform (Bavarian et al. 2022): half the
+    corpus (md5-selected) is re-serialized as
+    ``<fim_pre> prefix <fim_suf> suffix <fim_mid> middle`` with both
+    split points drawn deterministically from md5(doc_id); the rest
+    passes through untouched (the paper's mixed AR+FIM objective).
+
+    Entirely row-local — one projection over the scan, no shuffle at
+    all: the 100-TB cost is exactly one pass."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+            "a"
+        ),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            )
+            < FIM_RATE_HEX
+        ).alias("chosen"),
+    )
+
+    def hex4(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix), F.col("doc_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    n = F.size("a").cast("long")
+    p1 = 1 + hex4("fim_i:") % F.greatest(n, F.lit(1))
+    p2 = 1 + hex4("fim_j:") % F.greatest(n, F.lit(1))
+    sized = docs.select(
+        "doc_id",
+        "a",
+        n.alias("n"),
+        (F.col("chosen") & (n >= 1)).alias("fim_applied"),
+        F.least(p1, p2).alias("i"),
+        F.greatest(p1, p2).alias("j"),
+    )
+    i, j, nn = F.col("i").cast("int"), F.col("j").cast("int"), F.col("n").cast("int")
+    psm = F.concat(
+        F.lit("<fim_pre> "),
+        F.array_join(F.slice("a", 1, F.greatest(i - 1, F.lit(0))), " "),
+        F.lit(" <fim_suf> "),
+        F.array_join(
+            F.slice("a", j + 1, F.greatest(nn - j, F.lit(0))), " "
+        ),
+        F.lit(" <fim_mid> "),
+        F.array_join(F.slice("a", i, j - i + 1), " "),
+    )
+    return sized.select(
+        "doc_id",
+        "fim_applied",
+        F.col("n").alias("n_tokens"),
+        F.when(F.col("fim_applied"), (F.col("j") - F.col("i") + 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("middle_len"),
+        F.when(F.col("fim_applied"), psm)
+        .otherwise(F.array_join("a", " "))
+        .alias("input_text"),
+    )
+
+
+# --- curriculum ordering -------------------------------------------------------------
+CURRICULUM_BUCKETS = 8
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(LEAST((len(list_distinct(a)) * {CURRICULUM_BUCKETS})
+                        // GREATEST(len(a), 1),
+                        {CURRICULUM_BUCKETS} - 1) AS BIGINT) AS difficulty
+      FROM f
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY difficulty,
+                      md5('curr:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS position,
+           doc_id, difficulty
+    FROM scored
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for LM pretraining (easy→hard scheduling,
+    Bengio et al. 2009's curriculum applied to corpus ordering):
+    difficulty = lexical diversity (distinct-token ratio, quantized to
+    {k} integer buckets — exact fixed point), documents stream in
+    ascending difficulty with a deterministic md5 shuffle INSIDE each
+    bucket (so each phase is still i.i.d.-ish, the standard curriculum
+    construction).
+
+    The global position comes from ``global_row_number_lazy`` with the
+    difficulty bucket as the rank bucket — the order's own leading key,
+    so the rank is exact, fully distributed, and ZERO driver actions
+    (construction stays pure; this is the lazy-bucket pattern the
+    round-6 purity registry's RANK class documents as the upgrade
+    path)."""
+    from ..operators.ranking import global_row_number_lazy
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+            "a"
+        ),
+    )
+    scored = docs.select(
+        "doc_id",
+        F.least(
+            F.expr(
+                f"(size(array_distinct(a)) * {CURRICULUM_BUCKETS})"
+                " div greatest(size(a), 1)"
+            ),
+            F.lit(CURRICULUM_BUCKETS - 1),
+        )
+        .cast("long")
+        .alias("difficulty"),
+    )
+    ranked = global_row_number_lazy(
+        scored,
+        [
+            F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        ],
+        bucket=F.col("difficulty"),
+        rn_col="position",
+    )
+    return ranked.select(
+        F.col("position").cast("long").alias("position"),
+        "doc_id",
+        "difficulty",
+    )

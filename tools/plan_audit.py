@@ -223,6 +223,8 @@ AUDITED = [
     # round-6: DSIR importance weighting (hashed-bigram streams + the
     # 256-row broadcast ratio table)
     "pipeline_dsir_weights",
+    "pipeline_fim_transform",
+    "pipeline_curriculum_order",
     # round-5 post-gate wave
     "w_touch_attribution",
     "m36_kruskal_wallis",

@@ -36,6 +36,7 @@ PROBES = [
     ("graph_pagerank", "10-round power iteration"),
     ("pipeline_pack_sequences", "two-pass distributed prefix sum"),
     ("pipeline_dsir_weights", "hashed-bigram DSIR scoring + broadcast ratio join"),
+    ("pipeline_fim_transform", "row-local FIM/PSM re-serialization, zero shuffles"),
     ("dedup_winnow", "row-local winnow select + capped pair join"),
     ("sim_knn_graph", "banded-LSH candidates + per-src top-k"),
     ("w_funnel_conversion", "staged conditional-min user joins"),
