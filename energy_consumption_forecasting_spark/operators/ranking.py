@@ -324,3 +324,62 @@ def ntile_expr(rn_name: str, n_name: str, k: int):
             f" + {n_name} div {k} - 1) div ({n_name} div {k})"
         )
     )
+
+
+def global_prefix_sum_lazy(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    bucket: Column,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """The prefix-sum twin of :func:`global_row_number_lazy` — ZERO
+    driver actions: per-bucket partial sums, exclusive offsets, and
+    (optionally) the grand total are a bucket-cardinality aggregate
+    SUBTREE broadcast back into the main pass, so the whole running
+    sum is one lazy plan.
+
+    ``bucket`` must be a MONOTONE coarse function of ``order_cols``
+    with bounded cardinality (months over a date order, log2 bands
+    over a value order) — the offsets window is the sanctioned
+    single-partition window over the per-bucket SUMS, never the data.
+    NULL buckets trip ``raise_error`` lazily like the row-number
+    twin."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    tagged = df.withColumn(_BKT, bucket)
+    partials = tagged.groupBy(_BKT).agg(
+        F.sum(F.col(value_col)).cast("long").alias("__s")
+    )
+    w_prior = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    w_total = Window.orderBy(_BKT).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col(_BKT),
+        F.coalesce(F.sum("__s").over(w_prior), F.lit(0)).alias(_OFF),
+    ]
+    if total_col is not None:
+        off_cols.append(F.sum("__s").over(w_total).alias(total_col))
+    offs = partials.select(*off_cols)
+    guarded_off = F.coalesce(
+        F.col(_OFF),
+        F.raise_error(
+            F.lit("global_prefix_sum_lazy: bucket expression produced NULL")
+        ).cast("long"),
+    )
+    w_local = (
+        Window.partitionBy(_BKT)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.join(F.broadcast(offs), _BKT, "left")
+        .withColumn(
+            cum_col,
+            (F.sum(F.col(value_col)).over(w_local) + guarded_off).cast(
+                "long"
+            ),
+        )
+        .drop(_BKT, _OFF)
+    )

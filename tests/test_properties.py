@@ -852,3 +852,48 @@ def test_ks_statistic_matches_reference(spark, samples):
         f2 += cb.get(v, 0)
         best = max(best, abs(f1 * n2 - f2 * n1))
     assert got == best
+
+
+def test_global_prefix_sum_lazy_matches_eager_and_guards_nulls(spark):
+    """The zero-action lazy prefix sum (round-6) must produce the exact
+    running totals of the two-pass eager form under a monotone bucket,
+    launch no jobs at construction, and trip raise_error on NULL
+    buckets instead of silently dropping rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_prefix_sum,
+        global_prefix_sum_lazy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101 + 1) for i in range(500)], "k int, v int"
+    )
+    eager, total = global_prefix_sum(df, ["k"], "v", cum_col="cum")
+    want = {r["k"]: r["cum"] for r in eager.collect()}
+
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    lazy = global_prefix_sum_lazy(
+        df,
+        ["k"],
+        "v",
+        bucket=F.expr("k div 64"),
+        cum_col="cum",
+        total_col="tot",
+    )
+    assert dag.numTotalJobs() == before, "lazy prefix sum ran a job"
+    rows = lazy.collect()
+    assert {r["k"]: r["cum"] for r in rows} == want
+    assert all(r["tot"] == total for r in rows)
+
+    bad = global_prefix_sum_lazy(
+        df.withColumn("b", F.when(F.col("k") < 499, F.expr("k div 64"))),
+        ["k"],
+        "v",
+        bucket=F.col("b"),
+        cum_col="cum",
+    )
+    with pytest.raises(Exception, match="bucket expression produced NULL"):
+        bad.collect()
