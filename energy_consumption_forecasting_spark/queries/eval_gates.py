@@ -433,3 +433,82 @@ def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_docs, n_pos, bool(acc >= majority - 1e-9))],
         "n_docs long, n_pos long, acc_beats_majority boolean",
     )
+
+
+@query(
+    "m9_arima_eval",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+             AS n_days,
+           TRUE AS fit_improves,
+           TRUE AS phi_stationary,
+           TRUE AS forecast_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def m9_arima_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the headline ARIMA(3,1,4)+exog estimator (rows-only
+    m9_arima_full — the reference's best model order,
+    ARIMA_params.json:1): per returnflag series the CSS fit must
+
+    * beat the constant-mean model on the differenced series
+      (``fit_improves`` — the multi-start includes the mean-only
+      start, so a broken refinement loses to its own initialization;
+      5% slack covers the conditional-span difference),
+    * keep the AR polynomial stationary (``phi_stationary`` — the CSS
+      objective does NOT constrain MA invertibility, so only the
+      exact-MLE reference enforces that; measured: the fitted theta is
+      routinely non-invertible at the near-cancelling (3,4) order), and
+    * produce a finite 14-step forecast (``forecast_ok``).
+
+    The fit runs on the most recent 512 days of each series (the
+    invariants are scale-free; a full-length fit tripled the gate's
+    wall-clock for no additional evidence).  n_days per series is SQL
+    truth over the FULL series.  The fit itself is pinned against
+    the committed Kalman-MLE goldens and the round-6 hand-derived
+    external fixtures in tests/; this gate is the REGISTERED
+    hash-checked row for the family."""
+    import numpy as np
+
+    from ..ml.forecast import _arma_fit_forecast, _best_css_fit
+    from ..ml.kalman_arima import _roots_ok
+
+    daily = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum("l_quantity").cast("double").alias("qty"),
+            F.avg(F.col("l_discount").cast("double")).alias("avg_disc"),
+        )
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["l_returnflag"], []).append(
+            (r["d"], r["qty"], r["avg_disc"])
+        )
+    rows = []
+    for flag, pts in sorted(series.items()):
+        pts.sort()
+        n_days = len(pts)
+        tail = pts[-512:]
+        y = np.array([p[1] for p in tail])
+        X = np.array([[p[2]] for p in tail])
+        z, Xz = np.diff(y), X[1:]
+        c, phi, theta, beta, resid = _best_css_fit(z, Xz, 3, 4)
+        fit_sse = float(resid @ resid)
+        naive = z[-len(resid):] - z.mean()
+        naive_sse = float(naive @ naive)
+        fit_improves = fit_sse <= 1.05 * naive_sse
+        stationary = bool(_roots_ok(phi))
+        fc = _arma_fit_forecast(y, X, 3, 1, 4, 14)
+        forecast_ok = bool(len(fc) == 14 and np.isfinite(fc).all())
+        rows.append(
+            (flag, n_days, bool(fit_improves), stationary, forecast_ok)
+        )
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n_days long, fit_improves boolean,"
+        " phi_stationary boolean, forecast_ok boolean",
+    )

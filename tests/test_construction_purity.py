@@ -126,6 +126,7 @@ EXEMPT: dict[str, str] = {
     "m21_som_eval": "FIT",
     "pipeline_unigram_eval": "FIT",
     "pipeline_classifier_eval": "FIT",
+    "m9_arima_eval": "FIT",
     "dq_referential_integrity": "FIT",
     "sim_ivf_topk": "FIT",
     "sim_pq_topk": "FIT",
