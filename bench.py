@@ -111,7 +111,7 @@ HEADLINE = [
     "pipeline_unigram_encode",
     "w_lifecycle_states",
     # round-6: DSIR importance weighting (the new corpus-scale scoring
-    # pass) and the classifier eval gate (the L-BFGS fit path)
+    # pass) and the FIM re-serialization (the row-local transform pass)
     "pipeline_dsir_weights",
     "pipeline_fim_transform",
 ]

@@ -341,11 +341,14 @@ def global_prefix_sum_lazy(
     sum is one lazy plan.
 
     ``bucket`` must be a MONOTONE coarse function of ``order_cols``
-    with bounded cardinality (months over a date order, log2 bands
-    over a value order) — the offsets window is the sanctioned
-    single-partition window over the per-bucket SUMS, never the data.
-    NULL buckets trip ``raise_error`` lazily like the row-number
-    twin."""
+    with bounded cardinality AND roughly even load — calendar keys
+    over a date order qualify; value bands over a CONCENTRATED value
+    distribution do NOT (most rows land in one band and its window
+    degenerates to a single task — use the eager two-pass
+    ``global_prefix_sum``, whose repartitionByRange samples balanced
+    quantiles).  The offsets window is the sanctioned single-partition
+    window over the per-bucket SUMS, never the data.  NULL buckets
+    trip ``raise_error`` lazily like the row-number twin."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     tagged = df.withColumn(_BKT, bucket)
     partials = tagged.groupBy(_BKT).agg(

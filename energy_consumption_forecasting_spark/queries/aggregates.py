@@ -393,27 +393,32 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part table is dimension-sized here but grows with the catalog,
     so the cumsum gets the same two-pass distributed shape as the
     corpus-sized packing query, not a single-partition window."""
-    from ..operators.ranking import global_prefix_sum_lazy
+    from ..operators.ranking import global_prefix_sum
 
     li = tbl(spark, sf_dir, "lineitem")
     rev = _part_revenue(li)
-    # log2 revenue bands are a monotone coarse key over the DESC
-    # revenue order (negated so the band ascends with the order), so
-    # the running total rides the ZERO-action lazy prefix sum: no
-    # counting job at construction (round-6 purity), the offsets are a
-    # <=64-row aggregate subtree, and the grand total arrives as a
-    # COLUMN instead of a collected literal.
-    cum = global_prefix_sum_lazy(
+    # The running total keeps the EAGER two-pass range shuffle: a
+    # value-ordered prefix sum over a CONCENTRATED distribution (per-
+    # part revenue is a ~30-lineitem sum, so it clusters by the CLT)
+    # has no balanced static monotone bucketization — a log2-band lazy
+    # form was tried in round 6 and reviewed out because most parts
+    # land in 1-2 bands and the within-band window degenerates toward
+    # one task as the catalog grows; repartitionByRange SAMPLES its
+    # quantiles, which is exactly the balance guarantee needed.  The
+    # construction-time counting job is the documented RANK trade.
+    # 8 range partitions right-size the two-pass overhead at gate SF
+    # (32 partitions of a 20k-row table is pure scheduling floor —
+    # measured 7.6s -> 2.1s at sf0.1); a larger catalog passes more.
+    cum, total = global_prefix_sum(
         rev,
         [F.col("rev_e4").desc(), F.col("p")],
         "rev_e4",
-        bucket=-F.floor(F.log2(F.col("rev_e4") + 1)).cast("long"),
         cum_col="cum",
-        total_col="__total",
+        num_partitions=8,
     )
     abc = (
-        F.when(5 * F.col("cum") <= 4 * F.col("__total"), "A")
-        .when(20 * F.col("cum") <= 19 * F.col("__total"), "B")
+        F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
+        .when(20 * F.col("cum") <= 19 * F.lit(total), "B")
         .otherwise("C")
     )
     return (
@@ -422,8 +427,7 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_parts"),
             F.sum("rev_e4").cast("long").alias("class_rev_e4"),
             (
-                F.sum("rev_e4").cast("double")
-                / F.max("__total").cast("double")
+                F.sum("rev_e4").cast("double") / F.lit(float(total))
             ).alias("rev_share"),
         )
     )
@@ -644,24 +648,24 @@ def a_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a single float enters the classification.  The two per-part
     dimensions join on the part key (both dimension-sized), then one
     9-cell agg."""
-    from ..operators.ranking import global_prefix_sum_lazy
+    from ..operators.ranking import global_prefix_sum
 
     li = tbl(spark, sf_dir, "lineitem")
     rev = _part_revenue(li)
-    # same zero-action lazy prefix sum as a_pareto_abc (log2 band
-    # bucket over the DESC revenue order)
-    cum = global_prefix_sum_lazy(
+    # same eager two-pass as a_pareto_abc (see the skew note there: a
+    # value-ordered prefix sum over a concentrated distribution needs
+    # SAMPLED range balance, which no static monotone bucket provides)
+    cum, total = global_prefix_sum(
         rev,
         [F.col("rev_e4").desc(), F.col("p")],
         "rev_e4",
-        bucket=-F.floor(F.log2(F.col("rev_e4") + 1)).cast("long"),
         cum_col="cum",
-        total_col="__total",
+        num_partitions=8,
     )
     abc = cum.select(
         "p",
-        F.when(5 * F.col("cum") <= 4 * F.col("__total"), "A")
-        .when(20 * F.col("cum") <= 19 * F.col("__total"), "B")
+        F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
+        .when(20 * F.col("cum") <= 19 * F.lit(total), "B")
         .otherwise("C")
         .alias("abc"),
     )

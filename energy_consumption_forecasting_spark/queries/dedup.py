@@ -1120,6 +1120,11 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # THREE consumers read `ordered` (prefixes + both verification
+    # sides): checkpoint it like `d`, or the post-shuffle per-doc
+    # collect_list/array_sort recomputes per reference (review catch —
+    # exchange reuse shares only the map side).
+    ordered = ordered.localCheckpoint(eager=False)
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
     prefixes = ordered.select(

@@ -1649,8 +1649,8 @@ def _hex4_sql(s: str) -> str:
     oracle=f"""
     WITH d AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                         x -> x <> '') AS a,
+             COALESCE(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> ''), []) AS a,
              substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 1)
                < '{FIM_RATE_HEX}' AS chosen
       FROM documents
@@ -1692,11 +1692,14 @@ def pipeline_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely row-local — one projection over the scan, no shuffle at
     all: the 100-TB cost is exactly one pass."""
+    # NULL text must mirror the oracle's COALESCE-to-empty (NULL would
+    # otherwise poison size() to -1 and the joined string to NULL)
     docs = tbl(spark, sf_dir, "documents").select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
-            "a"
-        ),
+        F.coalesce(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""),
+            F.array().cast("array<string>"),
+        ).alias("a"),
         (
             F.substring(
                 F.md5(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))),
@@ -1793,12 +1796,15 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (so each phase is still i.i.d.-ish, the standard curriculum
     construction).
 
-    The global position comes from ``global_row_number_lazy`` with the
-    difficulty bucket as the rank bucket — the order's own leading key,
-    so the rank is exact, fully distributed, and ZERO driver actions
-    (construction stays pure; this is the lazy-bucket pattern the
-    round-6 purity registry's RANK class documents as the upgrade
-    path)."""
+    The global position comes from ``global_row_number_lazy`` with a
+    COMPOSITE bucket: difficulty (the order's leading key) sub-divided
+    by a 4096-way md5 band (the next 3 hex chars of the in-bucket
+    shuffle key — lexicographic hex order IS its numeric order, so the
+    composite stays monotone in the full sort order).  {k}·4096 evenly
+    loaded buckets keep the per-bucket window a ~1/32768 slice of the
+    corpus at any scale (a bare difficulty bucket capped parallelism
+    at {k} — review catch), with ZERO driver actions: construction
+    stays pure."""
     from ..operators.ranking import global_row_number_lazy
 
     docs = tbl(spark, sf_dir, "documents").select(
@@ -1819,13 +1825,14 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("difficulty"),
     )
+    shuffle_key = F.md5(
+        F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))
+    )
+    band = F.conv(F.substring(shuffle_key, 1, 3), 16, 10).cast("long")
     ranked = global_row_number_lazy(
         scored,
-        [
-            F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
-            F.col("doc_id"),
-        ],
-        bucket=F.col("difficulty"),
+        [shuffle_key, F.col("doc_id")],
+        bucket=F.col("difficulty") * 4096 + band,
         rn_col="position",
     )
     return ranked.select(

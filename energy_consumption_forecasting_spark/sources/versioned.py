@@ -232,16 +232,22 @@ def merge_upsert(
     # would land duplicate rows since the append side is written as-is.
     # Callers with multi-row batches must pre-reduce to one row per key
     # (as upsert_stream._batch_latest does).
-    key_stats = updates.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
-    ).first()
-    if key_stats["n"] != key_stats["k"]:
+    # groupBy treats NULL keys as their own group (count_distinct would
+    # silently DROP null-key tuples and reject valid batches — review
+    # catch), and the limit(1) stops at the first offender.
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        bad = {c: dup[0][c] for c in key_cols}
         raise ValueError(
-            f"merge_upsert: updates has {key_stats['n']} rows but only "
-            f"{key_stats['k']} distinct keys on {key_cols}; reduce to one "
-            "row per key before merging (MERGE INTO rejects multiple "
-            "source matches)"
+            f"merge_upsert: updates has multiple rows for key {bad!r}; "
+            "reduce to one row per key before merging (MERGE INTO "
+            "rejects multiple source matches)"
         )
     keys = updates.select(*key_cols).distinct()
     new_dels = raw.join(keys, key_cols, "left_semi").select(

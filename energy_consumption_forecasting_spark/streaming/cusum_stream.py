@@ -141,9 +141,15 @@ def _mu_frame(
     reaches executors through a stream-static join, the production
     control-chart topology."""
     if isinstance(mu_by_type, DataFrame):
+        # Spark re-evaluates the static side of a stream-static join on
+        # EVERY micro-batch; a lazy localCheckpoint materializes the
+        # (event-type-sized) calibration once at the first trigger and
+        # replays blocks thereafter — without running a job at
+        # construction (review catch: the raw aggregate re-scanned the
+        # whole source per trigger).
         return mu_by_type.select(
             "event_type", F.col("mu").cast("double").alias("mu")
-        )
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         [(k, float(v)) for k, v in mu_by_type.items()],
         "event_type string, mu double",

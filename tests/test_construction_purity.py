@@ -152,6 +152,8 @@ EXEMPT: dict[str, str] = {
     "dedup_lsh_quality": "ITER",
     "dedup_lsh_quality_hi": "ITER",
     # --- two-pass distributed rank / prefix sum ---------------------------
+    "a_abc_xyz": "RANK",
+    "a_pareto_abc": "RANK",
     "text_heaps_law": "RANK",
     "pipeline_pack_sequences": "RANK",
     "f10_null_col_drop": "RANK",

@@ -302,8 +302,26 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark):
     dup = spark.createDataFrame(
         [(1, "first"), (1, "second")], "k int, s string"
     )
-    with pytest.raises(ValueError, match="distinct keys"):
+    with pytest.raises(ValueError, match="multiple rows for key"):
         merge_upsert(spark, table, dup, ["k"])
     # the failed merge must not have committed anything
     assert versions(table) == [1]
     assert read_snapshot(spark, table).count() == 1
+    # a NULL-key row in an otherwise key-unique batch is NOT a
+    # duplicate (count_distinct would have dropped it and rejected a
+    # valid merge — review catch); the null-key row inserts as-is
+    ok = spark.createDataFrame(
+        [(2, "b"), (None, "nullkey")], "k int, s string"
+    )
+    merge_upsert(spark, table, ok, ["k"])
+    got = sorted(
+        [(r["k"], r["s"]) for r in read_snapshot(spark, table).collect()],
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    assert got == [(1, "a"), (2, "b"), (None, "nullkey")]
+    # but two NULL-key rows ARE duplicates of the NULL group
+    dup_null = spark.createDataFrame(
+        [(None, "x"), (None, "y")], "k int, s string"
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(spark, table, dup_null, ["k"])
