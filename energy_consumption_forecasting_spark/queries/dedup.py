@@ -1191,9 +1191,23 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # has exactly pair cardinality
         .distinct()
     )
-    # Verification arrays exist only in the general tier; in the
-    # bitmap tier these joins carry NULL arrays on tau-filtered
-    # (output-sized) candidates — the price of one static plan.
+    # Tier split AFTER the distinct: the bitmap branch is already
+    # verified (popcount + tau shed above) and needs NO further joins;
+    # only general-tier rows (NULL inter_bm) join back for the
+    # array_intersect verification.  At execution exactly one branch
+    # has rows — AQE's empty-relation propagation eliminates the other
+    # branch's joins once its candidate stage materializes empty, so
+    # the bitmap tier pays nothing for the general tier's machinery
+    # (the earlier one-path form joined null arrays through two hash
+    # joins on every candidate — measured ~1.35x at sf0.1).
+    bm = cand.filter(F.col("inter_bm").isNotNull()).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter_bm").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter_bm")).cast("double")
+        ).alias("jaccard"),
+    )
     dv = ordered.select(
         "doc_id",
         F.when(
@@ -1202,12 +1216,11 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = dv.select(F.col("doc_id").alias("doc_a"), F.col("vtoks").alias("ta"))
     b = dv.select(F.col("doc_id").alias("doc_b"), F.col("vtoks").alias("tb"))
-    inter = F.coalesce(
-        F.col("inter_bm"), F.size(F.array_intersect("ta", "tb"))
-    )
+    inter = F.size(F.array_intersect("ta", "tb"))
     union = F.col("na") + F.col("nb") - inter
-    return (
-        cand.join(a, "doc_a")
+    gen = (
+        cand.filter(F.col("inter_bm").isNull())
+        .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -1216,6 +1229,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= PREFIX_TAU)
     )
+    return bm.unionByName(gen)
 
 
 # --- directed containment near-dup (sub-document duplication) -----------------------
