@@ -160,7 +160,20 @@ def main() -> None:
     # is outside the old spread by the ratio.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for _ in range(reps):
+        # Collect the PREVIOUS pass's garbage before measuring: the
+        # localCheckpoint blocks of ~70 queries free only after JVM GC
+        # (ContextCleaner runs on reference collection), and the
+        # accumulated blocks were measured DOUBLING the barrier-heavy
+        # iterative queries' wall-clock by rep 2-3 (pagerank 7.5s
+        # dirty vs 3.1s right after System.gc()).  The GC pause lands
+        # between passes, outside every timed window.
+        import gc as _pygc
+
+        _pygc.collect()
+        jvm_gc()
+        time.sleep(1.0)
         for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
