@@ -1840,3 +1840,161 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "difficulty",
     )
+
+
+# --- length-bucketed batching report -------------------------------------------------
+LB_BATCH = 32  # sequences per training batch
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, n,
+             CAST(FLOOR(LOG2(GREATEST(n, 1))) AS BIGINT) AS band
+      FROM toks
+    ),
+    stats AS (
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS band_tokens,
+             CAST(MAX(n) AS BIGINT) AS max_len,
+             CAST((COUNT(*) + {LB_BATCH} - 1) // {LB_BATCH} AS BIGINT)
+               AS n_batches
+      FROM banded GROUP BY band
+    )
+    SELECT band, n_docs, band_tokens, max_len, n_batches,
+           CAST((1000000 * (n_batches * {LB_BATCH} * max_len - band_tokens))
+                // (n_batches * {LB_BATCH} * max_len) AS BIGINT)
+             AS padding_waste_ppm
+    FROM stats
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the efficiency audit behind
+    bucketed batching (group sequences of similar length so each
+    training batch pads to its bucket's max, not the corpus max): per
+    log2 length band, the document/token volume, the
+    {b}-sequences-per-batch batch count, and the exact padding-waste
+    fraction (ppm, integer arithmetic) if every batch pads to the
+    band's max length.  Comparing waste across band granularities is
+    how a pipeline picks its bucketing.
+
+    One scan + one {B}-row aggregate: the tokenize/length projection is
+    row-local and the band count is bounded (log2 of the longest doc),
+    so the report costs a single map-side-combinable pass at any
+    corpus size.
+
+    CAVEAT (exactness): floor(log2(n)) uses FLOAT log2 on both engines
+    — exact at powers of two and everywhere else for n < 2^40 because
+    log2 of an exactly-representable small integer is computed on the
+    same IEEE double grid; the band boundary cannot flip between
+    engines for token counts this universe produces."""
+    toks = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n"),
+    )
+    banded = toks.select(
+        "doc_id",
+        "n",
+        F.floor(F.log2(F.greatest("n", F.lit(1)))).cast("long").alias("band"),
+    )
+    stats = banded.groupBy("band").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("band_tokens"),
+        F.max("n").alias("max_len"),
+        F.expr(f"CAST((count(1) + {LB_BATCH} - 1) div {LB_BATCH} AS BIGINT)")
+        .alias("n_batches"),
+    )
+    cap = F.col("n_batches") * LB_BATCH * F.col("max_len")
+    return stats.select(
+        "band",
+        "n_docs",
+        "band_tokens",
+        "max_len",
+        "n_batches",
+        F.expr(
+            f"CAST((1000000 * (n_batches * {LB_BATCH} * max_len - band_tokens))"
+            f" div (n_batches * {LB_BATCH} * max_len) AS BIGINT)"
+        ).alias("padding_waste_ppm"),
+    )
+
+
+# --- token-budget allocation ----------------------------------------------------------
+TB_BUDGET_DEN = 2   # budget = total_tokens div 2
+TB_CAP_DEN = 4      # per-source cap = budget div 4 (anti-domination)
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')))
+               AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM toks)
+    SELECT source, tokens,
+           CAST((1000000 * tokens) // total AS BIGINT) AS share_ppm,
+           LEAST(tokens,
+                 (total // {TB_BUDGET_DEN}) // {TB_CAP_DEN},
+                 (tokens * (total // {TB_BUDGET_DEN})) // total)
+             AS alloc_tokens,
+           tokens > (total // {TB_BUDGET_DEN}) // {TB_CAP_DEN} AS capped
+    FROM toks, tot
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources — the quota step of a
+    Chinchilla-style data plan (fix a total training-token budget, give
+    each source its proportional share, and CAP any single source so
+    no domain dominates): budget = total div {bd}, per-source cap =
+    budget div {cd}, allocation = min(available, cap, proportional
+    share) — every quantity exact integer division, so the plan is
+    bit-identical on any engine and any partitioning.  The single-pass
+    min(avail, cap, prop) form deliberately UNDER-spends rather than
+    iteratively re-distributing capped surplus (waterfilling) — a
+    pipeline re-runs the allocator on the residual budget when it
+    wants the next tranche, keeping every tranche reproducible.
+
+    One scan + one source-cardinality aggregate + a broadcast 1-row
+    total."""
+    toks = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+                    )
+                ).cast("long")
+            ).alias("tokens")
+        )
+    )
+    tot = toks.agg(F.sum("tokens").cast("long").alias("total"))
+    j = toks.crossJoin(F.broadcast(tot))
+    budget = F.expr(f"total div {TB_BUDGET_DEN}")
+    cap = F.expr(f"(total div {TB_BUDGET_DEN}) div {TB_CAP_DEN}")
+    prop = F.expr(
+        f"(tokens * (total div {TB_BUDGET_DEN})) div total"
+    )
+    return j.select(
+        "source",
+        "tokens",
+        F.expr("CAST((1000000 * tokens) div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.least(F.col("tokens"), cap, prop).alias("alloc_tokens"),
+        (F.col("tokens") > cap).alias("capped"),
+    )

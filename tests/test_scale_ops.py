@@ -517,3 +517,49 @@ def test_dsir_fixed_point_tracks_log_pooled_weights(spark):
     top_fp = set(np.array(ids)[np.argsort(-a)][:20])
     top_ln = set(np.array(ids)[np.argsort(-b)][:20])
     assert len(top_fp & top_ln) >= 12, (top_fp, top_ln)
+
+
+def test_fim_transform_reconstruction_property(spark):
+    """FIM/PSM must be information-preserving: re-assembling
+    prefix+middle+suffix from the emitted PSM string reproduces the
+    original token sequence exactly, for every transformed document —
+    and untransformed docs pass through verbatim.  Also pins the
+    deterministic apply rate (md5-selected, so it is a fixed property
+    of the corpus, not a distributional assertion)."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries import load_all
+
+    qs, _ = load_all()
+    sf = "/root/testdata/sf0.01"
+    out = {r["doc_id"]: r for r in qs["pipeline_fim_transform"](spark, sf).collect()}
+    docs = {
+        r["doc_id"]: [w for w in (r["text"] or "").lower().split() if w]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(docs)
+    n_applied = 0
+    for did, toks in docs.items():
+        r = out[did]
+        assert r["n_tokens"] == len(toks), did
+        if not r["fim_applied"]:
+            assert r["input_text"] == " ".join(toks), did
+            assert r["middle_len"] == 0
+            continue
+        n_applied += 1
+        s = r["input_text"]
+        assert s.startswith("<fim_pre> ")
+        pre, rest = s[len("<fim_pre> "):].split(" <fim_suf> ", 1)
+        suf, mid = rest.split(" <fim_mid> ", 1)
+        rebuilt = (
+            (pre.split() if pre else [])
+            + (mid.split() if mid else [])
+            + (suf.split() if suf else [])
+        )
+        assert rebuilt == toks, did
+        assert r["middle_len"] == len(mid.split() if mid else []), did
+        assert 1 <= r["middle_len"] <= max(len(toks), 1), did
+    # md5-deterministic 50% gate: exact count is a corpus constant
+    assert 0.4 * len(docs) <= n_applied <= 0.6 * len(docs)

@@ -225,6 +225,8 @@ AUDITED = [
     "pipeline_dsir_weights",
     "pipeline_fim_transform",
     "pipeline_curriculum_order",
+    "pipeline_length_buckets",
+    "pipeline_token_budget",
     # round-5 post-gate wave
     "w_touch_attribution",
     "m36_kruskal_wallis",
