@@ -1851,8 +1851,9 @@ LB_BATCH = 32  # sequences per training batch
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                             x -> x <> '')) AS n
+             len(COALESCE(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> ''), [])) AS n
       FROM documents
     ),
     banded AS (
@@ -1871,7 +1872,7 @@ LB_BATCH = 32  # sequences per training batch
     )
     SELECT band, n_docs, band_tokens, max_len, n_batches,
            CAST((1000000 * (n_batches * {LB_BATCH} * max_len - band_tokens))
-                // (n_batches * {LB_BATCH} * max_len) AS BIGINT)
+                // NULLIF(n_batches * {LB_BATCH} * max_len, 0) AS BIGINT)
              AS padding_waste_ppm
     FROM stats
     """,
@@ -1896,10 +1897,16 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 of an exactly-representable small integer is computed on the
     same IEEE double grid; the band boundary cannot flip between
     engines for token counts this universe produces."""
+    # NULL text coalesces to the empty token array (the module's FIM
+    # contract: a NULL array poisons size() to -1 and diverges from the
+    # oracle's NULL-ignoring aggregates — review catch)
     toks = tbl(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            F.coalesce(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""),
+                F.array().cast("array<string>"),
+            )
         ).cast("long").alias("n"),
     )
     banded = toks.select(
@@ -1921,9 +1928,11 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_tokens",
         "max_len",
         "n_batches",
+        # NULLIF: an all-empty band has max_len 0 — both engines must
+        # agree on NULL waste, not Spark-NULL vs DuckDB division error
         F.expr(
             f"CAST((1000000 * (n_batches * {LB_BATCH} * max_len - band_tokens))"
-            f" div (n_batches * {LB_BATCH} * max_len) AS BIGINT)"
+            f" div NULLIF(n_batches * {LB_BATCH} * max_len, 0) AS BIGINT)"
         ).alias("padding_waste_ppm"),
     )
 
@@ -1938,9 +1947,9 @@ TB_CAP_DEN = 4      # per-source cap = budget div 4 (anti-domination)
     oracle=f"""
     WITH toks AS (
       SELECT source,
-             CAST(SUM(len(list_filter(
-               regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')))
-               AS BIGINT) AS tokens
+             CAST(SUM(len(COALESCE(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+               []))) AS BIGINT) AS tokens
       FROM documents GROUP BY source
     ),
     tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM toks)
@@ -1948,7 +1957,8 @@ TB_CAP_DEN = 4      # per-source cap = budget div 4 (anti-domination)
            CAST((1000000 * tokens) // total AS BIGINT) AS share_ppm,
            LEAST(tokens,
                  (total // {TB_BUDGET_DEN}) // {TB_CAP_DEN},
-                 (tokens * (total // {TB_BUDGET_DEN})) // total)
+                 CAST((CAST(tokens AS HUGEINT) * (total // {TB_BUDGET_DEN}))
+                      // total AS BIGINT))
              AS alloc_tokens,
            tokens > (total // {TB_BUDGET_DEN}) // {TB_CAP_DEN} AS capped
     FROM toks, tot
@@ -1975,8 +1985,12 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.size(
-                    F.filter(
-                        F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+                    F.coalesce(
+                        F.filter(
+                            F.split(F.lower("text"), r"\s+"),
+                            lambda x: x != "",
+                        ),
+                        F.array().cast("array<string>"),
                     )
                 ).cast("long")
             ).alias("tokens")
@@ -1986,8 +2000,13 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = toks.crossJoin(F.broadcast(tot))
     budget = F.expr(f"total div {TB_BUDGET_DEN}")
     cap = F.expr(f"(total div {TB_BUDGET_DEN}) div {TB_CAP_DEN}")
+    # DECIMAL(38,0) product: tokens * budget exceeds int64 once the
+    # corpus passes ~4e9 tokens (review catch — the docstring's
+    # bit-identical claim must hold at corpus scale; the oracle uses
+    # HUGEINT for the same product)
     prop = F.expr(
-        f"(tokens * (total div {TB_BUDGET_DEN})) div total"
+        f"CAST((CAST(tokens AS DECIMAL(38,0))"
+        f" * (total div {TB_BUDGET_DEN})) div total AS BIGINT)"
     )
     return j.select(
         "source",
