@@ -897,3 +897,40 @@ def test_global_prefix_sum_lazy_matches_eager_and_guards_nulls(spark):
     )
     with pytest.raises(Exception, match="bucket expression produced NULL"):
         bad.collect()
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=25, deadline=None)
+def test_ntile_expr_property(spark, n, k):
+    """operators/ranking.ntile_expr must equal the window ntile(k) for
+    ANY (n, k) — the exact integer algebra behind the distributed
+    label_folds path (round-6 cv rework)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        ntile_expr,
+    )
+
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("rn"), F.lit(n).cast("long").alias("nn")
+    )
+    got = {
+        r["rn"]: r["t"]
+        for r in df.select(
+            "rn", ntile_expr("rn", "nn", k).cast("int").alias("t")
+        ).collect()
+    }
+    want = {
+        r["rn"]: r["t"]
+        for r in spark.range(1, n + 1)
+        .select(
+            F.col("id").alias("rn"),
+            F.ntile(k).over(Window.orderBy("id")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
