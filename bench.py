@@ -114,6 +114,7 @@ HEADLINE = [
     # pass) and the FIM re-serialization (the row-local transform pass)
     "pipeline_dsir_weights",
     "pipeline_fim_transform",
+    "scale_hilbert_layout",
 ]
 
 

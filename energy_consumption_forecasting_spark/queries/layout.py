@@ -99,3 +99,142 @@ def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bbox_area"),
     )
+
+
+# --- Hilbert-curve layout (the locality-better sibling of Z-order) -------------------
+# Hilbert d-index via the classic per-bit rotate-and-reflect recurrence
+# (Wikipedia xy2d; Hilbert 1891): unlike Morton interleaving, every
+# consecutive pair of curve positions is GRID-ADJACENT, so equal-sized
+# curve ranges cover tighter bounding boxes — the property behind
+# Databricks' liquid-clustering-style layouts preferring Hilbert over
+# Z-order.  The recurrence is stateful per bit (x/y rotate), so both
+# engines evaluate the SAME unrolled 10-stage integer pipeline: one
+# generator renders the per-stage expressions to the Spark DataFrame
+# chain and to a DuckDB materialized-CTE chain (the shared-template
+# discipline of the geohash encoder; AS MATERIALIZED per stage because
+# each stage references its predecessor ~4x and plain CTE inlining
+# would expand 4^10-fold — the graph_kcore lesson).
+_HN = 1 << BITS  # 1024x1024 grid
+
+
+def _hilbert_stages() -> list[int]:
+    return [1 << i for i in range(BITS - 1, -1, -1)]
+
+
+def hilbert_code(df, x_col: str, y_col: str):
+    """Attach ``hcode`` = Hilbert d-index of (x_col, y_col) via BITS
+    unrolled rotate-reflect stages (two projections per stage so rx/ry
+    materialize once instead of quadrupling the expression tree)."""
+    out = df.select(
+        "*", F.col(x_col).alias("__hx"), F.col(y_col).alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    for s in _hilbert_stages():
+        out = out.select(
+            "*",
+            (F.shiftright("__hx", int(s).bit_length() - 1).bitwiseAND(1))
+            .cast("long")
+            .alias("__rx"),
+            (F.shiftright("__hy", int(s).bit_length() - 1).bitwiseAND(1))
+            .cast("long")
+            .alias("__ry"),
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in ("__hx", "__hy", "__hd", "__rx", "__ry")],
+            (
+                F.col("__hd")
+                + F.lit(s * s)
+                * (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry"))
+            ).alias("__hd"),
+            F.when(F.col("__ry") == 1, F.col("__hx"))
+            .otherwise(
+                F.when(
+                    F.col("__rx") == 1, F.lit(_HN - 1) - F.col("__hy")
+                ).otherwise(F.col("__hy"))
+            )
+            .alias("__hx"),
+            F.when(F.col("__ry") == 1, F.col("__hy"))
+            .otherwise(
+                F.when(
+                    F.col("__rx") == 1, F.lit(_HN - 1) - F.col("__hx")
+                ).otherwise(F.col("__hx"))
+            )
+            .alias("__hy"),
+        )
+    return out.withColumnRenamed("__hd", "hcode").drop("__hx", "__hy")
+
+
+def _hilbert_sql(x: str, y: str) -> str:
+    """DuckDB CTE chain computing the identical recurrence; expects a
+    CTE named ``keyed`` providing columns ``{x}`` and ``{y}``; yields a
+    final CTE ``hil`` with (xk, yk, hcode)."""
+    parts = [
+        f"h AS MATERIALIZED (SELECT {x} AS xk, {y} AS yk, {x} AS hx,"
+        f" {y} AS hy, CAST(0 AS BIGINT) AS hd FROM keyed)"
+    ]
+    prev = "h"
+    for idx, s in enumerate(_hilbert_stages()):
+        shift = s.bit_length() - 1
+        nxt = f"h{idx}"
+        parts.append(
+            f"""{nxt} AS MATERIALIZED (
+      SELECT xk, yk,
+             CASE WHEN ((hy >> {shift}) & 1) = 1 THEN hx
+                  WHEN ((hx >> {shift}) & 1) = 1 THEN {_HN - 1} - hy
+                  ELSE hy END AS hx,
+             CASE WHEN ((hy >> {shift}) & 1) = 1 THEN hy
+                  WHEN ((hx >> {shift}) & 1) = 1 THEN {_HN - 1} - hx
+                  ELSE hx END AS hy,
+             hd + {s * s} * xor(3 * ((hx >> {shift}) & 1),
+                                ((hy >> {shift}) & 1)) AS hd
+      FROM {prev})"""
+        )
+        prev = nxt
+    parts.append(f"hil AS (SELECT xk, yk, hd AS hcode FROM {prev})")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "scale_hilbert_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey % 1024 AS xk0,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 1024 AS yk0
+      FROM orders
+    ),
+    {_hilbert_sql('xk0', 'yk0')}
+    SELECT CAST(hcode >> {BUCKET_SHIFT} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xk) AS BIGINT) AS x_min, CAST(MAX(xk) AS BIGINT) AS x_max,
+           CAST(MIN(yk) AS BIGINT) AS y_min, CAST(MAX(yk) AS BIGINT) AS y_max,
+           CAST((MAX(xk) - MIN(xk) + 1) * (MAX(yk) - MIN(yk) + 1) AS BIGINT)
+             AS bbox_area
+    FROM hil GROUP BY 1
+    """,
+)
+def scale_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket bounding boxes of the HILBERT layout over the same
+    (custkey mod 1024, epoch-day mod 1024) grid as scale_zorder_layout
+    — directly comparable bucket stats, and the adjacency property
+    makes Hilbert ranges' boxes tighter on average than Morton's
+    (pinned by tests/test_scale_ops.py's layout comparison).  Entirely
+    row-local integer algebra + one 4096-key aggregate."""
+    keyed = tbl(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("xk"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) % 1024
+        ).alias("yk"),
+    )
+    coded = hilbert_code(keyed, "xk", "yk")
+    return coded.groupBy(
+        F.shiftright("hcode", BUCKET_SHIFT).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("xk").cast("long").alias("x_min"),
+        F.max("xk").cast("long").alias("x_max"),
+        F.min("yk").cast("long").alias("y_min"),
+        F.max("yk").cast("long").alias("y_max"),
+        ((F.max("xk") - F.min("xk") + 1) * (F.max("yk") - F.min("yk") + 1))
+        .cast("long")
+        .alias("bbox_area"),
+    )

@@ -563,3 +563,55 @@ def test_fim_transform_reconstruction_property(spark):
         assert 1 <= r["middle_len"] <= max(len(toks), 1), did
     # md5-deterministic 50% gate: exact count is a corpus constant
     assert 0.4 * len(docs) <= n_applied <= 0.6 * len(docs)
+
+
+def test_hilbert_code_matches_reference_and_beats_morton(spark):
+    """The unrolled Hilbert pipeline must equal the textbook xy2d
+    recurrence cell-for-cell (sampled grid), be a bijection on the
+    grid, and deliver its advertised locality edge: mean per-bucket
+    bounding-box area at the shared bucket width is no worse than the
+    Morton layout's on the same keys."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries.layout import (
+        _HN,
+        BITS,
+        hilbert_code,
+    )
+
+    def xy2d_ref(x, y):
+        d = 0
+        s = _HN // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = (_HN - 1) - x, (_HN - 1) - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x * 37 % _HN, (x * 101 + 7) % _HN) for x in range(500)]
+    df = spark.createDataFrame(pts, "xk int, yk int")
+    got = {
+        (r["xk"], r["yk"]): r["hcode"]
+        for r in hilbert_code(df, "xk", "yk").collect()
+    }
+    for (x, y), h in got.items():
+        assert h == xy2d_ref(x, y), (x, y)
+    assert len(set(got.values())) == len(got)  # injective on the sample
+    assert all(0 <= h < _HN * _HN for h in got.values())
+
+    from energy_consumption_forecasting_spark.queries import load_all
+
+    qs, _ = load_all()
+    sf = "/root/testdata/sf0.01"
+
+    def mean_area(name):
+        rows = qs[name](spark, sf).collect()
+        return sum(r["bbox_area"] for r in rows) / len(rows)
+
+    hil, mor = mean_area("scale_hilbert_layout"), mean_area("scale_zorder_layout")
+    assert hil <= mor, f"hilbert {hil} vs morton {mor}"

@@ -227,6 +227,7 @@ AUDITED = [
     "pipeline_curriculum_order",
     "pipeline_length_buckets",
     "pipeline_token_budget",
+    "scale_hilbert_layout",
     # round-5 post-gate wave
     "w_touch_attribution",
     "m36_kruskal_wallis",
