@@ -1066,3 +1066,106 @@ def ts_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("lumpy"))
         .alias("demand_class"),
     )
+
+
+# --- changepoint detection: exact binary segmentation ---------------------------------
+CP_SCALE = 10**6
+
+
+@query(
+    "ts_changepoint",
+    oracle=f"""
+    WITH daily AS ({{_DAILY_SQL}}),
+    c AS (
+      SELECT d, CAST(demand * 100 AS BIGINT) AS y_c,
+             ROW_NUMBER() OVER (ORDER BY d) AS t,
+             COUNT(*) OVER () AS n,
+             SUM(CAST(demand * 100 AS BIGINT)) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_s,
+             SUM(CAST(demand * 100 AS BIGINT)) OVER () AS s_tot
+      FROM daily
+    ),
+    gains AS (
+      SELECT d, t AS n_left, n - t AS n_right,
+             (({CP_SCALE} * (
+               CAST(cum_s AS HUGEINT) * cum_s * (n - t) * n
+               + CAST(s_tot - cum_s AS HUGEINT) * (s_tot - cum_s) * t * n
+               - CAST(s_tot AS HUGEINT) * s_tot * t * (n - t)
+             )) // (CAST(t AS HUGEINT) * (n - t) * n)) AS gain_scaled
+      FROM c WHERE t < n
+    )
+    SELECT CAST(d AS DATE) AS split_d,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           gain_scaled
+    FROM gains ORDER BY gain_scaled DESC, split_d LIMIT 1
+    """.format(_DAILY_SQL=_DAILY_SQL),
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by EXACT binary segmentation
+    (Scott & Knott 1974; the split step of PELT/BinSeg): the break
+    after day t maximizes the SSE reduction
+
+        gain(t) = S_l²/n_l + S_r²/n_r − S²/n
+
+    over the daily cents series — every candidate scored as one exact
+    rational (variance terms cancel out of the difference, leaving
+    only segment sums), emitted as a truncating scaled division, so
+    both engines rank splits identically with zero float ops.
+
+    Plan: ONE distributed calendar-bounded aggregation, then the
+    candidate scan runs on the driver in Python big ints over the
+    <= calendar-many prefix rows (the m-family's sanctioned BOUNDED
+    collect) — the gain numerators are ~1e33-scale integers, beyond
+    Spark's 64-bit IntegralDivide and the 38-digit decimal division's
+    rounding, while the oracle's HUGEINT path is exact by itself."""
+    from pyspark.sql import types as T
+
+    daily = _daily(spark, sf_dir)
+    # calendar-bounded collect (the m-family's sanctioned BOUNDED
+    # pattern): the gain numerators are ~1e33-scale integers, beyond
+    # every engine-native 64-bit path on the Spark side (IntegralDivide
+    # returns LONG; decimal division rounds at precision 38), so the
+    # exact rational argmax runs in Python big ints over the <=
+    # calendar-many (t, cum_s) rows.  The DuckDB oracle computes the
+    # IDENTICAL exact integers in HUGEINT — both sides exact, so the
+    # argmax and the emitted truncating division agree bit-for-bit.
+    rows = (
+        daily.select(
+            "d",
+            (F.col("demand").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("y_c"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    n = len(rows)
+    s_tot = sum(r["y_c"] for r in rows)
+    best = None
+    cum = 0
+    for t, r in enumerate(rows[:-1], start=1):
+        cum += r["y_c"]
+        sl, sr, nl, nr = cum, s_tot - cum, t, n - t
+        g_num = CP_SCALE * (
+            sl * sl * nr * n + sr * sr * nl * n - s_tot * s_tot * nl * nr
+        )
+        gain = g_num // (nl * nr * n)
+        key = (gain, -t)
+        if best is None or key > best[0]:
+            best = (key, (r["d"], nl, nr, gain))
+    d, nl, nr, gain = best[1]
+    schema = T.StructType(
+        [
+            T.StructField("split_d", T.DateType()),
+            T.StructField("n_left", T.LongType()),
+            T.StructField("n_right", T.LongType()),
+            T.StructField("gain_scaled", T.DecimalType(38, 0)),
+        ]
+    )
+    from decimal import Decimal
+
+    return spark.createDataFrame(
+        [(d, nl, nr, Decimal(gain))], schema
+    )

@@ -189,6 +189,7 @@ EXEMPT: dict[str, str] = {
     "f_sql_scripting_trim": "ROUNDTRIP",  # EXECUTE IMMEDIATE runs the script
     # --- documented bounded collects --------------------------------------
     "w_markov_attribution": "BOUNDED",  # event-type transition matrix solve
+    "ts_changepoint": "BOUNDED",  # calendar-bounded exact-rational argmax
 }
 
 
