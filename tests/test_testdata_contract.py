@@ -230,3 +230,57 @@ def test_key_cardinalities_and_domains(spark, sf_dir):
     ).first()
     assert cu["ck"] == _ROWS["customer"][key]
     assert cu["seg"] == 5 and cu["nk"] == 25, "customer dims changed"
+
+
+def test_load_events_adapts_to_every_physical_ts_type(spark, tmp_path):
+    """The round-2 postmortem, proactively: write the SAME events with
+    each physical ts encoding a driver regeneration could produce —
+    timestamp[ns] (no tz), timestamp[us] (no tz), timestamp[us, UTC],
+    and raw int64 epoch-nanos — and assert load_events normalizes all
+    four to the identical TimestampType values.  Until now only the
+    CURRENT file's branch was exercised; a regeneration flipping the
+    encoding hit untested code."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = spark.read.parquet(f"{SF_DIRS[0]}/events.parquet").limit(200)
+    pdf = base.toPandas()
+    want = None
+    from energy_consumption_forecasting_spark.tables import load_events
+
+    variants = {}
+    ts_us = pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("us"))
+    variants["us_ntz"] = ts_us
+    variants["ns_ntz"] = ts_us.cast(pa.timestamp("ns"))
+    variants["us_utc"] = ts_us.cast(pa.timestamp("us", tz="UTC"))
+    variants["int64_nanos"] = ts_us.cast(pa.timestamp("ns")).cast(pa.int64())
+
+    others = {
+        c: pa.Array.from_pandas(pdf[c]) for c in pdf.columns if c != "ts"
+    }
+    for name, ts_arr in variants.items():
+        path = str(tmp_path / f"events_{name}.parquet")
+        cols = {}
+        for c in pdf.columns:
+            cols[c] = ts_arr if c == "ts" else others[c]
+        pq.write_table(pa.table(cols), path)
+        df = load_events(spark, path)
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), name
+        got = {
+            r["event_id"]: r["ts"]
+            for r in df.select("event_id", "ts").collect()
+        }
+        if want is None:
+            want = got
+        assert got == want, f"{name}: normalized timestamps diverge"
+    assert len(want) == 200 and len(set(want.values())) > 1
+
+    # the streaming source shares the footer probe — the nanos file is
+    # the branch that crashes Spark's vectorized reader if mishandled
+    from energy_consumption_forecasting_spark.streaming.source import (
+        events_stream,
+    )
+
+    stream = events_stream(spark, str(tmp_path), "events_ns_ntz.parquet")
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
