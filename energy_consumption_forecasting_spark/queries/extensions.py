@@ -961,3 +961,56 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "media_id", "phash", F.count("*").over(w).alias("group_size")
     )
+
+
+# --- hopping (sliding) time windows — native F.window coverage -----------------------
+@query(
+    "w_hopping_window",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      FROM events
+    ),
+    hops AS (
+      SELECT d - CAST(6 - i AS INT) AS window_start, v_c
+      FROM e, unnest(range(0, 7)) t(i)
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_c) AS BIGINT) AS sum_cents
+    FROM hops GROUP BY 1
+    """,
+)
+def w_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows via the NATIVE
+    ``F.window(ts, '7 days', '1 day')`` generator — the tumbling/
+    sliding-window aggregation Spark ships for both batch and
+    streaming (this is the batch form; the session-gap sibling is
+    w_session_window_native).  Every event lands in exactly 7
+    day-aligned week windows; counts and exact integer cents per
+    window.  The oracle reproduces Spark's epoch-aligned window starts
+    by enumerating each event's 7 covering windows — identical
+    semantics, so the gate hash-pins the native operator's alignment
+    rule.
+
+    Scale shape: the window generator is a row-local explode (7 rows
+    per event) followed by one hash aggregation on day keys —
+    calendar-bounded output, map-side combinable."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.window("ts", "7 days", "1 day").alias("w"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v_c"),
+        )
+        .groupBy(F.to_date("w.start").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_c").cast("long").alias("sum_cents"),
+        )
+    )

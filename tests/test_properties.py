@@ -934,3 +934,30 @@ def test_ntile_expr_property(spark, n, k):
         .collect()
     }
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=2, max_value=32),
+)
+@settings(max_examples=15, deadline=None)
+def test_global_row_number_lazy_property(spark, n, modk):
+    """The zero-action lazy rank must equal the eager two-pass rank for
+    ANY size and bucket granularity (monotone bucket k div modk)."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_row_number,
+        global_row_number_lazy,
+    )
+
+    df = spark.range(n).select((F.col("id") * 13 % 997).alias("k"))
+    eager, total = global_row_number(df.distinct(), ["k"], rn_col="rn")
+    want = {r["k"]: r["rn"] for r in eager.collect()}
+    lazy = global_row_number_lazy(
+        df.distinct(), ["k"], bucket=F.expr(f"k div {modk}"), rn_col="rn",
+        total_col="nn",
+    )
+    rows = lazy.collect()
+    assert {r["k"]: r["rn"] for r in rows} == want
+    assert all(r["nn"] == total for r in rows)

@@ -228,6 +228,7 @@ AUDITED = [
     "pipeline_length_buckets",
     "pipeline_token_budget",
     "scale_hilbert_layout",
+    "w_hopping_window",
     # round-5 post-gate wave
     "w_touch_attribution",
     "m36_kruskal_wallis",
