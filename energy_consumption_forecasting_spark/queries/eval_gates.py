@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import fanout, tbl
+from ._util import tbl
 from .ml_queries import _daily
 from .text import STOPWORDS
 

@@ -1144,6 +1144,18 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(rows)
     s_tot = sum(r["y_c"] for r in rows)
     best = None
+    schema = T.StructType(
+        [
+            T.StructField("split_d", T.DateType()),
+            T.StructField("n_left", T.LongType()),
+            T.StructField("n_right", T.LongType()),
+            T.StructField("gain_scaled", T.DecimalType(38, 0)),
+        ]
+    )
+    if n < 2:
+        # degenerate series: no interior split exists, mirroring the
+        # oracle's LIMIT 1 over zero candidate rows (empty result).
+        return spark.createDataFrame([], schema)
     cum = 0
     for t, r in enumerate(rows[:-1], start=1):
         cum += r["y_c"]
@@ -1156,14 +1168,6 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         if best is None or key > best[0]:
             best = (key, (r["d"], nl, nr, gain))
     d, nl, nr, gain = best[1]
-    schema = T.StructType(
-        [
-            T.StructField("split_d", T.DateType()),
-            T.StructField("n_left", T.LongType()),
-            T.StructField("n_right", T.LongType()),
-            T.StructField("gain_scaled", T.DecimalType(38, 0)),
-        ]
-    )
     from decimal import Decimal
 
     return spark.createDataFrame(

@@ -147,9 +147,36 @@ def _mu_frame(
         # replays blocks thereafter — without running a job at
         # construction (review catch: the raw aggregate re-scanned the
         # whole source per trigger).
-        return mu_by_type.select(
-            "event_type", F.col("mu").cast("double").alias("mu")
-        ).localCheckpoint(eager=False)
+        #
+        # Calibration contract: ONE row per event_type.  A duplicate key
+        # would silently fan out every stream row through the left join
+        # (double-counting cents) — the same 'multiple source matches'
+        # hazard merge_upsert rejects — so the group-by below enforces
+        # uniqueness and raise_error fails the first trigger loudly.
+        return (
+            mu_by_type.groupBy("event_type")
+            .agg(
+                F.min(F.col("mu").cast("double")).alias("mu"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "event_type",
+                F.when(F.col("_n") == 1, F.col("mu"))
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "cusum calibration has duplicate rows "
+                                "for event_type "
+                            ),
+                            F.col("event_type"),
+                        )
+                    ).cast("double")
+                )
+                .alias("mu"),
+            )
+            .localCheckpoint(eager=False)
+        )
     return spark.createDataFrame(
         [(k, float(v)) for k, v in mu_by_type.items()],
         "event_type string, mu double",

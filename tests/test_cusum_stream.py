@@ -99,3 +99,27 @@ def test_cusum_days_seal_midstream(spark):
         f"expected a strict subset sealed mid-stream, got {sealed} "
         f"of {len(truth)}"
     )
+
+
+def test_mu_frame_rejects_duplicate_event_type(spark):
+    """Calibration contract: one row per event_type.  A duplicate key
+    would silently fan out every stream row through the stream-static
+    left join (double-counting cents) — _mu_frame must fail loudly
+    instead (advice r6)."""
+    import pytest
+
+    from energy_consumption_forecasting_spark.streaming.cusum_stream import (
+        _mu_frame,
+    )
+
+    dup = spark.createDataFrame(
+        [("purchase", 1.0), ("purchase", 2.0), ("view", 3.0)],
+        "event_type string, mu double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        _mu_frame(spark, dup).collect()
+    ok = spark.createDataFrame(
+        [("purchase", 1.0), ("view", 3.0)], "event_type string, mu double"
+    )
+    got = {r["event_type"]: r["mu"] for r in _mu_frame(spark, ok).collect()}
+    assert got == {"purchase": 1.0, "view": 3.0}

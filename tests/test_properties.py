@@ -961,3 +961,27 @@ def test_global_row_number_lazy_property(spark, n, modk):
     rows = lazy.collect()
     assert {r["k"]: r["rn"] for r in rows} == want
     assert all(r["nn"] == total for r in rows)
+
+
+def test_changepoint_degenerate_series_is_empty(spark, monkeypatch):
+    """ts_changepoint on a <2-row daily series returns an EMPTY frame
+    with the declared schema, mirroring the oracle's LIMIT 1 over zero
+    candidate splits (advice r6: the driver loop assumed n >= 2)."""
+    from energy_consumption_forecasting_spark.queries import timeseries
+
+    one = spark.createDataFrame(
+        [("2024-01-01", 10.0)], "d string, demand double"
+    ).select(F.to_date("d").alias("d"), F.col("demand"))
+
+    monkeypatch.setattr(timeseries, "_daily", lambda s, p: one.limit(0))
+    empty = timeseries.ts_changepoint(spark, "unused")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "split_d",
+        "n_left",
+        "n_right",
+        "gain_scaled",
+    ]
+
+    monkeypatch.setattr(timeseries, "_daily", lambda s, p: one)
+    assert timeseries.ts_changepoint(spark, "unused").count() == 0
