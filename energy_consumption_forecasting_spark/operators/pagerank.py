@@ -31,16 +31,89 @@ round only on graphs that actually have dangling nodes.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import loop_shuffle_width
+from ..session import aqe_disabled, loop_shuffle_width
 
 # Lineage-truncation cadence for the fixed-iteration loops: one eager
 # localCheckpoint per _CKPT_EVERY rounds.  Rank lineage is linear (one
 # self-reference per round), so short lazy chains are safe; a barrier
 # per round was measured as pure scheduling floor at gate SF.
 _CKPT_EVERY = 5
+
+
+@dataclass
+class PreparedRankGraph:
+    """The static half of a power-iteration run, built once and shared.
+
+    ``we`` is the deg-folded edge table, persisted hash-partitioned on
+    the iteration's aggregation key; ``deg`` the persisted (v, deg)
+    node table the setup derived it from.  The whole graph family
+    (global + personalized PageRank over the same edge set) rebuilds
+    this identical structure, so callers cache one PreparedRankGraph
+    per (session, edge source) and pass it in — the per-query cost is
+    then just the iteration loop (round-7 item 1: the bench session
+    rebuilt the same supply-graph edges for every family member)."""
+
+    we: DataFrame
+    deg: DataFrame
+    n: int
+    n_edges: int
+    broadcastable: bool
+
+    def unpersist(self) -> None:
+        self.we.unpersist()
+        self.deg.unpersist()
+
+
+def prepare_rank_graph(
+    edges: DataFrame, rows_per_task: int = 100_000
+) -> PreparedRankGraph:
+    """One pass of setup for the exact PageRank tiers: degree table,
+    node/edge counts, and the deg-folded edge table persisted on the
+    loop's aggregation key (``dst`` while ranks broadcast, ``src``
+    past the broadcast budget — the sort-merge join then reuses the
+    layout and only the agg shuffles).
+
+    PRECONDITION (asserted): symmetric-style graph — every node has
+    out- and in-degree >= 1 (true for any symmetrized edge set), the
+    same contract as ``pagerank_exact(symmetrized=True)``."""
+    spark = edges.sparkSession
+    e = edges.persist()
+    try:
+        deg = (
+            e.groupBy(F.col("src").alias("v"))
+            .agg(F.count("*").alias("deg"))
+            .persist()
+        )
+        stats = deg.agg(
+            F.count("*").alias("n"), F.sum("deg").alias("n_edges")
+        ).collect()[0]
+        n = stats["n"]
+        if n == 0:
+            raise ValueError("prepare_rank_graph: empty graph")
+        n_edges = int(stats["n_edges"] or 0)
+        broadcastable = n * 48 < 64 << 20
+        with loop_shuffle_width(spark, n_edges, rows_per_task) as iter_n:
+            part_key = "dst" if broadcastable else "src"
+            we = (
+                e.join(deg.withColumnRenamed("v", "src"), "src")
+                .select("src", "dst", "deg")
+                .repartition(iter_n, part_key)
+                .persist()
+            )
+            # materialize NOW, while e's blocks are still cached (the
+            # stats job filled them) — a lazy we would recompute from
+            # the raw source after the unpersist below
+            we.count()
+        return PreparedRankGraph(we, deg, n, n_edges, broadcastable)
+    finally:
+        # deg/we are materialized self-contained block sets; the edge
+        # persist was only setup-local
+        e.unpersist()
 
 
 def pagerank(
@@ -92,8 +165,15 @@ def pagerank(
     )
     we = None
     try:
-        # pin loop shuffles (the contribs agg) to the graph-sized width
-        with loop_shuffle_width(spark, int(n_edges), 20_000) as iter_n:
+        # pin loop shuffles (the contribs agg) to the graph-sized width;
+        # AQE off for the loop — every round's plan is pinned (explicit
+        # broadcast hint, persisted static side), every round executes
+        # inside the context (eager per-round checkpoint), and the
+        # adaptive re-planning per round is pure driver latency here
+        with (
+            loop_shuffle_width(spark, int(n_edges), 20_000) as iter_n,
+            aqe_disabled(spark),
+        ):
             # fold 1/deg into the edge table once; persist partitioned
             # on src so every iteration's join reuses this layout
             # without an exchange
@@ -166,12 +246,13 @@ def pagerank(
 
 
 def pagerank_exact(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     iters: int = 10,
     scale: int = 10**15,
     damp_num: int = 17,
     damp_den: int = 20,
     symmetrized: bool = False,
+    graph: PreparedRankGraph | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank in EXACT scaled-integer arithmetic — the
     hash-checkable tier of the operator.
@@ -209,25 +290,30 @@ def pagerank_exact(
     the persisted layout and only the agg shuffles).  Node metadata
     (n, dangling, no-inflow, edge count) comes from ONE pass over the
     edge table; ``localCheckpoint`` truncates the growing lineage each
-    round."""
-    spark = edges.sparkSession
+    round.
 
+    ``graph=`` (a :class:`PreparedRankGraph`, implies the symmetrized
+    contract) skips the whole setup: the caller owns the persisted
+    frames and their lifetime — the shared-edge-frame path the graph
+    family's queries use.  The loop itself runs under ``aqe_disabled``
+    (every round's plan is pinned already; adaptive re-planning was
+    measured as ~2x the loop's wall-clock at gate SF) and ends with an
+    eager checkpoint so ALL rounds execute inside the pinned confs."""
+    if graph is not None:
+        return _power_iterate(
+            graph, iters, scale, damp_num, damp_den, seed_pred=None, n_seeds=0
+        )
     e = edges.persist()
-    deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
-    if symmetrized:
-        # caller GUARANTEES every edge has its reverse (e.g. built by
-        # unioning pairs with their swap): the in-set equals the
-        # out-set, so the inflow probe — a full distinct over the edge
-        # table — is provably redundant and skipped.  Wrong use shows
-        # up as rank mass leaking (ranks stop summing to ~scale),
-        # which the sanity tests pin.
-        stats = deg.agg(
-            F.count("*").alias("n"), F.sum("deg").alias("n_edges")
-        ).collect()[0]
-        n = stats["n"]
-        if n == 0:
-            raise ValueError("pagerank_exact: empty graph")
-    else:
+    if not symmetrized:
+        # callers of the symmetrized form GUARANTEE every edge has its
+        # reverse (e.g. built by unioning pairs with their swap): the
+        # in-set equals the out-set, so this inflow probe — a full
+        # distinct over the edge table — is provably redundant there
+        # and skipped (wrong use shows up as rank mass leaking, which
+        # the sanity tests pin).
+        deg = e.groupBy(F.col("src").alias("v")).agg(
+            F.count("*").alias("deg")
+        )
         in_tbl = (
             e.select(F.col("dst").alias("v"))
             .distinct()
@@ -238,7 +324,6 @@ def pagerank_exact(
             F.count("*").alias("n"),
             F.count(F.when(F.col("deg").isNull(), 1)).alias("n_sink_only"),
             F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_no_inflow"),
-            F.sum("deg").alias("n_edges"),
         ).collect()[0]
         n = stats["n"]
         if n == 0 or stats["n_sink_only"] > 0 or stats["n_no_inflow"] > 0:
@@ -247,66 +332,91 @@ def pagerank_exact(
                 f"in-edges (symmetrized graph); {stats['n_sink_only']} "
                 f"sink-only / {stats['n_no_inflow']} source-only nodes"
             )
-    n_edges = stats["n_edges"] or 0
-
-    broadcastable = n * 48 < 64 << 20
-    we = None
     try:
-        with loop_shuffle_width(spark, int(n_edges), 100_000) as iter_n:
-            # Partition the static edge table on the key the LOOP
-            # needs: with a broadcast rank side the join preserves
-            # partitioning, so laying out on dst makes groupBy(dst)
-            # exchange-free every round.
-            part_key = "dst" if broadcastable else "src"
-            we = (
-                e.join(deg.withColumnRenamed("v", "src"), "src")
-                .select("src", "dst", "deg")
-                .repartition(iter_n, part_key)
-                .persist()
-            )
-
-            base = (damp_den - damp_num) * scale // (damp_den * n)
-            ranks = deg.select("v", F.lit(scale // n).cast("long").alias("r"))
-            for it in range(iters):
-                rank_side = ranks.withColumnRenamed("v", "src")
-                if broadcastable:
-                    rank_side = F.broadcast(rank_side)
-                ranks = (
-                    we.join(rank_side, "src")
-                    .groupBy("dst")
-                    .agg(F.sum(F.expr("r div deg")).alias("inflow"))
-                    .select(
-                        F.col("dst").alias("v"),
-                        (
-                            F.lit(base)
-                            + F.expr(f"({damp_num} * inflow) div {damp_den}")
-                        ).cast("long").alias("r"),
-                    )
-                )
-                # Checkpoint every few rounds, not every round (round-6
-                # item 2): each eager checkpoint is a full job barrier,
-                # and at gate SF the scheduling floor dominates the
-                # per-round math; rank lineage grows LINEARLY (one
-                # self-reference per round), so a short lazy chain
-                # between checkpoints is safe while 10 chained barriers
-                # were pure overhead (measured 2.65s -> 2.4s at sf0.1).
-                if (it + 1) % _CKPT_EVERY == 0 and it + 1 < iters:
-                    ranks = ranks.localCheckpoint(eager=True)
-            return ranks.select("v", F.col("r").alias("rank_scaled"))
+        g = prepare_rank_graph(e)
     finally:
         e.unpersist()
-        if we is not None:
-            we.unpersist()
+    try:
+        return _power_iterate(
+            g, iters, scale, damp_num, damp_den, seed_pred=None, n_seeds=0
+        )
+    finally:
+        g.unpersist()
+
+
+def _power_iterate(
+    graph: PreparedRankGraph,
+    iters: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+    seed_pred,
+    n_seeds: int,
+) -> DataFrame:
+    """The shared fixed-iteration loop of both exact tiers — global
+    (``seed_pred is None``: uniform init + uniform teleport) and
+    personalized (seed-restricted init + teleport).
+
+    Per round: broadcast(ranks) ⋈ we → groupBy(dst).sum — with ``we``
+    persisted partitioned on ``dst`` the whole round is exchange-free
+    while ranks fit the broadcast budget; past it the sort-merge join
+    reuses the src layout and only the agg shuffles.  Runs under
+    ``aqe_disabled`` + the graph-sized loop width (the round plans are
+    pinned; AQE re-planning per round was measured as ~2x the loop at
+    gate SF) and ends with an EAGER checkpoint so every round executes
+    inside those confs — without it the tail of the lazy chain would
+    run under the session's AQE at the caller's action time.
+    Checkpoint cadence _CKPT_EVERY (round-6 item 2): rank lineage is
+    linear, short lazy chains are safe, 10 chained barriers were pure
+    scheduling overhead."""
+    spark = graph.we.sparkSession
+    n = graph.n
+    if seed_pred is None:
+        base_expr = F.lit((damp_den - damp_num) * scale // (damp_den * n))
+        init = F.lit(scale // n)
+    else:
+        base_seed = (damp_den - damp_num) * scale // (damp_den * n_seeds)
+        base_expr = F.when(
+            seed_pred(F.col("dst")), F.lit(base_seed)
+        ).otherwise(F.lit(0))
+        init = F.when(seed_pred(F.col("v")), F.lit(scale // n_seeds)).otherwise(
+            F.lit(0)
+        )
+    with (
+        loop_shuffle_width(spark, graph.n_edges, 100_000),
+        aqe_disabled(spark),
+    ):
+        ranks = graph.deg.select("v", init.cast("long").alias("r"))
+        for it in range(iters):
+            rank_side = ranks.withColumnRenamed("v", "src")
+            if graph.broadcastable:
+                rank_side = F.broadcast(rank_side)
+            ranks = (
+                graph.we.join(rank_side, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+                .select(
+                    F.col("dst").alias("v"),
+                    (
+                        base_expr
+                        + F.expr(f"({damp_num} * inflow) div {damp_den}")
+                    ).cast("long").alias("r"),
+                )
+            )
+            if (it + 1) % _CKPT_EVERY == 0 or it + 1 == iters:
+                ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("v", F.col("r").alias("rank_scaled"))
 
 
 def pagerank_personalized_exact(
-    edges: DataFrame,
-    seed_pred,
-    n_seeds: int,
+    edges: DataFrame | None = None,
+    seed_pred=None,
+    n_seeds: int = 0,
     iters: int = 10,
     scale: int = 10**15,
     damp_num: int = 17,
     damp_den: int = 20,
+    graph: PreparedRankGraph | None = None,
 ) -> DataFrame:
     """Personalized PageRank in the same exact scaled-int64 algebra as
     :func:`pagerank_exact`: the teleport mass lands ONLY on the seed
@@ -323,62 +433,23 @@ def pagerank_personalized_exact(
     caller counts it — it is also the oracle's ns).  Same loop shape
     as pagerank_exact: edges persisted once partitioned on the
     aggregation key, broadcast rank side, localCheckpoint per round.
-    Requires a symmetrized edge set (no dangling mass)."""
-    spark = edges.sparkSession
+    Requires a symmetrized edge set (no dangling mass).  ``graph=``
+    shares a caller-owned :class:`PreparedRankGraph` exactly as in
+    :func:`pagerank_exact`."""
     if n_seeds <= 0:
         raise ValueError("personalized pagerank needs a non-empty seed set")
-
+    if graph is not None:
+        return _power_iterate(
+            graph, iters, scale, damp_num, damp_den, seed_pred, n_seeds
+        )
     e = edges.persist()
-    deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
-    stats = deg.agg(
-        F.count("*").alias("n"), F.sum("deg").alias("n_edges")
-    ).collect()[0]
-    if stats["n"] == 0:
-        raise ValueError("personalized pagerank: empty graph")
-    n_edges = stats["n_edges"] or 0
-    broadcastable = stats["n"] * 48 < 64 << 20
-
-    base_seed = (damp_den - damp_num) * scale // (damp_den * n_seeds)
-    we = None
     try:
-        with loop_shuffle_width(spark, int(n_edges), 100_000) as iter_n:
-            part_key = "dst" if broadcastable else "src"
-            we = (
-                e.join(deg.withColumnRenamed("v", "src"), "src")
-                .select("src", "dst", "deg")
-                .repartition(iter_n, part_key)
-                .persist()
-            )
-            ranks = deg.select(
-                "v",
-                F.when(seed_pred(F.col("v")), F.lit(scale // n_seeds))
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("r"),
-            )
-            for it in range(iters):
-                rank_side = ranks.withColumnRenamed("v", "src")
-                if broadcastable:
-                    rank_side = F.broadcast(rank_side)
-                ranks = (
-                    we.join(rank_side, "src")
-                    .groupBy("dst")
-                    .agg(F.sum(F.expr("r div deg")).alias("inflow"))
-                    .select(
-                        F.col("dst").alias("v"),
-                        (
-                            F.when(
-                                seed_pred(F.col("dst")), F.lit(base_seed)
-                            ).otherwise(F.lit(0))
-                            + F.expr(f"({damp_num} * inflow) div {damp_den}")
-                        ).cast("long").alias("r"),
-                    )
-                )
-                # same batched-barrier cadence as pagerank_exact
-                if (it + 1) % _CKPT_EVERY == 0 and it + 1 < iters:
-                    ranks = ranks.localCheckpoint(eager=True)
-            return ranks.select("v", F.col("r").alias("rank_scaled"))
+        g = prepare_rank_graph(e)
     finally:
         e.unpersist()
-        if we is not None:
-            we.unpersist()
+    try:
+        return _power_iterate(
+            g, iters, scale, damp_num, damp_den, seed_pred, n_seeds
+        )
+    finally:
+        g.unpersist()

