@@ -118,8 +118,43 @@ HEADLINE = [
 ]
 
 
+# The 15 scale-critical queries measured at the SYNTHESIZED sf1 decade
+# (tools/scaling_probe.py::_gen_sf1 — same family rules as the driver
+# testdata, 10x sf0.1) when bench.py runs with --sf1: the iterative
+# graph family, the dedup candidate-generation family, and the
+# distributed rank / prefix-sum / pair-explode family — the shapes
+# whose 100x behavior the design claims hinge on (round-7 item 2).
+SF1_HEADLINE = [
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "graph_kcore",
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_prefix_filter_join",
+    "dedup_source_overlap",
+    "dedup_winnow",
+    "pipeline_pack_sequences",
+    "pipeline_epoch_shuffle",
+    "pipeline_curriculum_order",
+    "a_basket_pairs",
+]
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_mode = "--sf1" in sys.argv[1:]
+    if sf1_mode:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from scaling_probe import SF1_DIR, _gen_sf1
+
+        _gen_sf1()
+        sf_dir = SF1_DIR
+        headline = SF1_HEADLINE
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        headline = HEADLINE
     from energy_consumption_forecasting_spark import get_spark
     from energy_consumption_forecasting_spark.queries import load_all
 
@@ -160,7 +195,8 @@ def main() -> None:
     # tools/bench_diff.py flags a regression only when the new median
     # is outside the old spread by the ratio.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    loadavg: list[float] = []
     jvm_gc = spark.sparkContext._jvm.System.gc
     for _ in range(reps):
         # Collect the PREVIOUS pass's garbage before measuring: the
@@ -175,7 +211,11 @@ def main() -> None:
         _pygc.collect()
         jvm_gc()
         time.sleep(1.0)
-        for name in HEADLINE:
+        # 1-minute loadavg per pass: the jitter-adjudication telemetry
+        # (round-7 item 7) — a 2x swing with loadavg doubled is host
+        # noise, the same swing on a quiet host is a real regression.
+        loadavg.append(round(os.getloadavg()[0], 2))
+        for name in headline:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
@@ -199,6 +239,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "samples": samples,
+                "loadavg_per_pass": loadavg,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

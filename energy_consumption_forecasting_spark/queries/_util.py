@@ -28,3 +28,66 @@ def fanout(df: DataFrame, cols: str | list[str] = "doc_id") -> DataFrame:
     the reordering."""
     cols = [cols] if isinstance(cols, str) else cols
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pure_compilation(spark):
+    """Compile a shared subtree so its .rdd construction is job-free:
+    AQE off (adaptive compilation executes stages to re-plan) AND
+    implicit broadcasts off (a BroadcastHashJoin picked from static
+    size estimates executes its broadcast at plan-RDD construction).
+
+    Suppressing IMPLICIT broadcasts here is scale-faithful: a join
+    that only broadcasts because the toy-SF side fit the threshold is
+    exactly the plan that would NOT broadcast at 100 TB; joins that
+    must broadcast at any scale carry explicit F.broadcast hints in
+    this repo (ROUND_LOG r5 #5), and explicit hints ignore the
+    threshold — callers wanting a hinted broadcast inside a shared
+    subtree accept its construction-time job and stay in the purity
+    registry's exempt list."""
+    from ..session import aqe_disabled
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with aqe_disabled(spark):
+            yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def shared_plan(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` WITHOUT the construction-time
+    stage execution AQE otherwise forces.
+
+    The lazy checkpoint is the repo's plan-sharing device (one
+    expensive subtree computed once, reused by several consumers, with
+    blocks freed by the ContextCleaner — the r2 persist()-leak lesson).
+    But under AQE, taking ``.rdd`` at construction materializes every
+    upstream query stage, which made each of these queries run real
+    jobs just to BUILD their plan (the purity registry's SHARED class).
+    Disabling AQE around the checkpoint call makes the ``.rdd``
+    construction pure — the subtree's own shuffles then run
+    non-adaptively at first action (widths are pinned per-query where
+    it matters), while everything downstream of the checkpoint still
+    executes under the session's AQE."""
+    with _pure_compilation(df.sparkSession):
+        return df.localCheckpoint(eager=False)
+
+
+def shared_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` registered under ``aqe_disabled`` so that LATER
+    lazy checkpoints over the (still unmaterialized) cache stay pure.
+
+    The cached physical plan compiles at registration time: registered
+    under AQE, any ``shared_plan``/``.rdd`` over the cache EXECUTES the
+    cached plan's stages at construction to pin its output partitioning
+    (measured: 1-3 jobs); registered non-adaptively, the same
+    construction is zero-job and the cache materializes at first real
+    action (pinned by tests/test_properties.py::test_shared_plan_is_lazy).
+    Use for session-shared frames other constructions build on."""
+    with _pure_compilation(df.sparkSession):
+        return df.persist()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import fanout, tbl
+from ._util import fanout, shared_plan, tbl
 
 _STAGES = ("view", "click", "purchase")
 
@@ -1170,7 +1170,7 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wk"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # feeds seq AND horizon
+        .transform(shared_plan)  # feeds seq AND horizon
     )
     wu = Window.partitionBy("user_id")
     wo = wu.orderBy("wk")
@@ -1179,7 +1179,7 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wk").over(wu).alias("first_wk"),
         F.lag("wk").over(wo).alias("prev_wk"),
         F.lead("wk").over(wo).alias("next_wk"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     horizon = uw.agg(F.max("wk").alias("max_wk"))
     active_states = seq.select(
         "wk",

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import shared_plan, tbl
 from .dedup import (
     _MINHASH_SQL,
     _SHINGLES_SQL,
@@ -403,11 +403,13 @@ def _supply_rank_graph(spark: SparkSession, sf_dir: str):
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached, persisted co-purchase edge set — see
     :func:`_copurchase_edges_build`."""
+    from ._util import shared_persist
+
     return _shared_frame(
         spark,
         sf_dir,
         "copurchase_edges",
-        lambda: _copurchase_edges_build(spark, sf_dir).persist(),
+        lambda: shared_persist(_copurchase_edges_build(spark, sf_dir)),
     )
 
 
@@ -494,7 +496,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deg is node-cardinality — NOT broadcast (at 100 TB that table is
     # large); the equi-join shuffles on the node key, which AQE will
     # downgrade to a broadcast on its own when the graph is small.
-    deg = deg.localCheckpoint(eager=False)
+    deg = deg.transform(shared_plan)
     du, dv = deg.alias("du"), deg.alias("dv")
     tagged = (
         edges.join(du, F.col("u") == F.col("du.n"))
@@ -831,7 +833,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    deg = deg.localCheckpoint(eager=False)
+    deg = deg.transform(shared_plan)
     d38 = "decimal(38,0)"
     du, dv = deg.alias("du"), deg.alias("dv")
     tagged = (
@@ -908,8 +910,13 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     drops nodes of degree < k and the edges touching them.  Returns the
     surviving edge set (the k-core when the peel has converged within
     ``rounds``).  Testable against a pure-python reference on arbitrary
-    graphs (tests/test_components.py)."""
-    cur = edges.localCheckpoint(eager=False)
+    graphs (tests/test_components.py).
+
+    The round-0 edge set is consumed as-is (each round reads it twice:
+    degree agg + peel join) — callers pass an already-shared frame (the
+    session-cached persisted co-purchase edges in graph_kcore), so a
+    checkpoint here would just double-cache the same rows."""
+    cur = edges
     for _ in range(rounds):
         deg = (
             cur.select(F.col("u").alias("n"))
@@ -922,7 +929,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             cur.join(keep.withColumnRenamed("n", "u"), "u")
             .join(keep.withColumnRenamed("n", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(shared_plan)
         )
     return cur
 
@@ -1013,7 +1020,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     s1, s2 = sym.alias("s1"), sym.alias("s2")
     wedge = (
         s1.join(
@@ -1110,7 +1117,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     labels = und.select(F.col("s").alias("n")).distinct().select(
         "n", F.col("n").alias("lab")
@@ -1139,7 +1146,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at sf0.1); label lineage is linear, so short lazy chains are
         # safe
         if (i + 1) % 3 == 0 and i + 1 < LPA_ROUNDS:
-            labels = labels.localCheckpoint(eager=False)
+            labels = labels.transform(shared_plan)
     return labels.select(
         F.col("n").alias("node"), F.col("lab").alias("community")
     )
@@ -1205,7 +1212,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    deg = deg.localCheckpoint(eager=False)
+    deg = deg.transform(shared_plan)
     du, dv = deg.alias("du"), deg.alias("dv")
     tagged = (
         edges.join(du, F.col("u") == F.col("du.n"))

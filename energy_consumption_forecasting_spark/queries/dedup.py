@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..functions.vectors import as_double, cosine
-from ._util import fanout, tbl
+from ._util import fanout, shared_plan, tbl
 
 MAX_DOC_FREQ = 100  # stop-shingle cap for candidate generation
 N_HASHES = 8
@@ -168,7 +168,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair path and the row-local sizes both read them, and the size
     # joins below carry explicit broadcast hints so cached-stats
     # inflation can't demote them (see ARCHITECTURE.md).
-    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    arrays = _shingle_arrays(spark, sf_dir).transform(shared_plan)
     sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
     sizes = arrays.select("doc_id", F.size("shs").alias("n"))
     members = (
@@ -321,7 +321,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins carry explicit broadcast hints, so the InMemoryRelation's
     # inflated size stats can't demote them to sort-merge (the failure
     # mode that made a naive persist slower — see ARCHITECTURE.md).
-    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = _minhash_sigs(spark, sf_dir).transform(shared_plan)
     band_rows = _band_rows(sigs)
     members = (
         band_rows.groupBy("band", "bucket")
@@ -499,7 +499,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sig", _cos_sig16(F.col("v")))
         # lazy checkpoint, not persist: the returned frame outlives this
         # function and checkpoint blocks are freed when the plan is GC'd
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     band_structs = [
         F.struct(
@@ -1059,7 +1059,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table erased them (ExistingRDD advertises no sizes) and needed
     # a broadcast/repartition hint per join to stay parallel, ending
     # up slower than this shape at every SF probed.
-    d = d.localCheckpoint(eager=False)
+    d = d.transform(shared_plan)
     dt = d.select("doc_id", F.explode("toks").alias("tok"))
     freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
     # Adaptive verification tier, chosen INSIDE the plan (round-6 rule:
@@ -1124,7 +1124,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides): checkpoint it like `d`, or the post-shuffle per-doc
     # collect_list/array_sort recomputes per reference (review catch —
     # exchange reuse shares only the map side).
-    ordered = ordered.localCheckpoint(eager=False)
+    ordered = ordered.transform(shared_plan)
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
     prefixes = ordered.select(
@@ -1272,7 +1272,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg → broadcast size joins); both containment directions come from
     the one shared-count aggregation.  The stop-shingle cap bounds the
     hottest posting list exactly as the oracle does."""
-    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    arrays = _shingle_arrays(spark, sf_dir).transform(shared_plan)
     sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
     sizes = arrays.select("doc_id", F.size("shs").alias("n"))
     members = (
@@ -1642,7 +1642,7 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-product."""
     from .pipeline_ops import split_col
 
-    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = _minhash_sigs(spark, sf_dir).transform(shared_plan)
     band_rows = _band_rows(sigs)
     members = (
         band_rows.groupBy("band", "bucket")

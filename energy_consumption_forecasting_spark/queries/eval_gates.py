@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import shared_plan, tbl
 from .ml_queries import _daily
 from .text import STOPWORDS
 
@@ -321,7 +321,7 @@ def pipeline_unigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .lm import UNIGRAM_MAX_LEN, UNIGRAM_ROUNDS, UNIGRAM_TOP_V, _vocab
     from ..operators.unigram import learn_unigram, unigram_encode_words
 
-    vocab = _vocab(spark, sf_dir).localCheckpoint(eager=False)
+    vocab = _vocab(spark, sf_dir).transform(shared_plan)
     logp = learn_unigram(
         vocab,
         rounds=UNIGRAM_ROUNDS,

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import fanout, tbl
+from ._util import fanout, shared_plan, tbl
 from .text import _toks
 
 _TOKS_SQL = """
@@ -413,7 +413,7 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonicity, concatenation-identity property)."""
     from ..operators.unigram import learn_unigram, unigram_encode_words
 
-    vocab = _vocab(spark, sf_dir).localCheckpoint(eager=False)
+    vocab = _vocab(spark, sf_dir).transform(shared_plan)
     logp = learn_unigram(
         vocab,
         rounds=UNIGRAM_ROUNDS,

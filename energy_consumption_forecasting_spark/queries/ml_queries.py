@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..functions.vectors import as_double
-from ._util import tbl
+from ._util import shared_plan, tbl
 
 _DAILY_SQL = """
       SELECT CAST(o_orderdate AS DATE) AS d,
@@ -1979,7 +1979,7 @@ def m32_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).alias("id"),
         F.sum("np").over(wrun).cast(d38).alias("sp"),
         F.sum("nt").over(wrun).cast(d38).alias("sc"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     a = ord_.select(
         F.col("id").alias("j"),
         F.col("sp").alias("asp"),

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import shared_plan, tbl
 
 
 # --- TPC-H Q6 shape: selective scan-aggregate ---------------------------------
@@ -1183,7 +1183,7 @@ def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ext_c"),
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
         )
-        .localCheckpoint(eager=False)  # both sides of the year self-join
+        .transform(shared_plan)  # both sides of the year self-join
     )
     d38 = "decimal(38,0)"
     b = pp.filter((F.col("yr") == 1998) & (F.col("qty") > 0)).select(
@@ -1285,7 +1285,7 @@ def a_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ext_c"),
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     d38 = "decimal(38,0)"
     price = F.expr("(10000 * CAST(ext_c AS DECIMAL(38,0))) div qty")

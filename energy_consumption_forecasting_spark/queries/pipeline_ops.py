@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import fanout, tbl
+from ._util import fanout, shared_plan, tbl
 
 
 def _tokens(c):
@@ -1368,7 +1368,7 @@ def pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
         "label",
         F.row_number().over(wl).alias("r"),
         F.count("*").over(Window.partitionBy("label")).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     labels = (
         emb.select("label")
         .distinct()
@@ -1506,7 +1506,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.lower("text"), r"\s+"), lambda x: x != ""
             ).alias("a"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     # sequence(1, 0) is DESCENDING in Spark — guard short docs with an
     # explicit empty array (the cross-engine rule in queries/__init__)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import shared_plan, tbl
 
 _DAILY_CENTS_SQL = """
       SELECT CAST(o_orderdate AS DATE) AS d,
@@ -914,19 +914,23 @@ def _acf_frames(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("vc")
     )
+    # checkpoint the BROADCAST-FREE daily aggregate, not the centered
+    # frame: a shared_plan over a plan containing a broadcast exchange
+    # executes that broadcast (and its whole upstream scan) at .rdd
+    # construction — checkpointing v instead keeps construction pure,
+    # the events scan happens once at first action, and every c
+    # consumer recomputes only the calendar-sized centering arithmetic
+    # over v's checkpointed blocks.
+    v = v.transform(shared_plan)
     stats = v.agg(
         F.count("*").cast(d38).alias("n"),
         F.sum(F.col("vc").cast(d38)).cast(d38).alias("tot"),
     )
-    c = (
-        v.crossJoin(F.broadcast(stats))
-        .select(
-            "d",
-            (F.col("n") * F.col("vc").cast(d38) - F.col("tot"))
-            .cast(d38)
-            .alias("c"),
-        )
-        .localCheckpoint(eager=False)
+    c = v.crossJoin(F.broadcast(stats)).select(
+        "d",
+        (F.col("n") * F.col("vc").cast(d38) - F.col("tot"))
+        .cast(d38)
+        .alias("c"),
     )
     den = c.agg(F.sum(F.col("c") * F.col("c")).cast(d38).alias("den"))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
@@ -1214,7 +1218,7 @@ def m33_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lens.groupBy("l").agg(
         F.sum(F.col("is_en").cast("int")).cast("long").alias("c_en"),
         F.sum((~F.col("is_en")).cast("int")).cast("long").alias("c_ot"),
-    ).localCheckpoint(eager=False)  # feeds tot AND cum — share the scan+agg
+    ).transform(shared_plan)  # feeds tot AND cum — share the scan+agg
     d38 = "decimal(38,0)"
     tot = per.agg(
         F.sum("c_en").cast(d38).alias("n1"),
@@ -1590,10 +1594,14 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vc")
         )
     )
+    # checkpoint the broadcast-free daily aggregate (the _acf_frames
+    # rule): wrapping idx — whose plan contains broadcast(base) — would
+    # execute the broadcast and the whole events scan at construction
+    v = v.transform(shared_plan)
     base = v.agg(F.min("d").alias("d0"))
     idx = v.crossJoin(F.broadcast(base)).select(
         F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"), "vc"
-    ).localCheckpoint(eager=False)
+    )
     a = idx.select(F.col("t").alias("ta"), F.col("vc").alias("va"))
     slopes = (
         idx.join(a, F.col("t") > F.col("ta"))
@@ -1709,7 +1717,7 @@ def m36_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
     )
     per = vals.groupBy("vc", "g").agg(F.count("*").alias("c"))
-    per = per.localCheckpoint(eager=False)  # feeds perv AND contrib
+    per = per.transform(shared_plan)  # feeds perv AND contrib
     perv = per.groupBy("vc").agg(F.sum("c").cast("long").alias("t"))
     wcum = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
     ranked = perv.select(
@@ -1821,7 +1829,7 @@ def m37_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x"),
             F.count("*").alias("y"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
 
     def ranks(col, out):
@@ -1917,7 +1925,7 @@ def m38_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x"),
             F.count("*").alias("y"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     b = v.select(
         F.col("d").alias("bd"), F.col("x").alias("bx"), F.col("y").alias("by")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..functions.vectors import as_double, cosine
-from ._util import fanout, tbl
+from ._util import fanout, shared_plan, tbl
 
 N_QUERIES = 5
 TOP_K = 5
@@ -241,7 +241,7 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
         .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     a = e.alias("a")
     b = e.alias("b")
     cos = cosine_prenormed(
@@ -479,7 +479,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sig", _cos_sig16(F.col("v")))
         # lazy checkpoint, not persist: the returned frame outlives this
         # function and checkpoint blocks are freed when the plan is GC'd
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     band_structs = [
         F.struct(
@@ -1043,7 +1043,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         scored.withColumn("rn", F.row_number().over(rnw))
         .filter(F.col("rn") <= MMR_CAND)
-        .localCheckpoint(eager=False)
+        .transform(shared_plan)
     )
     a, b = cand.alias("a"), cand.alias("b")
     pair = a.join(
@@ -1055,7 +1055,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cand_id").alias("a_id"),
         F.col("b.cand_id").alias("b_id"),
         cosine(F.col("a.v"), F.col("b.v")).alias("sim_ab"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     sel = cand.filter(F.col("rn") == 1).select(
         "query_id",
         F.col("cand_id").alias("sel_id"),
@@ -1176,7 +1176,7 @@ def sim_filtered_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double("embedding").alias("v"),
         )
         .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
@@ -1288,7 +1288,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double("embedding").alias("v"),
         )
         .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
-    ).localCheckpoint(eager=False)
+    ).transform(shared_plan)
     c = e.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),

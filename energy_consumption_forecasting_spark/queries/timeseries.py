@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import shared_plan, tbl
 
 _DAILY_SQL = """
       SELECT CAST(o_orderdate AS DATE) AS d,
@@ -1029,7 +1029,7 @@ def ts_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mo"),
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
-        .localCheckpoint(eager=False)  # feeds horizon AND per
+        .transform(shared_plan)  # feeds horizon AND per
     )
     horizon = md.agg(
         (F.max("mo") - F.min("mo") + 1).cast("decimal(38,0)").alias("n_periods")

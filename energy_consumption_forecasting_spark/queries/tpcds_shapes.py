@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import shared_plan, tbl
 
 
 @query(
@@ -457,7 +457,7 @@ def ds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ms feeds BOTH the yearly stats agg and the window join — one lazy
     # checkpoint shares the 3-table join+agg (brand-month cardinality).
-    ms = ms.localCheckpoint(eager=False)
+    ms = ms.transform(shared_plan)
     d38 = "decimal(38,0)"
     ya = ms.groupBy("brand", "yr").agg(
         F.sum(F.col("sales_c").cast(d38)).cast(d38).alias("y"),

@@ -46,10 +46,13 @@ SF = "/root/testdata/sf0.001"
 # RANK     — two-pass distributed rank / prefix sum: the documented
 #            trade of one counting job for never single-partitioning an
 #            unbounded window (operators/ranking.py module docstring).
-# SHARED   — localCheckpoint(eager=False) plan sharing: under AQE,
-#            .rdd materializes upstream stages once so multiple
-#            consumers reuse one expensive pass (the r2 persist-leak
-#            lesson); the work belongs to the query, not to a probe.
+# SHARED   — localCheckpoint(eager=False) plan sharing where some OTHER
+#            eager construct remains: since round 7, _util.shared_plan
+#            wraps the lazy checkpoint in aqe_disabled, which makes the
+#            .rdd construction itself pure (under AQE it materialized
+#            every upstream stage) — that alone un-exempted 14 queries;
+#            the entries still here run additional legitimate jobs at
+#            construction (pivot value probes, bounded collects).
 # BOUNDED  — a documented bounded collect (calendar masks, event-type
 #            transition matrices, KB-sized model state) folded into the
 #            returned plan.
@@ -140,14 +143,7 @@ EXEMPT: dict[str, str] = {
     # --- iterative convergence on data ------------------------------------
     "graph_pagerank": "ITER",
     "graph_personalized_pagerank": "ITER",
-    "graph_label_propagation": "ITER",
-    "graph_kcore": "ITER",
     "graph_modularity": "ITER",
-    "graph_triangle_count": "ITER",
-    "graph_local_clustering": "ITER",
-    "graph_link_prediction": "ITER",
-    "graph_assortativity": "ITER",
-    "graph_degree_histogram": "ITER",
     "dedup_connected_components": "ITER",
     "dedup_lsh_quality": "ITER",
     "dedup_lsh_quality_hi": "ITER",
@@ -157,35 +153,15 @@ EXEMPT: dict[str, str] = {
     "text_heaps_law": "RANK",
     "pipeline_pack_sequences": "RANK",
     "f10_null_col_drop": "RANK",
-    "ts_acf": "RANK",
-    "ts_pacf": "RANK",
-    "ts_theil_sen": "RANK",
     # --- localCheckpoint(eager=False) plan sharing (AQE runs stages) ------
-    "dedup_minhash_lsh": "SHARED",
-    "dedup_ngram_jaccard": "SHARED",
-    "dedup_containment": "SHARED",
-    "dedup_embedding_cosine": "SHARED",
     "dedup_prefix_filter_join": "SHARED",
     "dedup_semantic": "SHARED",
-    "pipeline_split_leakage": "SHARED",
-    "pipeline_contrastive_triplets": "SHARED",
     "pipeline_balance_e2e": "SHARED",
-    "sim_knn_graph": "SHARED",
     "ds_q47_sales_deviation": "SHARED",
     "rollup_monthly_from_daily": "SHARED",
     "rollup_yearly_pruned": "SHARED",
     "dq_benford_digits": "SHARED",
-    "a_price_index": "SHARED",
-    "a_revenue_bridge": "SHARED",
-    "m33_ks_two_sample": "SHARED",
-    "m36_kruskal_wallis": "SHARED",
-    "m37_spearman": "SHARED",
-    "m38_kendall_tau": "SHARED",
-    "ts_intermittency_profile": "SHARED",
     "w5_transpose_native": "SHARED",
-    "w_lifecycle_states": "SHARED",
-    "pipeline_dsir_weights": "SHARED",
-    "pipeline_dsir_resample": "SHARED",
     "f_sql_scripting_trim": "ROUNDTRIP",  # EXECUTE IMMEDIATE runs the script
     # --- documented bounded collects --------------------------------------
     "w_markov_attribution": "BOUNDED",  # event-type transition matrix solve

@@ -985,3 +985,40 @@ def test_changepoint_degenerate_series_is_empty(spark, monkeypatch):
 
     monkeypatch.setattr(timeseries, "_daily", lambda s, p: one)
     assert timeseries.ts_changepoint(spark, "unused").count() == 0
+
+
+def test_shared_plan_is_lazy(spark):
+    """shared_plan (lazy localCheckpoint under aqe_disabled) launches
+    zero jobs at construction — including over an UNMATERIALIZED cache,
+    provided the cache was registered with shared_persist: a cache
+    registered under AQE compiles an adaptive cached plan whose stages
+    execute at any later .rdd construction (measured 1-3 jobs), which
+    is exactly the eagerness the purity registry's SHARED class used to
+    carry."""
+    from energy_consumption_forecasting_spark.queries._util import (
+        shared_persist,
+        shared_plan,
+    )
+
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    df = (
+        spark.range(10000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count("*").alias("c"))
+    )
+    before = dag.numTotalJobs()
+    ck = shared_plan(df)
+    assert dag.numTotalJobs() == before, "plain shared_plan ran a job"
+
+    cached = shared_persist(df)
+    try:
+        before = dag.numTotalJobs()
+        shared_plan(cached.select((F.col("c") + 1).alias("c2")))
+        shared_plan(cached)
+        assert (
+            dag.numTotalJobs() == before
+        ), "shared_plan over an unmaterialized shared_persist ran a job"
+        assert cached.count() == 7
+    finally:
+        cached.unpersist()
+    assert ck.count() == 7
