@@ -59,7 +59,7 @@ def _pure_compilation(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def shared_plan(df: DataFrame) -> DataFrame:
+def shared_plan(df: DataFrame, width: int | None = None) -> DataFrame:
     """``localCheckpoint(eager=False)`` WITHOUT the construction-time
     stage execution AQE otherwise forces.
 
@@ -73,8 +73,21 @@ def shared_plan(df: DataFrame) -> DataFrame:
     construction pure — the subtree's own shuffles then run
     non-adaptively at first action (widths are pinned per-query where
     it matters), while everything downstream of the checkpoint still
-    executes under the session's AQE."""
+    executes under the session's AQE.
+
+    ``width=`` caps the checkpointed frame's partition count (a plain
+    coalesce — reduce tasks merge, the map side keeps full width).
+    Non-adaptive compilation forgoes AQE's post-shuffle coalescing, so
+    a KNOWN-SMALL shared frame (vocabulary, per-user weeks, candidate
+    short-lists) would otherwise materialize session-width-partitioned
+    and tax every downstream stage with near-empty tasks; the explicit
+    width is the static stand-in for exactly that coalesce, and at
+    full scale the same cap is what a production job would pin for a
+    bounded-cardinality frame.
+    """
     with _pure_compilation(df.sparkSession):
+        if width is not None:
+            df = df.coalesce(width)
         return df.localCheckpoint(eager=False)
 
 

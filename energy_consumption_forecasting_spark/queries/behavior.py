@@ -1170,7 +1170,7 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wk"),
         )
         .distinct()
-        .transform(shared_plan)  # feeds seq AND horizon
+        .transform(lambda d: shared_plan(d, width=8))  # user-weeks; feeds seq AND horizon
     )
     wu = Window.partitionBy("user_id")
     wo = wu.orderBy("wk")
@@ -1179,7 +1179,7 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wk").over(wu).alias("first_wk"),
         F.lag("wk").over(wo).alias("prev_wk"),
         F.lead("wk").over(wo).alias("next_wk"),
-    ).transform(shared_plan)
+    ).transform(lambda d: shared_plan(d, width=8))
     horizon = uw.agg(F.max("wk").alias("max_wk"))
     active_states = seq.select(
         "wk",

@@ -498,8 +498,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("sig", _cos_sig16(F.col("v")))
         # lazy checkpoint, not persist: the returned frame outlives this
-        # function and checkpoint blocks are freed when the plan is GC'd
-        .transform(shared_plan)
+        # function and checkpoint blocks are freed when the plan is GC'd;
+        # width: one signature row per embedding — vector-table-sized
+        .transform(lambda d: shared_plan(d, width=8))
     )
     band_structs = [
         F.struct(

@@ -321,7 +321,7 @@ def pipeline_unigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .lm import UNIGRAM_MAX_LEN, UNIGRAM_ROUNDS, UNIGRAM_TOP_V, _vocab
     from ..operators.unigram import learn_unigram, unigram_encode_words
 
-    vocab = _vocab(spark, sf_dir).transform(shared_plan)
+    vocab = shared_plan(_vocab(spark, sf_dir), width=4)  # vocab-sized
     logp = learn_unigram(
         vocab,
         rounds=UNIGRAM_ROUNDS,

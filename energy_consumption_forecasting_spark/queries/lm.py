@@ -413,7 +413,7 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonicity, concatenation-identity property)."""
     from ..operators.unigram import learn_unigram, unigram_encode_words
 
-    vocab = _vocab(spark, sf_dir).transform(shared_plan)
+    vocab = shared_plan(_vocab(spark, sf_dir), width=4)  # vocab-sized
     logp = learn_unigram(
         vocab,
         rounds=UNIGRAM_ROUNDS,

@@ -1043,7 +1043,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         scored.withColumn("rn", F.row_number().over(rnw))
         .filter(F.col("rn") <= MMR_CAND)
-        .transform(shared_plan)
+        .transform(lambda d: shared_plan(d, width=4))  # Q x MMR_CAND rows
     )
     a, b = cand.alias("a"), cand.alias("b")
     pair = a.join(
@@ -1055,7 +1055,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cand_id").alias("a_id"),
         F.col("b.cand_id").alias("b_id"),
         cosine(F.col("a.v"), F.col("b.v")).alias("sim_ab"),
-    ).transform(shared_plan)
+    ).transform(lambda d: shared_plan(d, width=4))  # Q x CAND^2 short-list
     sel = cand.filter(F.col("rn") == 1).select(
         "query_id",
         F.col("cand_id").alias("sel_id"),

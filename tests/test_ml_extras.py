@@ -802,3 +802,138 @@ def test_arima_external_goldens(spark):
     # cubic is the mu=0 score; exact_mle_fit's Nelder-Mead is pinned by
     # test_arima_goldens against this now-externally-proven evaluator)
     del exact_mle_fit  # imported to document the transitively-pinned API
+
+
+def test_smoothing_external_goldens():
+    """Round-7 VERDICT item 4: extend the external-golden pattern to the
+    other recursive families.  The fixture commits HAND-DERIVED exact
+    values for Holt (Holt 1957), additive Holt-Winters (Winters 1960)
+    and the Theta method's SES+trend combination (Assimakopoulos &
+    Nikolopoulos 2000) — all smoothing constants and series values are
+    dyadic, so every recurrence step is exact in binary floating point
+    and the comparison is ==, no tolerance.  Full derivations live in
+    the fixture's provenance fields; no repo code produced any expected
+    value."""
+    import datetime
+    import json
+    import os
+
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries.smoothing import (
+        _theta_ses,
+        holt_smooth,
+        holt_winters_smooth,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "smoothing_external_goldens.json"
+    )
+    g = json.load(open(path))
+
+    def months(n):
+        return [datetime.date(2024, 1, 1) + datetime.timedelta(days=31 * i)
+                for i in range(n)]
+
+    h = g["holt"]
+    out = holt_smooth(
+        pd.DataFrame(
+            {
+                "priority": ["p"] * len(h["series"]),
+                "month": months(len(h["series"])),
+                "demand": h["series"],
+            }
+        )
+    )
+    assert list(out["level"]) == h["levels"]
+    assert list(out["trend"]) == h["trends"]
+    got_f = [None if pd.isna(v) else float(v) for v in out["fitted"]]
+    assert got_f == h["fitted"]
+
+    hw = g["holt_winters"]
+    out = holt_winters_smooth(
+        pd.DataFrame(
+            {
+                "priority": ["p"] * len(hw["series"]),
+                "month": months(len(hw["series"])),
+                "demand": hw["series"],
+            }
+        )
+    )
+    assert len(out) == len(hw["emitted_rows"])
+    for i, exp in enumerate(hw["emitted_rows"]):
+        for col in ("level", "trend", "seasonal", "fitted"):
+            assert float(out[col][i]) == exp[col], (i, col)
+
+    th = g["theta"]
+    out = _theta_ses(
+        pd.DataFrame(
+            {
+                "priority": ["p"] * len(th["z_c"]),
+                "month": months(len(th["z_c"])),
+                "t": list(range(1, len(th["z_c"]) + 1)),
+                "z_c": th["z_c"],
+                "trend_c": th["trend_c"],
+            }
+        )
+    )
+    assert list(out["trend_line"]) == th["trend_line"]
+    assert list(out["theta2"]) == th["theta2"]
+    assert list(out["ses_level"]) == th["ses_level"]
+    got_f = [None if pd.isna(v) else float(v) for v in out["fitted"]]
+    assert got_f == th["fitted"]
+
+
+def test_bayesopt_branin_external_golden():
+    """Round-7 VERDICT item 4 (optimizer leg): the GP+LCB loop against
+    the published Branin benchmark (Dixon & Szego 1978).  Three
+    anchors, all external: the transcribed objective reproduces the
+    published f* = 0.397887 at all three published minimizers; the
+    optimizer can never return below f* (exact lower bound); seeded
+    runs converge to within the committed tolerance of f* with best_x
+    near a published minimizer."""
+    import json
+    import math
+    import os
+
+    from energy_consumption_forecasting_spark.ml.bayesopt import bayes_opt
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "branin_external_golden.json"
+    )
+    g = json.load(open(path))
+
+    def branin(x):
+        x1, x2 = float(x[0]), float(x[1])
+        a, b, c = 1.0, 5.1 / (4 * math.pi**2), 5.0 / math.pi
+        r, s, t = 6.0, 10.0, 1.0 / (8 * math.pi)
+        return (
+            a * (x2 - b * x1**2 + c * x1 - r) ** 2
+            + s * (1 - t) * math.cos(x1)
+            + s
+        )
+
+    for xs in g["minimizers"]:
+        assert abs(branin(xs) - g["f_star"]) < g["f_tol"], xs
+
+    bounds = [tuple(b) for b in g["bounds"]]
+    for seed in g["seeds"]:
+        res = bayes_opt(
+            branin,
+            bounds,
+            n_init=g["n_init"],
+            n_iter=g["n_iter"],
+            n_candidates=g["n_candidates"],
+            seed=seed,
+        )
+        assert res["best_y"] >= g["f_star"] - g["f_tol"], (
+            f"seed {seed}: best_y below the published global minimum"
+        )
+        assert res["best_y"] <= g["f_star"] + g["converge_tol"], (
+            f"seed {seed}: did not converge ({res['best_y']})"
+        )
+        dists = [
+            math.dist([float(v) for v in res["best_x"]], m)
+            for m in g["minimizers"]
+        ]
+        assert min(dists) <= g["x_tol"], (seed, res["best_x"], dists)
