@@ -937,3 +937,128 @@ def test_bayesopt_branin_external_golden():
             for m in g["minimizers"]
         ]
         assert min(dists) <= g["x_tol"], (seed, res["best_x"], dists)
+
+
+def test_decompose_grouped_matches_window_native_at_shared_grain(spark):
+    """Round-7 VERDICT item 8a: pin the rows-only m7_decompose_grouped
+    (numpy/statsmodels applyInPandas path) against an INDEPENDENT
+    window-algebra decomposition at the same grain — the same
+    centered-MA + de-meaned by-phase-average algorithm expressed as
+    Spark window functions (the m7_seasonal_decompose style), computed
+    here at period 7 on the identical per-returnflag daily series.
+    Agreement within float tolerance pins the convolution, the phase
+    indexing, and the seasonal centering of the grouped tier."""
+    import math
+
+    from pyspark.sql import Window
+
+    from energy_consumption_forecasting_spark.ml.decomposition import (
+        decompose_grouped,
+    )
+    from energy_consumption_forecasting_spark.queries._util import tbl
+    from tests.conftest import SF_SMALL
+
+    period = 7
+    daily = (
+        tbl(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    got = {
+        (r["l_returnflag"], r["d"]): (r["trend"], r["seasonal"], r["resid"])
+        for r in decompose_grouped(
+            daily, ["l_returnflag"], "d", "qty", period=period
+        ).collect()
+    }
+
+    # independent window-native computation, same grain/period:
+    half = period // 2
+    wser = Window.partitionBy("l_returnflag").orderBy("d")
+    w7 = wser.rowsBetween(-half, half)
+    trended = daily.select(
+        "l_returnflag",
+        "d",
+        "qty",
+        F.when(F.count("*").over(w7) == period, F.avg("qty").over(w7)).alias(
+            "trend"
+        ),
+        ((F.row_number().over(wser) - 1) % period).alias("phase"),
+    ).withColumn("detr", F.col("qty") - F.col("trend"))
+    wp = Window.partitionBy("l_returnflag", "phase")
+    wall = Window.partitionBy("l_returnflag")
+    phased = trended.select(
+        "*", F.avg("detr").over(wp).alias("phase_mean")
+    ).select(
+        "*",
+        # nanmean of the 7 phase means == avg over DISTINCT phases:
+        # weight each phase equally, not each row
+        (
+            F.col("phase_mean")
+            - F.sum(F.col("phase_mean") / F.count("*").over(wp)).over(wall)
+            / period
+        ).alias("seasonal"),
+    )
+    ref = {
+        (r["l_returnflag"], r["d"]): (
+            r["trend"],
+            r["seasonal"],
+            None if r["trend"] is None else r["qty"] - r["trend"] - r["seasonal"],
+        )
+        for r in phased.collect()
+    }
+    assert set(got) == set(ref)
+    n_checked = 0
+    for key, (gt, gs, gr) in got.items():
+        rt, rs, rr = ref[key]
+        for g, r in ((gt, rt), (gs, rs), (gr, rr)):
+            gnan = g is None or (isinstance(g, float) and math.isnan(g))
+            rnan = r is None or (isinstance(r, float) and math.isnan(r))
+            assert gnan == rnan, (key, g, r)
+            if not gnan:
+                assert abs(g - r) <= 1e-9 * max(1.0, abs(r)), (key, g, r)
+                n_checked += 1
+    assert n_checked > 100
+
+
+def test_kshape_centroid_is_rayleigh_maximizer():
+    """Round-7 VERDICT item 8b: the k-Shape eigen-step obeys the
+    Rayleigh-Ritz variational bound (Paparrizos & Gravano 2015, sec.
+    3.2: the centroid maximizes summed squared NCC = the Rayleigh
+    quotient of the centered Gram matrix).  Independent of any eigen
+    routine: NO vector — aligned member or random probe — may achieve
+    a higher quotient than the returned centroid."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.ml.clustering import (
+        _align_to,
+        _shape_extraction,
+    )
+
+    rng = np.random.RandomState(0)
+    m = 24
+    for trial in range(5):
+        base = np.sin(np.linspace(0, 4 * np.pi, m)) * (trial + 1)
+        members = [
+            np.roll(base, rng.randint(0, 5)) + rng.normal(0, 0.3, m)
+            for _ in range(6)
+        ]
+        ref = members[0]
+        c = _shape_extraction(members, ref)
+        # returned centroid is z-normalized
+        assert abs(float(np.mean(c))) < 1e-9
+        assert abs(float(np.std(c)) - 1.0) < 1e-9
+
+        A = np.vstack([_align_to(ref, x) for x in members])
+        Q = np.eye(m) - np.ones((m, m)) / m
+        M = Q @ (A.T @ A) @ Q
+
+        def rayleigh(z):
+            z = np.asarray(z, dtype=np.float64)
+            d = float(z @ z)
+            return float(z @ M @ z) / d if d > 0 else -np.inf
+
+        r_c = rayleigh(c)
+        for row in A:
+            assert rayleigh(row) <= r_c + 1e-9 * abs(r_c), trial
+        for _ in range(200):
+            assert rayleigh(rng.normal(size=m)) <= r_c + 1e-9 * abs(r_c), trial
