@@ -104,3 +104,49 @@ def shared_persist(df: DataFrame) -> DataFrame:
     Use for session-shared frames other constructions build on."""
     with _pure_compilation(df.sparkSession):
         return df.persist()
+
+
+# --- session-shared frame cache --------------------------------------------------
+#
+# Expensive static frames rebuilt by several queries (graph edge sets,
+# minhash signatures) are cached once per (session, sf_dir) and shared;
+# the mtime of the anchoring source parquet is in the key so a driver
+# testdata regeneration invalidates.  Entries are duck-typed on
+# ``.unpersist()`` (DataFrame and PreparedRankGraph both carry it) and
+# evicted oldest-first past the bound.  At 100 TB this is the "build
+# the shared structure once, run many analytics" layout a production
+# pipeline would persist to storage.
+_FRAME_CACHE: dict[tuple, object] = {}
+_FRAME_CACHE_MAX = 12
+
+
+def shared_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build,
+    mtime_table: str = "lineitem",
+):
+    import os as _os
+
+    path = f"{sf_dir.rstrip('/')}/{mtime_table}.parquet"
+    try:
+        mtime = _os.path.getmtime(path)
+    except OSError:  # pragma: no cover — missing testdata fails later
+        mtime = 0.0
+    ident = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        tag,
+    )
+    key = (*ident, mtime)
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _FRAME_CACHE if k[:3] == ident]:
+        _FRAME_CACHE.pop(k).unpersist()
+    while len(_FRAME_CACHE) >= _FRAME_CACHE_MAX:
+        _FRAME_CACHE.pop(next(iter(_FRAME_CACHE))).unpersist()
+    val = build()
+    _FRAME_CACHE[key] = val
+    return val

@@ -331,34 +331,10 @@ _COPURCHASE_SQL = """ps AS (
 # "build the edge list once, run many analytics" layout a production
 # graph pipeline would persist to storage; the registry is bounded and
 # evicts oldest-first.
-_FRAME_CACHE: dict[tuple, object] = {}
-_FRAME_CACHE_MAX = 8
-
-
 def _shared_frame(spark: SparkSession, sf_dir: str, tag: str, build):
-    import os as _os
+    from ._util import shared_frame
 
-    path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
-    try:
-        mtime = _os.path.getmtime(path)
-    except OSError:  # pragma: no cover — missing testdata fails later
-        mtime = 0.0
-    ident = (
-        spark.sparkContext.applicationId,
-        _os.path.abspath(sf_dir),
-        tag,
-    )
-    key = (*ident, mtime)
-    hit = _FRAME_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for k in [k for k in _FRAME_CACHE if k[:3] == ident]:
-        _FRAME_CACHE.pop(k).unpersist()
-    while len(_FRAME_CACHE) >= _FRAME_CACHE_MAX:
-        _FRAME_CACHE.pop(next(iter(_FRAME_CACHE))).unpersist()
-    val = build()
-    _FRAME_CACHE[key] = val
-    return val
+    return shared_frame(spark, sf_dir, tag, build, mtime_table="lineitem")
 
 
 def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

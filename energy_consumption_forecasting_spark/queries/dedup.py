@@ -260,7 +260,26 @@ def minhash_sigs_frame(arrays: DataFrame, n_perm: int = N_HASHES) -> DataFrame:
 def _minhash_sigs(
     spark: SparkSession, sf_dir: str, n_perm: int = N_HASHES
 ) -> DataFrame:
-    return minhash_sigs_frame(_shingle_arrays(spark, sf_dir), n_perm=n_perm)
+    """Default-permutation signatures are SESSION-SHARED: five queries
+    (minhash LSH, connected components via _lsh_candidate_pairs,
+    modularity, LSH quality, split leakage) rebuild the identical
+    tokenize->digest->min pipeline over the documents corpus — one
+    shared_persist'd copy per (session, sf_dir) serves them all (the
+    round-7 graph-family edge-cache pattern).  Non-default n_perm
+    (the second LSH operating point) stays per-query."""
+    from ._util import shared_frame, shared_persist
+
+    if n_perm != N_HASHES:
+        return minhash_sigs_frame(_shingle_arrays(spark, sf_dir), n_perm=n_perm)
+    return shared_frame(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: shared_persist(
+            minhash_sigs_frame(_shingle_arrays(spark, sf_dir))
+        ),
+        mtime_table="documents",
+    )
 
 
 def _band_rows(sigs: DataFrame, n_bands: int = N_BANDS, rows: int = 2) -> DataFrame:
@@ -315,13 +334,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes; a poisoned mega-bucket degrades gracefully
     because pairs expand from a bounded collected list, not a self-join.
     """
-    # Persist the (tiny: 8 strings/doc) signature table: three consumers
-    # (bands, and both sides of the candidate join) would otherwise each
-    # re-run the full tokenize→digest→min pipeline.  The downstream
-    # joins carry explicit broadcast hints, so the InMemoryRelation's
-    # inflated size stats can't demote them to sort-merge (the failure
-    # mode that made a naive persist slower — see ARCHITECTURE.md).
-    sigs = _minhash_sigs(spark, sf_dir).transform(shared_plan)
+    # The (tiny: 8 strings/doc) signature table is session-shared and
+    # persisted inside _minhash_sigs: three consumers here (bands, and
+    # both sides of the candidate join) plus four other queries reuse
+    # one tokenize→digest→min pass.  The downstream joins carry
+    # explicit broadcast hints, so the InMemoryRelation's inflated
+    # size stats can't demote them to sort-merge (the failure mode
+    # that made a naive persist slower — see ARCHITECTURE.md).
+    sigs = _minhash_sigs(spark, sf_dir)
     band_rows = _band_rows(sigs)
     members = (
         band_rows.groupBy("band", "bucket")
@@ -1643,7 +1663,7 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-product."""
     from .pipeline_ops import split_col
 
-    sigs = _minhash_sigs(spark, sf_dir).transform(shared_plan)
+    sigs = _minhash_sigs(spark, sf_dir)  # session-shared persisted frame
     band_rows = _band_rows(sigs)
     members = (
         band_rows.groupBy("band", "bucket")
