@@ -66,6 +66,9 @@ HEADLINE = [
     # expensive loops (power iteration, label propagation, BPE merge
     # learning) must be visible per-round, not just in SCALING.md
     "graph_pagerank",
+    "graph_personalized_pagerank",
+    "graph_kcore",
+    "graph_triangle_count",
     "dedup_connected_components",
     "pipeline_bpe_merges",
     # round-4 second wave: domain capping + the oracle-exact ANN

@@ -263,10 +263,33 @@ def audit_unpartitioned_windows(df) -> list[str]:
     bounded source.  Raw-table rankings must use the two-pass
     distributed rank (operators/ranking.py) instead."""
 
+    # physical counterparts, for recursing into a cached plan: an
+    # InMemoryRelation leaf (the round-7 session-shared frames) is
+    # bounded iff every path of its CACHED physical plan passes through
+    # an aggregate (or ends at a literal scan) — the same rule, one
+    # compilation layer down.
+    _BOUNDED_PHYSICAL = {
+        "HashAggregateExec",
+        "SortAggregateExec",
+        "ObjectHashAggregateExec",
+        "LocalTableScanExec",
+        "RDDScanExec",
+    }
+
+    def physical_bounded(node) -> bool:
+        if node.getClass().getSimpleName() in _BOUNDED_PHYSICAL:
+            return True
+        n = node.children().size()
+        if n == 0:
+            return False
+        return all(physical_bounded(node.children().apply(i)) for i in range(n))
+
     def subtree_bounded(node) -> bool:
         cls = node.getClass().getSimpleName()
         if cls in _BOUNDED_SOURCES:
             return True
+        if cls == "InMemoryRelation":
+            return physical_bounded(node.cachedPlan())
         n = node.children().size()
         if n == 0:
             return False  # reached a real source leaf unaggregated
