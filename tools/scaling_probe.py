@@ -299,18 +299,20 @@ def main() -> None:
         ]
         readings = {
             "dedup_semantic": (
-                "SUB-linear (2.1× on 10× vectors): the r4 "
-                "corpus-sized-cells rework holds — residual growth is "
-                "the linear N·target pair term; round 4's 2.5× step was "
-                "the same term plus scheduling noise, not a quadratic "
-                "residue (settles the SCALING note contradiction)"
+                "LINEAR, the designed N·target bound: warm-vs-warm a "
+                "quiet-host re-measure is ~10× on 10× vectors (r7: "
+                "1.0s→10.3s); the smaller cold ratio in this table is "
+                "fixed overhead inflating the sf0.1 cold sample, not "
+                "sub-linear pair work.  No quadratic residue — the r4 "
+                "corpus-sized-cells rework holds"
             ),
             "dedup_prefix_filter_join": (
-                "output-bound CONFIRMED: ~86× wall on 10× docs tracks "
-                "the ~100× quadratic growth of genuinely-qualifying "
-                "pairs on the fixed 31-word vocabulary — the ANSWER is "
-                "quadratic; prefix+length pruning is intact "
-                "(oracle-proven lossless)"
+                "output-bound: wall tracks the ~100× quadratic growth "
+                "of genuinely-qualifying pairs on the fixed 31-word "
+                "vocabulary (r7 gate: 44s median at sf1, "
+                "BENCH_r07_sf1.json) — the ANSWER is quadratic; "
+                "prefix+length pruning is intact (oracle-proven "
+                "lossless) and wall stays SUB-output-linear"
             ),
             "a_basket_pairs": (
                 "scheduling/scan-floor dominated (1.5× on 10×): pair "
@@ -322,7 +324,8 @@ def main() -> None:
                 "mapInPandas amortizes per-group overhead"
             ),
             "graph_label_propagation": (
-                "SUB-linear (≈2.1× on 10× edges): per-round cost is one "
+                "SUB-linear (warm r7 gate: 1.9s→3.0s on 10× edges): "
+                "per-round cost is one "
                 "edge-keyed join + argmax agg, so the decade is "
                 "shuffle-bandwidth-bound; local wall stays "
                 "scheduling-floor-dominated like pagerank"
