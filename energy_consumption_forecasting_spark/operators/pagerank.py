@@ -70,7 +70,9 @@ class PreparedRankGraph:
 
 
 def prepare_rank_graph(
-    edges: DataFrame, rows_per_task: int = 100_000
+    edges: DataFrame,
+    rows_per_task: int = 100_000,
+    check_symmetry: bool = False,
 ) -> PreparedRankGraph:
     """One pass of setup for the exact PageRank tiers: degree table,
     node/edge counts, and the deg-folded edge table persisted on the
@@ -78,9 +80,13 @@ def prepare_rank_graph(
     past the broadcast budget — the sort-merge join then reuses the
     layout and only the agg shuffles).
 
-    PRECONDITION (asserted): symmetric-style graph — every node has
-    out- and in-degree >= 1 (true for any symmetrized edge set), the
-    same contract as ``pagerank_exact(symmetrized=True)``."""
+    PRECONDITION: symmetric-style graph — every node has out- and
+    in-degree >= 1 (true for any symmetrized edge set), the same
+    contract as ``pagerank_exact(symmetrized=True)``.  Checked only
+    under ``check_symmetry=True`` (one extra distinct over dst, folded
+    into the SAME stats collect — never a second degree pass); with
+    the flag off, wrong use shows up as rank mass leaking, which the
+    sanity tests pin."""
     spark = edges.sparkSession
     e = edges.persist()
     try:
@@ -89,9 +95,29 @@ def prepare_rank_graph(
             .agg(F.count("*").alias("deg"))
             .persist()
         )
-        stats = deg.agg(
-            F.count("*").alias("n"), F.sum("deg").alias("n_edges")
-        ).collect()[0]
+        if check_symmetry:
+            in_tbl = (
+                e.select(F.col("dst").alias("v"))
+                .distinct()
+                .withColumn("has_in", F.lit(True))
+            )
+            meta = deg.join(in_tbl, "v", "full")
+            stats = meta.agg(
+                F.count(F.col("deg")).alias("n"),
+                F.count(F.when(F.col("deg").isNull(), 1)).alias("n_sink"),
+                F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_src"),
+                F.sum("deg").alias("n_edges"),
+            ).collect()[0]
+            if stats["n_sink"] > 0 or stats["n_src"] > 0:
+                raise ValueError(
+                    "pagerank requires every node to have out- and "
+                    f"in-edges (symmetrized graph); {stats['n_sink']} "
+                    f"sink-only / {stats['n_src']} source-only nodes"
+                )
+        else:
+            stats = deg.agg(
+                F.count("*").alias("n"), F.sum("deg").alias("n_edges")
+            ).collect()[0]
         n = stats["n"]
         if n == 0:
             raise ValueError("prepare_rank_graph: empty graph")
@@ -303,37 +329,18 @@ def pagerank_exact(
         return _power_iterate(
             graph, iters, scale, damp_num, damp_den, seed_pred=None, n_seeds=0
         )
+    if edges is None:
+        raise ValueError("pagerank_exact: pass edges= or graph=")
+    # callers of the symmetrized form GUARANTEE every edge has its
+    # reverse (e.g. built by unioning pairs with their swap): the
+    # in-set equals the out-set, so the symmetry probe — a full
+    # distinct over the edge table, folded into prepare_rank_graph's
+    # single stats collect — is provably redundant there and skipped
+    # (wrong use shows up as rank mass leaking, which the sanity
+    # tests pin).
     e = edges.persist()
-    if not symmetrized:
-        # callers of the symmetrized form GUARANTEE every edge has its
-        # reverse (e.g. built by unioning pairs with their swap): the
-        # in-set equals the out-set, so this inflow probe — a full
-        # distinct over the edge table — is provably redundant there
-        # and skipped (wrong use shows up as rank mass leaking, which
-        # the sanity tests pin).
-        deg = e.groupBy(F.col("src").alias("v")).agg(
-            F.count("*").alias("deg")
-        )
-        in_tbl = (
-            e.select(F.col("dst").alias("v"))
-            .distinct()
-            .withColumn("has_in", F.lit(True))
-        )
-        meta = deg.join(in_tbl, "v", "full")
-        stats = meta.agg(
-            F.count("*").alias("n"),
-            F.count(F.when(F.col("deg").isNull(), 1)).alias("n_sink_only"),
-            F.count(F.when(F.col("has_in").isNull(), 1)).alias("n_no_inflow"),
-        ).collect()[0]
-        n = stats["n"]
-        if n == 0 or stats["n_sink_only"] > 0 or stats["n_no_inflow"] > 0:
-            raise ValueError(
-                "pagerank_exact requires every node to have out- and "
-                f"in-edges (symmetrized graph); {stats['n_sink_only']} "
-                f"sink-only / {stats['n_no_inflow']} source-only nodes"
-            )
     try:
-        g = prepare_rank_graph(e)
+        g = prepare_rank_graph(e, check_symmetry=not symmetrized)
     finally:
         e.unpersist()
     try:
@@ -442,6 +449,8 @@ def pagerank_personalized_exact(
         return _power_iterate(
             graph, iters, scale, damp_num, damp_den, seed_pred, n_seeds
         )
+    if edges is None:
+        raise ValueError("pagerank_personalized_exact: pass edges= or graph=")
     e = edges.persist()
     try:
         g = prepare_rank_graph(e)

@@ -143,10 +143,26 @@ def shared_frame(
     hit = _FRAME_CACHE.get(key)
     if hit is not None:
         return hit
+
+    def _evict(k) -> None:
+        # entries may belong to a STOPPED SparkSession (same process,
+        # new session): unpersist on a dead context raises through
+        # py4j, and crashing an unrelated query's build over a cache
+        # housekeeping step would be absurd — drop the entry either way
+        try:
+            _FRAME_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+
+    # purge entries from other sessions eagerly (their blocks died
+    # with the old context; they must not consume slots in the bound)
+    app_id = ident[0]
+    for k in [k for k in _FRAME_CACHE if k[0] != app_id]:
+        _evict(k)
     for k in [k for k in _FRAME_CACHE if k[:3] == ident]:
-        _FRAME_CACHE.pop(k).unpersist()
+        _evict(k)
     while len(_FRAME_CACHE) >= _FRAME_CACHE_MAX:
-        _FRAME_CACHE.pop(next(iter(_FRAME_CACHE))).unpersist()
+        _evict(next(iter(_FRAME_CACHE)))
     val = build()
     _FRAME_CACHE[key] = val
     return val

@@ -331,12 +331,6 @@ _COPURCHASE_SQL = """ps AS (
 # "build the edge list once, run many analytics" layout a production
 # graph pipeline would persist to storage; the registry is bounded and
 # evicts oldest-first.
-def _shared_frame(spark: SparkSession, sf_dir: str, tag: str, build):
-    from ._util import shared_frame
-
-    return shared_frame(spark, sf_dir, tag, build, mtime_table="lineitem")
-
-
 def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The symmetrized bipartite part↔supplier edge set on INTEGER node
     ids (2k = part k, 2k+1 = supplier k: the loop shuffles 16-byte
@@ -368,7 +362,9 @@ def _supply_rank_graph(spark: SparkSession, sf_dir: str):
     (both iterate the identical deg-folded edge table)."""
     from ..operators.pagerank import prepare_rank_graph
 
-    return _shared_frame(
+    from ._util import shared_frame
+
+    return shared_frame(
         spark,
         sf_dir,
         "supply_rank_graph",
@@ -379,9 +375,9 @@ def _supply_rank_graph(spark: SparkSession, sf_dir: str):
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached, persisted co-purchase edge set — see
     :func:`_copurchase_edges_build`."""
-    from ._util import shared_persist
+    from ._util import shared_frame, shared_persist
 
-    return _shared_frame(
+    return shared_frame(
         spark,
         sf_dir,
         "copurchase_edges",
