@@ -118,6 +118,10 @@ HEADLINE = [
     "pipeline_dsir_weights",
     "pipeline_fim_transform",
     "scale_hilbert_layout",
+    # round-7: temperature mixture plan+realization and the CCNet-style
+    # LM-score bucket split (two corpus passes each)
+    "pipeline_temperature_mixture",
+    "pipeline_lm_buckets",
 ]
 
 

@@ -445,3 +445,98 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility_ppm"),
         )
     )
+
+
+# --- CCNet-style LM-score bucketing --------------------------------------------
+#
+# CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data", sec. 3.3) buckets a crawl
+# into head / middle / tail by language-model perplexity percentile
+# and keeps the head+middle for pretraining.  Here the per-doc score
+# is the EXACT-INTEGER corpus-bigram familiarity (high familiarity ==
+# low perplexity), in ppm, and the head/tail cuts are the proven
+# cross-engine interpolated percentiles (the f9 contract) at 30/70 —
+# value-threshold buckets, so tied scores land in one bucket
+# deterministically rather than splitting on an arbitrary doc order.
+@query(
+    "pipeline_lm_buckets",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
+      FROM toks WHERE len(a) >= 2
+    ),
+    ucnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1
+    ),
+    bcnt AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM occ GROUP BY 1
+    ),
+    scored AS (
+      SELECT occ.doc_id,
+             (1000000 * SUM(bcnt.c2)) // SUM(ucnt.c1) AS score_ppm
+      FROM occ JOIN bcnt USING (bigram) JOIN ucnt ON occ.w1 = ucnt.w
+      GROUP BY occ.doc_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(score_ppm AS DOUBLE), 0.3) AS t30,
+             quantile_cont(CAST(score_ppm AS DOUBLE), 0.7) AS t70
+      FROM scored
+    ),
+    tagged AS (
+      SELECT CASE WHEN score_ppm >= t70 THEN 'head'
+                  WHEN score_ppm < t30 THEN 'tail'
+                  ELSE 'middle' END AS bucket,
+             score_ppm
+      FROM scored, cuts
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+           CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+    FROM tagged GROUP BY bucket
+    """,
+)
+def pipeline_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail corpus split by exact-integer LM familiarity
+    (CCNet's perplexity-bucket rule with the engine's bigram LM as the
+    scorer).  Docs with < 2 alphabetic tokens carry no bigrams and are
+    out of scope, as in text_lm_familiarity.
+
+    Scale: the scoring is the lm-familiarity plan (corpus count tables
+    + two hash joins + one doc-keyed agg); the two cut points are ONE
+    scalar percentile row broadcast back, and the bucket tag is a
+    row-local CASE — no global sort, no rank over the corpus."""
+    occ = _doc_bigram_occurrences(spark, sf_dir)
+    uni = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    bg = occ.groupBy("bigram").agg(F.count("*").alias("c2"))
+    scored = (
+        occ.join(bg, "bigram")
+        .join(uni, occ.w1 == uni.w)
+        .groupBy("doc_id")
+        .agg(F.expr("(1000000 * SUM(c2)) div SUM(c1)").alias("score_ppm"))
+    )
+    cuts = scored.agg(
+        F.expr("percentile(CAST(score_ppm AS DOUBLE), 0.3)").alias("t30"),
+        F.expr("percentile(CAST(score_ppm AS DOUBLE), 0.7)").alias("t70"),
+    )
+    tagged = scored.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("score_ppm") >= F.col("t70"), F.lit("head"))
+        .when(F.col("score_ppm") < F.col("t30"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+        "score_ppm",
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("score_ppm").alias("min_score_ppm"),
+        F.max("score_ppm").alias("max_score_ppm"),
+    )

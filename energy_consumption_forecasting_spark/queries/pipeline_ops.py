@@ -2017,3 +2017,126 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("tokens"), cap, prop).alias("alloc_tokens"),
         (F.col("tokens") > cap).alias("capped"),
     )
+
+
+# --- temperature-based mixture sampling (mC4 / XLM-R alpha rule) ----------------
+#
+# Multilingual/multi-source pretraining corpora are rebalanced with
+# q_i ∝ p_i^alpha (Conneau & Lample 2019; Conneau et al. 2020 "XLM-R"
+# sec. 3.1; mC4 in Xue et al. 2021): temperature alpha < 1 upsamples
+# the tail without letting the head drown it.  alpha = 1/2 here so the
+# weight is sqrt(n) — IEEE sqrt is CORRECTLY ROUNDED, so both engines
+# compute the identical double and the q4 quantization below is exact
+# cross-engine (the ln/pow route is not bit-stable; see ARCHITECTURE
+# "numeric determinism").
+TEMP_MIX_COIN_BITS = 16  # md5 coin resolution: 4 hex digits
+
+
+@query(
+    "pipeline_temperature_mixture",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000) AS BIGINT)
+               AS w_q4
+      FROM per_source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+             CAST(SUM(w_q4) AS BIGINT) AS w_tot
+      FROM wts
+    ),
+    ref AS (
+      SELECT n_docs AS n_ref, w_q4 AS w_ref
+      FROM wts ORDER BY n_docs, source LIMIT 1
+    ),
+    shares AS (
+      SELECT source, n_docs, w_q4,
+             (1000000 * n_docs) // n_tot AS nat_ppm,
+             (1000000 * w_q4) // w_tot AS share_ppm,
+             CAST((CAST(1000000 AS HUGEINT) * w_q4 * n_ref)
+                  // (CAST(w_ref AS HUGEINT) * n_docs) AS BIGINT)
+               AS keep_ppm
+      FROM wts, tot, ref
+    ),
+    kept AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN shares s USING (source)
+      WHERE {_hex4_sql('d.text')} * 1000000 < s.keep_ppm * 65536
+      GROUP BY d.source
+    )
+    SELECT s.source AS source, s.n_docs, s.w_q4, s.nat_ppm, s.share_ppm,
+           s.keep_ppm, COALESCE(k.n_kept, 0) AS n_kept
+    FROM shares s LEFT JOIN kept k USING (source)
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 1/2) mixture plan + its deterministic
+    one-pass realization.
+
+    Plan: per-source weight w = floor(sqrt(n)·1e4) (q4 fixed point,
+    exact cross-engine), temperature share share_ppm = 1e6·w // Σw
+    next to the natural share.  Realization by DOWNSAMPLING only:
+    keep fraction f_i ∝ share_i / n_i, normalized so the largest is 1
+    — and since share ∝ sqrt(n), f is maximal at the SMALLEST source,
+    so the reference scalar is one ORDER BY n LIMIT 1 over the
+    source-cardinality aggregate.  keep_ppm = 1e6·w_i·n_ref //
+    (w_ref·n_i) in DECIMAL(38,0) (overflow headroom at corpus scale),
+    and each document's keep decision is the md5 content coin under
+    the per-source threshold — reproducible across engines, runs,
+    partitionings, and incremental re-ingest (the stratified-sample
+    contract).  Scale: two corpus passes (count agg + coin filter),
+    everything else source-cardinality scalars broadcast back."""
+    docs = tbl(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wts = per_source.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 10000)
+        .cast("long")
+        .alias("w_q4"),
+    )
+    tot = wts.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("w_q4").alias("w_tot")
+    )
+    ref = (
+        wts.orderBy("n_docs", "source")
+        .limit(1)
+        .select(F.col("n_docs").alias("n_ref"), F.col("w_q4").alias("w_ref"))
+    )
+    shares = (
+        wts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            "n_docs",
+            "w_q4",
+            F.expr("(1000000 * n_docs) div n_tot").alias("nat_ppm"),
+            F.expr("(1000000 * w_q4) div w_tot").alias("share_ppm"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * w_q4 * n_ref)"
+                " div (CAST(w_ref AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+    )
+    coin = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+    kept = (
+        docs.select("source", coin.alias("coin"))
+        .join(F.broadcast(shares.select("source", "keep_ppm")), "source")
+        .filter(F.col("coin") * 1_000_000 < F.col("keep_ppm") * 65536)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return shares.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "w_q4",
+        "nat_ppm",
+        "share_ppm",
+        "keep_ppm",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

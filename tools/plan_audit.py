@@ -228,6 +228,8 @@ AUDITED = [
     "pipeline_length_buckets",
     "pipeline_token_budget",
     "scale_hilbert_layout",
+    "pipeline_temperature_mixture",
+    "pipeline_lm_buckets",
     "w_hopping_window",
     # round-5 post-gate wave
     "w_touch_attribution",

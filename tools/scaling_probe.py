@@ -73,6 +73,8 @@ PROBES = [
     ("pipeline_split_leakage", "banded candidates + split-tag joins"),
     ("w_lifecycle_states", "per-user lag/lead week windows"),
     ("pipeline_unigram_candidates", "row-local substring explode + topV"),
+    ("pipeline_temperature_mixture", "2 corpus passes + source-scalar algebra"),
+    ("pipeline_lm_buckets", "LM count tables + scalar percentile cuts"),
 ]
 
 
