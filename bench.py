@@ -122,6 +122,8 @@ HEADLINE = [
     # LM-score bucket split (two corpus passes each)
     "pipeline_temperature_mixture",
     "pipeline_lm_buckets",
+    "text_gopher_rules",
+    "pipeline_ul2_mix",
 ]
 
 

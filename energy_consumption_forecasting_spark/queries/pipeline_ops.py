@@ -2140,3 +2140,124 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_ppm",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+# --- UL2 mixture-of-denoisers accounting -----------------------------------------
+#
+# UL2 (Tay et al. 2022, "UL2: Unifying Language Learning Paradigms")
+# trains on a MIXTURE of denoising objectives, each example tagged with
+# its paradigm sentinel: R (regular short spans, T5-like), S
+# (sequential / prefix-LM: corrupt a suffix), X (extreme: long spans /
+# high corruption).  This query is the mixture's deterministic
+# assignment + per-paradigm mask accounting: the md5(doc_id) coin
+# splits the corpus ~5/16 R, ~5/16 S, 6/16 X; the R/X span rules reuse
+# the T5 block algebra (pipeline_span_corruption) at their published
+# relative rates (X doubles both the block-selection rate and the span
+# length), and S masks the final quarter (suffix prefix-LM).  All
+# selection is hash-deterministic and every statistic is an integer,
+# so the oracle hash-matches; the transformed text itself is the
+# pipeline_span_corruption machinery and is not re-emitted here.
+UL2_X_SPAN = 2 * SPAN_LEN  # X-denoiser: double-length spans
+
+
+@query(
+    "pipeline_ul2_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS a FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, a, len(a) AS n,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4') THEN 'R'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('5','6','7','8','9') THEN 'S'
+                  ELSE 'X' END AS denoiser
+      FROM t WHERE len(a) > 0
+    ),
+    stats AS (
+      SELECT doc_id, denoiser, n,
+             CASE denoiser
+               WHEN 'S' THEN n // 4
+               WHEN 'R' THEN CAST(list_aggregate(
+                 list_transform(range(1, n + 1), i ->
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST((i - 1) // {SPAN_BLOCK} AS VARCHAR)),
+                                  1, 1) IN ('0','1','2','3')
+                             AND (i - 1) % {SPAN_BLOCK} < {SPAN_LEN}
+                        THEN 1 ELSE 0 END), 'sum') AS BIGINT)
+               ELSE CAST(list_aggregate(
+                 list_transform(range(1, n + 1), i ->
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST((i - 1) // {SPAN_BLOCK} AS VARCHAR)),
+                                  1, 1) IN ('0','1','2','3','4','5','6','7')
+                             AND (i - 1) % {SPAN_BLOCK} < {UL2_X_SPAN}
+                        THEN 1 ELSE 0 END), 'sum') AS BIGINT)
+             END AS n_masked
+      FROM tagged
+    )
+    SELECT doc_id, denoiser,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_masked AS BIGINT) AS n_masked,
+           (1000000 * n_masked) // n AS mask_ppm
+    FROM stats
+    """,
+)
+def pipeline_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UL2 R/S/X mixture assignment with per-document
+    mask accounting (see the paradigm rules in the block comment).
+
+    Plan: one scan, row-local HOF arithmetic, zero shuffles — the same
+    shape at 100 TB; the assignment is a doc_id hash, so a resumed or
+    re-sharded job reproduces the identical mixture."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("a")
+    )
+    n = F.size("a")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    denoiser = (
+        F.when(first_hex.isin("0", "1", "2", "3", "4"), F.lit("R"))
+        .when(first_hex.isin("5", "6", "7", "8", "9"), F.lit("S"))
+        .otherwise(F.lit("X"))
+    )
+
+    def span_masked(i, rate_hexes, span_len):
+        b = F.floor((i - 1) / SPAN_BLOCK).cast("int")
+        sel = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#"), b.cast("string")
+                )
+            ),
+            1,
+            1,
+        ).isin(*rate_hexes)
+        return F.when(sel & ((i - 1) % SPAN_BLOCK < span_len), 1).otherwise(0)
+
+    idx = F.sequence(F.lit(1), n)
+    r_masked = F.aggregate(
+        F.transform(idx, lambda i: span_masked(i, list("0123"), SPAN_LEN)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    x_masked = F.aggregate(
+        F.transform(idx, lambda i: span_masked(i, list("01234567"), UL2_X_SPAN)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tagged = t.filter(n > 0).select(
+        "doc_id",
+        denoiser.alias("denoiser"),
+        n.cast("long").alias("n_tokens"),
+        F.when(denoiser == "S", F.expr("size(a) div 4").cast("long"))
+        .when(denoiser == "R", r_masked)
+        .otherwise(x_masked)
+        .alias("n_masked"),
+    )
+    return tagged.select(
+        "doc_id",
+        "denoiser",
+        "n_tokens",
+        "n_masked",
+        F.expr("(1000000 * n_masked) div n_tokens").alias("mask_ppm"),
+    )

@@ -1075,3 +1075,157 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
+
+
+# --- Gopher quality-rule panel ---------------------------------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", Appendix A1.1)
+# publish the standard rule PANEL a pretraining corpus filter applies
+# per document.  text_quality_score / text_repetition_score expose a
+# few of these as continuous features; this query is the panel itself:
+# one row PER RULE with the corpus-wide violation count, plus the
+# overall all-rules-pass row — the accounting a data card reports.
+# Every rule is an integer cross-multiplication (no ratios formed), so
+# the oracle hash-matches exactly.  The two LINE-shape rules (bullet
+# starts, ellipsis ends) are inapplicable to the single-line synthetic
+# corpus and are intentionally not implemented.
+_GOPHER_MIN_WORDS = 5      # paper: 50 — scaled to the toy corpus' range
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MEANLEN_LO = 3     # 3 <= mean word length <= 10
+_GOPHER_MEANLEN_HI = 10
+_GOPHER_ALPHA_NUM = 4      # >= 80% words alphabetic: 5*n_alpha >= 4*n
+_GOPHER_ALPHA_DEN = 5
+_GOPHER_MIN_STOP = 2       # >= 2 distinct stop words present
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(a) AS BIGINT) AS n,
+             CAST(list_aggregate(list_transform(a, x -> length(x)), 'sum')
+                  AS BIGINT) AS total_len,
+             CAST(len(list_filter(a, x -> regexp_matches(x, '^[a-z]+$')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_distinct(list_filter(a,
+                  x -> list_contains({STOPWORDS!r}, x)))) AS BIGINT)
+               AS n_stop_distinct
+      FROM t
+    ),
+    flags AS (
+      SELECT doc_id,
+             (n < {_GOPHER_MIN_WORDS} OR n > {_GOPHER_MAX_WORDS})
+               AS fail_word_count,
+             (total_len < {_GOPHER_MEANLEN_LO} * n
+              OR total_len > {_GOPHER_MEANLEN_HI} * n) AS fail_mean_len,
+             ({_GOPHER_ALPHA_DEN} * n_alpha < {_GOPHER_ALPHA_NUM} * n)
+               AS fail_alpha_frac,
+             (n_stop_distinct < {_GOPHER_MIN_STOP}) AS fail_stopwords
+      FROM m
+    ),
+    panel AS (
+      SELECT 'word_count' AS rule,
+             CAST(SUM(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_failing
+      FROM flags
+      UNION ALL
+      SELECT 'mean_word_length',
+             CAST(SUM(CASE WHEN fail_mean_len THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+      UNION ALL
+      SELECT 'alpha_word_fraction',
+             CAST(SUM(CASE WHEN fail_alpha_frac THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+      UNION ALL
+      SELECT 'stop_word_presence',
+             CAST(SUM(CASE WHEN fail_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+      UNION ALL
+      SELECT 'ALL_RULES_PASS',
+             CAST(SUM(CASE WHEN NOT (fail_word_count OR fail_mean_len
+                            OR fail_alpha_frac OR fail_stopwords)
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+    )
+    SELECT rule, n_failing,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags) AS n_docs
+    FROM panel
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule panel as corpus accounting: per-rule failure
+    counts plus the all-rules-pass row.  ONE pass computes the four
+    per-doc integer statistics row-locally (HOFs, no explode-shuffle);
+    the panel is an unpivot of one aggregate row — at 100 TB this is
+    a single scan + one scalar aggregation."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.lower(F.col("text"))).alias("a")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = t.select(
+        F.size("a").cast("long").alias("n"),
+        F.aggregate(
+            F.transform("a", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+        F.size(F.filter("a", lambda x: x.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(
+            F.array_distinct(
+                F.filter("a", lambda x: F.array_contains(stop_arr, x))
+            )
+        )
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    fails = m.select(
+        (
+            (F.col("n") < _GOPHER_MIN_WORDS)
+            | (F.col("n") > _GOPHER_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (F.col("total_len") < _GOPHER_MEANLEN_LO * F.col("n"))
+            | (F.col("total_len") > _GOPHER_MEANLEN_HI * F.col("n"))
+        ).alias("f_ml"),
+        (
+            _GOPHER_ALPHA_DEN * F.col("n_alpha")
+            < _GOPHER_ALPHA_NUM * F.col("n")
+        ).alias("f_af"),
+        (F.col("n_stop_distinct") < _GOPHER_MIN_STOP).alias("f_sw"),
+    )
+    one = fails.agg(
+        F.sum(F.when(F.col("f_wc"), 1).otherwise(0)).alias("word_count"),
+        F.sum(F.when(F.col("f_ml"), 1).otherwise(0)).alias("mean_word_length"),
+        F.sum(F.when(F.col("f_af"), 1).otherwise(0)).alias(
+            "alpha_word_fraction"
+        ),
+        F.sum(F.when(F.col("f_sw"), 1).otherwise(0)).alias(
+            "stop_word_presence"
+        ),
+        F.sum(
+            F.when(
+                ~(F.col("f_wc") | F.col("f_ml") | F.col("f_af") | F.col("f_sw")),
+                1,
+            ).otherwise(0)
+        ).alias("ALL_RULES_PASS"),
+        F.count("*").alias("n_docs"),
+    )
+    stack = F.expr(
+        "stack(5, 'word_count', word_count,"
+        " 'mean_word_length', mean_word_length,"
+        " 'alpha_word_fraction', alpha_word_fraction,"
+        " 'stop_word_presence', stop_word_presence,"
+        " 'ALL_RULES_PASS', ALL_RULES_PASS) AS (rule, n_failing)"
+    )
+    return one.select(stack, "n_docs").select(
+        "rule", F.col("n_failing").cast("long").alias("n_failing"), "n_docs"
+    )

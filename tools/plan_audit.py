@@ -230,6 +230,8 @@ AUDITED = [
     "scale_hilbert_layout",
     "pipeline_temperature_mixture",
     "pipeline_lm_buckets",
+    "text_gopher_rules",
+    "pipeline_ul2_mix",
     "w_hopping_window",
     # round-5 post-gate wave
     "w_touch_attribution",

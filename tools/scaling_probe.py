@@ -75,6 +75,7 @@ PROBES = [
     ("pipeline_unigram_candidates", "row-local substring explode + topV"),
     ("pipeline_temperature_mixture", "2 corpus passes + source-scalar algebra"),
     ("pipeline_lm_buckets", "LM count tables + scalar percentile cuts"),
+    ("pipeline_ul2_mix", "row-local HOF mask accounting, zero shuffles"),
 ]
 
 
