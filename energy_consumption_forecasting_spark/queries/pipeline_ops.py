@@ -2028,8 +2028,8 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weight is sqrt(n) — IEEE sqrt is CORRECTLY ROUNDED, so both engines
 # compute the identical double and the q4 quantization below is exact
 # cross-engine (the ln/pow route is not bit-stable; see ARCHITECTURE
-# "numeric determinism").
-TEMP_MIX_COIN_BITS = 16  # md5 coin resolution: 4 hex digits
+# "numeric determinism").  Keep decisions use a 16-bit md5 coin (the
+# _hex4_sql idiom; modulus 65536 literal on both sides).
 
 
 @query(

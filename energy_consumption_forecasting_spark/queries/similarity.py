@@ -408,7 +408,7 @@ KNN_K = 3
 
 
 def _knn_oracle() -> str:
-    from .dedup import COS_BAND_BITS, COS_BANDS, _planes16_sql
+    from .dedup import _cos_bands_sql, _planes16_sql
 
     return f"""
     WITH planes AS (SELECT {_planes16_sql()} AS ps),
@@ -422,12 +422,7 @@ def _knn_oracle() -> str:
                     FROM planes) t) AS sig
       FROM embeddings
     ),
-    bands AS (
-      SELECT vec_id, b,
-             substr(sig, CAST(b * {COS_BAND_BITS} + 1 AS INT), {COS_BAND_BITS})
-               AS bucket
-      FROM sig, range({COS_BANDS}) t(b)
-    ),
+    {_cos_bands_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
       FROM bands a JOIN bands b
@@ -467,7 +462,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere."""
     from pyspark.sql import Window
 
-    from .dedup import COS_BAND_BITS, COS_BANDS, _cos_sig16
+    from .dedup import _cos_band_rows, _cos_sig16
     from ..functions.vectors import cosine_prenormed, with_norm
 
     e = (
@@ -481,20 +476,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # function and checkpoint blocks are freed when the plan is GC'd
         .transform(shared_plan)
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.substring("sig", b * COS_BAND_BITS + 1, COS_BAND_BITS).alias(
-                "bucket"
-            ),
-        )
-        for b in range(COS_BANDS)
-    ]
-    bands = e.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = _cos_band_rows(e)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(

@@ -76,6 +76,7 @@ PROBES = [
     ("pipeline_temperature_mixture", "2 corpus passes + source-scalar algebra"),
     ("pipeline_lm_buckets", "LM count tables + scalar percentile cuts"),
     ("pipeline_ul2_mix", "row-local HOF mask accounting, zero shuffles"),
+    ("text_gopher_rules", "one-scan HOF panel + scalar unpivot"),
 ]
 
 
