@@ -615,3 +615,59 @@ def test_hilbert_code_matches_reference_and_beats_morton(spark):
 
     hil, mor = mean_area("scale_hilbert_layout"), mean_area("scale_zorder_layout")
     assert hil <= mor, f"hilbert {hil} vs morton {mor}"
+
+
+def test_cos_band_rows_wide_mode_recall(spark):
+    """The round-7 corpus-adaptive banding's WIDE mode (2 bands x 8
+    bits past COS_REFINE_N vectors) is never exercised at the gate SFs,
+    so pin it here on a synthetic >10k corpus with PLANTED near-dup
+    pairs: the mode must actually switch (8-char buckets), planted
+    high-cosine pairs must still collide at high recall
+    (P = 1-(1-p^8)^2 with p = 1-theta/pi stays ~1 for cos >= 0.95),
+    and bucket population must be bounded far below the narrow-mode
+    blow-up the sf1 gate caught."""
+    import numpy as np
+
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        COS_REFINE_N,
+        _cos_band_rows,
+        _cos_sig16,
+    )
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 64  # PLANES16 plane width — shorter vectors NULL the dot
+    n_base = (COS_REFINE_N // 2) + 600  # 5600 bases -> 11200 > threshold
+    base = rng.normal(size=(n_base, dim))
+    # each base gets one tight near-dup twin (tiny perturbation)
+    twin = base + rng.normal(scale=0.01, size=base.shape)
+    vecs = np.vstack([base, twin])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = df.select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("sig", _cos_sig16(F.col("v")))
+
+    bands = _cos_band_rows(e).collect()
+    buckets = {(r.band, r.bucket) for r in bands}
+    assert all(len(b) == 8 for _, b in buckets), "wide mode did not engage"
+    assert {r.band for r in bands} == {0, 1}
+
+    # planted-pair recall: twin i+n_base must share >=1 (band, bucket)
+    by_vec: dict[int, set] = {}
+    for r in bands:
+        by_vec.setdefault(r.vec_id, set()).add((r.band, r.bucket))
+    hits = sum(
+        1 for i in range(n_base) if by_vec[i] & by_vec[i + n_base]
+    )
+    recall = hits / n_base
+    assert recall >= 0.9, f"wide-mode recall on planted twins: {recall:.3f}"
+
+    # bounded population: the largest bucket must be far below the
+    # narrow-mode expectation (~N/16 per band)
+    from collections import Counter
+
+    pop = Counter((r.band, r.bucket) for r in bands)
+    assert max(pop.values()) < len(rows) / 16
