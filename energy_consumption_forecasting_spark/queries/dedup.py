@@ -432,9 +432,17 @@ COS_BAND_BITS = 4
 # 16-bucket band hold ~3k members, ~150x wall for 10x data).  Past
 # COS_REFINE_N vectors the SAME 16 sign bits regroup as 2 bands x 8
 # bits (256 buckets/band): in-bucket pair work drops ~16x and keeps
-# falling as the corpus grows, at the standard banding recall trade
-# (P = 1-(1-p^8)^2 instead of 1-(1-p^4)^4, still ~1 for true
-# near-dups).  The mode switch is an integer comparison on the vector
+# falling as the corpus grows, at the standard banding recall trade.
+# Recall model (p = 1 - theta/pi): narrow P = 1-(1-p^4)^4, wide
+# P = 1-(1-p^8)^2 — at cos 0.95 both are ~1.0/0.97; at cos 0.6 they
+# are 0.90/0.31; at the query's 0.3 post-filter threshold they are
+# 0.42/0.03.  Banded LSH was NEVER recall-complete at moderate
+# cosine (even narrow mode misses ~58% of 0.3-band pairs); the
+# contract of the queries built on this helper is high-cosine
+# NEAR-DUP candidate generation with an exact post-filter — corpora
+# needing recall-complete moderate-similarity pairs use the exact
+# tiers (dedup_cosine_allpairs yardstick, sim_threshold_join).  The
+# mode switch is an integer comparison on the vector
 # COUNT, carried IN-PLAN (a broadcast 1-row aggregate), and the oracle
 # computes the identical rule — so both engines always pick the same
 # buckets and the gate stays hash-exact at every SF.
@@ -566,14 +574,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the r1 all-pairs ``a.vec_id < b.vec_id`` BNL join was a
     named scale-killer): 16 deterministic hyperplanes (checked-in
     literals, shared with the DuckDB oracle) → 16-bit sign signature,
-    row-local → 4 bands × 4 bits → candidate pairs from a **bucket
+    row-local → CORPUS-ADAPTIVE banding (``_cos_band_rows``: 4 bands ×
+    4 bits up to COS_REFINE_N vectors, 2 bands × 8 bits past it — see
+    the recall model at the helper) → candidate pairs from a **bucket
     equi-join** (shuffle-hash on the band key, never a cartesian
-    product; at uniform spread each band contributes ~N²/2^bits pairs)
-    → DISTINCT → exact fold-dot cosine on the candidate set.  Classic
-    banding recall: P[collide] = 1−(1−p^4)^4 with p = 1−θ/π, ≈1 for
-    true near-dups (cos ≥ 0.9) — tune bands/bits per corpus size.
-    The exact all-pairs form survives as ``dedup_cosine_allpairs``
-    (unregistered; recall-measured in tests/test_scale_ops.py)."""
+    product) → DISTINCT → exact fold-dot cosine on the candidate set.
+    The result is a high-cosine NEAR-DUP candidate set filtered at
+    {COS_THRESHOLD}; banded LSH is not recall-complete at moderate
+    cosine in either mode — the exact all-pairs form survives as
+    ``dedup_cosine_allpairs`` (unregistered; recall-measured in
+    tests/test_scale_ops.py)."""
     from ..functions.vectors import cosine_prenormed, with_norm
 
     e = (

@@ -484,11 +484,11 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, (1000000 * SUM(c2)) // SUM(c1) AS score_ppm
       FROM scored GROUP BY doc_id
     ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM doc_scores),
     hist AS (
       SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM doc_scores GROUP BY score_ppm
     ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_scored FROM hist),
     cum AS (
       SELECT score_ppm,
              SUM(cnt) OVER (ORDER BY score_ppm
@@ -532,8 +532,11 @@ def pipeline_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_scores = scored.groupBy("doc_id").agg(
         F.expr("(1000000 * SUM(c2)) div SUM(c1)").alias("score_ppm")
     )
-    n = doc_scores.agg(F.count("*").alias("n_scored"))
     hist = doc_scores.groupBy("score_ppm").agg(F.count("*").alias("cnt"))
+    # n_scored comes from the <=1e6+1-row HISTOGRAM, not a third
+    # corpus-wide pass over doc_scores (review catch: the plan carried
+    # an extra consumer of the expensive LM-scoring subtree)
+    n = hist.agg(F.sum("cnt").alias("n_scored"))
     cum = hist.select(
         "score_ppm",
         F.sum("cnt")
