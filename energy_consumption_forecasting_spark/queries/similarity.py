@@ -408,10 +408,10 @@ KNN_K = 3
 
 
 def _knn_oracle() -> str:
-    from .dedup import _cos_bands_sql, _planes16_sql
+    from .dedup import _cos_bands_sql, _planes64_sql
 
     return f"""
-    WITH planes AS (SELECT {_planes16_sql()} AS ps),
+    WITH planes AS (SELECT {_planes64_sql()} AS ps),
     sig AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              (SELECT string_agg(
@@ -455,27 +455,20 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     search that feeds graph clustering, kNN-classification, and
     connected-components dedup.  A brute-force kNN graph is the O(N²)
     matrix nobody can afford at corpus scale; here candidates come from
-    the same 16-plane banded signatures as dedup_embedding_cosine
-    (row-local sigs -> band-bucket equi-join, both directions), scored
-    exactly, and the per-source top-k is a window over each source's
-    bounded candidate set — partitioned by src, so no global sort
-    anywhere."""
+    the same session-shared 64-plane corpus-adaptive banded signatures
+    as dedup_embedding_cosine (``_cos_sig_frame`` + ``_cos_band_rows``:
+    count-derived band bits + the COS_BUCKET_CAP population backstop —
+    bounded, LINEAR-in-N candidate work; moderate-cosine recall drops
+    as the corpus crosses each bit rung, the documented near-dup
+    contract), scored exactly, and the per-source top-k is a window
+    over each source's bounded candidate set — partitioned by src, so
+    no global sort anywhere."""
     from pyspark.sql import Window
 
-    from .dedup import _cos_band_rows, _cos_sig16
-    from ..functions.vectors import cosine_prenormed, with_norm
+    from .dedup import _cos_band_rows, _cos_sig_frame
+    from ..functions.vectors import cosine_prenormed
 
-    e = (
-        with_norm(
-            fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
-                "vec_id", as_double("embedding").alias("v")
-            )
-        )
-        .withColumn("sig", _cos_sig16(F.col("v")))
-        # lazy checkpoint, not persist: the returned frame outlives this
-        # function and checkpoint blocks are freed when the plan is GC'd
-        .transform(shared_plan)
-    )
+    e = _cos_sig_frame(spark, sf_dir)
     bands = _cos_band_rows(e)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (

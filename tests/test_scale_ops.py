@@ -252,7 +252,7 @@ def test_semdedup_cells_scale_with_corpus(spark):
 
     from energy_consumption_forecasting_spark.queries._util import tbl
     from energy_consumption_forecasting_spark.functions.vectors import as_double
-    from energy_consumption_forecasting_spark.queries.dedup import _cos_sig16
+    from energy_consumption_forecasting_spark.queries.dedup import _cos_sig
 
     e = tbl(spark, "/root/testdata/sf0.1", "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
@@ -262,7 +262,7 @@ def test_semdedup_cells_scale_with_corpus(spark):
     b = _semdedup_bits(n, c, target=T)
     assert b > 0  # the refinement actually engages at this SF
     sizes = (
-        e.withColumn("sub", F.substring(_cos_sig16(F.col("v")), 1, b))
+        e.withColumn("sub", F.substring(_cos_sig(F.col("v")), 1, b))
         .groupBy("label", "sub")
         .count()
     )
@@ -617,29 +617,47 @@ def test_hilbert_code_matches_reference_and_beats_morton(spark):
     assert hil <= mor, f"hilbert {hil} vs morton {mor}"
 
 
-def test_cos_band_rows_wide_mode_recall(spark):
-    """The round-7 corpus-adaptive banding's WIDE mode (2 bands x 8
-    bits past COS_REFINE_N vectors) is never exercised at the gate SFs,
-    so pin it here on a synthetic >10k corpus with PLANTED near-dup
-    pairs: the mode must actually switch (8-char buckets), planted
-    high-cosine pairs must still collide at high recall
-    (P = 1-(1-p^8)^2 with p = 1-theta/pi stays ~1 for cos >= 0.95),
-    and bucket population must be bounded far below the narrow-mode
-    blow-up the sf1 gate caught."""
+def _expected_cos_bits(n: int) -> int:
+    """Python mirror of the count-derived banding rule (smallest b in
+    [COS_MIN_BITS, COS_MAX_BITS] with BANDS*TARGET*2^b >= n)."""
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        COS_BANDS,
+        COS_MAX_BITS,
+        COS_MIN_BITS,
+        COS_TARGET_BUCKET,
+    )
+
+    for b in range(COS_MIN_BITS, COS_MAX_BITS + 1):
+        if COS_BANDS * COS_TARGET_BUCKET * (1 << b) >= n:
+            return b
+    return COS_MAX_BITS
+
+
+def test_cos_band_rows_adaptive_bits_recall(spark):
+    """The round-8 count-derived banding is never pushed past b=4 at
+    the gate SFs (embeddings <= 2000 rows), so pin it here on a
+    synthetic 30k corpus with PLANTED near-dup pairs: the bit rule must
+    pick the Python-mirrored rung (b=7 at N=30k), planted high-cosine
+    twins must still collide at high recall (P = 1-(1-p^7)^4 with
+    p = 1-theta/pi stays ~1 for cos >= 0.999), and bucket population
+    must be bounded near the BANDS*TARGET design point, never the
+    N/2^b-per-band blow-up of a fixed-bit scheme."""
     import numpy as np
 
     from energy_consumption_forecasting_spark.queries.dedup import (
-        COS_REFINE_N,
+        COS_BANDS,
+        COS_BUCKET_CAP,
+        COS_MAX_BITS,
         _cos_band_rows,
-        _cos_sig16,
+        _cos_sig,
     )
     from energy_consumption_forecasting_spark.functions.vectors import (
         as_double,
     )
 
     rng = np.random.RandomState(7)
-    dim = 64  # PLANES16 plane width — shorter vectors NULL the dot
-    n_base = (COS_REFINE_N // 2) + 600  # 5600 bases -> 11200 > threshold
+    dim = 64  # PLANES64 plane width — shorter vectors NULL the dot
+    n_base = 15_000
     base = rng.normal(size=(n_base, dim))
     # each base gets one tight near-dup twin (tiny perturbation)
     twin = base + rng.normal(scale=0.01, size=base.shape)
@@ -648,12 +666,15 @@ def test_cos_band_rows_wide_mode_recall(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     e = df.select(
         "vec_id", as_double("embedding").alias("v")
-    ).withColumn("sig", _cos_sig16(F.col("v")))
+    ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+
+    want_bits = _expected_cos_bits(len(rows))
+    assert want_bits == 7  # 256 * 2^7 = 32768 >= 30000, one fewer fails
 
     bands = _cos_band_rows(e).collect()
     buckets = {(r.band, r.bucket) for r in bands}
-    assert all(len(b) == 8 for _, b in buckets), "wide mode did not engage"
-    assert {r.band for r in bands} == {0, 1}
+    assert all(len(b) == want_bits for _, b in buckets), "wrong bit rung"
+    assert {r.band for r in bands} == set(range(COS_BANDS))
 
     # planted-pair recall: twin i+n_base must share >=1 (band, bucket)
     by_vec: dict[int, set] = {}
@@ -663,11 +684,151 @@ def test_cos_band_rows_wide_mode_recall(spark):
         1 for i in range(n_base) if by_vec[i] & by_vec[i + n_base]
     )
     recall = hits / n_base
-    assert recall >= 0.9, f"wide-mode recall on planted twins: {recall:.3f}"
+    assert recall >= 0.95, f"adaptive-bits recall on planted twins: {recall:.3f}"
 
-    # bounded population: the largest bucket must be far below the
-    # narrow-mode expectation (~N/16 per band)
+    # bounded population: random data stays far under the cap, near the
+    # BANDS*TARGET design point (generous 4x headroom for skewed planes)
     from collections import Counter
 
     pop = Counter((r.band, r.bucket) for r in bands)
-    assert max(pop.values()) < len(rows) / 16
+    assert max(pop.values()) <= COS_BUCKET_CAP
+    assert max(pop.values()) < 4 * 256
+
+
+def test_cos_bucket_cap_binds_on_planted_cluster(spark):
+    """The COS_BUCKET_CAP backstop (r8 verdict item 2): adaptive bits
+    bound the EXPECTED bucket population, but a planted 10k-identical
+    cluster shares every sign bit and lands whole in one bucket per
+    band — the cap must truncate it to its CAP lowest vec_ids, keeping
+    per-bucket pair work at CAP² regardless of cluster size."""
+    import numpy as np
+    from collections import Counter
+
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        COS_BANDS,
+        COS_BUCKET_CAP,
+        COS_MAX_BITS,
+        _cos_band_rows,
+        _cos_sig,
+    )
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 64
+    n_cluster, n_noise = 10_000, 2_000
+    one = rng.normal(size=dim)
+    vecs = [one] * n_cluster + list(rng.normal(size=(n_noise, dim)))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = df.select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+
+    bands = _cos_band_rows(e).collect()
+    pop = Counter((r.band, r.bucket) for r in bands)
+    # the cap binds: the cluster's bucket is truncated at exactly CAP
+    assert max(pop.values()) == COS_BUCKET_CAP
+    # and the survivors in each capped bucket are the LOWEST vec_ids
+    cluster_members = {
+        r.vec_id
+        for r in bands
+        if r.band == 0 and pop[(0, r.bucket)] == COS_BUCKET_CAP
+    }
+    assert cluster_members == set(range(COS_BUCKET_CAP))
+
+
+def test_cos_band_rows_500k_planted_twin_recall(spark):
+    """The r7 verdict's scale ceiling, answered with a measurement: at
+    a 500k-vector corpus (Spark-generated, deterministic md5 uniforms —
+    no driver-side materialization) the count-derived rule must pick
+    b=11 (256*2^11 = 524288 >= 500k), planted near-dup twins must keep
+    near-complete recall (p=1-theta/pi ~ 0.998 at the twins' ~0.005 rad
+    angle; P = 1-(1-p^11)^4 ~ 1-1e-7), and total candidate-pair work
+    must stay LINEAR in N — the old two-rung design's 512-bucket
+    ceiling put ~N^2/256 pairs here."""
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        COS_BANDS,
+        COS_BUCKET_CAP,
+        COS_MAX_BITS,
+        COS_TARGET_BUCKET,
+        _cos_band_rows,
+        _cos_sig,
+    )
+
+    n_base = 250_000
+    n_total = 2 * n_base
+    assert _expected_cos_bits(n_total) == 11
+
+    def uniforms(id_col, salt: str):
+        # 64 deterministic uniforms in [-1, 1) per id: 8 hex chars of a
+        # salted md5 per dimension
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_", id_col.cast("string"), F.lit(salt), j.cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(2**32))
+            )
+            * 2.0
+            - 1.0,
+        )
+
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"), uniforms(F.col("id"), "b").alias("v")
+    )
+    twins = spark.range(n_base).select(
+        (F.col("id") + n_base).alias("vec_id"),
+        F.zip_with(
+            uniforms(F.col("id"), "b"),
+            uniforms(F.col("id"), "t"),
+            lambda x, y: x + 0.005 * y,
+        ).alias("v"),
+    )
+    e = (
+        base.unionByName(twins)
+        .withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+        .localCheckpoint()  # sig computed once; bands + recall reuse it
+    )
+    bands = _cos_band_rows(e)
+
+    # bit rung + bounded pair work, computed Spark-side (no collect of
+    # the 2M band rows): sum over buckets of C(pop, 2) must be linear
+    # in N — the generous 8x headroom covers hyperplane skew
+    pop = bands.groupBy("band", "bucket").agg(F.count("*").alias("c"))
+    stats = pop.agg(
+        F.max(F.length("bucket")).alias("blen"),
+        F.max("c").alias("maxpop"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+    ).collect()[0]
+    assert stats["blen"] == 11
+    assert stats["maxpop"] <= COS_BUCKET_CAP
+    assert stats["pairs"] <= 8 * COS_BANDS * COS_TARGET_BUCKET * n_total
+
+    # planted-twin recall via a band-bucket self-join (Spark-side)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    hits = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") + n_base == F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("i"))
+        .distinct()
+        .count()
+    )
+    recall = hits / n_base
+    assert recall >= 0.99, f"500k planted-twin recall: {recall:.4f}"
