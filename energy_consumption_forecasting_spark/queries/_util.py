@@ -30,7 +30,17 @@ def fanout(df: DataFrame, cols: str | list[str] = "doc_id") -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
 
 
+import threading
 from contextlib import contextmanager
+
+# _pure_compilation mutates SESSION-GLOBAL conf (broadcast threshold,
+# adaptive.enabled) with save/restore; nearly every query construction
+# toggles it, so two threads compiling on the same session could leak
+# AQE-off into unrelated plans or restore a stale value.  The lock
+# serializes the toggle+compile+restore window (r8 advice).  It guards
+# CONSTRUCTION only — executed jobs never run inside it — so the cost
+# is nanoseconds per query build, and single-threaded use is unchanged.
+_COMPILE_LOCK = threading.RLock()
 
 
 @contextmanager
@@ -47,16 +57,25 @@ def _pure_compilation(spark):
     this repo (ROUND_LOG r5 #5), and explicit hints ignore the
     threshold — callers wanting a hinted broadcast inside a shared
     subtree accept its construction-time job and stay in the purity
-    registry's exempt list."""
+    registry's exempt list.
+
+    Thread-safety: the save/restore window is serialized by
+    _COMPILE_LOCK (re-entrant — nested shared_plan/shared_persist
+    inside one construction is fine).  Concurrent query CONSTRUCTION
+    on one session is therefore safe; concurrent construction while
+    another thread EXECUTES on the same session still sees the pinned
+    confs for the toggle window — unavoidable with session-global conf,
+    and why bench/check_parity construct queries single-threaded."""
     from ..session import aqe_disabled
 
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        with aqe_disabled(spark):
-            yield
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    with _COMPILE_LOCK:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            with aqe_disabled(spark):
+                yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def shared_plan(df: DataFrame, width: int | None = None) -> DataFrame:
@@ -142,6 +161,11 @@ def shared_frame(
     key = (*ident, mtime)
     hit = _FRAME_CACHE.get(key)
     if hit is not None:
+        # LRU refresh (r8 advice): eviction below pops in insertion
+        # order, so a hit must move its entry to the back or the
+        # hottest frame (copurchase edges, reused by seven graph
+        # queries) is evicted first once the cache fills
+        _FRAME_CACHE[key] = _FRAME_CACHE.pop(key)
         return hit
 
     def _evict(k) -> None:

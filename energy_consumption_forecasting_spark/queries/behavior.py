@@ -1170,7 +1170,12 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wk"),
         )
         .distinct()
-        .transform(lambda d: shared_plan(d, width=8))  # user-weeks; feeds seq AND horizon
+        # user-weeks; feeds seq AND horizon.  NO width cap: the frame is
+        # user-cardinality (corpus-scale), and a static coalesce would
+        # choke every downstream stage's map side at that constant —
+        # the r8 advice fix; width= stays reserved for KNOWN-SMALL
+        # frames (vocab, candidate short-lists).
+        .transform(shared_plan)
     )
     wu = Window.partitionBy("user_id")
     wo = wu.orderBy("wk")
@@ -1179,7 +1184,7 @@ def w_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wk").over(wu).alias("first_wk"),
         F.lag("wk").over(wo).alias("prev_wk"),
         F.lead("wk").over(wo).alias("next_wk"),
-    ).transform(lambda d: shared_plan(d, width=8))
+    ).transform(shared_plan)  # user-cardinality — no width cap (see above)
     horizon = uw.agg(F.max("wk").alias("max_wk"))
     active_states = seq.select(
         "wk",

@@ -125,7 +125,18 @@ def aqe_disabled(spark: SparkSession):
     NOTE: only execution that HAPPENS inside the context is affected —
     callers must materialize the loop (eager checkpoint of the final
     state) before exiting, or the tail of the lazy chain runs under
-    the session's AQE at action time."""
+    the session's AQE at action time.
+
+    Thread-safety: adaptive.enabled is SESSION-GLOBAL conf with no
+    per-thread scoping, so the save/restore assumes no concurrent
+    toggling on the same session.  Construction-time uses go through
+    queries/_util._pure_compilation, which serializes with a lock;
+    direct uses wrap a whole iterative EXECUTION (seconds), where
+    holding a lock would serialize unrelated queries — callers running
+    iterative operators from multiple threads on one session must
+    accept AQE-off leaking into concurrently-planned stages (harmless
+    for correctness, plans are just non-adaptive) or use separate
+    sessions."""
     old = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")

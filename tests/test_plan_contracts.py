@@ -129,3 +129,47 @@ def test_unpartitioned_window_guard(spark):
         .alias("rn"),
     )
     assert audit_unpartitioned_windows(partitioned) == []
+
+
+def test_unpartitioned_window_guard_rdd_leaf_attribution(spark):
+    """r8 advice: inside a cached plan, an RDDScanExec leaf is bounded
+    only when attributable to DRIVER-LITERAL data (ParallelCollectionRDD
+    root).  A localCheckpoint of a corpus-sized frame also compiles to
+    RDDScanExec — the audit must NOT silently pass an unpartitioned
+    window over it."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit_unpartitioned_windows
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("x")
+
+    lit = spark.createDataFrame([(i,) for i in range(5)], "x int").persist()
+    try:
+        lit.count()  # materialize the cache so the audit sees its plan
+        assert (
+            audit_unpartitioned_windows(
+                lit.withColumn("rn", F.row_number().over(w))
+            )
+            == []
+        )
+    finally:
+        lit.unpersist()
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("x"))
+        .localCheckpoint()
+        .persist()
+    )
+    try:
+        corpus.count()
+        flagged = audit_unpartitioned_windows(
+            corpus.withColumn("rn", F.row_number().over(w))
+        )
+        assert flagged, "checkpointed-corpus global window not flagged"
+    finally:
+        corpus.unpersist()

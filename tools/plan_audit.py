@@ -277,12 +277,46 @@ def audit_unpartitioned_windows(df) -> list[str]:
         "SortAggregateExec",
         "ObjectHashAggregateExec",
         "LocalTableScanExec",
-        "RDDScanExec",
     }
 
-    def physical_bounded(node) -> bool:
-        if node.getClass().getSimpleName() in _BOUNDED_PHYSICAL:
+    def _rdd_scan_bounded(node) -> bool:
+        # r8 advice: a blanket RDDScanExec pass is unsound — a
+        # localCheckpoint of a CORPUS-sized frame also compiles to
+        # RDDScanExec, and an unpartitioned window over such a cached
+        # frame would silently pass.  Accept only RDD leaves that are
+        # attributable to DRIVER-LITERAL data: a ParallelCollectionRDD
+        # (spark.createDataFrame routes through parallelize in Spark 4)
+        # possibly behind map stages whose root is still the literal
+        # collection.  Checkpoint RDDs root at the shuffle/scan RDDs of
+        # the checkpointed plan, never at a ParallelCollectionRDD.
+        try:
+            rdd = node.rdd()
+            seen = set()
+            frontier = [rdd]
+            while frontier:
+                r = frontier.pop()
+                rid = r.id()
+                if rid in seen:
+                    continue
+                seen.add(rid)
+                if r.getClass().getSimpleName() == "ParallelCollectionRDD":
+                    continue  # literal root — this path is bounded
+                deps = r.dependencies()
+                n_dep = deps.size()
+                if n_dep == 0:
+                    return False  # non-literal root (checkpoint block, scan)
+                for i in range(n_dep):
+                    frontier.append(deps.apply(i).rdd())
             return True
+        except Exception:
+            return False  # unattributable — treat as unbounded
+
+    def physical_bounded(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in _BOUNDED_PHYSICAL:
+            return True
+        if cls == "RDDScanExec":
+            return _rdd_scan_bounded(node)
         n = node.children().size()
         if n == 0:
             return False
