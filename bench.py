@@ -127,12 +127,13 @@ HEADLINE = [
 ]
 
 
-# The 15 scale-critical queries measured at the SYNTHESIZED sf1 decade
+# The 30 scale-critical queries measured at the SYNTHESIZED sf1 decade
 # (tools/scaling_probe.py::_gen_sf1 — same family rules as the driver
 # testdata, 10x sf0.1) when bench.py runs with --sf1: the iterative
 # graph family, the dedup candidate-generation family, and the
 # distributed rank / prefix-sum / pair-explode family — the shapes
-# whose 100x behavior the design claims hinge on (round-7 item 2).
+# whose 100x behavior the design claims hinge on (round-7 item 2;
+# widened to the remaining shuffle-heavy families in round 8 item 4).
 SF1_HEADLINE = [
     "graph_pagerank",
     "graph_personalized_pagerank",
@@ -155,6 +156,23 @@ SF1_HEADLINE = [
     "dedup_embedding_cosine",
     "text_lm_familiarity",
     "pipeline_dsir_weights",
+    # round-8 third wave (verdict item 4): the remaining shuffle-heavy
+    # families — substring dedup's suffix machinery, vocabulary-growth
+    # scan, rolling-distinct fan-out, funnel windows, CF pair explode,
+    # exact-order-statistic LM buckets, triple explode, per-node
+    # clustering joins, BM25 scoring, and the two-pass global rank
+    # (events synthesized ×10 in _gen_sf1 for the two events-table
+    # entries).
+    "pipeline_substring_dedup",
+    "text_heaps_law",
+    "w_rolling_mau",
+    "w_funnel_conversion",
+    "a_item_item_cf",
+    "pipeline_lm_buckets",
+    "a_basket_triples",
+    "graph_local_clustering",
+    "text_bm25_topk",
+    "w3_time_sort_rank",
 ]
 
 

@@ -582,8 +582,15 @@ CR_ALPHA = 0.25  # dyadic
 
 _CROSTON_SCHEMA = (
     "part long, n_sales int, demand_est double, interval_est double, "
-    "forecast double"
+    "forecast double, sba_forecast double"
 )
+
+# Syntetos–Boylan Approximation (Syntetos & Boylan 2005, IJF 21:
+# 303-314): Croston's z/p estimator is positively biased; the SBA
+# deflates by (1 − α/2) — with the dyadic α = 1/4 the factor is
+# EXACTLY 7/8, so sba = 0.875 * (z/p) is one extra correctly-rounded
+# multiply, bit-identical across engines.
+SBA_FACTOR = 1.0 - CR_ALPHA / 2.0
 
 
 def _croston_one(ys: list[float], gaps: list[float]) -> tuple[float, float]:
@@ -622,9 +629,17 @@ def croston_fit_partition(
         ds = list(g["d"])
         gaps = [float((ds[t] - ds[t - 1]).days) for t in range(1, n)]
         z, p = _croston_one(ys, gaps)
-        out.append((int(g["part"].iloc[0]), n, z, p, z / p))
+        f = z / p
+        out.append((int(g["part"].iloc[0]), n, z, p, f, SBA_FACTOR * f))
 
-    cols = ["part", "n_sales", "demand_est", "interval_est", "forecast"]
+    cols = [
+        "part",
+        "n_sales",
+        "demand_est",
+        "interval_est",
+        "forecast",
+        "sba_forecast",
+    ]
     carry = None
     for pdf in pdfs:
         if not len(pdf):
@@ -678,7 +693,8 @@ def croston_fit_partition(
            CAST(nmax.nt AS INT) AS n_sales,
            cr.z AS demand_est,
            cr.p AS interval_est,
-           cr.z / cr.p AS forecast
+           cr.z / cr.p AS forecast,
+           {SBA_FACTOR} * (cr.z / cr.p) AS sba_forecast
     FROM cr JOIN nmax ON nmax.part = cr.part AND nmax.nt = cr.t
     """,
 )
@@ -686,7 +702,10 @@ def m27_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston's intermittent-demand forecast per PART — the method of
     record when most periods have zero demand (spare parts, slow
     movers), completing the classical ladder naive → Holt (m20) → HW
-    (m26).  The recursion advances only on SALE events, so the oracle
+    (m26) — plus the Syntetos–Boylan Approximation ``sba_forecast``
+    (the (1−α/2)=7/8 bias deflation of z/p; see SBA_FACTOR).  Both
+    recursions are pinned to hand-derived external goldens
+    (tests/fixtures/croston_external_golden.json, r8).  The recursion advances only on SALE events, so the oracle
     CTE iterates max-sales-per-part times (≈50), not calendar length —
     the same trick that keeps per-part groups tiny at any corpus
     scale (millions of parts, dozens of sales each).  The Spark side

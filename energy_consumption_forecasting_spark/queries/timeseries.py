@@ -1042,7 +1042,19 @@ def ts_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(d38)
         .alias("ssq"),
     )
-    scored = per.crossJoin(F.broadcast(horizon)).select(
+    return sb_score_and_classify(per.crossJoin(F.broadcast(horizon)))
+
+
+def sb_score_and_classify(per: DataFrame) -> DataFrame:
+    """Syntetos–Boylan–Croston categorization (Syntetos, Boylan &
+    Croston 2005, JORS 56:495-503) over a frame carrying per-series
+    exact integer moments (part, n_ev, s, ssq, n_periods): truncating
+    ppm of ADI = n_periods/n_ev and CV² = (nΣq²−S²)/S², cut at the
+    PUBLISHED (1.32, 0.49) — i.e. the exact integers 1320000/490000 —
+    into smooth / erratic / intermittent / lumpy.  Factored out of
+    ts_intermittency_profile so the external-golden test can drive the
+    identical expressions on hand-derived anchors."""
+    scored = per.select(
         "part",
         F.col("n_ev").cast("long").alias("n_demand_months"),
         F.expr(

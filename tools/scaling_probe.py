@@ -109,11 +109,20 @@ def _gen_sf1() -> None:
       is precisely what makes the qualifying-pair count quadratic);
     * embeddings — 50k vectors: a random sf0.1 base vector of the same
       label + N(0, 0.05) noise (cluster structure preserved, density
-      ×10).
+      ×10);
+    * events — 10 replicas with per-replica user_id AND event_id
+      offsets (the driver's own decades scale rows ×10 and users ×10
+      with a FIXED one-month span: 1k/15 → 10k/150 → 100k/1500), so
+      per-user series stay in-family and the time axis densifies;
+    * orders — 10 replicas with the SAME o_orderkey offsets as the
+      lineitem replicas (joins stay consistent across the decade).
     Seeded; skipped when the directory already exists."""
     import os
 
-    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+    if all(
+        os.path.exists(os.path.join(SF1_DIR, f))
+        for f in ("_DONE", "events.parquet", "orders.parquet")
+    ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
     import numpy as np
@@ -184,7 +193,121 @@ def _gen_sf1() -> None:
         ),
         f"{SF1_DIR}/embeddings.parquet",
     )
+    orders = pq.read_table(f"{src}/orders.parquet")
+    o_reps = []
+    for r in range(10):
+        t = orders
+        ok = pa.compute.add(t["o_orderkey"], r * n_orders)
+        t = t.set_column(t.schema.get_field_index("o_orderkey"), "o_orderkey", ok)
+        o_reps.append(t)
+    pq.write_table(pa.concat_tables(o_reps), f"{SF1_DIR}/orders.parquet")
+
+    ev = pq.read_table(f"{src}/events.parquet")
+    n_users, n_events = 1500, len(ev)
+    ev_reps = []
+    for r in range(10):
+        t = ev
+        eid = pa.compute.add(t["event_id"], r * n_events)
+        uid = pa.compute.add(t["user_id"], r * n_users)
+        t = t.set_column(t.schema.get_field_index("event_id"), "event_id", eid)
+        t = t.set_column(t.schema.get_field_index("user_id"), "user_id", uid)
+        ev_reps.append(t)
+    pq.write_table(pa.concat_tables(ev_reps), f"{SF1_DIR}/events.parquet")
+
     open(os.path.join(SF1_DIR, "_DONE"), "w").write("ok\n")
+
+
+SF10EMB_DIR = "/root/repo/.stage/sf10emb"
+SF10EMB_JSON = "/root/repo/SCALE_PROBE_sf10.json"
+
+# The r7 verdict's named scale ceiling, answered with a measurement
+# (r8 item 5): the three adversarial embedding shapes at a FIFTH
+# decade — 500k clustered vectors, 10x the synthesized sf1 — where the
+# old two-rung banding's fixed 512-bucket ceiling would be ~100x the
+# sf1 pair work (N²/256).  Count-derived bits (b=11 at 500k) plus the
+# COS_BUCKET_CAP backstop must keep the decade ratio flat-to-linear.
+SF10EMB_PROBES = ["dedup_embedding_cosine", "sim_knn_graph", "dedup_semantic"]
+
+
+def _gen_sf10emb() -> None:
+    """500k-vector embeddings decade under .stage/sf10emb (idempotent):
+    same family rule as _gen_sf1 — a random sf0.1 base vector of the
+    same label + N(0, 0.05) noise, cluster structure preserved, density
+    ×100.  Only embeddings.parquet: the three probes touch no other
+    table."""
+    import os
+
+    if os.path.exists(os.path.join(SF10EMB_DIR, "_DONE")):
+        return
+    os.makedirs(SF10EMB_DIR, exist_ok=True)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.1"
+    rng = np.random.default_rng(10)
+    emb = pq.read_table(f"{src}/embeddings.parquet")
+    ed = emb.to_pydict()
+    base_vecs = np.asarray(ed["embedding"], dtype=np.float64)
+    labels = np.asarray(ed["label"])
+    n_vec = 500_000
+    pick = rng.integers(0, len(base_vecs), size=n_vec)
+    vecs = base_vecs[pick] + rng.normal(0, 0.05, size=(n_vec, base_vecs.shape[1]))
+    emb_field = emb.schema.field("embedding")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    range(n_vec), type=emb.schema.field("vec_id").type
+                ),
+                "label": pa.array(
+                    labels[pick].tolist(), type=emb.schema.field("label").type
+                ),
+                "embedding": pa.array([list(v) for v in vecs], type=emb_field.type),
+            }
+        ),
+        f"{SF10EMB_DIR}/embeddings.parquet",
+    )
+    open(os.path.join(SF10EMB_DIR, "_DONE"), "w").write("ok\n")
+
+
+def run_sf10emb(qs) -> None:
+    """Measure the three adversarial embedding shapes at sf1 (50k) AND
+    the synthesized 500k decade; persist medians + samples + loadavg to
+    the committed SF10EMB_JSON."""
+    import json
+    import os
+
+    _gen_sf1()
+    _gen_sf10emb()
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
+    results: dict = {"reps": reps, "n_sf1": 50_000, "n_sf10": 500_000}
+    for name in SF10EMB_PROBES:
+        entry: dict = {}
+        for tag, sf in (("sf1", SF1_DIR), ("sf10", SF10EMB_DIR)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                qs[name](spark_holder[0], sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.time() - t0, 2))
+            entry[tag] = {
+                "median": sorted(samples)[len(samples) // 2],
+                "samples": samples,
+                "loadavg": round(os.getloadavg()[0], 1),
+            }
+        entry["decade_ratio"] = round(
+            entry["sf10"]["median"] / max(entry["sf1"]["median"], 1e-9), 2
+        )
+        results[name] = entry
+        print(
+            f"sf10 probe {name}: {entry['sf1']['median']:.2f}s -> "
+            f"{entry['sf10']['median']:.2f}s ({entry['decade_ratio']:.1f}x for 10x)"
+        )
+    with open(SF10EMB_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {SF10EMB_JSON}")
 
 
 def run_sf1(qs) -> None:
@@ -221,6 +344,12 @@ def main() -> None:
         action="store_true",
         help="also run the synthesized-sf1 decade for the flagged rows",
     )
+    ap.add_argument(
+        "--sf10",
+        action="store_true",
+        help="ONLY run the 500k-vector embedding decade for the three "
+        "adversarial shapes and write SCALE_PROBE_sf10.json",
+    )
     args = ap.parse_args()
 
     from energy_consumption_forecasting_spark import get_spark
@@ -230,6 +359,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs, _ = load_all()
     spark_holder.append(spark)
+    if args.sf10:
+        run_sf10emb(qs)
+        return
     if args.sf1:
         run_sf1(qs)
 
