@@ -435,15 +435,19 @@ COS_BANDS = 4
 #     COS_BANDS * COS_TARGET_BUCKET * 2^b >= N,
 # over the checked-in 64-plane set (band i = signature bits
 # [i*b, (i+1)*b)).  Expected in-band bucket population is thereby
-# bounded at ~COS_BANDS*COS_TARGET_BUCKET (=256) for any corpus up to
-# COS_BANDS*COS_TARGET_BUCKET*2^16 ≈ 16.7M vectors — candidate-pair
+# bounded at ~COS_BANDS*COS_TARGET_BUCKET (=128) for any corpus up to
+# COS_BANDS*COS_TARGET_BUCKET*2^16 ≈ 8.4M vectors — candidate-pair
 # work grows LINEARLY in N, and past the 16-bit rung the
 # COS_BUCKET_CAP backstop below still bounds per-vector work.
+# TARGET=32 is the measured cost/recall point: at the synthesized sf1
+# (50k clustered vectors) it holds candidate pairs near the r7
+# two-rung level while 4 bands keep recall strictly ABOVE the r7
+# 2x8-bit mode at every rung (r7: P(cos .95) = 1-(1-p^8)^2 = 0.67).
 #
 # Recall model (p = 1 - theta/pi, P = 1 - (1 - p^b)^4): growing b
 # trades moderate-cosine recall for boundedness, so the result set is
 # corpus-size-dependent BY DESIGN — at b=4 (gate SFs) collision at
-# cos 0.95/0.6/0.3 is ~1.0/0.90/0.42; at b=8 it is 0.89/0.31/0.03; at
+# cos 0.95/0.6/0.3 is ~1.0/0.90/0.42; at b=9 it is 0.86/0.21/0.01; at
 # the b=16 ceiling it is 0.55 even at cos 0.95 while cos>=0.999 stays
 # >=0.998.  Banded LSH was NEVER recall-complete at moderate cosine;
 # the contract of the queries built on this helper is HIGH-cosine
@@ -456,7 +460,7 @@ COS_BANDS = 4
 # hash-exact at every SF.
 COS_MIN_BITS = 4
 COS_MAX_BITS = 16  # COS_BANDS * COS_MAX_BITS = 64 = len(PLANES64)
-COS_TARGET_BUCKET = 64
+COS_TARGET_BUCKET = 32
 # Bucket-population backstop (MinHash's MAX_DOC_FREQ discipline, for
 # hyperplane buckets): adaptive bits bound the EXPECTED population, but
 # an adversarially clustered corpus (e.g. 10k identical vectors) still

@@ -669,7 +669,7 @@ def test_cos_band_rows_adaptive_bits_recall(spark):
     ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
 
     want_bits = _expected_cos_bits(len(rows))
-    assert want_bits == 7  # 256 * 2^7 = 32768 >= 30000, one fewer fails
+    assert want_bits == 8  # 128 * 2^8 = 32768 >= 30000, one fewer fails
 
     bands = _cos_band_rows(e).collect()
     buckets = {(r.band, r.bucket) for r in bands}
@@ -743,9 +743,9 @@ def test_cos_band_rows_500k_planted_twin_recall(spark):
     """The r7 verdict's scale ceiling, answered with a measurement: at
     a 500k-vector corpus (Spark-generated, deterministic md5 uniforms —
     no driver-side materialization) the count-derived rule must pick
-    b=11 (256*2^11 = 524288 >= 500k), planted near-dup twins must keep
+    b=12 (128*2^12 = 524288 >= 500k), planted near-dup twins must keep
     near-complete recall (p=1-theta/pi ~ 0.998 at the twins' ~0.005 rad
-    angle; P = 1-(1-p^11)^4 ~ 1-1e-7), and total candidate-pair work
+    angle; P = 1-(1-p^12)^4 ~ 1-2e-7), and total candidate-pair work
     must stay LINEAR in N — the old two-rung design's 512-bucket
     ceiling put ~N^2/256 pairs here."""
     from energy_consumption_forecasting_spark.queries.dedup import (
@@ -759,7 +759,7 @@ def test_cos_band_rows_500k_planted_twin_recall(spark):
 
     n_base = 250_000
     n_total = 2 * n_base
-    assert _expected_cos_bits(n_total) == 11
+    assert _expected_cos_bits(n_total) == 12  # 128 * 2^12 = 524288 >= 500k
 
     def uniforms(id_col, salt: str):
         # 64 deterministic uniforms in [-1, 1) per id: 8 hex chars of a
@@ -813,7 +813,7 @@ def test_cos_band_rows_500k_planted_twin_recall(spark):
         F.max("c").alias("maxpop"),
         F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
     ).collect()[0]
-    assert stats["blen"] == 11
+    assert stats["blen"] == 12
     assert stats["maxpop"] <= COS_BUCKET_CAP
     assert stats["pairs"] <= 8 * COS_BANDS * COS_TARGET_BUCKET * n_total
 
