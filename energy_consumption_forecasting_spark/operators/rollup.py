@@ -37,14 +37,46 @@ def daily_state(lineitem: DataFrame) -> DataFrame:
     )
 
 
+_DAILY_SCHEMA = (
+    "d date, n bigint, sum_qty decimal(28,2), sum_price decimal(28,2), y int"
+)
+
+
 def materialize_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the daily rollup to parquet partitioned by year, read it
     back.  Partitioning by year is the pruning unit: a monthly/yearly
-    query with a time filter touches only its year directories."""
-    lineitem = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    query with a time filter touches only its year directories.
+
+    IDEMPOTENT on the source mtime (r8): the store carries a marker
+    recording the fact file's mtime; when it matches, the write is
+    skipped and the store is read straight back with its known schema
+    (no schema-inference job) — the hypertable contract, "materialize
+    once, serve many": in steady state the gate queries' construction
+    is pure, and only a driver testdata regeneration triggers a
+    rebuild."""
+    src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
     path = os.path.join(STAGE, os.path.basename(sf_dir.rstrip("/")))
-    daily_state(lineitem).write.mode("overwrite").partitionBy("y").parquet(path)
-    return spark.read.parquet(path)
+    marker = os.path.join(path, "_SRC_MTIME")
+    try:
+        src_mtime = str(os.path.getmtime(src))
+    except OSError:
+        src_mtime = "0"
+    fresh = False
+    try:
+        fresh = open(marker).read().strip() == src_mtime
+    except OSError:
+        pass
+    if not fresh:
+        lineitem = spark.read.parquet(src)
+        daily_state(lineitem).write.mode("overwrite").partitionBy("y").parquet(
+            path
+        )
+        with open(marker, "w") as f:
+            f.write(src_mtime)
+    # explicit schema: spark.read.parquet would launch a footer
+    # schema-inference job per call; partition (y) discovery is a
+    # driver-side listing, no job
+    return spark.read.schema(_DAILY_SCHEMA).parquet(path)
 
 
 def reaggregate(daily: DataFrame, grain: str) -> DataFrame:

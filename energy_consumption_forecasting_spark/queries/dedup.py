@@ -1032,19 +1032,45 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
-    stats = base.agg(
+    # r8: the (n, c) stats ride the plan as a broadcast 1-row aggregate
+    # (the _cos_band_rows pmod attach — construction launches no job)
+    # and the bit choice is the same integer-rung filter, in-plan; the
+    # full 16-bit signature is folded for every row and substring'd by
+    # the in-plan b — bit-identical to the old driver-side branch
+    # (prefix semantics of _cos_sig; b=0 substrings to '').
+    nb = base.agg(
         F.count("*").alias("n"), F.countDistinct("label").alias("c")
-    ).collect()[0]
-    bits = _semdedup_bits(stats["n"], stats["c"])
-
-    e = with_norm(base)
-    if bits > 0:
-        # only the first `bits` planes are folded (prefix semantics of
-        # _cos_sig) — the oracle computes all 16 and substr's, same
-        # string either way
-        e = e.withColumn("sub", _cos_sig(F.col("v"), bits))
-    else:
-        e = e.withColumn("sub", F.lit(""))
+    ).withColumn("_k", F.pmod(F.col("n"), F.lit(1)))
+    rungs = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(1 << b).alias("p2"))
+            for b in range(0, 17)
+        ]
+    )
+    bits_col = F.coalesce(
+        F.array_min(
+            F.transform(
+                F.filter(
+                    rungs,
+                    lambda s: s["p2"].cast("long")
+                    * F.col("c")
+                    * F.lit(SEMDEDUP_TARGET_BUCKET)
+                    >= F.col("n"),
+                ),
+                lambda s: s["b"],
+            )
+        ),
+        F.lit(16),
+    )
+    e = (
+        with_norm(base)
+        .withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
+        .join(F.broadcast(nb), "_k")
+        .withColumn(
+            "sub", F.substring(_cos_sig(F.col("v"), 16), 1, bits_col)
+        )
+        .drop("_k", "n", "c")
+    )
     keys = ["label", "sub"]
     a = e.select(
         *keys,

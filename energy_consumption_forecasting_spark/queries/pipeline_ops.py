@@ -802,17 +802,20 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin.
 
     The global running token count — the packing decision — is
-    ``operators/ranking.global_prefix_sum``: range-shuffle on doc_id,
-    per-partition partials, broadcast offsets.  NO single-partition
-    window anywhere, which is what makes this plannable over a 100-TB
-    corpus (the naive cumsum-over-everything window is the flagged
-    scale-killer shape)."""
-    from ..operators.ranking import global_prefix_sum
+    ``operators/ranking.global_prefix_sum_lazy`` (r8: the dense
+    monotone ``doc_id div 8192`` bucket makes the whole prefix one
+    lazy plan — per-bucket window ≤8192 rows at any corpus size,
+    offsets a bucket-count-sized broadcast subtree, zero construction
+    jobs).  NO single-partition window anywhere, which is what makes
+    this plannable over a 100-TB corpus (the naive
+    cumsum-over-everything window is the flagged scale-killer
+    shape)."""
+    from ..operators.ranking import global_prefix_sum_lazy
 
     toks = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    cum, _total = global_prefix_sum(
+    cum = global_prefix_sum_lazy(
         toks,
         ["doc_id"],
         "n_tokens",

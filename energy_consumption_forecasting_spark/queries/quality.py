@@ -669,14 +669,26 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("d")
     )
-    total = digits.count()
-    return digits.groupBy(F.col("d").alias("first_digit")).agg(
-        F.count("*").alias("n"),
-        # exact integer div — a double division + cast could truncate
-        # across a boundary the exact floor sits under
-        F.expr(f"CAST((1000000 * COUNT(*)) div {total} AS BIGINT)").alias(
-            "share_ppm"
-        ),
+    # r8: the grand total rides the plan as a broadcast 1-row aggregate
+    # (pmod attach, construction launches no job) instead of a driver
+    # count baked into the expression
+    total = digits.agg(F.count("*").alias("__tot")).withColumn(
+        "_k", F.pmod(F.col("__tot"), F.lit(1))
+    )
+    return (
+        digits.groupBy(F.col("d").alias("first_digit"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("_k", F.pmod(F.col("n"), F.lit(1)))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "first_digit",
+            "n",
+            # exact integer div — a double division + cast could
+            # truncate across a boundary the exact floor sits under
+            F.expr("CAST((1000000 * n) div __tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
     )
 
 

@@ -1038,12 +1038,15 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cumulative-distinct is made distributable by the
     first-occurrence trick: a word contributes to the doc where its
     MIN(doc_id) lands, so "distinct so far" = prefix sum of per-doc
-    new-word counts — and both prefixes run through the two-pass
-    distributed prefix sum (operators/ranking.global_prefix_sum), NOT
-    a single-partition global window: the per-doc frame is
-    corpus-cardinality, exactly the case the two-pass rank exists
-    for."""
-    from ..operators.ranking import global_prefix_sum
+    new-word counts — and both prefixes run through the ZERO-ACTION
+    distributed prefix sum (operators/ranking.global_prefix_sum_lazy,
+    r8: doc_id is a dense monotone key, so ``doc_id div 8192`` is an
+    evenly-loaded monotone bucket — per-bucket window ≤8192 rows at
+    any corpus size, offsets a bucket-count-sized subtree, and the
+    construction launches no job), NOT a single-partition global
+    window: the per-doc frame is corpus-cardinality, exactly the case
+    the two-pass rank exists for."""
+    from ..operators.ranking import global_prefix_sum_lazy
 
     tok = fanout(
         tbl(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1064,11 +1067,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("new_words"),
         )
     )
-    with_tok, _ = global_prefix_sum(
-        perdoc, ["doc_id"], "n_tokens", cum_col="cum_tokens"
+    bkt = F.expr("doc_id div 8192")
+    with_tok = global_prefix_sum_lazy(
+        perdoc, ["doc_id"], "n_tokens", bucket=bkt, cum_col="cum_tokens"
     )
-    with_both, _ = global_prefix_sum(
-        with_tok, ["doc_id"], "new_words", cum_col="cum_vocab"
+    with_both = global_prefix_sum_lazy(
+        with_tok, ["doc_id"], "new_words", bucket=bkt, cum_col="cum_vocab"
     )
     return with_both.select(
         "doc_id",

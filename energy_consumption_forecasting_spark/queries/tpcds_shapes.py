@@ -438,11 +438,17 @@ def ds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = tbl(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand").alias("brand")
     )
-    ms = (
+    # The shared checkpoint sits BELOW the dim join (r8): the expensive
+    # fact-side work — lineitem x orders join + part-month agg — is
+    # checkpointed once, and the broadcast-hinted part join + the cheap
+    # brand re-agg run above it.  An explicit broadcast hint INSIDE a
+    # lazy checkpoint fires its exchange at plan-RDD creation, which
+    # was this query's construction job (the old SHARED exemption);
+    # above the checkpoint it fires at first action, where it belongs.
+    pm = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(
-            "brand",
+            "l_partkey",
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mo"),
         )
@@ -454,10 +460,13 @@ def ds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sales_c")
         )
+        .transform(shared_plan)
     )
-    # ms feeds BOTH the yearly stats agg and the window join — one lazy
-    # checkpoint shares the 3-table join+agg (brand-month cardinality).
-    ms = ms.transform(shared_plan)
+    ms = (
+        pm.join(F.broadcast(p), pm.l_partkey == p.p_partkey)
+        .groupBy("brand", "yr", "mo")
+        .agg(F.sum("sales_c").cast("long").alias("sales_c"))
+    )
     d38 = "decimal(38,0)"
     ya = ms.groupBy("brand", "yr").agg(
         F.sum(F.col("sales_c").cast(d38)).cast(d38).alias("y"),

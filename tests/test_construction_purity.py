@@ -114,7 +114,6 @@ EXEMPT: dict[str, str] = {
     "m16_ablation": "FIT",
     "m17_sensitivity": "FIT",
     "m21_som_map": "FIT",
-    "m32_isotonic_calibration": "FIT",
     "pipeline_quality_classifier": "FIT",
     "pipeline_bpe_merges": "FIT",
     "pipeline_bpe_encode": "FIT",
@@ -150,18 +149,13 @@ EXEMPT: dict[str, str] = {
     # --- two-pass distributed rank / prefix sum ---------------------------
     "a_abc_xyz": "RANK",
     "a_pareto_abc": "RANK",
-    "text_heaps_law": "RANK",
-    "pipeline_pack_sequences": "RANK",
     "f10_null_col_drop": "RANK",
     # --- localCheckpoint(eager=False) plan sharing (AQE runs stages) ------
     "dedup_prefix_filter_join": "SHARED",
-    "dedup_semantic": "SHARED",
     "pipeline_balance_e2e": "SHARED",
-    "ds_q47_sales_deviation": "SHARED",
-    "rollup_monthly_from_daily": "SHARED",
-    "rollup_yearly_pruned": "SHARED",
-    "dq_benford_digits": "SHARED",
-    "w5_transpose_native": "SHARED",
+    # Spark-4 native DataFrame.transpose collects its (aggregate-
+    # sized, 5x2) input at construction BY ENGINE DESIGN
+    "w5_transpose_native": "BOUNDED",
     "f_sql_scripting_trim": "ROUNDTRIP",  # EXECUTE IMMEDIATE runs the script
     # --- documented bounded collects --------------------------------------
     "w_markov_attribution": "BOUNDED",  # event-type transition matrix solve
@@ -173,6 +167,16 @@ def test_non_exempt_constructions_launch_zero_jobs(spark):
     qs, _ = load_all()
     unknown = set(EXEMPT) - set(qs)
     assert not unknown, f"EXEMPT names not in registry: {sorted(unknown)}"
+    # The rollup gate queries serve from the mtime-idempotent daily
+    # store (operators/rollup.materialize_daily): in steady state their
+    # construction is pure, but the store must EXIST — materialize it
+    # once here (the production "materialize once, serve many" split:
+    # the maintenance job below, the pure queries measured after).
+    from energy_consumption_forecasting_spark.operators.rollup import (
+        materialize_daily,
+    )
+
+    materialize_daily(spark, SF)
     dag = spark.sparkContext._jsc.sc().dagScheduler()
     offenders: dict[str, int] = {}
     for name in sorted(qs):
