@@ -257,6 +257,7 @@ def global_row_number_lazy(
     bucket: Column,
     rn_col: str = "rn",
     total_col: str | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """The bucket fast path with ZERO driver actions.
 
@@ -273,7 +274,17 @@ def global_row_number_lazy(
 
     NULL-bucket contract: matched lazily — a NULL bucket misses the
     left-joined offsets row and trips ``raise_error`` at runtime
-    instead of silently dropping or mis-ranking the row."""
+    instead of silently dropping or mis-ranking the row.
+
+    ``broadcast_offsets=False`` drops the explicit broadcast hint on
+    the offsets join (it becomes a plain shuffle join on the bucket
+    key).  Callers that LAZY-CHECKPOINT a subtree containing this rank
+    need that: preparing a plan that holds an explicit-hint
+    BroadcastHashJoin submits the broadcast future — and with it the
+    whole input subtree — at ``.rdd`` construction, which is exactly
+    the construction-time job the lazy form exists to avoid.  The cost
+    is one extra shuffle of the RANKED table (bucket-keyed, e.g.
+    vocabulary-sized), never of the corpus the rank feeds."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     tagged = df.withColumn(_BKT, bucket)
     counts = tagged.groupBy(_BKT).agg(F.count("*").alias("__cnt"))
@@ -299,8 +310,9 @@ def global_row_number_lazy(
             )
         ).cast("long"),
     )
+    offs_side = F.broadcast(offs) if broadcast_offsets else offs
     return (
-        tagged.join(F.broadcast(offs), _BKT, "left")
+        tagged.join(offs_side, _BKT, "left")
         .withColumn(rn_col, F.row_number().over(wl) + guarded_off)
         .drop(_BKT, _OFF)
     )

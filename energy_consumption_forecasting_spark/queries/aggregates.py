@@ -353,6 +353,39 @@ def _part_revenue(li: DataFrame) -> DataFrame:
     )
 
 
+# Fixed band width for the lazy revenue prefix sum: 2^24 e4-dollar
+# units (~$1.7k).  Chosen against the distribution's SHAPE, which is
+# catalog-size-invariant: per-part revenue is a sum over a roughly
+# constant number of lineitems whose prices live in a fixed range, so
+# the value range — and with it the band COUNT (range/2^24, ~1.1k at
+# sf0.1) — does not grow with the catalog, while each band's share of
+# parts FALLS as N grows (measured 0.55% max at sf0.01, 0.31% at
+# sf0.1).  That is what the round-6 review found missing in the log2-
+# band variant (exponentially wide center bands held most parts);
+# uniform fine bands over a bounded range have no dominant band, so
+# the within-band window stays parallel and the offsets window runs
+# over ~1.1k per-band sums — the sanctioned tiny-series window.
+_REV_BAND_E4 = 16_777_216
+
+
+def _rev_cum_lazy(rev: DataFrame) -> DataFrame:
+    """(p, rev_e4, cum, total): exact running revenue ordered by
+    (rev_e4 DESC, p) plus the grand total, as ONE lazy plan — the
+    banded ``global_prefix_sum_lazy`` with fixed-width value bands
+    (negated so the bucket is monotone non-decreasing along the
+    descending order).  Shared by a_pareto_abc / a_abc_xyz."""
+    from ..operators.ranking import global_prefix_sum_lazy
+
+    return global_prefix_sum_lazy(
+        rev,
+        [F.col("rev_e4").desc(), F.col("p")],
+        "rev_e4",
+        bucket=-F.expr(f"rev_e4 div {_REV_BAND_E4}"),
+        cum_col="cum",
+        total_col="total",
+    )
+
+
 # --- Pareto / ABC classification over part revenue ----------------------------------
 @query(
     "a_pareto_abc",
@@ -389,36 +422,18 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents)) so every cumulative value is an exact BIGINT, and the class
     boundaries are integer comparisons (5*cum <= 4*total), never a
     double threshold.  The ranked running total uses
-    ``operators/ranking.global_prefix_sum`` over (revenue DESC, part) —
-    the part table is dimension-sized here but grows with the catalog,
-    so the cumsum gets the same two-pass distributed shape as the
-    corpus-sized packing query, not a single-partition window."""
-    from ..operators.ranking import global_prefix_sum
-
+    ``operators/ranking.global_prefix_sum_lazy`` over (revenue DESC,
+    part) with fixed-width revenue bands as the monotone bucket (see
+    ``_rev_cum_lazy``) — the part table is dimension-sized here but
+    grows with the catalog, so the cumsum gets the distributed
+    banded shape, never a single-partition window — and the whole
+    classification is ONE lazy plan (zero construction-time jobs)."""
     li = tbl(spark, sf_dir, "lineitem")
     rev = _part_revenue(li)
-    # The running total keeps the EAGER two-pass range shuffle: a
-    # value-ordered prefix sum over a CONCENTRATED distribution (per-
-    # part revenue is a ~30-lineitem sum, so it clusters by the CLT)
-    # has no balanced static monotone bucketization — a log2-band lazy
-    # form was tried in round 6 and reviewed out because most parts
-    # land in 1-2 bands and the within-band window degenerates toward
-    # one task as the catalog grows; repartitionByRange SAMPLES its
-    # quantiles, which is exactly the balance guarantee needed.  The
-    # construction-time counting job is the documented RANK trade.
-    # 8 range partitions right-size the two-pass overhead at gate SF
-    # (32 partitions of a 20k-row table is pure scheduling floor —
-    # measured 7.6s -> 2.1s at sf0.1); a larger catalog passes more.
-    cum, total = global_prefix_sum(
-        rev,
-        [F.col("rev_e4").desc(), F.col("p")],
-        "rev_e4",
-        cum_col="cum",
-        num_partitions=8,
-    )
+    cum = _rev_cum_lazy(rev)
     abc = (
-        F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
-        .when(20 * F.col("cum") <= 19 * F.lit(total), "B")
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
         .otherwise("C")
     )
     return (
@@ -427,7 +442,8 @@ def a_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_parts"),
             F.sum("rev_e4").cast("long").alias("class_rev_e4"),
             (
-                F.sum("rev_e4").cast("double") / F.lit(float(total))
+                F.sum("rev_e4").cast("double")
+                / F.min("total").cast("double")
             ).alias("rev_share"),
         )
     )
@@ -648,24 +664,16 @@ def a_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a single float enters the classification.  The two per-part
     dimensions join on the part key (both dimension-sized), then one
     9-cell agg."""
-    from ..operators.ranking import global_prefix_sum
-
     li = tbl(spark, sf_dir, "lineitem")
     rev = _part_revenue(li)
-    # same eager two-pass as a_pareto_abc (see the skew note there: a
-    # value-ordered prefix sum over a concentrated distribution needs
-    # SAMPLED range balance, which no static monotone bucket provides)
-    cum, total = global_prefix_sum(
-        rev,
-        [F.col("rev_e4").desc(), F.col("p")],
-        "rev_e4",
-        cum_col="cum",
-        num_partitions=8,
-    )
+    # same lazy banded prefix sum as a_pareto_abc (_rev_cum_lazy:
+    # fixed-width value bands over the catalog-size-invariant revenue
+    # range — zero construction-time jobs)
+    cum = _rev_cum_lazy(rev)
     abc = cum.select(
         "p",
-        F.when(5 * F.col("cum") <= 4 * F.lit(total), "A")
-        .when(20 * F.col("cum") <= 19 * F.lit(total), "B")
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
         .otherwise("C")
         .alias("abc"),
     )

@@ -1201,6 +1201,117 @@ PREFIX_TAU = 0.6
 _BITMAP_VOCAB_MAX = 64  # bitset verify tier: vocab must fit ONE long
 
 
+def _ppjoin_ordered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin document table: per doc, its tokens sorted by corpus
+    rarity (``sorted_toks``), plus the bitmap-tier columns (``mask``
+    when the whole vocabulary fits one 64-bit word, the lazily-ranked
+    vocabulary total ``vn``).
+
+    THREE consumers read it inside ``dedup_prefix_filter_join``
+    (prefix generation + both verification sides), so it is
+    lazy-checkpointed — and the checkpoint's ``.rdd`` stays PURE
+    because the lazy rank below passes ``broadcast_offsets=False``:
+    preparing a plan that holds an explicit-hint BroadcastHashJoin
+    submits the broadcast future — and with it the whole tokenize
+    pass — at construction (the old SHARED purity exemption: one ~20s
+    job just to BUILD the plan).  The un-hinted offsets join shuffles
+    only the VOCABULARY table on the 64-way bucket key — noise next
+    to the token-explode aggregation feeding it.  (A
+    ``shared_persist``'d session-cached form was A/B'd here in r8 and
+    reverted: columnar-caching the per-doc token arrays made every
+    downstream consumer pay array decode — 3.1s → 6.8s at sf0.1.)"""
+    from ..operators.ranking import global_row_number_lazy
+
+    d = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+                )
+            ).alias("toks"),
+        )
+    )
+    # ONLY d and the final per-doc table are materialized (lazy
+    # localCheckpoints: the vocabulary side and the main side share
+    # the tokenize pass, and blocks free with the plan per the r2
+    # persist-leak lesson).  Everything downstream stays plain shuffle
+    # joins so AQE keeps REAL runtime stats — the earlier variant that
+    # also checkpointed the prefix table erased them (ExistingRDD
+    # advertises no sizes) and needed a broadcast/repartition hint per
+    # join to stay parallel, ending up slower than this shape at every
+    # SF probed.
+    d = d.transform(shared_plan)
+    dt = d.select("doc_id", F.explode("toks").alias("tok"))
+    freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
+    # Adaptive verification tier, chosen INSIDE the plan (round-6
+    # rule: query construction launches ZERO Spark jobs): when the
+    # corpus vocabulary fits ONE 64-bit bitset word, each doc's token
+    # set becomes a single LONG and exact intersection is
+    # bit_count(a & b) — one codegen'd AND+popcount per candidate;
+    # larger vocabularies verify by array_intersect on the candidate
+    # set.  The tier gate is the corpus-global vocabulary total,
+    # computed LAZILY by the same zero-action distributed rank that
+    # assigns bit positions (global_row_number_lazy's total_col: a
+    # ≤64-bucket aggregate subtree joined back into the token pass —
+    # never a driver count), so BOTH tiers live in one static plan and
+    # the untaken branch costs a null column through two hash joins.
+    # Both tiers are EXACT — the all-pairs oracle proves the bitmap
+    # algebra, not just the pruning.
+    freq = global_row_number_lazy(
+        freq,
+        ["tok"],
+        # any total order yields a valid bit-position bijection; a
+        # hash-prefix bucket keeps the rank fully distributed (fixed
+        # 64-way fan-out — independent of the tier threshold)
+        bucket=F.pmod(F.xxhash64("tok"), F.lit(64)),
+        rn_col="__rk",
+        total_col="__vn",
+        broadcast_offsets=False,  # keeps the checkpoint's .rdd pure
+    ).select(
+        "tok",
+        "f",
+        (F.col("__rk") - 1).cast("int").alias("tid"),
+        F.col("__vn").alias("vn"),
+    )
+    small = F.col("vn") <= _BITMAP_VOCAB_MAX
+    sort_agg = F.transform(
+        F.array_sort(F.collect_list(F.struct("f", "tok"))),
+        lambda s: s["tok"],
+    ).alias("sorted_toks")
+    ordered = (
+        dt.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            sort_agg,
+            # tids are collected only in the bitmap tier (vn is
+            # corpus-global, so per doc it's all or none); rk <= vn
+            # <= 64 then guarantees tid < 64 for shiftleft.
+            F.collect_list(F.when(small, F.col("tid"))).alias("tids"),
+            F.max("vn").alias("vn"),
+        )
+        # tids are distinct per doc, so the sum of 2^tid IS the OR;
+        # NULL in the general tier.
+        .withColumn(
+            "mask",
+            F.when(
+                F.col("vn") <= _BITMAP_VOCAB_MAX,
+                F.expr(
+                    "aggregate(tids, 0L,"
+                    " (acc, t) -> acc + shiftleft(1L, t))"
+                ),
+            ),
+        )
+    )
+    # THREE consumers read `ordered` (prefixes + both verification
+    # sides): checkpoint it like `d`, or the post-shuffle per-doc
+    # collect_list/array_sort recomputes per reference (review catch —
+    # exchange reuse shares only the map side).
+    return ordered.transform(shared_plan)
+
+
 @query(
     "dedup_prefix_filter_join",
     oracle=f"""
@@ -1240,92 +1351,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh (probabilistic recall) and dedup_ngram_jaccard
     (hot-shingle cap): this one is exact AND sub-quadratic on
     realistic token-frequency skew."""
-    d = (
-        fanout(tbl(spark, sf_dir, "documents"))
-        .filter(F.col("doc_id") % 3 == 0)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower("text"), r"\s+"), lambda x: x != ""
-                )
-            ).alias("toks"),
-        )
-    )
-    # ONLY d is materialized (lazy localCheckpoint: the vocab-probe
-    # job below and the main job share the tokenize pass, and blocks
-    # free with the plan per the r2 persist-leak lesson).  Everything
-    # downstream stays plain shuffle joins so AQE keeps REAL runtime
-    # stats — the earlier variant that also checkpointed the prefix
-    # table erased them (ExistingRDD advertises no sizes) and needed
-    # a broadcast/repartition hint per join to stay parallel, ending
-    # up slower than this shape at every SF probed.
-    d = d.transform(shared_plan)
-    dt = d.select("doc_id", F.explode("toks").alias("tok"))
-    freq = dt.groupBy("tok").agg(F.count("*").alias("f"))
-    # Adaptive verification tier, chosen INSIDE the plan (round-6 rule:
-    # query construction launches ZERO Spark jobs): when the corpus
-    # vocabulary fits ONE 64-bit bitset word, each doc's token set
-    # becomes a single LONG and exact intersection is bit_count(a & b)
-    # — one codegen'd AND+popcount per candidate; larger vocabularies
-    # verify by array_intersect on the candidate set.  The tier gate is
-    # the corpus-global vocabulary total, computed LAZILY by the same
-    # zero-action distributed rank that assigns bit positions
-    # (global_row_number_lazy's total_col: a ≤64-bucket aggregate
-    # subtree broadcast into the token pass — never a driver count), so
-    # BOTH tiers live in one static plan and the untaken branch costs a
-    # null column through two hash joins.  Both tiers are EXACT — the
-    # all-pairs oracle proves the bitmap algebra, not just the pruning.
-    from ..operators.ranking import global_row_number_lazy
-
-    freq = global_row_number_lazy(
-        freq,
-        ["tok"],
-        # any total order yields a valid bit-position bijection; a
-        # hash-prefix bucket keeps the rank fully distributed (fixed
-        # 64-way fan-out — independent of the tier threshold)
-        bucket=F.pmod(F.xxhash64("tok"), F.lit(64)),
-        rn_col="__rk",
-        total_col="__vn",
-    ).select(
-        "tok",
-        "f",
-        (F.col("__rk") - 1).cast("int").alias("tid"),
-        F.col("__vn").alias("vn"),
-    )
-    small = F.col("vn") <= _BITMAP_VOCAB_MAX
-    sort_agg = F.transform(
-        F.array_sort(F.collect_list(F.struct("f", "tok"))),
-        lambda s: s["tok"],
-    ).alias("sorted_toks")
-    ordered = (
-        dt.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(
-            sort_agg,
-            # tids are collected only in the bitmap tier (vn is
-            # corpus-global, so per doc it's all or none); rk <= vn
-            # <= 64 then guarantees tid < 64 for shiftleft.
-            F.collect_list(F.when(small, F.col("tid"))).alias("tids"),
-            F.max("vn").alias("vn"),
-        )
-        # tids are distinct per doc, so the sum of 2^tid IS the OR;
-        # NULL in the general tier.
-        .withColumn(
-            "mask",
-            F.when(
-                F.col("vn") <= _BITMAP_VOCAB_MAX,
-                F.expr(
-                    "aggregate(tids, 0L, (acc, t) -> acc + shiftleft(1L, t))"
-                ),
-            ),
-        )
-    )
-    # THREE consumers read `ordered` (prefixes + both verification
-    # sides): checkpoint it like `d`, or the post-shuffle per-doc
-    # collect_list/array_sort recomputes per reference (review catch —
-    # exchange reuse shares only the map side).
-    ordered = ordered.transform(shared_plan)
+    ordered = _ppjoin_ordered_frame(spark, sf_dir)
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
     prefixes = ordered.select(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..functions.vectors import as_double, cosine
-from ._util import fanout, shared_plan, tbl
+from ._util import fanout, shared_frame, shared_persist, shared_plan, tbl
 
 N_QUERIES = 5
 TOP_K = 5
@@ -981,6 +981,86 @@ def _mmr_oracle() -> str:
     return sql
 
 
+def _mmr_cand_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persisted MMR candidate pool: top-``MMR_CAND``
+    bruteforce-cosine results per query (Q x CAND rows, coalesced to 4
+    partitions like any bounded short-list).
+
+    ``shared_persist`` instead of a lazy checkpoint on purpose: the
+    pool's subtree carries an EXPLICIT ``F.broadcast(q)`` hint (queries
+    are per-request constants — the broadcast is right at any scale),
+    and taking ``.rdd`` on a plan holding an explicit-hint
+    BroadcastHashJoin submits the broadcast future at construction
+    (the old SHARED purity exemption).  ``persist()`` registers the
+    cache without compiling an RDD, so construction stays zero-job and
+    the broadcast fires at first real action; downstream lazy
+    checkpoints over the unmaterialized cache stay pure
+    (``shared_persist`` contract, pinned by
+    ``test_properties.test_shared_plan_is_lazy``)."""
+
+    def build() -> DataFrame:
+        e = tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+        q = e.filter(F.col("vec_id") < MMR_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = e.join(
+            F.broadcast(q), F.col("query_id") != F.col("vec_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "v",
+            cosine(F.col("qv"), F.col("v")).alias("simq"),
+        )
+        rnw = Window.partitionBy("query_id").orderBy(
+            F.col("simq").desc(), F.col("cand_id")
+        )
+        return shared_persist(
+            scored.withColumn("rn", F.row_number().over(rnw))
+            .filter(F.col("rn") <= MMR_CAND)
+            .coalesce(4)  # Q x MMR_CAND rows
+        )
+
+    return shared_frame(
+        spark, sf_dir, "mmr_cand", build, mtime_table="embeddings"
+    )
+
+
+def _mmr_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persisted candidate-pair sims (Q x CAND² rows),
+    read by every one of the MMR loop's k selection steps.
+
+    Also ``shared_persist``, NOT a lazy checkpoint: a checkpoint's
+    ``.rdd`` builds the cached candidate relation's RDD, which PREPARES
+    the cached child plan — and preparing a plan holding an
+    explicit-hint broadcast submits the broadcast future (measured: the
+    checkpointed form of this frame ran the pool's whole subtree at
+    construction even with the pool persisted)."""
+
+    def build() -> DataFrame:
+        cand = _mmr_cand_frame(spark, sf_dir)
+        a, b = cand.alias("a"), cand.alias("b")
+        return shared_persist(
+            a.join(
+                b,
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("a.cand_id") != F.col("b.cand_id")),
+            )
+            .select(
+                F.col("a.query_id").alias("query_id"),
+                F.col("a.cand_id").alias("a_id"),
+                F.col("b.cand_id").alias("b_id"),
+                cosine(F.col("a.v"), F.col("b.v")).alias("sim_ab"),
+            )
+            .coalesce(4)  # Q x CAND^2 short-list
+        )
+
+    return shared_frame(
+        spark, sf_dir, "mmr_pair", build, mtime_table="embeddings"
+    )
+
+
 @query("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance reranking: greedily select k results
@@ -998,39 +1078,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pools are per-query constants, so every step is bounded work; the
     corpus-sized stage is only the initial top-k (the registered ANN
     tiers)."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    q = e.filter(F.col("vec_id") < MMR_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = e.join(
-        F.broadcast(q), F.col("query_id") != F.col("vec_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        "v",
-        cosine(F.col("qv"), F.col("v")).alias("simq"),
-    )
-    rnw = Window.partitionBy("query_id").orderBy(
-        F.col("simq").desc(), F.col("cand_id")
-    )
-    cand = (
-        scored.withColumn("rn", F.row_number().over(rnw))
-        .filter(F.col("rn") <= MMR_CAND)
-        .transform(lambda d: shared_plan(d, width=4))  # Q x MMR_CAND rows
-    )
-    a, b = cand.alias("a"), cand.alias("b")
-    pair = a.join(
-        b,
-        (F.col("a.query_id") == F.col("b.query_id"))
-        & (F.col("a.cand_id") != F.col("b.cand_id")),
-    ).select(
-        F.col("a.query_id").alias("query_id"),
-        F.col("a.cand_id").alias("a_id"),
-        F.col("b.cand_id").alias("b_id"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("sim_ab"),
-    ).transform(lambda d: shared_plan(d, width=4))  # Q x CAND^2 short-list
+    cand = _mmr_cand_frame(spark, sf_dir)
+    pair = _mmr_pair_frame(spark, sf_dir)
     sel = cand.filter(F.col("rn") == 1).select(
         "query_id",
         F.col("cand_id").alias("sel_id"),

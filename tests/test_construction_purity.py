@@ -138,7 +138,9 @@ EXEMPT: dict[str, str] = {
     "sim_sq8_ivf_topk": "FIT",
     "sim_ann_recall": "FIT",
     "sim_tier_eval": "FIT",
-    "sim_mmr_rerank": "FIT",
+    # sim_mmr_rerank: un-exempted r8 — candidate pool + pair sims are
+    # shared_persist'd session frames (registration is job-free; the
+    # explicit-hint broadcast fires at first action, not at .rdd).
     # --- iterative convergence on data ------------------------------------
     "graph_pagerank": "ITER",
     "graph_personalized_pagerank": "ITER",
@@ -147,11 +149,17 @@ EXEMPT: dict[str, str] = {
     "dedup_lsh_quality": "ITER",
     "dedup_lsh_quality_hi": "ITER",
     # --- two-pass distributed rank / prefix sum ---------------------------
-    "a_abc_xyz": "RANK",
-    "a_pareto_abc": "RANK",
+    # a_pareto_abc / a_abc_xyz: un-exempted r8 — the value-ordered
+    # running total moved to global_prefix_sum_lazy with fixed-width
+    # revenue bands (the revenue RANGE is catalog-size-invariant, so
+    # band count is bounded and no band dominates — the balance the
+    # rejected log2-band variant lacked); zero construction jobs.
     "f10_null_col_drop": "RANK",
     # --- localCheckpoint(eager=False) plan sharing (AQE runs stages) ------
-    "dedup_prefix_filter_join": "SHARED",
+    # dedup_prefix_filter_join: un-exempted r8 — the lazy rank inside
+    # its checkpointed subtree now passes broadcast_offsets=False, so
+    # no explicit-hint broadcast fires at .rdd and the checkpoint
+    # construction is job-free.
     "pipeline_balance_e2e": "SHARED",
     # Spark-4 native DataFrame.transpose collects its (aggregate-
     # sized, 5x2) input at construction BY ENGINE DESIGN
