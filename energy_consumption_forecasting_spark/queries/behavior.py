@@ -490,6 +490,16 @@ def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("te").isNull(), 0).otherwise(1).alias("ev"),
         )
     )
+    return life_table_from_durations(durations)
+
+
+def life_table_from_durations(durations: DataFrame) -> DataFrame:
+    """(d, events, leaving, at_risk) from raw (d, ev) duration rows —
+    the estimator-independent life-table core: day-keyed aggregation
+    plus the descending running count for the risk set.  Factored out
+    so the Freireich-1963 external-golden test
+    (tests/test_ml_extras.py) drives the IDENTICAL algebra the
+    operators run, not a re-implementation."""
     life = durations.groupBy("d").agg(
         F.sum("ev").cast("long").alias("events"),
         F.count("*").cast("long").alias("leaving"),
@@ -499,6 +509,37 @@ def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return life.withColumn(
         "at_risk", F.sum("leaving").over(w_risk).cast("long")
+    )
+
+
+def km_survival(life: DataFrame) -> DataFrame:
+    """Kaplan–Meier product-limit column over a life table: the
+    ordered cumulative product of (1 − dᵢ/nᵢ), one IEEE division per
+    day, folded in ascending-day ROWS-frame order (shared by
+    w_kaplan_meier and the external-golden test)."""
+    w_surv = Window.orderBy(F.asc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return life.withColumn(
+        "survival",
+        F.product(
+            F.lit(1.0) - F.col("events").cast("double") / F.col("at_risk")
+        ).over(w_surv),
+    )
+
+
+def nelson_aalen_hazard(life: DataFrame) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard column H(d) = Σ dᵢ/nᵢ over a
+    life table (shared by w_nelson_aalen and the external-golden
+    test)."""
+    w_cum = Window.orderBy(F.asc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return life.withColumn(
+        "cum_hazard",
+        F.sum(
+            F.col("events").cast("double") / F.col("at_risk")
+        ).over(w_cum),
     )
 
 
@@ -522,19 +563,12 @@ def w_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered cumulative product of (1 − dᵢ/nᵢ) — each factor ONE
     IEEE division and both engines folding the product in the same
     ROWS-frame day order, so even the floats hash-match.  Life table
-    shared with w_nelson_aalen via ``_life_table``/``_LIFE_TABLE_SQL``."""
-    w_surv = Window.orderBy(F.asc("d")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        _life_table(spark, sf_dir)
-        .withColumn(
-            "survival",
-            F.product(
-                F.lit(1.0) - F.col("events").cast("double") / F.col("at_risk")
-            ).over(w_surv),
-        )
-        .select("d", "at_risk", "events", "survival")
+    shared with w_nelson_aalen via ``_life_table``/``_LIFE_TABLE_SQL``;
+    the estimator core (``km_survival``) is also pinned against the
+    published Freireich-1963 6-MP survival curve in
+    tests/test_ml_extras.py."""
+    return km_survival(_life_table(spark, sf_dir)).select(
+        "d", "at_risk", "events", "survival"
     )
 
 
@@ -558,19 +592,12 @@ def w_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same determinism argument as KM: one IEEE division per day,
     cumulative sum folded in the identical ROWS-frame order on both
-    engines; the window rides the day-keyed bounded life table."""
-    w_cum = Window.orderBy(F.asc("d")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        _life_table(spark, sf_dir)
-        .withColumn(
-            "cum_hazard",
-            F.sum(
-                F.col("events").cast("double") / F.col("at_risk")
-            ).over(w_cum),
-        )
-        .select("d", "at_risk", "events", "cum_hazard")
+    engines; the window rides the day-keyed bounded life table.  The
+    estimator core (``nelson_aalen_hazard``) is pinned against the
+    hand-derived H(t) on the published Freireich-1963 data in
+    tests/test_ml_extras.py."""
+    return nelson_aalen_hazard(_life_table(spark, sf_dir)).select(
+        "d", "at_risk", "events", "cum_hazard"
     )
 
 

@@ -1159,3 +1159,57 @@ def test_sbc_classification_external_golden(spark):
         assert r["cv2_ppm"] == a["cv2_ppm"], a["part"]
         assert r["demand_class"] == a["demand_class"], a["part"]
         assert r["n_demand_months"] == a["n_ev"]
+
+
+def test_kaplan_meier_external_golden(spark):
+    """The survival estimator core vs the PUBLISHED Freireich-1963
+    6-MP remission data — the canonical product-limit worked example
+    (Kaplan & Meier 1958; Cox & Oakes 1984 ch. 4; Collett 2015 ch. 2).
+    The life-table + product algebra driven here is the SAME code the
+    registered w_kaplan_meier / w_nelson_aalen queries run
+    (life_table_from_durations / km_survival / nelson_aalen_hazard);
+    expected values are exact hand-derived fractions recorded with
+    their full derivation in the fixture."""
+    import json
+    import os
+    from fractions import Fraction
+
+    from energy_consumption_forecasting_spark.queries.behavior import (
+        km_survival,
+        life_table_from_durations,
+        nelson_aalen_hazard,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__),
+        "fixtures",
+        "km_freireich_external_golden.json",
+    )
+    g = json.load(open(path))
+    durations = spark.createDataFrame(
+        list(zip(g["durations_weeks"], g["event_flags"])), "d long, ev int"
+    )
+    life = life_table_from_durations(durations)
+
+    # risk sets must reproduce the published n_i at every event time
+    at_risk = {r["d"]: r["at_risk"] for r in life.collect()}
+    for t, n in g["n_at_risk_before"].items():
+        assert at_risk[int(t)] == n, f"n at risk before t={t}"
+
+    # Kaplan-Meier survival: exact-fraction golden (1e-12 — the IEEE
+    # product of 7 exactly-representable-denominator divisions) AND
+    # the textbook 4-decimal tabulation
+    surv = {r["d"]: r["survival"] for r in km_survival(life).collect()}
+    for t, (num, den) in g["km_survival_fractions"].items():
+        expect = float(Fraction(num, den))
+        assert abs(surv[int(t)] - expect) < 1e-12, f"S({t})"
+        assert round(surv[int(t)], 4) == g["km_survival_published_4dp"][t]
+
+    # censoring-only times leave the survival estimate UNCHANGED
+    # (factor exactly 1.0): S at the 25+ row equals S(23)
+    assert surv[25] == surv[23]
+
+    # Nelson-Aalen cumulative hazard: hand-derived exact fractions
+    haz = {r["d"]: r["cum_hazard"] for r in nelson_aalen_hazard(life).collect()}
+    for t, (num, den) in g["na_cum_hazard_fractions"].items():
+        assert abs(haz[int(t)] - float(Fraction(num, den))) < 1e-12, f"H({t})"
