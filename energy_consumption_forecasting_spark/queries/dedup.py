@@ -666,7 +666,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, shared with the DuckDB oracle) → 64-bit sign signature,
     row-local, computed ONCE per session (``_cos_sig_frame``) →
     CORPUS-ADAPTIVE banding (``_cos_band_rows``: 4 bands × b bits, b
-    count-derived so expected bucket population stays ~256 up to ~16.7M
+    count-derived so expected bucket population stays ~128 up to ~8.4M
     vectors, plus the COS_BUCKET_CAP=1024 backstop — pair work is
     LINEAR in N, see the rule and recall model at COS_MIN_BITS) →
     candidate pairs from a **bucket equi-join** (shuffle-hash on the
