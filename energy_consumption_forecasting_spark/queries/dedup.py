@@ -599,6 +599,31 @@ def _cos_sig(vec_col, n_bits: int = 16) -> Column:
     return F.concat(*bits)
 
 
+def _cos_sig_prefix(vec_col, nbits_col: Column, max_bits: int = 16) -> Column:
+    """``_cos_sig`` truncated to a DATA-DEPENDENT bit count without
+    paying for the untaken planes: each plane's fold-dot sits behind
+    its own ``CASE WHEN i < nbits_col`` guard (CASE evaluates branches
+    lazily in both interpreted and codegen paths), so a corpus at rung
+    b folds exactly b dots per row.  By prefix semantics this equals
+    ``substring(_cos_sig(v, max_bits), 1, nbits_col)`` — which is what
+    the r8 purity rewrite of dedup_semantic first shipped, folding all
+    16 planes for every row and tripling the query's wall-clock at
+    sf0.1 (bench_diff catch, 0.99s → 2.68s)."""
+    from ._lsh_planes import PLANES64
+    from ..functions.vectors import dot
+
+    parts = [
+        F.when(
+            F.lit(i) < nbits_col,
+            F.when(
+                dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1"
+            ).otherwise("0"),
+        ).otherwise("")
+        for i, row in enumerate(PLANES64[:max_bits])
+    ]
+    return F.concat(*parts)
+
+
 def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, nrm, sig) with the full 64-bit signature — the
     session-shared static frame behind ``dedup_embedding_cosine`` AND
@@ -1034,10 +1059,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8: the (n, c) stats ride the plan as a broadcast 1-row aggregate
     # (the _cos_band_rows pmod attach — construction launches no job)
-    # and the bit choice is the same integer-rung filter, in-plan; the
-    # full 16-bit signature is folded for every row and substring'd by
-    # the in-plan b — bit-identical to the old driver-side branch
-    # (prefix semantics of _cos_sig; b=0 substrings to '').
+    # and the bit choice is the same integer-rung filter, in-plan; each
+    # signature bit is guarded by CASE WHEN i < b so only the b planes
+    # the rung needs are folded per row (_cos_sig_prefix — the
+    # unguarded substring-of-16 form tripled the sf0.1 wall), equal to
+    # the old driver-side branch by prefix semantics (b=0 → '').
     nb = base.agg(
         F.count("*").alias("n"), F.countDistinct("label").alias("c")
     ).withColumn("_k", F.pmod(F.col("n"), F.lit(1)))
@@ -1066,9 +1092,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm(base)
         .withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
         .join(F.broadcast(nb), "_k")
-        .withColumn(
-            "sub", F.substring(_cos_sig(F.col("v"), 16), 1, bits_col)
-        )
+        .withColumn("sub", _cos_sig_prefix(F.col("v"), bits_col))
         .drop("_k", "n", "c")
     )
     keys = ["label", "sub"]
