@@ -501,6 +501,33 @@ def _cos_bands_sql(src_count: str = "(SELECT COUNT(*) FROM embeddings)") -> str:
     )"""
 
 
+def _cos_bits_expr(n_col: Column) -> Column:
+    """Smallest band-bit rung b with BANDS*TARGET*2^b >= N, as a pure
+    integer expression over precomputed 2^b literals (no float log2 —
+    the 2^53 integer→double determinism rule).  ONE definition shared
+    by the banding (:func:`_cos_band_rows`) and the signature frame
+    (:func:`_cos_sig_frame`) so the folded bit count can never drift
+    from the bits the banding consumes."""
+    rungs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.lit(COS_BANDS * COS_TARGET_BUCKET * (1 << b)).alias("bound"),
+            )
+            for b in range(COS_MIN_BITS, COS_MAX_BITS + 1)
+        ]
+    )
+    return F.coalesce(
+        F.array_min(
+            F.transform(
+                F.filter(rungs, lambda s: s["bound"] >= n_col),
+                lambda s: s["b"],
+            )
+        ),
+        F.lit(COS_MAX_BITS),
+    )
+
+
 def _cos_band_rows(e: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) with corpus-adaptive banding over a frame
     carrying (vec_id, sig): count-derived band bits (see the rule at
@@ -519,27 +546,7 @@ def _cos_band_rows(e: DataFrame) -> DataFrame:
     n = e.agg(F.count("*").alias("n_vec")).withColumn(
         "_k", F.pmod(F.col("n_vec"), F.lit(1))
     )
-    # smallest b with BANDS*TARGET*2^b >= N, as a pure integer
-    # expression over precomputed 2^b literals (no float log2 — the
-    # 2^53 integer→double determinism rule)
-    rungs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.lit(COS_BANDS * COS_TARGET_BUCKET * (1 << b)).alias("bound"),
-            )
-            for b in range(COS_MIN_BITS, COS_MAX_BITS + 1)
-        ]
-    )
-    bits = F.coalesce(
-        F.array_min(
-            F.transform(
-                F.filter(rungs, lambda s: s["bound"] >= F.col("n_vec")),
-                lambda s: s["b"],
-            )
-        ),
-        F.lit(COS_MAX_BITS),
-    )
+    bits = _cos_bits_expr(F.col("n_vec"))
     w = Window.partitionBy("band", "bucket").orderBy("vec_id")
     return (
         e.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
@@ -625,26 +632,52 @@ def _cos_sig_prefix(vec_col, nbits_col: Column, max_bits: int = 16) -> Column:
 
 
 def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, nrm, sig) with the full 64-bit signature — the
+    """(vec_id, v, nrm, sig) with the CORPUS-RUNG signature — the
     session-shared static frame behind ``dedup_embedding_cosine`` AND
     ``sim_knn_graph`` (same ``_util.shared_frame`` discipline as the
     graph edge sets: built once per (session, sf_dir), persisted
     non-adaptively so later plan construction over it stays job-free).
-    Corpus-cardinality, so NO width cap (the r7 ``shared_plan(width=8)``
-    choked the band explode's map side at 8 tasks — r8 advice fix); at
-    100 TB this is the "compute signatures once, persist to storage"
-    layout."""
+
+    Only the ``COS_BANDS * b`` planes the banding will consume are
+    folded, with b the in-plan count rung (``_cos_bits_expr`` — one
+    definition shared with ``_cos_band_rows``): each signature bit is
+    guarded by CASE WHEN i < 4b (``_cos_sig_prefix``), so a gate-SF
+    corpus (b=4) folds 16 dots per row, a 500k corpus (b=12) folds 48,
+    and only a near-ceiling corpus pays all 64 — the unconditional
+    64-plane fold was measured ~4-5x the whole query at sf0.01-0.1
+    (SCALING r8 catch).  Corpus-cardinality, so NO width cap (the r7
+    ``shared_plan(width=8)`` choked the band explode's map side at 8
+    tasks — r8 advice fix); at 100 TB this is the "compute signatures
+    once, persist to storage" layout, with exactly the rung's planes
+    in the persisted bytes."""
     from ..functions.vectors import with_norm
     from ._util import shared_frame, shared_persist
 
     def build() -> DataFrame:
-        e = with_norm(
-            # fanout: the 64-plane signature + norm math is row-local
-            # and heavy — spread the single-row-group scan first.
-            fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
-                "vec_id", as_double("embedding").alias("v")
+        base = fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+        # the rung rides the plan as a broadcast 1-row count aggregate
+        # (the _cos_band_rows pmod attach); shared_persist registers
+        # without compiling an RDD, so the hint fires at first action
+        nb = base.agg(F.count("*").alias("n_vec")).withColumn(
+            "_k", F.pmod(F.col("n_vec"), F.lit(1))
+        )
+        nbits = COS_BANDS * _cos_bits_expr(F.col("n_vec"))
+        e = (
+            with_norm(base)
+            # fanout above: the signature + norm math is row-local and
+            # heavy — spread the single-row-group scan first.
+            .withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
+            .join(F.broadcast(nb), "_k")
+            .withColumn(
+                "sig",
+                _cos_sig_prefix(
+                    F.col("v"), nbits, max_bits=COS_BANDS * COS_MAX_BITS
+                ),
             )
-        ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+            .drop("_k", "n_vec")
+        )
         return shared_persist(e)
 
     return shared_frame(spark, sf_dir, "cos_sig64", build, mtime_table="embeddings")
