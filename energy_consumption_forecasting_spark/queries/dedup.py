@@ -1002,6 +1002,69 @@ SEMDEDUP_TAU = COS_THRESHOLD  # keep policy threshold, shared with oracle
 SEMDEDUP_TARGET_BUCKET = 50
 
 
+def _semdedup_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persisted SemDeDup scored frame
+    (vec_id, label, v, nrm, sub): normalized vectors plus the
+    count-derived sub-bucket refinement key.
+
+    The (n, c) stats ride the plan as a broadcast 1-row aggregate (the
+    _cos_band_rows pmod attach — construction launches no job) and the
+    bit choice is the same integer-rung filter, in-plan; each
+    signature bit is guarded by CASE WHEN i < b so only the b planes
+    the rung needs are folded per row (_cos_sig_prefix), equal to the
+    old driver-side branch by prefix semantics (b=0 → '').
+
+    ``shared_persist`` is load-bearing, not just a purity device: the
+    dominance pass references this frame THREE times (both self-join
+    sides + the survivor anti-join), and un-persisted each reference
+    re-ran the corpus countDistinct aggregate and the scoring pass —
+    measured 0.9s → 2.2s at sf0.1 when the r8 in-plan rewrite first
+    shipped without it (the old driver-collect form computed the stats
+    once and re-scanned only the cheap scoring)."""
+    from ..functions.vectors import with_norm
+    from ._util import shared_frame, shared_persist
+
+    def build() -> DataFrame:
+        base = tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+        nb = base.agg(
+            F.count("*").alias("n"), F.countDistinct("label").alias("c")
+        ).withColumn("_k", F.pmod(F.col("n"), F.lit(1)))
+        rungs = F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), F.lit(1 << b).alias("p2"))
+                for b in range(0, 17)
+            ]
+        )
+        bits_col = F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        rungs,
+                        lambda s: s["p2"].cast("long")
+                        * F.col("c")
+                        * F.lit(SEMDEDUP_TARGET_BUCKET)
+                        >= F.col("n"),
+                    ),
+                    lambda s: s["b"],
+                )
+            ),
+            F.lit(16),
+        )
+        return shared_persist(
+            with_norm(base)
+            .withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
+            .join(F.broadcast(nb), "_k")
+            .withColumn("sub", _cos_sig_prefix(F.col("v"), bits_col))
+            .drop("_k", "n", "c")
+        )
+
+    return shared_frame(
+        spark, sf_dir, "semdedup_sub", build, mtime_table="embeddings"
+    )
+
+
 def _semdedup_bits(n: int, c: int, target: int = SEMDEDUP_TARGET_BUCKET) -> int:
     """Smallest b in [0, 16] with c * target * 2^b >= n — INTEGER-only
     derivation (no log2: libm rounding at a power-of-two boundary could
@@ -1085,49 +1148,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, labels are the IVF cell assignment
     (operators/ann.py::build_ivf) computed once and reused by the ANN
     tiers, and the target keeps each cell's dominance pass bounded."""
-    from ..functions.vectors import cosine_prenormed, with_norm
+    from ..functions.vectors import cosine_prenormed
 
-    base = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
-    # r8: the (n, c) stats ride the plan as a broadcast 1-row aggregate
-    # (the _cos_band_rows pmod attach — construction launches no job)
-    # and the bit choice is the same integer-rung filter, in-plan; each
-    # signature bit is guarded by CASE WHEN i < b so only the b planes
-    # the rung needs are folded per row (_cos_sig_prefix — the
-    # unguarded substring-of-16 form tripled the sf0.1 wall), equal to
-    # the old driver-side branch by prefix semantics (b=0 → '').
-    nb = base.agg(
-        F.count("*").alias("n"), F.countDistinct("label").alias("c")
-    ).withColumn("_k", F.pmod(F.col("n"), F.lit(1)))
-    rungs = F.array(
-        *[
-            F.struct(F.lit(b).alias("b"), F.lit(1 << b).alias("p2"))
-            for b in range(0, 17)
-        ]
-    )
-    bits_col = F.coalesce(
-        F.array_min(
-            F.transform(
-                F.filter(
-                    rungs,
-                    lambda s: s["p2"].cast("long")
-                    * F.col("c")
-                    * F.lit(SEMDEDUP_TARGET_BUCKET)
-                    >= F.col("n"),
-                ),
-                lambda s: s["b"],
-            )
-        ),
-        F.lit(16),
-    )
-    e = (
-        with_norm(base)
-        .withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
-        .join(F.broadcast(nb), "_k")
-        .withColumn("sub", _cos_sig_prefix(F.col("v"), bits_col))
-        .drop("_k", "n", "c")
-    )
+    e = _semdedup_sub_frame(spark, sf_dir)
     keys = ["label", "sub"]
     a = e.select(
         *keys,
