@@ -413,6 +413,15 @@ def main() -> None:
         "- `graph_pagerank` edges derive from lineitem, which grows 10×",
         "  on the last step — a ~2.4× wall ratio on 10× data is",
         "  sub-linear (fixed 10-iteration job floor amortizing).",
+        "- Rows riding a session-shared persisted frame (the cosine",
+        "  signature, SemDeDup scored, MinHash signature, and graph edge",
+        "  frames) pay that frame's ONE-TIME build inside their single",
+        "  measured execution at each SF — the probe measures each query",
+        "  once per SF, so the build cannot amortize here the way it does",
+        "  across a session (or a production pipeline, where the frame is",
+        "  computed once and persisted to storage).  BENCH_r08_local /",
+        "  BENCH_r08_sf1 (median of 3 round-robin reps) show the warm",
+        "  steady state.",
     ]
     import json
     import os
