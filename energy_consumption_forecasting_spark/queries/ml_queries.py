@@ -811,6 +811,39 @@ def m19_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- M23: exact AUC via the rank-sum identity ---------------------------------------
+def auc_from_scores(scored: DataFrame) -> DataFrame:
+    """(num2, p, n, auc) from a (pos, score) frame via the
+    Mann-Whitney identity AUC = (2C + T) / (2PN) — all integers until
+    the one emitted division.  Scores are grouped FIRST so the
+    ordering window runs over the distinct-score table, never the
+    corpus.  Factored out of m23_auc_exact so the Hanley-McNeil-1982
+    external-golden test (tests/test_ml_extras.py) drives the
+    IDENTICAL algebra the registered query runs."""
+    per_score = scored.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum(2 * F.col("np") * F.col("neg_below") + F.col("np") * F.col("nn"))
+        .cast("long")
+        .alias("num2"),
+        F.sum("np").cast("long").alias("p"),
+        F.sum("nn").cast("long").alias("n"),
+    )
+    return agg.select(
+        "num2",
+        "p",
+        "n",
+        (
+            F.col("num2").cast("double") / (2 * F.col("p") * F.col("n")).cast("double")
+        ).alias("auc"),
+    )
+
+
 @query(
     "m23_auc_exact",
     oracle="""
@@ -878,29 +911,7 @@ def m23_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("a")
         ).alias("score"),
     )
-    per_score = scored.groupBy("score").agg(
-        F.sum("pos").cast("long").alias("np"),
-        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_score.withColumn(
-        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0))
-    )
-    agg = cum.agg(
-        F.sum(2 * F.col("np") * F.col("neg_below") + F.col("np") * F.col("nn"))
-        .cast("long")
-        .alias("num2"),
-        F.sum("np").cast("long").alias("p"),
-        F.sum("nn").cast("long").alias("n"),
-    )
-    return agg.select(
-        "num2",
-        "p",
-        "n",
-        (
-            F.col("num2").cast("double") / (2 * F.col("p") * F.col("n")).cast("double")
-        ).alias("auc"),
-    )
+    return auc_from_scores(scored)
 
 
 # --- M24: ROC curve points (exact, per distinct score) ------------------------------

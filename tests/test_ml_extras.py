@@ -1213,3 +1213,41 @@ def test_kaplan_meier_external_golden(spark):
     haz = {r["d"]: r["cum_hazard"] for r in nelson_aalen_hazard(life).collect()}
     for t, (num, den) in g["na_cum_hazard_fractions"].items():
         assert abs(haz[int(t)] - float(Fraction(num, den))) < 1e-12, f"H({t})"
+
+
+def test_auc_external_golden(spark):
+    """The exact-AUC core vs the PUBLISHED Hanley-McNeil 1982 CT
+    rating study — the canonical worked example for the area under the
+    ROC curve (their nonparametric W = 0.893).  The (pos, score) ->
+    (num2, p, n, auc) algebra driven here is the SAME code the
+    registered m23_auc_exact query runs (auc_from_scores); expected
+    values are the hand-derived exact integers and fraction recorded
+    with their derivation in the fixture."""
+    import json
+    import os
+    from fractions import Fraction
+
+    from energy_consumption_forecasting_spark.queries.ml_queries import (
+        auc_from_scores,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__),
+        "fixtures",
+        "auc_hanley_mcneil_external_golden.json",
+    )
+    g = json.load(open(path))
+    rows = []
+    for rating, cnt in g["normal_rating_counts"].items():
+        rows += [(0, float(rating))] * cnt
+    for rating, cnt in g["abnormal_rating_counts"].items():
+        rows += [(1, float(rating))] * cnt
+    scored = spark.createDataFrame(rows, "pos int, score double")
+    out = auc_from_scores(scored).collect()[0]
+    exp = g["expected"]
+    assert out["num2"] == exp["num2"]
+    assert out["p"] == exp["p"]
+    assert out["n"] == exp["n"]
+    num, den = exp["auc_fraction"]
+    assert abs(out["auc"] - float(Fraction(num, den))) < 1e-15
+    assert round(out["auc"], 3) == exp["auc_published_3dp"]
