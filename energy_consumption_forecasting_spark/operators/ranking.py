@@ -345,6 +345,7 @@ def global_prefix_sum_lazy(
     bucket: Column,
     cum_col: str = "cum",
     total_col: str | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """The prefix-sum twin of :func:`global_row_number_lazy` — ZERO
     driver actions: per-bucket partial sums, exclusive offsets, and
@@ -388,8 +389,12 @@ def global_prefix_sum_lazy(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # broadcast_offsets=False: same escape hatch as the row-number
+    # twin — preparing a lazy-checkpointed plan holding the explicit
+    # hint submits the broadcast future at .rdd construction.
+    offs_side = F.broadcast(offs) if broadcast_offsets else offs
     return (
-        tagged.join(F.broadcast(offs), _BKT, "left")
+        tagged.join(offs_side, _BKT, "left")
         .withColumn(
             cum_col,
             (F.sum(F.col(value_col)).over(w_local) + guarded_off).cast(

@@ -501,57 +501,73 @@ def _cos_bands_sql(src_count: str = "(SELECT COUNT(*) FROM embeddings)") -> str:
     )"""
 
 
-def _cos_bits_expr(n_col: Column) -> Column:
-    """Smallest band-bit rung b with BANDS*TARGET*2^b >= N, as a pure
+def _min_rung_expr(
+    n_col: Column, bound_col: Column, lo: int, hi: int, default: int
+) -> Column:
+    """Smallest rung b in [lo, hi] with bound·2^b >= N, as a pure
     integer expression over precomputed 2^b literals (no float log2 —
-    the 2^53 integer→double determinism rule).  ONE definition shared
-    by the banding (:func:`_cos_band_rows`) and the signature frame
-    (:func:`_cos_sig_frame`) so the folded bit count can never drift
-    from the bits the banding consumes."""
+    the 2^53 integer→double determinism rule); ``default`` when no
+    rung satisfies the bound (MIN over the empty set is NULL).  The
+    ONE definition of the rung-filter idiom — the cosine banding
+    (:func:`_cos_bits_expr`) and the SemDeDup refinement
+    (:func:`_semdedup_sub_frame`) both instantiate it, so a rule
+    change cannot be applied to one and silently missed in the other
+    (r8 review catch: the first cut duplicated the algebra inline)."""
     rungs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.lit(COS_BANDS * COS_TARGET_BUCKET * (1 << b)).alias("bound"),
-            )
-            for b in range(COS_MIN_BITS, COS_MAX_BITS + 1)
+            F.struct(F.lit(b).alias("b"), F.lit(1 << b).alias("p2"))
+            for b in range(lo, hi + 1)
         ]
     )
     return F.coalesce(
         F.array_min(
             F.transform(
-                F.filter(rungs, lambda s: s["bound"] >= n_col),
+                F.filter(
+                    rungs,
+                    lambda s: s["p2"].cast("long") * bound_col >= n_col,
+                ),
                 lambda s: s["b"],
             )
         ),
-        F.lit(COS_MAX_BITS),
+        F.lit(default),
+    )
+
+
+def _cos_bits_expr(n_col: Column) -> Column:
+    """Smallest band-bit rung b with BANDS*TARGET*2^b >= N — the
+    banding instantiation of :func:`_min_rung_expr`, shared by
+    :func:`_cos_band_rows`'s oracle twin and the signature frame
+    (:func:`_cos_sig_frame`) so the folded bit count can never drift
+    from the bits the banding consumes."""
+    return _min_rung_expr(
+        n_col,
+        F.lit(COS_BANDS * COS_TARGET_BUCKET).cast("long"),
+        COS_MIN_BITS,
+        COS_MAX_BITS,
+        COS_MAX_BITS,
     )
 
 
 def _cos_band_rows(e: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) with corpus-adaptive banding over a frame
     carrying (vec_id, sig): count-derived band bits (see the rule at
-    COS_MIN_BITS) plus the COS_BUCKET_CAP population backstop.  The
-    bit choice rides the plan as a broadcast 1-row count aggregate —
-    construction stays pure."""
+    COS_MIN_BITS) plus the COS_BUCKET_CAP population backstop.
+
+    The band width is read STRUCTURALLY from the signature the frame
+    already carries — ``length(sig) div COS_BANDS`` — because
+    ``_cos_sig_frame`` folds exactly ``COS_BANDS·b`` planes for the
+    corpus rung b (``_cos_bits_expr``).  Re-deriving b from a fresh
+    count here (the first r8 cut) left an implicit count-equality
+    coupling: a filtered view of the frame crossing a rung boundary
+    would have substring'd past the folded width and silently
+    collapsed the high bands into one '' bucket (r8 review catch).
+    Reading the width from the sig makes the coupling structural AND
+    drops one corpus aggregate + broadcast join per execution."""
     from pyspark.sql import Window
 
-    # scalar attaches via an equi-join, not crossJoin: a crossJoin with
-    # the 1-row aggregate plans as BroadcastNestedLoopJoin, and the
-    # dedup family's plan guard (test_scale_ops) bans that operator
-    # class outright.  A literal key folds away (Catalyst rewrites the
-    # equi-join back to BNL), so both sides carry the NON-FOLDABLE
-    # runtime constant pmod(<non-negative col>, 1) == 0 — the planner
-    # keeps a BroadcastHashJoin on it.
-    n = e.agg(F.count("*").alias("n_vec")).withColumn(
-        "_k", F.pmod(F.col("n_vec"), F.lit(1))
-    )
-    bits = _cos_bits_expr(F.col("n_vec"))
     w = Window.partitionBy("band", "bucket").orderBy("vec_id")
     return (
-        e.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
-        .join(F.broadcast(n), "_k")
-        .withColumn("bits", bits)
+        e.withColumn("bits", F.expr(f"length(sig) div {COS_BANDS}"))
         .select(
             "vec_id",
             "sig",
@@ -657,30 +673,41 @@ def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
             "vec_id", as_double("embedding").alias("v")
         )
-        # the rung rides the plan as a broadcast 1-row count aggregate
-        # (the _cos_band_rows pmod attach); shared_persist registers
-        # without compiling an RDD, so the hint fires at first action
-        nb = base.agg(F.count("*").alias("n_vec")).withColumn(
-            "_k", F.pmod(F.col("n_vec"), F.lit(1))
-        )
-        nbits = COS_BANDS * _cos_bits_expr(F.col("n_vec"))
-        e = (
-            with_norm(base)
-            # fanout above: the signature + norm math is row-local and
-            # heavy — spread the single-row-group scan first.
-            .withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
-            .join(F.broadcast(nb), "_k")
-            .withColumn(
-                "sig",
-                _cos_sig_prefix(
-                    F.col("v"), nbits, max_bits=COS_BANDS * COS_MAX_BITS
-                ),
-            )
-            .drop("_k", "n_vec")
-        )
-        return shared_persist(e)
+        # fanout above: the signature + norm math is row-local and
+        # heavy — spread the single-row-group scan first.
+        return shared_persist(attach_rung_sig(with_norm(base)))
 
     return shared_frame(spark, sf_dir, "cos_sig64", build, mtime_table="embeddings")
+
+
+def attach_rung_sig(base: DataFrame) -> DataFrame:
+    """Fold the corpus-rung-width signature (``COS_BANDS·b`` bits,
+    b = ``_cos_bits_expr`` of the in-plan count) onto a frame carrying
+    (vec_id, v, ...).  THE fold path — ``_cos_sig_frame`` and the
+    scale tests both call it, so the banding
+    (:func:`_cos_band_rows`, which reads the band width structurally
+    from ``length(sig)``) always consumes exactly the folded width.
+
+    The rung rides the plan as a broadcast 1-row count aggregate (the
+    pmod equi-join attach — a non-foldable runtime-constant key keeps
+    the planner on BroadcastHashJoin, never the BNL the dedup plan
+    guard bans); under ``shared_persist`` registration is job-free and
+    the hint fires at first action."""
+    nb = base.agg(F.count("*").alias("n_vec")).withColumn(
+        "_k", F.pmod(F.col("n_vec"), F.lit(1))
+    )
+    nbits = COS_BANDS * _cos_bits_expr(F.col("n_vec"))
+    return (
+        base.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
+        .join(F.broadcast(nb), "_k")
+        .withColumn(
+            "sig",
+            _cos_sig_prefix(
+                F.col("v"), nbits, max_bits=COS_BANDS * COS_MAX_BITS
+            ),
+        )
+        .drop("_k", "n_vec")
+    )
 
 
 @query(
@@ -1031,26 +1058,14 @@ def _semdedup_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = base.agg(
             F.count("*").alias("n"), F.countDistinct("label").alias("c")
         ).withColumn("_k", F.pmod(F.col("n"), F.lit(1)))
-        rungs = F.array(
-            *[
-                F.struct(F.lit(b).alias("b"), F.lit(1 << b).alias("p2"))
-                for b in range(0, 17)
-            ]
-        )
-        bits_col = F.coalesce(
-            F.array_min(
-                F.transform(
-                    F.filter(
-                        rungs,
-                        lambda s: s["p2"].cast("long")
-                        * F.col("c")
-                        * F.lit(SEMDEDUP_TARGET_BUCKET)
-                        >= F.col("n"),
-                    ),
-                    lambda s: s["b"],
-                )
-            ),
-            F.lit(16),
+        # the SemDeDup instantiation of the shared rung filter: per-
+        # LABEL bound c*target, rungs 0..16 (b=0 ⇒ refinement inert)
+        bits_col = _min_rung_expr(
+            F.col("n"),
+            F.col("c") * F.lit(SEMDEDUP_TARGET_BUCKET),
+            0,
+            16,
+            16,
         )
         return shared_persist(
             with_norm(base)

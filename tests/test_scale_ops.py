@@ -647,9 +647,8 @@ def test_cos_band_rows_adaptive_bits_recall(spark):
     from energy_consumption_forecasting_spark.queries.dedup import (
         COS_BANDS,
         COS_BUCKET_CAP,
-        COS_MAX_BITS,
         _cos_band_rows,
-        _cos_sig,
+        attach_rung_sig,
     )
     from energy_consumption_forecasting_spark.functions.vectors import (
         as_double,
@@ -664,9 +663,11 @@ def test_cos_band_rows_adaptive_bits_recall(spark):
     vecs = np.vstack([base, twin])
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    e = df.select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+    # the production fold path: rung-width sig from the in-plan count
+    # (banding reads the band width structurally from length(sig))
+    e = attach_rung_sig(
+        df.select("vec_id", as_double("embedding").alias("v"))
+    )
 
     want_bits = _expected_cos_bits(len(rows))
     assert want_bits == 8  # 128 * 2^8 = 32768 >= 30000, one fewer fails
@@ -705,11 +706,9 @@ def test_cos_bucket_cap_binds_on_planted_cluster(spark):
     from collections import Counter
 
     from energy_consumption_forecasting_spark.queries.dedup import (
-        COS_BANDS,
         COS_BUCKET_CAP,
-        COS_MAX_BITS,
         _cos_band_rows,
-        _cos_sig,
+        attach_rung_sig,
     )
     from energy_consumption_forecasting_spark.functions.vectors import (
         as_double,
@@ -722,9 +721,9 @@ def test_cos_bucket_cap_binds_on_planted_cluster(spark):
     vecs = [one] * n_cluster + list(rng.normal(size=(n_noise, dim)))
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    e = df.select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
+    e = attach_rung_sig(
+        df.select("vec_id", as_double("embedding").alias("v"))
+    )
 
     bands = _cos_band_rows(e).collect()
     pop = Counter((r.band, r.bucket) for r in bands)
@@ -751,10 +750,9 @@ def test_cos_band_rows_500k_planted_twin_recall(spark):
     from energy_consumption_forecasting_spark.queries.dedup import (
         COS_BANDS,
         COS_BUCKET_CAP,
-        COS_MAX_BITS,
         COS_TARGET_BUCKET,
         _cos_band_rows,
-        _cos_sig,
+        attach_rung_sig,
     )
 
     n_base = 250_000
@@ -797,11 +795,9 @@ def test_cos_band_rows_500k_planted_twin_recall(spark):
             lambda x, y: x + 0.005 * y,
         ).alias("v"),
     )
-    e = (
+    e = attach_rung_sig(
         base.unionByName(twins)
-        .withColumn("sig", _cos_sig(F.col("v"), COS_BANDS * COS_MAX_BITS))
-        .localCheckpoint()  # sig computed once; bands + recall reuse it
-    )
+    ).localCheckpoint()  # sig computed once; bands + recall reuse it
     bands = _cos_band_rows(e)
 
     # bit rung + bounded pair work, computed Spark-side (no collect of
