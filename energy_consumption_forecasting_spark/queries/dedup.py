@@ -624,27 +624,34 @@ def _cos_sig(vec_col, n_bits: int = 16) -> Column:
 
 def _cos_sig_prefix(vec_col, nbits_col: Column, max_bits: int = 16) -> Column:
     """``_cos_sig`` truncated to a DATA-DEPENDENT bit count without
-    paying for the untaken planes: each plane's fold-dot sits behind
-    its own ``CASE WHEN i < nbits_col`` guard (CASE evaluates branches
-    lazily in both interpreted and codegen paths), so a corpus at rung
-    b folds exactly b dots per row.  By prefix semantics this equals
-    ``substring(_cos_sig(v, max_bits), 1, nbits_col)`` — which is what
-    the r8 purity rewrite of dedup_semantic first shipped, folding all
-    16 planes for every row and tripling the query's wall-clock at
-    sf0.1 (bench_diff catch, 0.99s → 2.68s)."""
+    paying for the untaken planes: the planes ship as ONE array
+    literal, ``slice(planes, 1, nbits)`` keeps exactly the rung's
+    prefix, and a single ``transform`` lambda folds each kept plane's
+    sign bit — so a corpus at rung b folds exactly b dots per row, in
+    the same index order as ``dot``/``list_dot_product`` (bit-exact
+    with the per-plane unrolled form and the oracle).  By prefix
+    semantics this equals ``substring(_cos_sig(v, max_bits), 1,
+    nbits_col)`` — which is what the r8 purity rewrite of
+    dedup_semantic first shipped, folding all 16 planes for every row
+    and tripling the query's wall-clock at sf0.1 (bench_diff catch,
+    0.99s → 2.68s).  The first cut of THIS helper unrolled one
+    CASE-guarded fold per plane; at 64 planes that expression tree
+    cost ~3.5s of codegen compile on the plan's first execution
+    (measured vs 0.44s for the slice/transform form, outputs
+    identical)."""
     from ._lsh_planes import PLANES64
     from ..functions.vectors import dot
 
-    parts = [
-        F.when(
-            F.lit(i) < nbits_col,
-            F.when(
-                dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1"
-            ).otherwise("0"),
-        ).otherwise("")
-        for i, row in enumerate(PLANES64[:max_bits])
-    ]
-    return F.concat(*parts)
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in PLANES64[:max_bits]]
+    )
+    return F.array_join(
+        F.transform(
+            F.slice(planes, F.lit(1), nbits_col),
+            lambda p: F.when(dot(vec_col, p) >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
 
 
 def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
