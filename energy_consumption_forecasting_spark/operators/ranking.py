@@ -354,12 +354,16 @@ def global_prefix_sum_lazy(
     sum is one lazy plan.
 
     ``bucket`` must be a MONOTONE coarse function of ``order_cols``
-    with bounded cardinality AND roughly even load — calendar keys
-    over a date order qualify; value bands over a CONCENTRATED value
-    distribution do NOT (most rows land in one band and its window
-    degenerates to a single task — use the eager two-pass
+    with bounded cardinality AND roughly even load.  Calendar keys over
+    a date order qualify, and so do FIXED-WIDTH bands over a bounded,
+    size-invariant value RANGE (the ``_rev_cum_lazy`` 2^24 revenue
+    bands: band count is range/width regardless of N, and no band
+    dominates — assert that with a scaling probe when adopting one).
+    What does NOT qualify is log2/coarse banding over a CONCENTRATED
+    value distribution, where most rows land in one band and its window
+    degenerates to a single task — there, use the eager two-pass
     ``global_prefix_sum``, whose repartitionByRange samples balanced
-    quantiles).  The offsets window is the sanctioned single-partition
+    quantiles.  The offsets window is the sanctioned single-partition
     window over the per-bucket SUMS, never the data.  NULL buckets
     trip ``raise_error`` lazily like the row-number twin."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]

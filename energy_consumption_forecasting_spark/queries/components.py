@@ -40,23 +40,24 @@ from .dedup import (
     _SHINGLES_SQL,
     _band_rows,
     _minhash_sigs,
-    _pairs_from_members,
+    _pairs_from_members_chunked,
 )
 
 MAX_CC_ROUNDS = 12
 
 
 def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate edges (md5(text) groups), via bounded member
-    lists — identical-text docs with < 3 tokens have no shingles, so
-    LSH alone would miss them."""
+    """Exact-duplicate edges (md5(text) groups), chunk-bounded — a
+    planted k-identical-doc corpus is ONE hash group, so the expansion
+    must never hold its k²/2 pairs in a single row; identical-text docs
+    with < 3 tokens have no shingles, so LSH alone would miss them."""
     members = (
         tbl(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("h"))
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    return _pairs_from_members(members)
+    return _pairs_from_members_chunked(members, ["h"])
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +68,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    return _pairs_from_members(members).distinct()
+    return _pairs_from_members_chunked(members, ["band", "bucket"]).distinct()
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:

@@ -908,40 +908,47 @@ def a_approx_percentile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x")
     )
-    n = li.count()
-    approx = li.agg(
-        F.percentile_approx("x", ps).alias("qs")
-    ).first()["qs"]
-    # default accuracy: relative rank error 1/10000; allow one extra
-    # row of slack for ties/boundary rounding
-    eps = n / 10000.0 + 1
-    # ONE conditional aggregate computes all 2×|ps| exact ranks in a
-    # single scan (the per-probe filter+count loop was 8 scans —
-    # review catch)
-    aggs = []
-    for i, v in enumerate(approx):
+    # ONE lazy plan (r9 purity root-cause — was 3 driver actions +
+    # createDataFrame): the 1-row sketch aggregate is scalar-attached
+    # back onto the scan by broadcast (the sanctioned 1-row crossJoin
+    # idiom), the 2×|ps| exact ranks fold into ONE conditional
+    # aggregate, and the per-probe verdict rows come from a literal
+    # posexplode — no collect anywhere.
+    sketch = li.agg(
+        F.percentile_approx("x", ps).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    aggs = [F.first("n").alias("n")]
+    for i in range(len(ps)):
+        q_i = F.element_at("qs", i + 1)
         aggs.append(
-            F.sum(F.when(F.col("x") <= float(v), 1).otherwise(0)).alias(
-                f"le_{i}"
-            )
+            F.sum(F.when(F.col("x") <= q_i, 1).otherwise(0)).alias(f"le_{i}")
         )
         aggs.append(
-            F.sum(F.when(F.col("x") < float(v), 1).otherwise(0)).alias(
-                f"lt_{i}"
-            )
+            F.sum(F.when(F.col("x") < q_i, 1).otherwise(0)).alias(f"lt_{i}")
         )
-    ranks = li.agg(*aggs).first()
-    out = []
-    for i, p in enumerate(ps):
-        rank_le, rank_lt = ranks[f"le_{i}"], ranks[f"lt_{i}"]
-        target = p * n
-        # the sketch answer is correct if SOME rank in [rank_lt+1,
-        # rank_le] (the positions the value occupies) is within eps of
-        # the target rank
-        ok = (rank_lt + 1) - eps <= target <= rank_le + eps
-        out.append((float(p), n, bool(ok)))
-    return spark.createDataFrame(
-        out, "p double, n_rows long, rank_error_ok boolean"
+    ranks = li.crossJoin(F.broadcast(sketch)).agg(*aggs)
+    le_arr = F.array(*[F.col(f"le_{i}") for i in range(len(ps))])
+    lt_arr = F.array(*[F.col(f"lt_{i}") for i in range(len(ps))])
+    probes = ranks.select(
+        "n",
+        F.posexplode(F.array(*[F.lit(float(p)) for p in ps])).alias("i", "p"),
+        le_arr.alias("les"),
+        lt_arr.alias("lts"),
+    )
+    # default accuracy: relative rank error 1/10000; one extra row of
+    # slack for ties/boundary rounding.  The sketch answer is correct
+    # if SOME rank in [rank_lt+1, rank_le] (the positions the value
+    # occupies) is within eps of the target rank.
+    eps = F.col("n") / 10000.0 + 1
+    target = F.col("p") * F.col("n")
+    rank_le = F.element_at("les", F.col("i") + 1)
+    rank_lt = F.element_at("lts", F.col("i") + 1)
+    ok = ((rank_lt + 1) - eps <= target) & (target <= rank_le + eps)
+    return probes.select(
+        F.col("p").cast("double").alias("p"),
+        F.col("n").alias("n_rows"),
+        ok.alias("rank_error_ok"),
     )
 
 

@@ -848,8 +848,12 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key orphan audit across the star schema — the
     data-quality check every warehouse load runs (and the one that
     catches a broken incremental ingest before a join silently drops
-    rows).  Each FK is one anti-join count; dimension sides broadcast;
-    exact integers."""
+    rows).  Each FK is one left-join aggregate (n_rows = count,
+    n_orphans = unmatched count — parent keys are PKs, so the join
+    never fans out) and the four audits union into ONE lazy plan:
+    construction is pure (r9, was 8 driver actions + createDataFrame),
+    and at action time Spark runs the four audits as one job instead
+    of eight."""
     fks = [
         (
             "lineitem.l_orderkey -> orders",
@@ -880,15 +884,23 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    rows = []
+    from functools import reduce
+
+    frames = []
     for name, child, parent in fks:
         key = child.columns[0]
-        n_rows = child.count()
-        n_orphans = child.join(parent, key, "left_anti").count()
-        rows.append((name, n_rows, n_orphans))
-    return spark.createDataFrame(
-        rows, "fk string, n_rows long, n_orphans long"
-    )
+        marked = parent.distinct().withColumn("__hit", F.lit(1))
+        frames.append(
+            child.join(marked, key, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__hit").isNull(), 1)), F.lit(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+    return reduce(DataFrame.unionByName, frames)
 
 
 # --- autocorrelation / partial autocorrelation of the daily series -------------------

@@ -988,10 +988,12 @@ def _mmr_cand_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``shared_persist`` instead of a lazy checkpoint on purpose: the
     pool's subtree carries an EXPLICIT ``F.broadcast(q)`` hint (queries
-    are per-request constants — the broadcast is right at any scale),
-    and taking ``.rdd`` on a plan holding an explicit-hint
-    BroadcastHashJoin submits the broadcast future at construction
-    (the old SHARED purity exemption).  ``persist()`` registers the
+    are per-request constants — the broadcast is right at any scale;
+    the ``query_id != vec_id`` condition has no equi key, so it plans
+    as a BroadcastNestedLoopJoin, not a BroadcastHashJoin), and taking
+    ``.rdd`` on a plan holding an explicit-hint broadcast join submits
+    the broadcast future at construction (the old SHARED purity
+    exemption).  ``persist()`` registers the
     cache without compiling an RDD, so construction stays zero-job and
     the broadcast fires at first real action; downstream lazy
     checkpoints over the unmaterialized cache stay pure

@@ -120,7 +120,9 @@ EXEMPT: dict[str, str] = {
     "pipeline_bpe_roundtrip": "FIT",
     "pipeline_unigram_encode": "FIT",
     "emb_whitening_eval": "FIT",
-    "a_approx_percentile_eval": "FIT",
+    # a_approx_percentile_eval: un-exempted r9 — the sketch quantiles
+    # are scalar-attached in-plan (1-row broadcast) and the verdicts
+    # come from a literal posexplode; zero construction jobs.
     "m11_lstm_eval": "FIT",
     "m15_shap_eval": "FIT",
     "m16_ablation_eval": "FIT",
@@ -129,7 +131,9 @@ EXEMPT: dict[str, str] = {
     "pipeline_unigram_eval": "FIT",
     "pipeline_classifier_eval": "FIT",
     "m9_arima_eval": "FIT",
-    "dq_referential_integrity": "FIT",
+    # dq_referential_integrity: un-exempted r9 — the four FK audits
+    # (8 driver actions + createDataFrame) became one lazy union of
+    # left-join aggregates; construction is pure.
     "sim_ivf_topk": "FIT",
     "sim_pq_topk": "FIT",
     "sim_opq_topk": "FIT",
@@ -146,8 +150,9 @@ EXEMPT: dict[str, str] = {
     "graph_personalized_pagerank": "ITER",
     "graph_modularity": "ITER",
     "dedup_connected_components": "ITER",
-    "dedup_lsh_quality": "ITER",
-    "dedup_lsh_quality_hi": "ITER",
+    # dedup_lsh_quality(_hi): un-exempted r9 — the three TP/FN/FP
+    # counts became one full-outer membership join + aggregate
+    # (_lsh_quality_frame); zero construction jobs, one job not three.
     # --- two-pass distributed rank / prefix sum ---------------------------
     # a_pareto_abc / a_abc_xyz: un-exempted r8 — the value-ordered
     # running total moved to global_prefix_sum_lazy with fixed-width

@@ -1251,3 +1251,75 @@ def test_auc_external_golden(spark):
     num, den = exp["auc_fraction"]
     assert abs(out["auc"] - float(Fraction(num, den))) < 1e-15
     assert round(out["auc"], 3) == exp["auc_published_3dp"]
+
+
+def test_dtw_external_golden(spark):
+    """Sakoe–Chiba 1978 / Berndt–Clifford 1994 DTW recurrence against
+    hand-computed DP grids (r8 verdict item 7: the clustering core was
+    the last rows-only family without a published external anchor).
+    Integer inputs make every cell exact — comparisons are ==, both on
+    the driver kernel and through the distributed pair table."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.ml.clustering import (
+        _dtw,
+        dtw_distance_matrix,
+        kmedoids_from_distances,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "dtw_sbd_external_golden.json"
+    )
+    g = json.load(open(path))
+
+    for key in ("case_1", "case_2"):
+        c = g["dtw"][key]
+        a = np.asarray(c["a"], dtype=np.float64)
+        b = np.asarray(c["b"], dtype=np.float64)
+        assert _dtw(a, b) == c["dtw"], key
+        assert _dtw(b, a) == c["dtw"], f"{key} symmetry"
+    ident = np.asarray(g["dtw"]["identity_series"], dtype=np.float64)
+    assert _dtw(ident, ident) == g["dtw"]["identity_dtw"]
+
+    # the distributed pair table must carry the identical hand values
+    km = g["kmedoids"]
+    sdf = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(km["series"].items())],
+        "series_id string, series array<double>",
+    )
+    got = {
+        f"{r.id_a}|{r.id_b}": r.dtw
+        for r in dtw_distance_matrix(sdf).collect()
+    }
+    assert got == km["pair_dtw"]
+
+    # and k-medoids over those distances recovers the derived partition
+    labels = kmedoids_from_distances(dtw_distance_matrix(sdf), k=2)
+    (ga, gb) = km["partition"]
+    assert labels[ga[0]] == labels[ga[1]]
+    assert labels[gb[0]] == labels[gb[1]]
+    assert labels[ga[0]] != labels[gb[0]]
+
+
+def test_sbd_external_golden():
+    """k-Shape's shape-based distance (Paparrizos–Gravano 2015) against
+    hand-derived exact anchors: shift invariance (aligned impulses),
+    scale invariance (b = 2a), and the dyadic 3/4 of an alternating
+    pair — all == comparisons."""
+    import json
+    import os
+
+    from energy_consumption_forecasting_spark.ml.clustering import _sbd
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "dtw_sbd_external_golden.json"
+    )
+    g = json.load(open(path))["sbd"]
+    for key, c in g.items():
+        a = np.asarray(c["a"], dtype=np.float64)
+        b = np.asarray(c["b"], dtype=np.float64)
+        assert _sbd(a, b) == c["sbd"], key
+        assert _sbd(b, a) == c["sbd"], f"{key} symmetry"

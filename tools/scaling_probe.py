@@ -271,6 +271,94 @@ def _gen_sf10emb() -> None:
     open(os.path.join(SF10EMB_DIR, "_DONE"), "w").write("ok\n")
 
 
+SF10LI_DIR = "/root/repo/.stage/sf10li"
+SF10LI_JSON = "/root/repo/SCALE_PROBE_sf10_basket.json"
+
+# Round-9 verdict item 4: the basket/CF family is the largest sf1
+# block (7-8.5s each) with the steepest sf0.1 last-decade ratios among
+# shuffle-bearing queries (2.4-2.7x) and no sf10 evidence.  Probe the
+# 6M -> 60M lineitem decade: replica partkey offsets keep per-part
+# basket frequency constant, so pair support distribution — and with
+# it the chunk-split expansion — must scale linearly, not by pair
+# space.
+SF10LI_PROBES = ["a_basket_pairs", "a_basket_triples", "a_item_item_cf"]
+
+
+def _gen_sf10li() -> None:
+    """60M-row lineitem decade under .stage/sf10li (idempotent): the
+    EXACT _gen_sf1 family rule at 100 replicas of sf0.1 — per-replica
+    l_orderkey offsets (100x orders) and l_partkey offsets (100x
+    parts, per-part basket frequency invariant).  Only
+    lineitem.parquet: the three basket probes read nothing else.
+    Streamed one replica per row group through ParquetWriter so the
+    60M-row table never sits whole in memory."""
+    import os
+
+    if os.path.exists(os.path.join(SF10LI_DIR, "_DONE")):
+        return
+    os.makedirs(SF10LI_DIR, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.1"
+    li = pq.read_table(f"{src}/lineitem.parquet")
+    n_orders, n_parts = 150000, 20000
+    with pq.ParquetWriter(
+        f"{SF10LI_DIR}/lineitem.parquet", li.schema
+    ) as w:
+        for r in range(100):
+            t = li
+            ok = pa.compute.add(t["l_orderkey"], r * n_orders)
+            pk = pa.compute.add(t["l_partkey"], r * n_parts)
+            t = t.set_column(
+                t.schema.get_field_index("l_orderkey"), "l_orderkey", ok
+            )
+            t = t.set_column(
+                t.schema.get_field_index("l_partkey"), "l_partkey", pk
+            )
+            w.write_table(t)
+    open(os.path.join(SF10LI_DIR, "_DONE"), "w").write("ok\n")
+
+
+def run_sf10li(qs) -> None:
+    """Measure the basket/CF family at sf1 (6M lineitem) AND the
+    synthesized 60M decade; persist medians + samples + loadavg to the
+    committed SF10LI_JSON."""
+    import json
+    import os
+
+    _gen_sf1()
+    _gen_sf10li()
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
+    results: dict = {"reps": reps, "rows_sf1": 6_000_000, "rows_sf10": 60_000_000}
+    for name in SF10LI_PROBES:
+        entry: dict = {}
+        for tag, sf in (("sf1", SF1_DIR), ("sf10", SF10LI_DIR)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                qs[name](spark_holder[0], sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.time() - t0, 2))
+            entry[tag] = {
+                "median": sorted(samples)[len(samples) // 2],
+                "samples": samples,
+                "loadavg": round(os.getloadavg()[0], 1),
+            }
+        entry["decade_ratio"] = round(
+            entry["sf10"]["median"] / max(entry["sf1"]["median"], 1e-9), 2
+        )
+        results[name] = entry
+        print(
+            f"sf10 basket probe {name}: {entry['sf1']['median']:.2f}s -> "
+            f"{entry['sf10']['median']:.2f}s ({entry['decade_ratio']:.1f}x for 10x)"
+        )
+    with open(SF10LI_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {SF10LI_JSON}")
+
+
 def run_sf10emb(qs) -> None:
     """Measure the three adversarial embedding shapes at sf1 (50k) AND
     the synthesized 500k decade; persist medians + samples + loadavg to
@@ -350,6 +438,12 @@ def main() -> None:
         help="ONLY run the 500k-vector embedding decade for the three "
         "adversarial shapes and write SCALE_PROBE_sf10.json",
     )
+    ap.add_argument(
+        "--sf10-basket",
+        action="store_true",
+        help="ONLY run the 60M-lineitem decade for the basket/CF family "
+        "and write SCALE_PROBE_sf10_basket.json",
+    )
     args = ap.parse_args()
 
     from energy_consumption_forecasting_spark import get_spark
@@ -361,6 +455,9 @@ def main() -> None:
     spark_holder.append(spark)
     if args.sf10:
         run_sf10emb(qs)
+        return
+    if args.sf10_basket:
+        run_sf10li(qs)
         return
     if args.sf1:
         run_sf1(qs)
