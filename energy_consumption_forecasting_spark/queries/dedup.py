@@ -697,6 +697,32 @@ def _cos_band_rows(e: DataFrame) -> DataFrame:
     )
 
 
+def _cos_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared PERSISTED capped band rows — what the production
+    candidate generators consume instead of raw ``_cos_band_rows``.
+
+    Every caller SELF-JOINS the band rows for candidate pairs, and an
+    unshared frame re-runs the whole exchange→sort→window cap pipeline
+    on BOTH join sides (measured at the sf1 gate: sim_knn_graph's
+    candidate stage 12.8s unshared vs 3.5-5s shared — the r9 A/B that
+    attributed the r8 knn regression to this, not to recall-driven
+    candidate growth, which was only +8%).  ``shared_persist`` rather
+    than a lazy checkpoint because the sig subtree holds the
+    explicit-hint rung-attach broadcast: a checkpoint's ``.rdd``
+    submits that broadcast future (and the corpus count) at
+    construction, while ``persist()`` registers job-free and the hint
+    fires at first action — the identical reasoning (and trap) as
+    ``_mmr_cand_frame``."""
+    from ._util import shared_frame, shared_persist
+
+    def build() -> DataFrame:
+        return shared_persist(_cos_band_rows(_cos_sig_frame(spark, sf_dir)))
+
+    return shared_frame(
+        spark, sf_dir, "cos_bands", build, mtime_table="embeddings"
+    )
+
+
 def _planes16_sql() -> str:
     """The first 16 plane literals as a DuckDB list-of-lists expression
     (dedup_semantic's sub-bucket refinement needs at most 16 bits)."""
@@ -887,7 +913,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_prenormed
 
     e = _cos_sig_frame(spark, sf_dir)
-    bands = _cos_band_rows(e)
+    bands = _cos_band_frame(spark, sf_dir)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -1415,7 +1441,9 @@ _BITMAP_VOCAB_MAX = 64  # bitset verify tier: vocab must fit ONE long
 
 def _ppjoin_ordered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin document table: per doc, its tokens sorted by corpus
-    rarity (``sorted_toks``), plus the bitmap-tier columns (``mask``
+    rarity (``sorted_tids`` — integer ids from the same lazy rank
+    that assigns bit positions; strings never leave the vocabulary
+    join), plus the bitmap-tier columns (``mask``
     when the whole vocabulary fits one 64-bit word, the lazily-ranked
     vocabulary total ``vn``).
 
@@ -1489,10 +1517,19 @@ def _ppjoin_ordered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__vn").alias("vn"),
     )
     small = F.col("vn") <= _BITMAP_VOCAB_MAX
+    # Rarity-sorted token IDS, not strings (r9 verdict item 5): the
+    # prefix equi-join and the general-tier array_intersect only need
+    # token IDENTITY, and tid is a bijection of tok (the same lazy
+    # rank that assigns bit positions), so every downstream shuffle
+    # carries 4-byte ints instead of word strings and the intersect
+    # compares ints.  tok stays in the sort struct only to break
+    # frequency ties deterministically (same total order as before —
+    # the prefix principle holds under ANY shared order, and the
+    # emitted pair set is oracle-pinned either way).
     sort_agg = F.transform(
-        F.array_sort(F.collect_list(F.struct("f", "tok"))),
-        lambda s: s["tok"],
-    ).alias("sorted_toks")
+        F.array_sort(F.collect_list(F.struct("f", "tok", "tid"))),
+        lambda s: s["tid"],
+    ).alias("sorted_tids")
     ordered = (
         dt.join(freq, "tok")
         .groupBy("doc_id")
@@ -1564,13 +1601,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot-shingle cap): this one is exact AND sub-quadratic on
     realistic token-frequency skew."""
     ordered = _ppjoin_ordered_frame(spark, sf_dir)
-    n = F.size("sorted_toks")
+    n = F.size("sorted_tids")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
     prefixes = ordered.select(
         "doc_id",
         n.alias("n"),
         "mask",
-        F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
+        F.explode(F.slice("sorted_tids", 1, prefix_len)).alias("tok"),
     )
     # length filter (PPJoin): Jaccard >= tau forces min(|x|,|y|) >=
     # tau * max(|x|,|y|) — applied INSIDE the candidate join so skewed
@@ -1650,7 +1687,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = ordered.select(
         "doc_id",
         F.when(
-            F.col("vn") > _BITMAP_VOCAB_MAX, F.col("sorted_toks")
+            F.col("vn") > _BITMAP_VOCAB_MAX, F.col("sorted_tids")
         ).alias("vtoks"),
     )
     a = dv.select(F.col("doc_id").alias("doc_a"), F.col("vtoks").alias("ta"))
