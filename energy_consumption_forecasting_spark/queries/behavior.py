@@ -23,7 +23,7 @@ one, so the DuckDB oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -715,11 +715,15 @@ def w_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability from 'start' by fixed-point absorption iteration, and
     each channel's removal effect = 1 − conv(without channel)/conv.
 
-    The MATRIX is computed distributed (the same user-keyed lag shape
-    as w_markov_transitions); only the ≤31-cell count table reaches
-    the driver, where {_MC_ITERS} fixed-order iterations run — the
-    identical left-associated IEEE fold the recursive-CTE oracle
-    evaluates, so even the float fixed point hash-matches."""
+    The whole chain is ONE lazy plan (zero construction jobs, r9):
+    the ≤31-cell count table folds into a 1-row wide matrix aggregate,
+    the five scenarios come from an explode of a literal array (no
+    join — the base conversion is computed as an extra column on the
+    wide row BEFORE the explode, so the events scan happens once), and
+    the {_MC_ITERS} absorption iterations run in-plan via
+    ``F.aggregate(sequence(...))`` — the identical left-associated
+    IEEE-double fold the recursive-CTE oracle evaluates, so the float
+    fixed point still hash-matches."""
     from pyspark.sql import Window
 
     ev = tbl(spark, sf_dir, "events")
@@ -753,39 +757,82 @@ def w_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rrn") == 1) & (F.col("event_type") != "purchase")
         ).select(F.col("event_type").alias("f"), F.lit("null").alias("t"))
     )
-    counts = {
-        (r["f"], r["t"]): r["n"]
-        for r in trans.groupBy("f", "t").agg(F.count("*").alias("n")).collect()
-    }
-    # row-normalized probabilities — same n/total division as the oracle
+    counts = trans.groupBy("f", "t").agg(F.count("*").alias("n"))
+    # 1-row wide matrix: per-(f,t) counts plus per-f totals (totals
+    # include the 'null' absorber — the oracle's SUM(n) GROUP BY f).
     froms = ("start",) + _MC_CHANNELS
     targets = _MC_CHANNELS + ("purchase",)
-    P: dict[str, dict[str, float]] = {}
-    for f in froms:
-        total = sum(n for (ff, _), n in counts.items() if ff == f)
-        P[f] = {
-            t: (counts.get((f, t), 0) / total if total else 0.0)
-            for t in targets
-        }
+    aggs = []
+    for f_ in froms:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("f") == f_, F.col("n"))), F.lit(0)
+            ).alias(f"tot_{f_}")
+        )
+        for t_ in targets:
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("f") == f_) & (F.col("t") == t_),
+                            F.col("n"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"n_{f_}_{t_}")
+            )
+    # row-normalized probabilities — same long/long→double division as
+    # the oracle's CAST ... AS DOUBLE (ANSI-safe zero guard mirrors the
+    # oracle's absent-row COALESCE 0.0).
+    wide = counts.agg(*aggs).select(
+        *[
+            F.when(F.col(f"tot_{f_}") == 0, F.lit(0.0))
+            .otherwise(F.col(f"n_{f_}_{t_}") / F.col(f"tot_{f_}"))
+            .alias(f"p_{f_}_{t_}")
+            for f_ in froms
+            for t_ in targets
+        ]
+    )
 
-    def fold(f: str, scen: str, v: dict[str, float]) -> float:
-        acc = P[f]["purchase"]
-        for t in _MC_CHANNELS:
-            acc = acc + (0.0 if scen == t else P[f][t] * v[t])
-        return acc
+    def term(f_: str, scen: Column, acc: Column) -> Column:
+        """v'_F — the exact left-associated fold `_mc_term_sql` states."""
+        expr = F.col(f"p_{f_}_purchase")
+        for t_ in _MC_CHANNELS:
+            expr = expr + (
+                F.when(scen == t_, F.lit(0.0)).otherwise(
+                    F.col(f"p_{f_}_{t_}") * acc[t_[0]]
+                )
+            )
+        return expr
 
-    rows = []
-    convs = {}
-    for scen in ("base",) + _MC_CHANNELS:
-        v = {t: 0.0 for t in _MC_CHANNELS}
-        for _ in range(_MC_ITERS):
-            v = {f: fold(f, scen, v) for f in _MC_CHANNELS}
-        convs[scen] = fold("start", scen, v)
-    for scen in ("base",) + _MC_CHANNELS:
-        re = 0.0 if scen == "base" else 1.0 - convs[scen] / convs["base"]
-        rows.append((scen, convs[scen], re))
-    return spark.createDataFrame(
-        rows, "scenario string, conv_prob double, removal_effect double"
+    def absorb(scen: Column) -> Column:
+        init = F.struct(
+            *[F.lit(0.0).alias(t_[0]) for t_ in _MC_CHANNELS]
+        )
+        vfin = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MC_ITERS)),
+            init,
+            lambda acc, _: F.struct(
+                *[term(t_, scen, acc).alias(t_[0]) for t_ in _MC_CHANNELS]
+            ),
+        )
+        return term("start", scen, vfin)
+
+    # base conversion as a column on the 1-row frame BEFORE the
+    # scenario explode — one events scan, no self-join, no window.
+    scens = wide.withColumn("base_conv", absorb(F.lit("base"))).select(
+        F.explode(
+            F.array(*[F.lit(s) for s in ("base",) + _MC_CHANNELS])
+        ).alias("scen"),
+        "*",
+    )
+    conv = absorb(F.col("scen"))
+    return scens.select(
+        F.col("scen").alias("scenario"),
+        conv.alias("conv_prob"),
+        F.when(F.col("scen") == "base", F.lit(0.0))
+        .otherwise(F.lit(1.0) - conv / F.col("base_conv"))
+        .alias("removal_effect"),
     )
 
 

@@ -8,7 +8,7 @@ genuinely non-SQL — registered rows-only, implemented in ../ml/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -319,25 +319,135 @@ def m18_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only model-fitting operators --------------------------------------------------
 
 
+def _moment_rows(emb: DataFrame) -> DataFrame:
+    """Per-partition raw second moments of an ``array<double>`` column
+    ``v``: one tiny row per partition with (count, Σx, flattened ΣxxT).
+    The dimension is data-defined at runtime — no schema probe, no
+    construction job; every fit built on this stays one lazy plan.
+    Row size is dim² doubles (2KB at dim=16; ~8MB at dim=1024), so the
+    1-partition fold downstream moves #partitions·dim² bytes — the
+    same volume the old driver fold collected, off the driver."""
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                [{"n": n, "s": list(s), "ss": list(ss.ravel())}]
+            )
+
+    return emb.select("v").mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    )
+
+
+def _fold_moments(rows):
+    """Driverless fold of `_moment_rows` partials (runs inside a
+    1-partition mapInPandas): returns (n, mu, cov, dim)."""
+    import numpy as np
+
+    n, s, ss = 0, None, None
+    for r in rows:
+        n += int(r["n"])
+        sv, gv = np.asarray(r["s"]), np.asarray(r["ss"])
+        s = sv if s is None else s + sv
+        ss = gv if ss is None else ss + gv
+    dim = int(round(len(ss) ** 0.5))
+    mu = s / n
+    cov = (ss.reshape(dim, dim) - n * np.outer(mu, mu)) / (n - 1)
+    return n, mu, cov, dim
+
+
+def _pca_fit_frame(emb: DataFrame, k: int = 3) -> DataFrame:
+    """The M3 PCA fit as a LAZY 1-row frame (r9): distributed Gram
+    partials → single-partition eigh fold inside mapInPandas — the
+    same covariance-eigendecomposition MLlib's RowMatrix PCA runs,
+    but deferred to action time and never touching the driver.
+    Columns: n_vec, dim, pc (k arrays of dim — principal axes),
+    orthonormal_ok / variance_ok (the eigensolver invariants the M3
+    gate asserts, computed where the loadings already live)."""
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = [r for pdf in batches for _, r in pdf.iterrows()]
+        if not rows:
+            return
+        n, _, cov, dim = _fold_moments(rows)
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1]
+        vals, vecs = vals[order], vecs[:, order]
+        P = vecs[:, :k]
+        orthonormal_ok = bool(np.abs(P.T @ P - np.eye(k)).max() < 1e-9)
+        tot = float(vals.sum())
+        ev = [float(v) / tot for v in vals[:k]]
+        variance_ok = bool(
+            ev[0] >= ev[1] >= ev[2] > 0 and sum(ev) > float(k) / dim
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "n_vec": n,
+                    "dim": dim,
+                    "pc": [list(P[:, j]) for j in range(k)],
+                    "orthonormal_ok": orthonormal_ok,
+                    "variance_ok": variance_ok,
+                }
+            ]
+        )
+
+    return (
+        _moment_rows(emb)
+        .coalesce(1)
+        .mapInPandas(
+            fold,
+            "n_vec long, dim int, pc array<array<double>>,"
+            " orthonormal_ok boolean, variance_ok boolean",
+        )
+    )
+
+
+def _pc_dot(j: int) -> Column:
+    """Uncentered projection onto principal axis j (1-based) — the
+    same features·pc dot MLlib's PCA transform applies."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("v"), F.element_at("pc", j), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 @query("m3_pca_projection")
 def m3_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib PCA(k=3) over the embedding vectors (K:940-951). Rows-only:
-    component signs/rotations are solver-dependent."""
-    from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    """PCA(k=3) over the embedding vectors (K:940-951), fit IN-PLAN
+    (r9): the loadings come from `_pca_fit_frame`'s lazy eigh fold and
+    attach via the 1-row broadcast scalar-attach idiom; the projection
+    is the identical uncentered features·pc dot MLlib's transform
+    applies.  Rows-only: component signs/rotations are
+    solver-dependent."""
     emb = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(as_double("embedding")).alias("features")
+        "vec_id", as_double("embedding").alias("v")
     )
-    model = PCA(k=3, inputCol="features", outputCol="pca").fit(emb)
-    proj = model.transform(emb).select(
-        "vec_id", vector_to_array("pca").alias("p")
-    )
+    fit = _pca_fit_frame(emb)
+    proj = emb.crossJoin(F.broadcast(fit.select("pc")))
     return proj.select(
         "vec_id",
-        F.element_at("p", 1).alias("pc1"),
-        F.element_at("p", 2).alias("pc2"),
-        F.element_at("p", 3).alias("pc3"),
+        _pc_dot(1).alias("pc1"),
+        _pc_dot(2).alias("pc2"),
+        _pc_dot(3).alias("pc3"),
     )
 
 
@@ -359,21 +469,74 @@ def m5_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("m6_silhouette")
 def m6_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Silhouette of the stored label assignment (K:1945-1946)."""
-    from pyspark.ml.evaluation import ClusteringEvaluator
-    from pyspark.ml.functions import array_to_vector
+    """Silhouette of the stored label assignment (K:1945-1946) — the
+    EXACT Rousseeuw 1987 definition under squared-euclidean distance,
+    computed by the standard sufficient-statistic decomposition
 
+        Σ_{y∈C} ||x−y||² = n_C·||x||² − 2·x·s_C + ssq_C
+
+    so the whole score is per-cluster aggregates (n, vector sum,
+    Σ||y||²) + one broadcast of the k-row stats array + a per-point
+    HOF fold — no pairwise pass, ONE lazy plan, zero construction
+    jobs (r9; previously MLlib ClusteringEvaluator, whose .evaluate is
+    an eager driver action and whose a(i) divides by n_C including the
+    point itself — this form uses the exact n_C−1 denominator and
+    s(i)=0 for singletons).  Rows-only: float cluster sums are
+    partition-order-dependent in the last ulp."""
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id",
-        array_to_vector(as_double("embedding")).alias("features"),
-        F.col("label").cast("double").alias("prediction"),
+        as_double("embedding").alias("v"),
+        F.col("label").cast("long").alias("lbl"),
     )
-    score = ClusteringEvaluator(
-        featuresCol="features", predictionCol="prediction", metricName="silhouette"
-    ).evaluate(emb)
-    return emb.sparkSession.createDataFrame(
-        [(float(score),)], "silhouette double"
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    # per-cluster sufficient statistics: element-wise vector sum via
+    # posexplode (dim is data-defined; output is k·dim rows, bounded)
+    svec = (
+        emb.select("lbl", F.posexplode("v").alias("i", "x"))
+        .groupBy("lbl", "i")
+        .agg(F.sum("x").alias("s_i"))
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s_i"))),
+                lambda st: st["s_i"],
+            ).alias("s")
+        )
     )
+    norms = emb.groupBy("lbl").agg(
+        F.count("*").alias("n_c"), F.sum(sq(F.col("v"))).alias("ssq")
+    )
+    packed = (
+        svec.join(norms, "lbl")
+        .select(F.struct("lbl", "n_c", "s", "ssq").alias("c"))
+        .agg(F.collect_list("c").alias("cs"))
+    )
+    pts = emb.crossJoin(F.broadcast(packed))
+
+    def msum(c):  # Σ_{y∈C} ||x−y||² from the sufficient statistics
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), c["s"], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return c["n_c"] * sq(F.col("v")) - 2.0 * dot + c["ssq"]
+
+    own = F.element_at(
+        F.filter(F.col("cs"), lambda c: c["lbl"] == F.col("lbl")), 1
+    )
+    a_i = F.when(own["n_c"] == 1, F.lit(0.0)).otherwise(
+        msum(own) / (own["n_c"] - F.lit(1)).cast("double")
+    )
+    b_i = F.array_min(
+        F.transform(
+            F.filter(F.col("cs"), lambda c: c["lbl"] != F.col("lbl")),
+            lambda c: msum(c) / c["n_c"].cast("double"),
+        )
+    )
+    s_i = F.when(own["n_c"] == 1, F.lit(0.0)).otherwise(
+        (b_i - a_i) / F.greatest(a_i, b_i)
+    )
+    return pts.agg(F.avg(s_i).alias("silhouette"))
 
 
 @query("m9_ar_forecast")
@@ -1185,62 +1348,58 @@ def m3_pca_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       (PCA must capture at least the average direction's share; on this
       corpus the Marchenko–Pastur spread keeps the margin positive).
 
-    n_vec and dim come from SQL, so the gate also pins the corpus the
-    fit ran on.  Only dim×3 loadings and scalar aggregates reach the
-    driver."""
-    import numpy as np
-    from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    n_vec and dim come from the fit fold's own count (the oracle pins
+    them from SQL), so the gate also pins the corpus the fit ran on.
+    ONE lazy plan end-to-end (r9): the fit is `_pca_fit_frame`'s
+    in-plan eigh, the loadings attach by 1-row broadcast, and the
+    reconstruction moments are a distributed aggregate — nothing but
+    the final 1 row ever exists, and construction runs zero jobs."""
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    n_vec = emb.count()
-    dim = len(emb.select("v").first()["v"])
-    feat = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
-    model = PCA(k=3, inputCol="features", outputCol="pca").fit(feat)
-    P = model.pc.toArray()  # dim x 3
-    orthonormal_ok = bool(np.abs(P.T @ P - np.eye(3)).max() < 1e-9)
-    ev = list(model.explainedVariance.toArray())
-    variance_ok = bool(
-        ev[0] >= ev[1] >= ev[2] > 0 and sum(ev) > 3.0 / dim
-    )
-    proj = model.transform(feat).select(
-        "v", vector_to_array("pca").alias("p")
-    )
+    fit = _pca_fit_frame(emb)
     sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
-    Plit = F.array(
-        *[F.array(*[F.lit(float(P[i, j])) for j in range(3)]) for i in range(dim)]
+    proj = emb.crossJoin(F.broadcast(fit.select("pc"))).select(
+        "v",
+        "pc",
+        _pc_dot(1).alias("p1"),
+        _pc_dot(2).alias("p2"),
+        _pc_dot(3).alias("p3"),
+    )
+    # reconstruction r = P·p, folded two axes at a time (zip_with is
+    # binary), then the squared residual against the original vector
+    rec12 = F.zip_with(
+        F.element_at("pc", 1),
+        F.element_at("pc", 2),
+        lambda a, b: a * F.col("p1") + b * F.col("p2"),
+    )
+    rec = F.zip_with(
+        rec12, F.element_at("pc", 3), lambda r, c: r + c * F.col("p3")
     )
     recon_err = F.aggregate(
-        F.zip_with(
-            F.col("v"),
-            F.transform(
-                Plit,
-                lambda row: F.aggregate(
-                    F.zip_with(row, F.col("p"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-            ),
-            lambda x, r: (x - r) * (x - r),
-        ),
+        F.zip_with(F.col("v"), rec, lambda x, r: (x - r) * (x - r)),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     stats = proj.agg(
         F.avg(sq(F.col("v"))).alias("m2"),
-        F.avg(sq(F.col("p"))).alias("pm2"),
+        F.avg(
+            F.col("p1") * F.col("p1")
+            + F.col("p2") * F.col("p2")
+            + F.col("p3") * F.col("p3")
+        ).alias("pm2"),
         F.avg(recon_err).alias("recon"),
-    ).first()
-    recon_identity_ok = bool(
-        abs(stats["recon"] - (stats["m2"] - stats["pm2"]))
-        <= 1e-6 * max(stats["m2"], 1e-12)
     )
-    return spark.createDataFrame(
-        [(n_vec, dim, 3, orthonormal_ok, recon_identity_ok, variance_ok)],
-        "n_vec long, dim int, k int, orthonormal_ok boolean,"
-        " recon_identity_ok boolean, variance_ok boolean",
+    return stats.crossJoin(F.broadcast(fit)).select(
+        "n_vec",
+        "dim",
+        F.lit(3).alias("k"),
+        "orthonormal_ok",
+        (
+            F.abs(F.col("recon") - (F.col("m2") - F.col("pm2")))
+            <= 1e-6 * F.greatest(F.col("m2"), F.lit(1e-12))
+        ).alias("recon_identity_ok"),
+        "variance_ok",
     )
 
 
@@ -1833,7 +1992,7 @@ def emb_whitening_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     preprocessing — Su et al. 2021 'whitening sentence representations')
     measured end-to-end: the whitening transform W = U·Λ^(−1/2) is
     derived from a DISTRIBUTED covariance pass (per-partition Gram
-    partials via mapInPandas, driver fold of dim² numbers), the data is
+    partials via mapInPandas, 1-partition eigh fold), the data is
     whitened distributed, and the verdicts re-derive the moments FROM
     THE WHITENED DATA (a driver-side Wᵀ·C·W check would be true by
     construction and catch nothing):
@@ -1843,63 +2002,138 @@ def emb_whitening_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``condition_improved_ok`` — eigen-spread of the whitened
       covariance is below the raw covariance's.
 
-    Gate emits booleans + SQL-pinned corpus stats only (float moments
-    are partition-order-dependent in the last ulp)."""
-    import numpy as np
-    import pandas as pd
-
+    ONE lazy plan (r9): the fit row (mu, W, raw condition number)
+    attaches to the corpus by 1-row broadcast, the whiten + second
+    moments fuse into one mapInPandas, and the verdict fold runs on
+    the ≤#partitions partial rows — the driver never sees a matrix
+    and construction runs zero jobs.  Population (/n) covariance on
+    both sides, as the identity check requires.  Gate emits booleans
+    + corpus stats only (float moments are partition-order-dependent
+    in the last ulp)."""
     emb = tbl(spark, sf_dir, "embeddings").select(
         as_double("embedding").alias("v")
     )
-    dim = len(emb.first()["v"])
-    part_schema = "n long, s array<double>, ss array<double>"
 
-    def partials(batches):
-        n, s, ss = 0, np.zeros(dim), np.zeros((dim, dim))
-        for pdf in batches:
-            X = np.stack(pdf["v"].to_numpy())
-            n += len(X)
-            s += X.sum(axis=0)
-            ss += X.T @ X
-        yield pd.DataFrame(
-            [{"n": n, "s": list(s), "ss": list(ss.ravel())}]
-        )
+    def fit_fold(batches):
+        import numpy as np
+        import pandas as pd
 
-    def moments(df):
-        rows = df.mapInPandas(partials, part_schema).collect()
-        n = sum(r["n"] for r in rows)
-        s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-        ss = np.sum(
-            [np.asarray(r["ss"]).reshape(dim, dim) for r in rows], axis=0
-        )
+        rows = [r for pdf in batches for _, r in pdf.iterrows()]
+        if not rows:
+            return
+        n, s, ss = 0, None, None
+        for r in rows:
+            n += int(r["n"])
+            sv, gv = np.asarray(r["s"]), np.asarray(r["ss"])
+            s = sv if s is None else s + sv
+            ss = gv if ss is None else ss + gv
+        dim = int(round(len(ss) ** 0.5))
         mu = s / n
-        cov = ss / n - np.outer(mu, mu)
-        return n, mu, cov
+        cov = ss.reshape(dim, dim) / n - np.outer(mu, mu)
+        vals, vecs = np.linalg.eigh(cov)
+        W = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 1e-12, None)))
+        raw_cond = float(vals.max() / max(vals.min(), 1e-12))
+        yield pd.DataFrame(
+            [
+                {
+                    "n_vec": n,
+                    "dim": dim,
+                    "mu": list(mu),
+                    "w": [list(W[i, :]) for i in range(dim)],
+                    "raw_cond": raw_cond,
+                }
+            ]
+        )
 
-    n_vec, mu, cov = moments(emb)
-    vals, vecs = np.linalg.eigh(cov)
-    w = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 1e-12, None)))
-    bmu, bw = mu.tolist(), w.tolist()
+    fit = (
+        _moment_rows(emb)
+        .coalesce(1)
+        .mapInPandas(
+            fit_fold,
+            "n_vec long, dim int, mu array<double>,"
+            " w array<array<double>>, raw_cond double",
+        )
+    )
 
-    def whiten(batches):
-        m = np.asarray(bmu)
-        W = np.asarray(bw)
+    def whiten_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n, s, ss = 0, None, None
+        meta = None
         for pdf in batches:
+            if not len(pdf):
+                continue
+            if meta is None:
+                m = np.asarray(list(pdf["mu"].iloc[0]))
+                W = np.stack([np.asarray(r) for r in pdf["w"].iloc[0]])
+                meta = (
+                    int(pdf["n_vec"].iloc[0]),
+                    int(pdf["dim"].iloc[0]),
+                    float(pdf["raw_cond"].iloc[0]),
+                )
             X = np.stack(pdf["v"].to_numpy())
             Y = (X - m) @ W
-            yield pd.DataFrame({"v": [list(r) for r in Y]})
+            n += len(Y)
+            s = Y.sum(axis=0) if s is None else s + Y.sum(axis=0)
+            g = Y.T @ Y
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                [
+                    {
+                        "n": n,
+                        "s": list(s),
+                        "ss": list(ss.ravel()),
+                        "n_vec": meta[0],
+                        "dim": meta[1],
+                        "raw_cond": meta[2],
+                    }
+                ]
+            )
 
-    whitened = emb.mapInPandas(whiten, "v array<double>")
-    _, wmu, wcov = moments(whitened)
-    mean_zero_ok = bool(np.abs(wmu).max() < 1e-9)
-    identity_cov_ok = bool(np.abs(wcov - np.eye(dim)).max() < 1e-6)
-    wvals = np.linalg.eigvalsh(wcov)
-    condition_improved_ok = bool(
-        (wvals.max() / max(wvals.min(), 1e-12))
-        < (vals.max() / max(vals.min(), 1e-12))
+    wparts = emb.crossJoin(F.broadcast(fit)).mapInPandas(
+        whiten_partials,
+        "n long, s array<double>, ss array<double>,"
+        " n_vec long, dim int, raw_cond double",
     )
-    return spark.createDataFrame(
-        [(n_vec, dim, mean_zero_ok, identity_cov_ok, condition_improved_ok)],
+
+    def verdict_fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = [r for pdf in batches for _, r in pdf.iterrows()]
+        if not rows:
+            return
+        n, s, ss = 0, None, None
+        for r in rows:
+            n += int(r["n"])
+            sv, gv = np.asarray(r["s"]), np.asarray(r["ss"])
+            s = sv if s is None else s + sv
+            ss = gv if ss is None else ss + gv
+        dim = int(rows[0]["dim"])
+        raw_cond = float(rows[0]["raw_cond"])
+        wmu = s / n
+        wcov = ss.reshape(dim, dim) / n - np.outer(wmu, wmu)
+        wvals = np.linalg.eigvalsh(wcov)
+        yield pd.DataFrame(
+            [
+                {
+                    "n_vec": int(rows[0]["n_vec"]),
+                    "dim": dim,
+                    "mean_zero_ok": bool(np.abs(wmu).max() < 1e-9),
+                    "identity_cov_ok": bool(
+                        np.abs(wcov - np.eye(dim)).max() < 1e-6
+                    ),
+                    "condition_improved_ok": bool(
+                        (wvals.max() / max(wvals.min(), 1e-12)) < raw_cond
+                    ),
+                }
+            ]
+        )
+
+    return wparts.coalesce(1).mapInPandas(
+        verdict_fold,
         "n_vec long, dim int, mean_zero_ok boolean,"
         " identity_cov_ok boolean, condition_improved_ok boolean",
     )

@@ -1126,62 +1126,67 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     only segment sums), emitted as a truncating scaled division, so
     both engines rank splits identically with zero float ops.
 
-    Plan: ONE distributed calendar-bounded aggregation, then the
-    candidate scan runs on the driver in Python big ints over the
-    <= calendar-many prefix rows (the m-family's sanctioned BOUNDED
-    collect) — the gain numerators are ~1e33-scale integers, beyond
+    Plan: ONE distributed calendar-bounded aggregation packs the daily
+    series into a single sorted array row, then the exact-rational
+    argmax runs in Python big ints INSIDE a ``mapInPandas`` over that
+    1-row frame (the gain numerators are ~1e35-scale integers, beyond
     Spark's 64-bit IntegralDivide and the 38-digit decimal division's
-    rounding, while the oracle's HUGEINT path is exact by itself."""
-    from pyspark.sql import types as T
+    rounding; only the ≤1e33 quotient must fit the emitted
+    decimal(38,0)).  The DuckDB oracle computes the IDENTICAL exact
+    integers in HUGEINT — both sides exact, so the argmax and the
+    truncating division agree bit-for-bit.  Zero construction jobs
+    (r9): the old driver-side BOUNDED collect became an executor-side
+    fold; the array row stays calendar-bounded by the same argument."""
+    from decimal import Decimal
 
     daily = _daily(spark, sf_dir)
-    # calendar-bounded collect (the m-family's sanctioned BOUNDED
-    # pattern): the gain numerators are ~1e33-scale integers, beyond
-    # every engine-native 64-bit path on the Spark side (IntegralDivide
-    # returns LONG; decimal division rounds at precision 38), so the
-    # exact rational argmax runs in Python big ints over the <=
-    # calendar-many (t, cum_s) rows.  The DuckDB oracle computes the
-    # IDENTICAL exact integers in HUGEINT — both sides exact, so the
-    # argmax and the emitted truncating division agree bit-for-bit.
-    rows = (
-        daily.select(
-            "d",
+    packed = daily.select(
+        F.struct(
+            F.col("d"),
             (F.col("demand").cast("decimal(18,2)") * 100)
             .cast("long")
             .alias("y_c"),
-        )
-        .orderBy("d")
-        .collect()
-    )
-    n = len(rows)
-    s_tot = sum(r["y_c"] for r in rows)
-    best = None
-    schema = T.StructType(
-        [
-            T.StructField("split_d", T.DateType()),
-            T.StructField("n_left", T.LongType()),
-            T.StructField("n_right", T.LongType()),
-            T.StructField("gain_scaled", T.DecimalType(38, 0)),
-        ]
-    )
-    if n < 2:
-        # degenerate series: no interior split exists, mirroring the
-        # oracle's LIMIT 1 over zero candidate rows (empty result).
-        return spark.createDataFrame([], schema)
-    cum = 0
-    for t, r in enumerate(rows[:-1], start=1):
-        cum += r["y_c"]
-        sl, sr, nl, nr = cum, s_tot - cum, t, n - t
-        g_num = CP_SCALE * (
-            sl * sl * nr * n + sr * sr * nl * n - s_tot * s_tot * nl * nr
-        )
-        gain = g_num // (nl * nr * n)
-        key = (gain, -t)
-        if best is None or key > best[0]:
-            best = (key, (r["d"], nl, nr, gain))
-    d, nl, nr, gain = best[1]
-    from decimal import Decimal
+        ).alias("r")
+    ).agg(F.sort_array(F.collect_list("r")).alias("rs"))
 
-    return spark.createDataFrame(
-        [(d, nl, nr, Decimal(gain))], schema
+    out_schema = (
+        "split_d date, n_left long, n_right long, gain_scaled decimal(38,0)"
     )
+
+    def argmax_gain(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for rs in pdf["rs"]:
+                rows = list(rs)
+                n = len(rows)
+                if n < 2:
+                    # degenerate series: no interior split exists,
+                    # mirroring the oracle's LIMIT 1 over zero rows.
+                    continue
+                s_tot = sum(int(r["y_c"]) for r in rows)
+                best = None
+                cum = 0
+                for t, r in enumerate(rows[:-1], start=1):
+                    cum += int(r["y_c"])
+                    sl, sr, nl, nr = cum, s_tot - cum, t, n - t
+                    g_num = CP_SCALE * (
+                        sl * sl * nr * n
+                        + sr * sr * nl * n
+                        - s_tot * s_tot * nl * nr
+                    )
+                    gain = g_num // (nl * nr * n)
+                    key = (gain, -t)
+                    if best is None or key > best[0]:
+                        best = (key, (r["d"], nl, nr, gain))
+                d, nl, nr, gain = best[1]
+                yield pd.DataFrame(
+                    {
+                        "split_d": [d],
+                        "n_left": [nl],
+                        "n_right": [nr],
+                        "gain_scaled": [Decimal(gain)],
+                    }
+                )
+
+    return packed.mapInPandas(argmax_gain, out_schema)

@@ -91,8 +91,10 @@ EXEMPT: dict[str, str] = {
     "s21_deletion_vectors": "ROUNDTRIP",
     "s22_upsert_merge": "ROUNDTRIP",
     # --- model fits & evaluation gates ------------------------------------
-    "m3_pca_projection": "FIT",
-    "m3_pca_eval": "FIT",
+    # m3_pca_projection / m3_pca_eval: un-exempted r9 — the fit is
+    # _pca_fit_frame's lazy in-plan eigh (Gram partials → 1-partition
+    # mapInPandas fold), loadings attach by 1-row broadcast; zero
+    # construction jobs.
     "m4_factor_analysis": "FIT",
     "m4_factor_eval": "FIT",
     "m5_kmeans_clusters": "FIT",
@@ -100,7 +102,9 @@ EXEMPT: dict[str, str] = {
     "m5_kshape": "FIT",
     "m5_dtw_kmedoids": "FIT",
     "m5_cluster_eval": "FIT",
-    "m6_silhouette": "FIT",
+    # m6_silhouette: un-exempted r9 — exact Rousseeuw silhouette via
+    # per-cluster sufficient statistics + broadcast + HOF fold; the
+    # eager MLlib ClusteringEvaluator.evaluate is gone.
     "m8_wavelet_eval": "FIT",
     "m10_gbt_forecast": "FIT",
     "m10_gbt_eval": "FIT",
@@ -119,7 +123,9 @@ EXEMPT: dict[str, str] = {
     "pipeline_bpe_encode": "FIT",
     "pipeline_bpe_roundtrip": "FIT",
     "pipeline_unigram_encode": "FIT",
-    "emb_whitening_eval": "FIT",
+    # emb_whitening_eval: un-exempted r9 — fit row (mu, W, raw cond)
+    # from a lazy 1-partition eigh fold, whiten+moments fused in one
+    # broadcast-fed mapInPandas, verdicts folded in-plan.
     # a_approx_percentile_eval: un-exempted r9 — the sketch quantiles
     # are scalar-attached in-plan (1-row broadcast) and the verdicts
     # come from a literal posexplode; zero construction jobs.
@@ -171,8 +177,12 @@ EXEMPT: dict[str, str] = {
     "w5_transpose_native": "BOUNDED",
     "f_sql_scripting_trim": "ROUNDTRIP",  # EXECUTE IMMEDIATE runs the script
     # --- documented bounded collects --------------------------------------
-    "w_markov_attribution": "BOUNDED",  # event-type transition matrix solve
-    "ts_changepoint": "BOUNDED",  # calendar-bounded exact-rational argmax
+    # w_markov_attribution: un-exempted r9 — the ≤31-cell matrix folds
+    # into a 1-row wide aggregate and the 60 absorption iterations run
+    # in-plan via F.aggregate(sequence(...)); hash parity preserved.
+    # ts_changepoint: un-exempted r9 — the exact big-int argmax moved
+    # into a mapInPandas over the 1-row sorted-array aggregate (same
+    # calendar-bounded argument, executor-side instead of driver).
 }
 
 
