@@ -467,27 +467,12 @@ def m5_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m6_silhouette")
-def m6_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Silhouette of the stored label assignment (K:1945-1946) — the
-    EXACT Rousseeuw 1987 definition under squared-euclidean distance,
-    computed by the standard sufficient-statistic decomposition
-
-        Σ_{y∈C} ||x−y||² = n_C·||x||² − 2·x·s_C + ssq_C
-
-    so the whole score is per-cluster aggregates (n, vector sum,
-    Σ||y||²) + one broadcast of the k-row stats array + a per-point
-    HOF fold — no pairwise pass, ONE lazy plan, zero construction
-    jobs (r9; previously MLlib ClusteringEvaluator, whose .evaluate is
-    an eager driver action and whose a(i) divides by n_C including the
-    point itself — this form uses the exact n_C−1 denominator and
-    s(i)=0 for singletons).  Rows-only: float cluster sums are
-    partition-order-dependent in the last ulp."""
-    emb = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        as_double("embedding").alias("v"),
-        F.col("label").cast("long").alias("lbl"),
-    )
+def silhouette_frame(emb: DataFrame) -> DataFrame:
+    """Exact Rousseeuw 1987 mean silhouette under squared-euclidean
+    distance over a frame with columns ``v array<double>`` and ``lbl``
+    — the M6 core, factored so the hand-derived external-golden test
+    can drive the identical expressions on a literal frame.  See
+    m6_silhouette for the decomposition."""
     sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
     # per-cluster sufficient statistics: element-wise vector sum via
     # posexplode (dim is data-defined; output is k·dim rows, bounded)
@@ -537,6 +522,30 @@ def m6_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b_i - a_i) / F.greatest(a_i, b_i)
     )
     return pts.agg(F.avg(s_i).alias("silhouette"))
+
+
+@query("m6_silhouette")
+def m6_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette of the stored label assignment (K:1945-1946) — the
+    EXACT Rousseeuw 1987 definition under squared-euclidean distance,
+    computed by the standard sufficient-statistic decomposition
+
+        Σ_{y∈C} ||x−y||² = n_C·||x||² − 2·x·s_C + ssq_C
+
+    so the whole score is per-cluster aggregates (n, vector sum,
+    Σ||y||²) + one broadcast of the k-row stats array + a per-point
+    HOF fold — no pairwise pass, ONE lazy plan, zero construction
+    jobs (r9; previously MLlib ClusteringEvaluator, whose .evaluate is
+    an eager driver action — this form matches it to the last ulp on
+    the gate corpus, uses the exact n_C−1 own-cluster denominator and
+    s(i)=0 for singletons).  Rows-only: float cluster sums are
+    partition-order-dependent in the last ulp."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        F.col("label").cast("long").alias("lbl"),
+    )
+    return silhouette_frame(emb)
 
 
 @query("m9_ar_forecast")

@@ -1323,3 +1323,36 @@ def test_sbd_external_golden():
         b = np.asarray(c["b"], dtype=np.float64)
         assert _sbd(a, b) == c["sbd"], key
         assert _sbd(b, a) == c["sbd"], f"{key} symmetry"
+
+
+def test_silhouette_external_golden(spark):
+    """Rousseeuw 1987 exact silhouette against hand-derived rational
+    anchors (r9: M6 moved off MLlib's eager evaluator onto the
+    sufficient-statistic decomposition — this pins the new math path
+    to an independent derivation, including the singleton-cluster
+    s(i)=0 rule).  Integer coordinates make every pairwise distance
+    exact; the expected means are exact fractions from the fixture's
+    in-margin derivation, double-checked by a brute-force O(n²)
+    evaluation at derivation time."""
+    import json
+    import os
+
+    from energy_consumption_forecasting_spark.queries.ml_queries import (
+        silhouette_frame,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__),
+        "fixtures",
+        "silhouette_external_golden.json",
+    )
+    g = json.load(open(path))
+    for key in ("case_two_clusters", "case_with_singleton"):
+        c = g[key]
+        sdf = spark.createDataFrame(
+            [([float(x) for x in p["v"]], p["lbl"]) for p in c["points"]],
+            "v array<double>, lbl long",
+        )
+        got = silhouette_frame(sdf).first()["silhouette"]
+        num, den = c["mean_s"]
+        assert abs(got - num / den) < 1e-12, key
