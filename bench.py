@@ -124,6 +124,14 @@ HEADLINE = [
     "pipeline_lm_buckets",
     "text_gopher_rules",
     "pipeline_ul2_mix",
+    # round-9: the un-exempted in-plan fit family — each was an eager
+    # driver-side fit/collect until r9; per-round visibility keeps the
+    # lazy rewrites honest on wall-clock, not just purity
+    "m6_silhouette",
+    "m3_pca_eval",
+    "emb_whitening_eval",
+    "w_markov_attribution",
+    "ts_changepoint",
 ]
 
 

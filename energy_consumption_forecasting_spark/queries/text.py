@@ -167,23 +167,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits("es").alias("es"),
         hits("fr").alias("fr"),
     )
-    return h.select(
-        "doc_id",
-        F.when(
-            (F.col("en") == 0) & (F.col("de") == 0) & (F.col("es") == 0) & (F.col("fr") == 0),
-            "unknown",
-        )
-        .when(
-            (F.col("de") > F.col("en"))
-            & (F.col("de") >= F.col("es"))
-            & (F.col("de") >= F.col("fr")),
-            "de",
-        )
-        .when((F.col("es") > F.col("en")) & (F.col("es") >= F.col("fr")), "es")
-        .when(F.col("fr") > F.col("en"), "fr")
-        .otherwise("en")
-        .alias("lang_pred"),
-    )
+    return h.select("doc_id", _lang_pred_case())
 
 
 # --- document fingerprinting ----------------------------------------------------------
@@ -1232,4 +1216,118 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one.select(stack, "n_docs").select(
         "rule", F.col("n_failing").cast("long").alias("n_failing"), "n_docs"
+    )
+
+
+# --- tokenizer fertility panel ---------------------------------------------------------
+def _lang_pred_case() -> Column:
+    """The text_langid decision CASE over en/de/es/fr hit-count
+    columns — factored (r9) so fertility buckets share the exact
+    tie-break contract."""
+    return (
+        F.when(
+            (F.col("en") == 0)
+            & (F.col("de") == 0)
+            & (F.col("es") == 0)
+            & (F.col("fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("de") > F.col("en"))
+            & (F.col("de") >= F.col("es"))
+            & (F.col("de") >= F.col("fr")),
+            "de",
+        )
+        .when((F.col("es") > F.col("en")) & (F.col("es") >= F.col("fr")), "es")
+        .when(F.col("fr") > F.col("en"), "fr")
+        .otherwise("en")
+        .alias("lang_pred")
+    )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH {_langid_ctes(carry="text")},
+    lab AS (
+      SELECT {_LANGID_CASE} AS lang_pred,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS ws,
+             len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_t,
+             length(text) AS ch
+      FROM hits
+    )
+    SELECT lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(re_t) AS BIGINT) AS re_tokens,
+           CAST(SUM(ch) AS BIGINT) AS chars,
+           CASE WHEN SUM(ws) = 0 THEN NULL
+                ELSE CAST((1000000 * SUM(re_t)) // SUM(ws) AS BIGINT)
+           END AS fertility_ppm,
+           CASE WHEN SUM(re_t) = 0 THEN NULL
+                ELSE CAST((1000000 * SUM(ch)) // SUM(re_t) AS BIGINT)
+           END AS chars_per_token_ppm
+    FROM lab
+    GROUP BY lang_pred
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility panel per predicted language — THE
+    pretraining-cost diagnostic for multilingual corpora (fertility =
+    subword tokens per whitespace word; high-fertility languages pay
+    more compute per word — Rust et al. 2021 'how good is your
+    tokenizer').  Buckets by the text_langid marker heuristic and
+    rates the BPE-ish regex tokenizer (text_token_count's _TOKEN_RE)
+    against whitespace words and raw chars.
+
+    One scan → one k-bucket aggregate.  Ratios are truncating ppm
+    divisions over exact integer sums (decimal(38) intermediate on
+    the Spark side, HUGEINT in the oracle), so the panel stays
+    hash-exact at every SF."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        _toks(F.lower(F.col("text"))).alias("a"),
+        F.size(_toks()).cast("long").alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("re_t"),
+        F.length("text").cast("long").alias("ch"),
+    )
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter("a", lambda x: F.array_contains(arr, x)))
+
+    lab = t.select(
+        hits("en").alias("en"),
+        hits("de").alias("de"),
+        hits("es").alias("es"),
+        hits("fr").alias("fr"),
+        "ws",
+        "re_t",
+        "ch",
+    ).select(_lang_pred_case(), "ws", "re_t", "ch")
+    d38 = "decimal(38,0)"
+    return lab.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("re_t").alias("re_tokens"),
+        F.sum("ch").alias("chars"),
+        F.when(F.sum("ws") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST((CAST(sum(re_t) AS {d38}) * 1000000)"
+                f" div CAST(sum(ws) AS {d38}) AS BIGINT)"
+            )
+        )
+        .alias("fertility_ppm"),
+        F.when(F.sum("re_t") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST((CAST(sum(ch) AS {d38}) * 1000000)"
+                f" div CAST(sum(re_t) AS {d38}) AS BIGINT)"
+            )
+        )
+        .alias("chars_per_token_ppm"),
     )
