@@ -2264,3 +2264,145 @@ def pipeline_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_masked",
         F.expr("(1000000 * n_masked) div n_tokens").alias("mask_ppm"),
     )
+
+
+# --- FFD (no-split) sequence packing --------------------------------------------------
+FFD_SHARD_DOCS = 8192  # docs per packing shard (bounded FFD work unit)
+
+
+def _ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shape for the FFD packer + its eval gate: per-(shard,
+    bin) totals from a deterministic first-fit-decreasing pack."""
+    toks = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.size(_tokens(F.col("text"))).cast("long"),
+            F.lit(PACK_CAPACITY),
+        ).alias("n_tokens"),
+        F.expr(f"doc_id div {FFD_SHARD_DOCS}").alias("shard"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        remaining: list[int] = []
+        assign = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for b, r in enumerate(remaining):
+                if r >= n:
+                    remaining[b] = r - n
+                    assign.append(b)
+                    break
+            else:
+                remaining.append(PACK_CAPACITY - n)
+                assign.append(len(remaining) - 1)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": assign,
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+            }
+        )
+
+    packed = toks.groupBy("shard").applyInPandas(
+        pack, "shard long, bin_id long, doc_id long, n_tokens long"
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query("pipeline_pack_ffd")
+def pipeline_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing by first-fit-decreasing — the
+    padding-minimizing layout for models that must not cut documents
+    (Krell et al. 2021 'efficient sequence packing without
+    cross-contamination'; complements pipeline_pack_sequences'
+    GPT-style concat-and-split).  Docs are clamped to PACK_CAPACITY,
+    sharded by ``doc_id div 8192`` (a deterministic, bounded FFD work
+    unit — this is how production packers run: pack per shard in
+    parallel, never a global sequential pass), and FFD runs inside
+    one Arrow-batched applyInPandas per shard.  Rows-only: the bin
+    layout is algorithm-defined; pipeline_pack_ffd_eval pins the
+    invariants hash-exactly."""
+    return _ffd_bins(spark, sf_dir)
+
+
+@query(
+    "pipeline_pack_ffd_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LEAST(CAST(len({_TOKENS_SQL}) AS BIGINT), {PACK_CAPACITY})
+               AS n_tokens,
+             doc_id // {FFD_SHARD_DOCS} AS shard
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard, SUM(n_tokens) AS shard_tokens,
+             CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CAPACITY})
+                  AS BIGINT) AS lb
+      FROM toks GROUP BY shard
+    )
+    SELECT CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_docs,
+           CAST((SELECT SUM(n_tokens) FROM toks) AS BIGINT) AS total_tokens,
+           CAST((SELECT SUM(lb) FROM per_shard) AS BIGINT) AS bins_lower_bound,
+           TRUE AS docs_conserved,
+           TRUE AS tokens_conserved,
+           TRUE AS capacity_ok,
+           TRUE AS lower_bound_ok,
+           TRUE AS half_full_ok
+    """,
+)
+def pipeline_pack_ffd_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact invariants of the FFD pack, re-derived FROM THE
+    PACKED OUTPUT (the eval-gate pattern): doc and token totals are
+    conserved, no bin exceeds PACK_CAPACITY, per-shard bin counts
+    respect the ceil(tokens/capacity) lower bound, and the first-fit
+    guarantee holds — AT MOST ONE bin per shard ends less than half
+    full (if two were, the later bin's contents would have fit the
+    earlier one).  The oracle recomputes the corpus-side numbers
+    directly and pins the verdicts TRUE."""
+    bins = _ffd_bins(spark, sf_dir)
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.least(
+            F.size(_tokens(F.col("text"))).cast("long"),
+            F.lit(PACK_CAPACITY),
+        ).alias("n_tokens"),
+        F.expr(f"doc_id div {FFD_SHARD_DOCS}").alias("shard"),
+    )
+    corpus = toks.groupBy("shard").agg(
+        F.count("*").alias("c_docs"),
+        F.sum("n_tokens").alias("c_tokens"),
+        F.ceil(F.sum("n_tokens") / PACK_CAPACITY).cast("long").alias("lb"),
+    )
+    per_shard = bins.groupBy("shard").agg(
+        F.sum("n_docs").alias("p_docs"),
+        F.sum("bin_tokens").alias("p_tokens"),
+        F.count("*").alias("n_bins"),
+        F.max("bin_tokens").alias("max_bin"),
+        F.sum(
+            F.when(F.col("bin_tokens") < PACK_CAPACITY / 2, 1).otherwise(0)
+        ).alias("under_half"),
+    )
+    j = per_shard.join(corpus, "shard")
+    return j.agg(
+        F.sum("c_docs").alias("n_docs"),
+        F.sum("c_tokens").alias("total_tokens"),
+        F.sum("lb").alias("bins_lower_bound"),
+        F.min(F.col("p_docs") == F.col("c_docs")).alias("docs_conserved"),
+        F.min(F.col("p_tokens") == F.col("c_tokens")).alias(
+            "tokens_conserved"
+        ),
+        F.min(F.col("max_bin") <= PACK_CAPACITY).alias("capacity_ok"),
+        F.min(F.col("n_bins") >= F.col("lb")).alias("lower_bound_ok"),
+        F.min(F.col("under_half") <= 1).alias("half_full_ok"),
+    )
