@@ -112,8 +112,17 @@ def kmedoids_from_distances(
 
     The reference clusters ≤105 monthly series (K:1076-1077) — the
     matrix is ≤105², far below driver limits; the expensive pairwise
-    DTW stage stayed distributed."""
-    rows = dist_df.collect()
+    DTW stage stayed distributed.  (The registered query runs the
+    identical core WITHOUT the collect — kmedoids_rows inside a
+    1-partition mapInPandas, r9.)"""
+    return kmedoids_rows(dist_df.collect(), k=k, max_iter=max_iter, seed=seed)
+
+
+def kmedoids_rows(
+    rows, k: int = 12, max_iter: int = 20, seed: int = 42
+) -> dict:
+    """k-medoids over (id_a, id_b, dtw) mapping rows — pure Python/
+    numpy, callable on the driver OR inside an executor fold."""
     ids = sorted({r["id_a"] for r in rows} | {r["id_b"] for r in rows})
     idx = {v: i for i, v in enumerate(ids)}
     n = len(ids)

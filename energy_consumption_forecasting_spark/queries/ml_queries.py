@@ -638,8 +638,13 @@ def m5_dtw_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     CENTROID NOTE: k-medoids restricts centroids to observed series;
     the reference's tslearn semantics (DTW barycenter averaging) are
     implemented in full as m5_tskmeans_dba — use that for
-    assignment-level parity with TimeSeriesKMeans(metric="dtw")."""
-    from ..ml.clustering import dtw_distance_matrix, kmedoids_from_distances
+    assignment-level parity with TimeSeriesKMeans(metric="dtw").
+
+    ONE lazy plan (r9): the pairwise DTW table stays distributed and
+    the ≤105² medoid assignment folds through a 1-partition
+    mapInPandas (kmedoids_rows — the identical core the old driver
+    collect ran), so construction launches zero jobs."""
+    from ..ml.clustering import dtw_distance_matrix
 
     daily = _daily(spark, sf_dir)
     series = daily.groupBy(F.trunc("d", "MM").alias("month")).agg(
@@ -649,9 +654,23 @@ def m5_dtw_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("series")
     ).select(F.col("month").cast("string").alias("series_id"), "series")
     dist = dtw_distance_matrix(series)
-    assignment = kmedoids_from_distances(dist, k=6)
-    rows = [(k, v) for k, v in sorted(assignment.items())]
-    return spark.createDataFrame(rows, "month string, cluster int")
+
+    def fold(batches):
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.clustering import (
+            kmedoids_rows,
+        )
+
+        rows = [r for pdf in batches for _, r in pdf.iterrows()]
+        if not rows:
+            return
+        out = sorted(kmedoids_rows(rows, k=6).items())
+        yield pd.DataFrame(
+            {"month": [m for m, _ in out], "cluster": [c for _, c in out]}
+        )
+
+    return dist.coalesce(1).mapInPandas(fold, "month string, cluster int")
 
 
 @query("m5_tskmeans_dba")
@@ -1955,34 +1974,48 @@ def m5_kshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Months are zero-padded to 31 days (zero-padding is the natural
     completion under cross-correlation).  The month count is
-    calendar-bounded (≤105 in the reference), so the driver loop is
-    KB-sized; the distributed pairwise-SBD path
-    (ml/clustering.py::sbd_distance_matrix) carries the quality checks
-    in pytest.  Rows-only: eigensolver-shaped fit."""
-    import numpy as np
-
-    from ..ml.clustering import kshape
-
+    calendar-bounded (≤105 in the reference), so the fit state is
+    KB-sized — and since r9 it runs inside a 1-partition mapInPandas
+    over the aggregated series frame (ONE lazy plan, zero construction
+    jobs; identical kshape core, identical seed).  The distributed
+    pairwise-SBD path (ml/clustering.py::sbd_distance_matrix) carries
+    the quality checks in pytest.  Rows-only: eigensolver-shaped
+    fit."""
     daily = _daily(spark, sf_dir)
-    series_rows = (
-        daily.groupBy(F.trunc("d", "MM").alias("month"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "demand"))),
-                lambda s: s["demand"].cast("double"),
-            ).alias("series")
-        )
-        .collect()  # bounded: one row per calendar month
+    agg = daily.groupBy(F.trunc("d", "MM").alias("month")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "demand"))),
+            lambda s: s["demand"].cast("double"),
+        ).alias("series")
     )
-    series = {}
-    for r in series_rows:
-        v = np.zeros(31)
-        arr = np.asarray(r["series"], dtype=np.float64)
-        v[: len(arr)] = arr
-        series[str(r["month"])] = v
-    fit = kshape(series, k=4, seed=42)
-    rows = sorted(fit["labels"].items())
-    return spark.createDataFrame(rows, "month string, cluster int")
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.clustering import (
+            kshape,
+        )
+
+        series = {}
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                v = np.zeros(31)
+                arr = np.asarray(list(r["series"]), dtype=np.float64)
+                v[: len(arr)] = arr
+                series[str(r["month"])] = v
+        if not series:
+            return
+        fit = kshape(series, k=4, seed=42)
+        rows = sorted(fit["labels"].items())
+        yield pd.DataFrame(
+            {
+                "month": [m for m, _ in rows],
+                "cluster": [c for _, c in rows],
+            }
+        )
+
+    return agg.coalesce(1).mapInPandas(fold, "month string, cluster int")
 
 
 @query(

@@ -99,8 +99,11 @@ EXEMPT: dict[str, str] = {
     "m4_factor_eval": "FIT",
     "m5_kmeans_clusters": "FIT",
     "m5_tskmeans_dba": "FIT",
-    "m5_kshape": "FIT",
-    "m5_dtw_kmedoids": "FIT",
+    # m5_kshape / m5_dtw_kmedoids: un-exempted r9 — the bounded
+    # (≤105-series) fits fold through a 1-partition mapInPandas over
+    # the aggregated series / distance frames (identical cores, same
+    # seeds); the DBA variant stays FIT: its barycenter update is
+    # genuinely iterative ON DATA (per-round Spark jobs).
     "m5_cluster_eval": "FIT",
     # m6_silhouette: un-exempted r9 — exact Rousseeuw silhouette via
     # per-cluster sufficient statistics + broadcast + HOF fold; the

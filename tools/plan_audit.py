@@ -17,11 +17,22 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 AUDITED = [
-    # NOTE: driver-composed gates (modularity, lsh/ann quality, markov
-    # attribution) are deliberately NOT audited: their final frame is a
-    # LocalTableScan, so an "audit" would run the full job to explain a
-    # constant — the distributed subplans they compose are audited via
-    # their building-block queries.
+    # NOTE: driver-composed gates (modularity, lsh/ann quality) are
+    # deliberately NOT audited: their final frame is a LocalTableScan,
+    # so an "audit" would run the full job to explain a constant — the
+    # distributed subplans they compose are audited via their
+    # building-block queries.  (w_markov_attribution left this club in
+    # r9: it is one lazy plan now and audited below.)
+    # r9: the un-exempted in-plan fit family + the new pipeline ops —
+    # every one is a single lazy plan for the first time this round.
+    "w_markov_attribution",
+    "ts_changepoint",
+    "m6_silhouette",
+    "m3_pca_eval",
+    "emb_whitening_eval",
+    "text_tokenizer_fertility",
+    "pipeline_pack_ffd",
+    "pipeline_pack_ffd_eval",
     "a_item_item_cf",
     "graph_personalized_pagerank",
     "dq_key_skew",
