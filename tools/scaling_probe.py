@@ -77,6 +77,14 @@ PROBES = [
     ("pipeline_lm_buckets", "LM count tables + scalar percentile cuts"),
     ("pipeline_ul2_mix", "row-local HOF mask accounting, zero shuffles"),
     ("text_gopher_rules", "one-scan HOF panel + scalar unpivot"),
+    # r9: the un-exempted in-plan fit family + new pipeline ops
+    ("w_markov_attribution", "1-row matrix agg + in-plan absorption fold"),
+    ("ts_changepoint", "1-row sorted-array agg + big-int argmax UDF"),
+    ("m6_silhouette", "k-row stats broadcast + per-point HOF fold"),
+    ("m3_pca_eval", "Gram partials + 1-part eigh + broadcast project"),
+    ("emb_whitening_eval", "two moment passes fused with whitening UDF"),
+    ("text_tokenizer_fertility", "one scan + langid bucket agg"),
+    ("pipeline_pack_ffd", "per-shard FFD applyInPandas + bin agg"),
 ]
 
 
@@ -506,7 +514,14 @@ def main() -> None:
         "  is quadratic, so any exact join must be).  The prefix+length",
         "  filters still prune losslessly (oracle-proven); on a real",
         "  corpus with Zipfian vocabulary the qualifying-pair density is",
-        "  orders of magnitude lower.",
+        "  orders of magnitude lower.  Its sf1 wall (the gate's",
+        "  dominator) was attributed by the committed two-build A/B",
+        "  (BENCH_r08_ab.json): full token STRINGS were shuffling",
+        "  through the candidate join; carrying rarity-sorted token IDS",
+        "  (int array, same vocabulary rank frame) through the explode +",
+        "  array_intersect verify cut the sf1 median ~60s → 42s",
+        "  (BENCH_r09_sf1) with identical pair output.  The remaining",
+        "  cost is the output-quadratic verify itself.",
         "- `graph_pagerank` edges derive from lineitem, which grows 10×",
         "  on the last step — a ~2.4× wall ratio on 10× data is",
         "  sub-linear (fixed 10-iteration job floor amortizing).",
@@ -516,8 +531,8 @@ def main() -> None:
         "  measured execution at each SF — the probe measures each query",
         "  once per SF, so the build cannot amortize here the way it does",
         "  across a session (or a production pipeline, where the frame is",
-        "  computed once and persisted to storage).  BENCH_r08_local /",
-        "  BENCH_r08_sf1 (median of 3 round-robin reps) show the warm",
+        "  computed once and persisted to storage).  BENCH_r09_local /",
+        "  BENCH_r09_sf1 (median of 3 round-robin reps) show the warm",
         "  steady state.",
     ]
     import json
