@@ -20,10 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
-    """Pearson correlations from one distributed pass of exact moments."""
-    n = df.count()
-    aggs = []
+def moment_aggs(cols: list[str]) -> list:
+    """The exact-moment aggregate list behind `correlation_matrix`:
+    row count, per-column decimal sums, upper-triangle cross sums.
+    Factored (r9) so the lazy in-plan fit frames and the driver path
+    build the identical expressions."""
+    aggs = [F.count("*").alias("__n")]
     for c in cols:
         d = F.col(c).cast("decimal(28,6)")
         aggs += [F.sum(d).cast("double").alias(f"s_{c}")]
@@ -32,7 +34,13 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
             da = F.col(a).cast("decimal(28,6)")
             db = F.col(b).cast("decimal(28,6)")
             aggs.append(F.sum(da * db).cast("double").alias(f"q_{a}__{b}"))
-    row = df.agg(*aggs).first()
+    return aggs
+
+
+def corr_from_moment_row(row, cols: list[str]) -> np.ndarray:
+    """Rebuild the Pearson matrix from a `moment_aggs` row — pure
+    numpy, callable on the driver or inside an executor fold."""
+    n = int(row["__n"])
     k = len(cols)
     C = np.zeros((k, k))
     means = {c: row[f"s_{c}"] / n for c in cols}
@@ -43,6 +51,11 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
             C[i, j] = C[j, i] = cov
     d = np.sqrt(np.diag(C))
     return C / np.outer(d, d)
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """Pearson correlations from one distributed pass of exact moments."""
+    return corr_from_moment_row(df.agg(*moment_aggs(cols)).first(), cols)
 
 
 def principal_axis_factoring(

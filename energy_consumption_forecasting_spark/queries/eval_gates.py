@@ -47,42 +47,72 @@ def m11_lstm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     objective from the deterministic seed — a broken gradient/BPTT
     path flips this) and (b) keep the recursive 7-step forecast inside
     a generous scaled band (min-max-scaled inputs live in [0, 1]; a
-    diverging recursion leaves ±1 around it immediately)."""
-    import numpy as np
+    diverging recursion leaves ±1 around it immediately).
 
-    from ..ml.lstm import lstm_train, sequence_dataset, to_numpy_dataset
+    ONE lazy plan since r9 (same shape as m11_lstm_forecast): scalars
+    attach in-plan, the bounded training set folds through a
+    1-partition mapInPandas running the identical trainer, verdicts
+    emitted from the fold — zero construction jobs."""
+    from ..ml.lstm import sequence_dataset
 
     daily = (
         tbl(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum("o_totalprice").alias("demand"))
     )
-    lo, hi = daily.agg(F.min("demand"), F.max("demand")).collect()[0]
-    scaled = daily.select(
-        "d", ((F.col("demand") - lo) / (hi - lo)).alias("v")
+    mm = daily.agg(F.min("demand").alias("lo"), F.max("demand").alias("hi"))
+    scaled = daily.crossJoin(F.broadcast(mm)).select(
+        "d",
+        (
+            (F.col("demand") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+        ).alias("v"),
     )
     seq = sequence_dataset(scaled, "d", ["v"], "v", seq_length=_SEQ_LEN)
-    X, y = to_numpy_dataset(seq, n_features=1)
-    model, history = lstm_train(
-        X, y, {"epochs": 40, "hidden_size": 8, "lr": 0.01}
-    )
-    window = list(X[-1, :, 0].astype(float))
-    preds = []
-    for _ in range(_HORIZON):
-        p = float(
-            model.predict(np.array(window[-_SEQ_LEN:])[None, :, None])[0]
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.lstm import lstm_train
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("d")
+        X = (
+            np.stack(pdf["x"].to_numpy())
+            .astype(np.float32)
+            .reshape(len(pdf), _SEQ_LEN, 1)
         )
-        preds.append(p)
-        window.append(p)
-    return spark.createDataFrame(
-        [
-            (
-                int(X.shape[0]),
-                bool(history[-1] < history[0]),
-                bool(all(-1.0 <= p <= 2.0 for p in preds)),
-                _HORIZON,
+        y = pdf["y"].to_numpy(dtype=np.float32)
+        model, history = lstm_train(
+            X, y, {"epochs": 40, "hidden_size": 8, "lr": 0.01}
+        )
+        window = list(X[-1, :, 0].astype(float))
+        preds = []
+        for _ in range(_HORIZON):
+            p = float(
+                model.predict(
+                    np.array(window[-_SEQ_LEN:])[None, :, None]
+                )[0]
             )
-        ],
+            preds.append(p)
+            window.append(p)
+        yield pd.DataFrame(
+            [
+                {
+                    "n_windows": int(X.shape[0]),
+                    "loss_decreased": bool(history[-1] < history[0]),
+                    "forecast_in_band": bool(
+                        all(-1.0 <= p <= 2.0 for p in preds)
+                    ),
+                    "horizon": _HORIZON,
+                }
+            ]
+        )
+
+    return seq.coalesce(1).mapInPandas(
+        fold,
         "n_windows long, loss_decreased boolean, forecast_in_band boolean,"
         " horizon int",
     )
@@ -468,11 +498,12 @@ def m9_arima_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth over the FULL series.  The fit itself is pinned against
     the committed Kalman-MLE goldens and the round-6 hand-derived
     external fixtures in tests/; this gate is the REGISTERED
-    hash-checked row for the family."""
-    import numpy as np
+    hash-checked row for the family.
 
-    from ..ml.forecast import _arma_fit_forecast, _best_css_fit
-    from ..ml.kalman_arima import _roots_ok
+    Since r9 the per-flag fits run DISTRIBUTED — one grouped
+    applyInPandas, one fit per returnflag group, zero construction
+    jobs (previously the gate collected every daily row and looped on
+    the driver)."""
 
     daily = (
         tbl(spark, sf_dir, "lineitem")
@@ -481,34 +512,48 @@ def m9_arima_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("qty"),
             F.avg(F.col("l_discount").cast("double")).alias("avg_disc"),
         )
-        .collect()
     )
-    series: dict[str, list] = {}
-    for r in daily:
-        series.setdefault(r["l_returnflag"], []).append(
-            (r["d"], r["qty"], r["avg_disc"])
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.forecast import (
+            _arma_fit_forecast,
+            _best_css_fit,
         )
-    rows = []
-    for flag, pts in sorted(series.items()):
-        pts.sort()
-        n_days = len(pts)
-        tail = pts[-512:]
-        y = np.array([p[1] for p in tail])
-        X = np.array([[p[2]] for p in tail])
+        from energy_consumption_forecasting_spark.ml.kalman_arima import (
+            _roots_ok,
+        )
+
+        pdf = pdf.sort_values("d")
+        flag = pdf["l_returnflag"].iloc[0]
+        n_days = len(pdf)
+        tail = pdf.iloc[-512:]
+        y = tail["qty"].to_numpy(dtype=np.float64)
+        X = tail["avg_disc"].to_numpy(dtype=np.float64)[:, None]
         z, Xz = np.diff(y), X[1:]
         c, phi, theta, beta, resid = _best_css_fit(z, Xz, 3, 4)
         fit_sse = float(resid @ resid)
         naive = z[-len(resid):] - z.mean()
         naive_sse = float(naive @ naive)
-        fit_improves = fit_sse <= 1.05 * naive_sse
-        stationary = bool(_roots_ok(phi))
         fc = _arma_fit_forecast(y, X, 3, 1, 4, 14)
-        forecast_ok = bool(len(fc) == 14 and np.isfinite(fc).all())
-        rows.append(
-            (flag, n_days, bool(fit_improves), stationary, forecast_ok)
+        return pd.DataFrame(
+            [
+                {
+                    "l_returnflag": flag,
+                    "n_days": n_days,
+                    "fit_improves": bool(fit_sse <= 1.05 * naive_sse),
+                    "phi_stationary": bool(_roots_ok(phi)),
+                    "forecast_ok": bool(
+                        len(fc) == 14 and np.isfinite(fc).all()
+                    ),
+                }
+            ]
         )
-    return spark.createDataFrame(
-        rows,
+
+    return daily.groupBy("l_returnflag").applyInPandas(
+        fit,
         "l_returnflag string, n_days long, fit_improves boolean,"
         " phi_stationary boolean, forecast_ok boolean",
     )

@@ -957,12 +957,8 @@ def m15_kernel_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("m4_factor_analysis")
-def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Factor analysis (3 factors, varimax) over daily order features —
-    distributed correlation pass, driver-side factoring (ml/factor.py)."""
-    from ..ml.factor import factor_analysis
-
-    daily = (
+def _m4_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         tbl(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
@@ -972,11 +968,44 @@ def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
-    loadings = factor_analysis(
-        daily, ["demand", "n_orders", "avg_price", "max_price"], n_factors=2
-    )
-    rows = [(c, v[0], v[1]) for c, v in loadings]
-    return spark.createDataFrame(rows, "feature string, f1 double, f2 double")
+
+
+_M4_COLS = ["demand", "n_orders", "avg_price", "max_price"]
+
+
+def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Factor analysis (2 factors, varimax) over daily order features —
+    distributed exact-moment pass, factoring folded IN-PLAN (r9): the
+    1-row moment aggregate feeds a mapInPandas that rebuilds the 4×4
+    correlation matrix and runs the identical PAF + varimax core
+    (ml/factor.py), so construction launches zero jobs and the driver
+    never sees a matrix."""
+    from ..ml.factor import moment_aggs
+
+    mom = _m4_daily(spark, sf_dir).agg(*moment_aggs(_M4_COLS))
+
+    def fold(batches):
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.factor import (
+            corr_from_moment_row,
+            principal_axis_factoring,
+            varimax,
+        )
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                R = corr_from_moment_row(row, _M4_COLS)
+                L = varimax(principal_axis_factoring(R, 2))
+                yield pd.DataFrame(
+                    {
+                        "feature": _M4_COLS,
+                        "f1": [float(x) for x in L[:, 0]],
+                        "f2": [float(x) for x in L[:, 1]],
+                    }
+                )
+
+    return mom.mapInPandas(fold, "feature string, f1 double, f2 double")
 
 
 # --- M19: cluster-label mapping / extraction (K:1913-1921,2221-2226) ---------
@@ -1694,43 +1723,57 @@ def m8_wavelet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       relative (orthonormality / Parseval);
     * ``length_ok`` — both bands have ⌈n/2⌉ coefficients.
 
-    The month series are calendar-bounded (one array per month), so the
-    per-series check runs on the driver over the collected arrays —
-    the same bounded shape every m5/m7 gate uses; n_series is SQL
-    truth."""
-    import numpy as np
-
-    from ..ml.decomposition import db4_dwt, db4_idwt
-
+    The per-series checks are independent, so since r9 they run
+    DISTRIBUTED — one mapInPandas over the aggregated series frame
+    emits per-series verdicts and a final AND/count aggregate folds
+    them (zero construction jobs; strictly more parallel than the old
+    driver loop over collected arrays)."""
     daily = _daily(spark, sf_dir)
-    series = (
-        daily.groupBy(F.trunc("d", "MM").alias("month"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "demand"))),
-                lambda s: s["demand"].cast("double"),
-            ).alias("series")
-        )
-        .collect()
+    agg = daily.groupBy(F.trunc("d", "MM").alias("month")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "demand"))),
+            lambda s: s["demand"].cast("double"),
+        ).alias("series")
     )
-    recon_ok = energy_ok = length_ok = True
-    for r in series:
-        y = np.asarray(r["series"], dtype=np.float64)
-        ca, cd = db4_dwt(y)
-        ypad = np.append(y, y[-1]) if len(y) % 2 else y
-        if len(ca) != (len(y) + 1) // 2 or len(cd) != len(ca):
-            length_ok = False
-        if np.max(np.abs(db4_idwt(ca, cd) - ypad)) > 1e-9 * max(
-            1.0, np.max(np.abs(ypad))
-        ):
-            recon_ok = False
-        e_in = float(ypad @ ypad)
-        e_out = float(ca @ ca + cd @ cd)
-        if abs(e_in - e_out) > 1e-9 * max(e_in, 1.0):
-            energy_ok = False
-    return spark.createDataFrame(
-        [(len(series), recon_ok, energy_ok, length_ok)],
-        "n_series long, recon_ok boolean, energy_ok boolean, length_ok boolean",
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.decomposition import (
+            db4_dwt,
+            db4_idwt,
+        )
+
+        for pdf in batches:
+            out = []
+            for s in pdf["series"]:
+                y = np.asarray(list(s), dtype=np.float64)
+                ca, cd = db4_dwt(y)
+                ypad = np.append(y, y[-1]) if len(y) % 2 else y
+                length_ok = (
+                    len(ca) == (len(y) + 1) // 2 and len(cd) == len(ca)
+                )
+                recon_ok = np.max(
+                    np.abs(db4_idwt(ca, cd) - ypad)
+                ) <= 1e-9 * max(1.0, np.max(np.abs(ypad)))
+                e_in = float(ypad @ ypad)
+                e_out = float(ca @ ca + cd @ cd)
+                energy_ok = abs(e_in - e_out) <= 1e-9 * max(e_in, 1.0)
+                out.append((bool(recon_ok), bool(energy_ok), bool(length_ok)))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["recon_ok", "energy_ok", "length_ok"]
+                )
+
+    checked = agg.mapInPandas(
+        check, "recon_ok boolean, energy_ok boolean, length_ok boolean"
+    )
+    return checked.agg(
+        F.count("*").alias("n_series"),
+        F.min("recon_ok").alias("recon_ok"),
+        F.min("energy_ok").alias("energy_ok"),
+        F.min("length_ok").alias("length_ok"),
     )
 
 
@@ -1760,47 +1803,58 @@ def m4_factor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``residual_improves_ok`` — the 2-factor model explains
       correlation: mean off-diagonal |R − LLᵀ| < mean off-diagonal |R|.
 
-    n_days comes from SQL, pinning the corpus the correlation pass ran
-    over.  Only the 4×4 correlation matrix reaches the driver."""
-    import numpy as np
+    n_days comes from the moment row's own count (the oracle pins it
+    from SQL).  ONE lazy plan (r9): the 1-row exact-moment aggregate
+    feeds a mapInPandas that rebuilds R, runs PAF + varimax, and
+    emits the verdicts — zero construction jobs, nothing
+    driver-side."""
+    from ..ml.factor import moment_aggs
 
-    from ..ml.factor import correlation_matrix, principal_axis_factoring, varimax
+    mom = _m4_daily(spark, sf_dir).agg(*moment_aggs(_M4_COLS))
 
-    daily = (
-        tbl(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.sum("o_totalprice").alias("demand"),
-            F.count("*").cast("double").alias("n_orders"),
-            F.avg("o_totalprice").alias("avg_price"),
-            F.max("o_totalprice").alias("max_price"),
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.factor import (
+            corr_from_moment_row,
+            principal_axis_factoring,
+            varimax,
         )
-    )
-    cols = ["demand", "n_orders", "avg_price", "max_price"]
-    n_days = daily.count()
-    R = correlation_matrix(daily, cols)
-    L0 = principal_axis_factoring(R, 2)
-    L = varimax(L0)
-    h2_0 = (L0**2).sum(axis=1)
-    h2 = (L**2).sum(axis=1)
-    loadings_ok = bool(np.abs(L).max() <= 1.0 + 1e-6)
-    communality_ok = bool(h2.max() <= 1.0 + 1e-6)
-    rotation_invariant_ok = bool(np.abs(h2 - h2_0).max() <= 1e-8)
-    off = ~np.eye(len(cols), dtype=bool)
-    resid = np.abs(R - L @ L.T)[off].mean()
-    residual_improves_ok = bool(resid < np.abs(R)[off].mean())
-    return spark.createDataFrame(
-        [
-            (
-                n_days,
-                len(cols),
-                2,
-                loadings_ok,
-                communality_ok,
-                rotation_invariant_ok,
-                residual_improves_ok,
-            )
-        ],
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                R = corr_from_moment_row(row, _M4_COLS)
+                L0 = principal_axis_factoring(R, 2)
+                L = varimax(L0)
+                h2_0 = (L0**2).sum(axis=1)
+                h2 = (L**2).sum(axis=1)
+                off = ~np.eye(len(_M4_COLS), dtype=bool)
+                resid = np.abs(R - L @ L.T)[off].mean()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "n_days": int(row["__n"]),
+                            "n_features": len(_M4_COLS),
+                            "k": 2,
+                            "loadings_ok": bool(
+                                np.abs(L).max() <= 1.0 + 1e-6
+                            ),
+                            "communality_ok": bool(
+                                h2.max() <= 1.0 + 1e-6
+                            ),
+                            "rotation_invariant_ok": bool(
+                                np.abs(h2 - h2_0).max() <= 1e-8
+                            ),
+                            "residual_improves_ok": bool(
+                                resid < np.abs(R)[off].mean()
+                            ),
+                        }
+                    ]
+                )
+
+    return mom.mapInPandas(
+        fold,
         "n_days long, n_features int, k int, loadings_ok boolean,"
         " communality_ok boolean, rotation_invariant_ok boolean,"
         " residual_improves_ok boolean",

@@ -218,11 +218,15 @@ def m11_lstm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("m11_lstm_forecast")
 def m11_lstm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11 end-to-end IN-CONTAINER (r1 left the trainer torch-gated):
-    distributed W8 window prep → Arrow-batched export → numpy LSTM
-    (full BPTT + Adam, ml/lstm.py::NumpyLSTM) → recursive 7-step
-    forecast, min-max scaled like the reference (LSTM.py:30-46).
-    Rows-only: gradient descent is solver-shaped."""
-    from ..ml.lstm import lstm_train, sequence_dataset, to_numpy_dataset
+    distributed W8 window prep → numpy LSTM (full BPTT + Adam,
+    ml/lstm.py::NumpyLSTM) → recursive 7-step forecast, min-max scaled
+    like the reference (LSTM.py:30-46).  ONE lazy plan since r9: the
+    min/max scalars attach in-plan (1-row broadcast), and the
+    calendar-bounded training set folds through a 1-partition
+    mapInPandas that runs the identical trainer — zero construction
+    jobs, the driver never holds a tensor.  Rows-only: gradient
+    descent is solver-shaped."""
+    from ..ml.lstm import sequence_dataset
 
     seq_len = 14
     daily = (
@@ -230,29 +234,58 @@ def m11_lstm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum("o_totalprice").alias("demand"))
     )
-    lo, hi = daily.agg(F.min("demand"), F.max("demand")).collect()[0]
-    scaled = daily.select(
-        "d", ((F.col("demand") - lo) / (hi - lo)).alias("v")
+    mm = daily.agg(F.min("demand").alias("lo"), F.max("demand").alias("hi"))
+    scaled = daily.crossJoin(F.broadcast(mm)).select(
+        "d",
+        (
+            (F.col("demand") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+        ).alias("v"),
     )
     seq = sequence_dataset(scaled, "d", ["v"], "v", seq_length=seq_len)
-    X, y = to_numpy_dataset(seq, n_features=1)
-    model, history = lstm_train(
-        X, y, {"epochs": 40, "hidden_size": 8, "lr": 0.01}
-    )
-    window = list(X[-1, :, 0].astype(float))
-    import numpy as np
+    packed = seq.crossJoin(F.broadcast(mm))
 
-    preds = []
-    for _ in range(7):
-        p = float(model.predict(np.array(window[-seq_len:])[None, :, None])[0])
-        preds.append(p)
-        window.append(p)
-    return spark.createDataFrame(
-        [
-            (i + 1, lo + (hi - lo) * p, float(history[0]), float(history[-1]))
-            for i, p in enumerate(preds)
-        ],
-        "step int, forecast double, mse_first double, mse_last double",
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        from energy_consumption_forecasting_spark.ml.lstm import lstm_train
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("d")
+        lo = float(pdf["lo"].iloc[0])
+        hi = float(pdf["hi"].iloc[0])
+        X = (
+            np.stack(pdf["x"].to_numpy())
+            .astype(np.float32)
+            .reshape(len(pdf), seq_len, 1)
+        )
+        y = pdf["y"].to_numpy(dtype=np.float32)
+        model, history = lstm_train(
+            X, y, {"epochs": 40, "hidden_size": 8, "lr": 0.01}
+        )
+        window = list(X[-1, :, 0].astype(float))
+        out = []
+        for i in range(7):
+            p = float(
+                model.predict(np.array(window[-seq_len:])[None, :, None])[0]
+            )
+            out.append(
+                (
+                    i + 1,
+                    lo + (hi - lo) * p,
+                    float(history[0]),
+                    float(history[-1]),
+                )
+            )
+            window.append(p)
+        yield pd.DataFrame(
+            out, columns=["step", "forecast", "mse_first", "mse_last"]
+        )
+
+    return packed.coalesce(1).mapInPandas(
+        fold, "step int, forecast double, mse_first double, mse_last double"
     )
 
 

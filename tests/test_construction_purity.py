@@ -95,8 +95,9 @@ EXEMPT: dict[str, str] = {
     # _pca_fit_frame's lazy in-plan eigh (Gram partials → 1-partition
     # mapInPandas fold), loadings attach by 1-row broadcast; zero
     # construction jobs.
-    "m4_factor_analysis": "FIT",
-    "m4_factor_eval": "FIT",
+    # m4_factor_analysis / m4_factor_eval: un-exempted r9 — the 1-row
+    # exact-moment aggregate feeds a mapInPandas that rebuilds R and
+    # runs the identical PAF + varimax core; zero construction jobs.
     "m5_kmeans_clusters": "FIT",
     "m5_tskmeans_dba": "FIT",
     # m5_kshape / m5_dtw_kmedoids: un-exempted r9 — the bounded
@@ -108,10 +109,14 @@ EXEMPT: dict[str, str] = {
     # m6_silhouette: un-exempted r9 — exact Rousseeuw silhouette via
     # per-cluster sufficient statistics + broadcast + HOF fold; the
     # eager MLlib ClusteringEvaluator.evaluate is gone.
-    "m8_wavelet_eval": "FIT",
+    # m8_wavelet_eval: un-exempted r9 — per-series DWT checks run
+    # DISTRIBUTED in one mapInPandas + a final AND/count aggregate.
     "m10_gbt_forecast": "FIT",
     "m10_gbt_eval": "FIT",
-    "m11_lstm_forecast": "FIT",
+    # m11_lstm_forecast: un-exempted r9 — min/max scalars attach
+    # in-plan (1-row broadcast) and the calendar-bounded training set
+    # folds through a 1-partition mapInPandas running the identical
+    # NumpyLSTM trainer; zero construction jobs.
     "m13_bayesopt_gbt": "FIT",
     "m13_bayesopt_ar_order": "FIT",
     "m13_bayesopt_eval": "FIT",
@@ -132,14 +137,16 @@ EXEMPT: dict[str, str] = {
     # a_approx_percentile_eval: un-exempted r9 — the sketch quantiles
     # are scalar-attached in-plan (1-row broadcast) and the verdicts
     # come from a literal posexplode; zero construction jobs.
-    "m11_lstm_eval": "FIT",
+    # m11_lstm_eval: un-exempted r9 — same 1-partition trainer fold
+    # as m11_lstm_forecast; verdicts emitted from the fold.
     "m15_shap_eval": "FIT",
     "m16_ablation_eval": "FIT",
     "m17_sensitivity_eval": "FIT",
     "m21_som_eval": "FIT",
     "pipeline_unigram_eval": "FIT",
     "pipeline_classifier_eval": "FIT",
-    "m9_arima_eval": "FIT",
+    # m9_arima_eval: un-exempted r9 — the per-returnflag CSS fits run
+    # distributed in one grouped applyInPandas; no driver collect.
     # dq_referential_integrity: un-exempted r9 — the four FK audits
     # (8 driver actions + createDataFrame) became one lazy union of
     # left-join aggregates; construction is pure.
