@@ -33,6 +33,12 @@ AUDITED = [
     "text_tokenizer_fertility",
     "pipeline_pack_ffd",
     "pipeline_pack_ffd_eval",
+    "m4_factor_eval",
+    "m8_wavelet_eval",
+    "m9_arima_eval",
+    "m11_lstm_forecast",
+    "m5_dtw_kmedoids",
+    "m5_kshape",
     "a_item_item_cf",
     "graph_personalized_pagerank",
     "dq_key_skew",
