@@ -2270,6 +2270,27 @@ def pipeline_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 FFD_SHARD_DOCS = 8192  # docs per packing shard (bounded FFD work unit)
 
 
+def ffd_assign(lengths: list[int], capacity: int) -> list[int]:
+    """First-fit-decreasing bin assignment for an ALREADY
+    descending-sorted length list: each item goes to the first bin
+    with room, else opens a new bin.  Pure function, factored so the
+    hypothesis property test drives the identical core the Spark
+    packer runs per shard."""
+    remaining: list[int] = []
+    assign: list[int] = []
+    for n in lengths:
+        n = int(n)
+        for b, r in enumerate(remaining):
+            if r >= n:
+                remaining[b] = r - n
+                assign.append(b)
+                break
+        else:
+            remaining.append(capacity - n)
+            assign.append(len(remaining) - 1)
+    return assign
+
+
 def _ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared shape for the FFD packer + its eval gate: per-(shard,
     bin) totals from a deterministic first-fit-decreasing pack."""
@@ -2285,21 +2306,14 @@ def _ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pack(pdf):
         import pandas as pd
 
+        from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+            ffd_assign,
+        )
+
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         )
-        remaining: list[int] = []
-        assign = []
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            for b, r in enumerate(remaining):
-                if r >= n:
-                    remaining[b] = r - n
-                    assign.append(b)
-                    break
-            else:
-                remaining.append(PACK_CAPACITY - n)
-                assign.append(len(remaining) - 1)
+        assign = ffd_assign(list(pdf["n_tokens"]), PACK_CAPACITY)
         return pd.DataFrame(
             {
                 "shard": pdf["shard"].to_numpy(),

@@ -1022,3 +1022,35 @@ def test_shared_plan_is_lazy(spark):
     finally:
         cached.unpersist()
     assert ck.count() == 7
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=512), min_size=1, max_size=300)
+)
+@settings(max_examples=200, deadline=None)
+def test_ffd_assign_property(lengths):
+    """FFD invariants over random length lists (the pure core the
+    Spark packer runs per shard): every item assigned exactly once,
+    no bin over capacity, bin count respects the token lower bound,
+    and the first-fit guarantee — at most one bin ends under half
+    full.  Also pins determinism (same input → same output)."""
+    import math
+
+    from energy_consumption_forecasting_spark.queries.pipeline_ops import (
+        ffd_assign,
+    )
+
+    cap = 512
+    ordered = sorted(lengths, reverse=True)
+    assign = ffd_assign(ordered, cap)
+    assert len(assign) == len(ordered)
+    fills: dict[int, int] = {}
+    for n, b in zip(ordered, assign):
+        fills[b] = fills.get(b, 0) + n
+    # bins are opened densely: 0..max
+    assert sorted(fills) == list(range(len(fills)))
+    assert max(fills.values()) <= cap
+    assert len(fills) >= math.ceil(sum(ordered) / cap)
+    under_half = sum(1 for v in fills.values() if v < cap / 2)
+    assert under_half <= 1
+    assert ffd_assign(ordered, cap) == assign
