@@ -362,6 +362,10 @@ def _fold_moments(rows):
         sv, gv = np.asarray(r["s"]), np.asarray(r["ss"])
         s = sv if s is None else s + sv
         ss = gv if ss is None else ss + gv
+    if n < 2:
+        raise ValueError(
+            f"moment fold needs >=2 vectors to form a covariance, got {n}"
+        )
     dim = int(round(len(ss) ** 0.5))
     mu = s / n
     cov = (ss.reshape(dim, dim) - n * np.outer(mu, mu)) / (n - 1)
@@ -383,7 +387,9 @@ def _pca_fit_frame(emb: DataFrame, k: int = 3) -> DataFrame:
 
         rows = [r for pdf in batches for _, r in pdf.iterrows()]
         if not rows:
-            return
+            raise ValueError(
+                "PCA fit: embeddings corpus is empty — nothing to fit"
+            )
         n, _, cov, dim = _fold_moments(rows)
         vals, vecs = np.linalg.eigh(cov)
         order = np.argsort(vals)[::-1]
@@ -956,7 +962,6 @@ def m15_kernel_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("__sid").alias("d"), "feature", "phi")
 
 
-@query("m4_factor_analysis")
 def _m4_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tbl(spark, sf_dir, "orders")
@@ -973,6 +978,7 @@ def _m4_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M4_COLS = ["demand", "n_orders", "avg_price", "max_price"]
 
 
+@query("m4_factor_analysis")
 def m4_factor_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Factor analysis (2 factors, varimax) over daily order features —
     distributed exact-moment pass, factoring folded IN-PLAN (r9): the
@@ -1416,9 +1422,17 @@ def m3_pca_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fit = _pca_fit_frame(emb)
     sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
-    proj = emb.crossJoin(F.broadcast(fit.select("pc"))).select(
+    # broadcast the FULL 1-row fit so its scalar verdict columns ride
+    # along to the final agg — the moment scan + eigh fold then executes
+    # exactly once per action (r10: was referenced twice via a second
+    # crossJoin, doubling the fit work)
+    proj = emb.crossJoin(F.broadcast(fit)).select(
         "v",
         "pc",
+        "n_vec",
+        "dim",
+        "orthonormal_ok",
+        "variance_ok",
         _pc_dot(1).alias("p1"),
         _pc_dot(2).alias("p2"),
         _pc_dot(3).alias("p3"),
@@ -1446,8 +1460,14 @@ def m3_pca_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("p3") * F.col("p3")
         ).alias("pm2"),
         F.avg(recon_err).alias("recon"),
+        # constant across rows (1-row broadcast), first() just carries
+        # the fit verdicts through the agg without a second fit run
+        F.first("n_vec").alias("n_vec"),
+        F.first("dim").alias("dim"),
+        F.first("orthonormal_ok").alias("orthonormal_ok"),
+        F.first("variance_ok").alias("variance_ok"),
     )
-    return stats.crossJoin(F.broadcast(fit)).select(
+    return stats.select(
         "n_vec",
         "dim",
         F.lit(3).alias("k"),

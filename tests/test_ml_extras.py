@@ -1356,3 +1356,29 @@ def test_silhouette_external_golden(spark):
         got = silhouette_frame(sdf).first()["silhouette"]
         num, den = c["mean_s"]
         assert abs(got - num / den) < 1e-12, key
+
+
+def test_m4_registered_query_returns_loadings(spark):
+    """Regression (r10, ADVICE r9-high): the @query("m4_factor_analysis")
+    decorator must sit on the factor-loadings function, not the extracted
+    _m4_daily helper — the r9 refactor silently registered the raw daily
+    feature frame.  Pins the REGISTERED callable's schema and that every
+    feature row carries two finite loadings."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["m4_factor_analysis"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    assert [f.name for f in df.schema.fields] == ["feature", "f1", "f2"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "double",
+        "double",
+    ]
+    rows = df.collect()
+    assert sorted(r["feature"] for r in rows) == [
+        "avg_price",
+        "demand",
+        "max_price",
+        "n_orders",
+    ]
+    assert all(np.isfinite(r["f1"]) and np.isfinite(r["f2"]) for r in rows)
