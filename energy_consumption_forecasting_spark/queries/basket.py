@@ -46,20 +46,23 @@ pair_counts AS (
 """
 
 
-def pair_expr(arr_col: str):
-    """Row-local ordered-pair explosion of a SORTED array column:
-    flatten(transform(arr, (x, i) -> transform(slice(arr, i+2, n),
-    y -> (x, y)))) — all C(k,2) pairs with p1 < p2.  Shared by the
-    queries and the brute-force property test (the test must exercise
-    THIS expression, not a private copy)."""
-    return F.flatten(
-        F.transform(
-            F.col(arr_col),
-            lambda x, i: F.transform(
-                F.slice(F.col(arr_col), i + 2, F.size(arr_col)),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
+def basket_pairs(baskets: DataFrame, arr_col: str = "arr") -> DataFrame:
+    """All (p1 < p2) item pairs of a SORTED array column as rows,
+    through two PIPELINED explodes: the first fans the 1-based upper
+    index i over 1..k-1, the second explodes the i-prefix slice as p1
+    against arr[i] as p2.  GenerateExec streams one pair at a time, so
+    no row ever materializes the C(k,2) struct array — the largest
+    array held is the basket itself — bounded for ANY basket size.
+    Shared by the queries and the brute-force property test (the test
+    must exercise THIS plan, not a private copy).  Size-<2 arrays are
+    dropped (F.sequence(1, 0) is DESCENDING in Spark)."""
+    step1 = baskets.filter(F.size(arr_col) >= 2).select(
+        arr_col,
+        F.explode(F.sequence(F.lit(1), F.size(arr_col) - 1)).alias("i"),
+    )
+    return step1.select(
+        F.explode(F.slice(arr_col, 1, F.col("i"))).alias("p1"),
+        F.element_at(arr_col, F.col("i") + 1).alias("p2"),
     )
 
 
@@ -69,23 +72,6 @@ def _item_counts(lines: DataFrame) -> DataFrame:
     scoring derive from this single aggregation."""
     return lines.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("n_item")
-    )
-
-
-_BASKET_CHUNK = 64  # max items per row-local pair block (mega-basket split)
-
-
-def _cross_expr(a_col: str, b_col: str):
-    """Row-local cross pairs between two DISJOINT sorted blocks where
-    every element of ``a_col`` precedes every element of ``b_col`` —
-    all (x, y) with p1 < p2 guaranteed by block ordering."""
-    return F.flatten(
-        F.transform(
-            F.col(a_col),
-            lambda x: F.transform(
-                F.col(b_col), lambda y: F.struct(x.alias("p1"), y.alias("p2"))
-            ),
-        )
     )
 
 
@@ -100,18 +86,20 @@ def pair_counts_from_lines(
     for pair support >= _MINSUP) drops infrequent items before the
     basket collapse so the array stays minimal.
 
-    MEGA-BASKET GUARD (round-4 VERDICT item 5): a single pathological
-    basket with 10⁴+ frequent items would materialize C(k,2) ≈ 5·10⁷
-    structs in ONE row (and one task).  Baskets larger than
-    _BASKET_CHUNK are therefore split into sorted blocks of ≤ 64 items;
-    every (block_i, block_j) pair with i ≤ j becomes its own row
-    (within-block pairs on the diagonal, cross-block pairs off it), and
-    those rows are repartitioned before the explode, so per-row memory
-    is bounded by 64² structs and the — inherently quadratic — work of
-    a mega-basket spreads over the cluster instead of killing one
-    executor.  The split is LOSSLESS: block ordering keeps p1 < p2 and
-    every pair appears in exactly one block pair, so counts are
-    byte-identical to the unsplit path."""
+    MEGA-BASKET GUARD (round-4 VERDICT item 5, r10 redesign): a single
+    pathological basket with 10⁴+ frequent items would materialize
+    C(k,2) ≈ 5·10⁷ pair structs in ONE row under the flatten form.  The
+    r10 expansion streams instead: the first explode fans the 1-based
+    upper index i over 1..k-1, the second explodes the i-prefix slice
+    as p1 against arr[i] as p2 — GenerateExec pipelines one pair at a
+    time, so the largest array any row materializes is the k-element
+    basket itself (O(k) items, not O(k²) structs), for ANY basket size,
+    with ONE read of the basket exchange and no small/big union (the
+    r4-r9 block-split machinery's second scan + repartition shuffle are
+    gone).  A mega-basket's — inherently quadratic — pair stream stays
+    in one task; that serialization is the accepted trade: the output
+    pair count, not per-row memory, is the binding constraint, and the
+    downstream hash agg combines map-side either way."""
     if item_counts is None:
         item_counts = _item_counts(lines)
     freq = item_counts.filter(F.col("n_item") >= _MINSUP)
@@ -121,43 +109,9 @@ def pair_counts_from_lines(
     baskets = pruned.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
-    small_pairs = baskets.filter(F.size("arr") <= _BASKET_CHUNK).select(
-        F.explode(pair_expr("arr")).alias("pr")
-    )
-    big = baskets.filter(F.size("arr") > _BASKET_CHUNK)
-    nch = F.ceil(F.size("arr") / F.lit(_BASKET_CHUNK)).cast("int")
-    block_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), nch - 1),
-            lambda i: F.transform(
-                F.sequence(i, nch - 1),
-                lambda j: F.struct(i.alias("i"), j.alias("j")),
-            ),
-        )
-    )
-    chunked = (
-        big.select("arr", F.explode(block_pairs).alias("cp"))
-        .select(
-            F.slice(
-                "arr", F.col("cp.i") * _BASKET_CHUNK + 1, F.lit(_BASKET_CHUNK)
-            ).alias("ai"),
-            F.slice(
-                "arr", F.col("cp.j") * _BASKET_CHUNK + 1, F.lit(_BASKET_CHUNK)
-            ).alias("aj"),
-            (F.col("cp.i") == F.col("cp.j")).alias("same"),
-        )
-        .repartition(lines.sparkSession.sparkContext.defaultParallelism)
-    )
-    big_pairs = chunked.select(
-        F.explode(
-            F.when(F.col("same"), pair_expr("ai")).otherwise(
-                _cross_expr("ai", "aj")
-            )
-        ).alias("pr")
-    )
     return (
-        small_pairs.unionAll(big_pairs)
-        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        basket_pairs(baskets)
+        .groupBy("p1", "p2")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _MINSUP)
     )

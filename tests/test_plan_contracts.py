@@ -173,3 +173,42 @@ def test_unpartitioned_window_guard_rdd_leaf_attribution(spark):
         assert flagged, "checkpointed-corpus global window not flagged"
     finally:
         corpus.unpersist()
+
+
+def test_calendar_bounded_window_contract_all_queries(spark):
+    """r9 VERDICT item 5: the unpartitioned-window queries
+    (w8_sequence_windows, j3_asof_ffill_join, w2_unbounded_fill and
+    kin) are safe ONLY because their window input is a calendar-bounded
+    aggregate (<= #days rows).  Nothing but this test enforces that a
+    future edit doesn't hand them a corpus-sized frame: it runs the
+    plan-audit invariant (unpartitioned Window must sit above an
+    Aggregate / literal / attributably-bounded cache) over EVERY
+    registered query whose construction is pure — the same audit
+    tools/plan_audit.py applies to the AUDITED subset at PLANS.md
+    regeneration time, promoted to CI for the full registry.  Repoint
+    any of these windows at a raw fact table and this fails."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit_unpartitioned_windows
+
+    from energy_consumption_forecasting_spark.queries import load_all
+    from tests.test_construction_purity import EXEMPT
+
+    qs, _ = load_all()
+    # the verdict-named queries must be in scope (pure construction)
+    for must in ("w8_sequence_windows", "j3_asof_ffill_join",
+                 "w2_unbounded_fill", "w9_lag_features",
+                 "w11_rolling_mean"):
+        assert must in qs and must not in EXEMPT, must
+    offenders: dict[str, list[str]] = {}
+    for name in sorted(qs):
+        if name in EXEMPT:
+            continue  # construction launches jobs (drains/fits) by contract
+        v = audit_unpartitioned_windows(qs[name](spark, SF_SMALL))
+        if v:
+            offenders[name] = v
+    assert not offenders, (
+        "unpartitioned Window over an unbounded frame (calendar-bounded "
+        f"window contract broken): {offenders}"
+    )

@@ -609,14 +609,14 @@ def test_basket_pair_explode_property(spark, lines):
     )
     if not lines:
         df = df.limit(0)
-    from energy_consumption_forecasting_spark.queries.basket import pair_expr
+    from energy_consumption_forecasting_spark.queries.basket import basket_pairs
 
     arr = F.array_sort(F.collect_set("l_partkey")).alias("arr")
     b = df.groupBy("l_orderkey").agg(arr)
     got = {
         (r["p1"], r["p2"]): r["n"]
-        for r in b.select(F.explode(pair_expr("arr")).alias("pr"))
-        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        for r in basket_pairs(b)
+        .groupBy("p1", "p2")
         .agg(F.count("*").alias("n"))
         .collect()
     }

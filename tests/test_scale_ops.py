@@ -359,22 +359,20 @@ def test_croston_carry_across_arrow_batches(spark):
     assert tiny == baseline and len(baseline) > 0
 
 
-def test_mega_basket_chunked_pairs_lossless_and_bounded(spark):
-    """Round-4 VERDICT item 5: a 2,000-item basket (C(k,2) ≈ 2M pairs)
-    must flow through the chunk-split path in bounded time with counts
-    identical to the dense formula; a 100-item basket crossing the
-    64-item threshold must produce exactly the pairs the small path
-    would."""
+def test_mega_basket_pairs_lossless_and_bounded(spark):
+    """Round-4 VERDICT item 5 (r10 pipelined form): a 2,000-item basket
+    (C(k,2) ≈ 2M pairs) must stream through the pipelined pair
+    expansion in bounded time with counts identical to the dense
+    formula, and a 100-item basket must produce exactly the dense pair
+    set — no size threshold, one plan for every basket shape."""
     import time
 
     from pyspark.sql import functions as F
 
     from energy_consumption_forecasting_spark.queries.basket import (
-        _BASKET_CHUNK,
         pair_counts_from_lines,
     )
 
-    assert _BASKET_CHUNK == 64
     # two identical mega-baskets (pair support 2 satisfies minsup;
     # every item appears in 2 baskets so the a-priori prune keeps all)
     k = 2000
@@ -390,8 +388,7 @@ def test_mega_basket_chunked_pairs_lossless_and_bounded(spark):
     sample = out.filter((F.col("p1") == 0) & (F.col("p2").isin(1, 63, 64, 1999))).collect()
     assert {r["n"] for r in sample} == {2} and len(sample) == 4
 
-    # 100-item basket: crosses the threshold; compare against the dense
-    # in-row explode on the same data
+    # 100-item basket: compare against the dense pair set
     k2 = 100
     lines2 = spark.createDataFrame(
         [(b, i) for b in (1, 2) for i in range(k2)],
@@ -830,144 +827,119 @@ def test_cos_band_rows_500k_planted_twin_recall(spark):
     assert recall >= 0.99, f"500k planted-twin recall: {recall:.4f}"
 
 
-def test_chunked_pair_expansion_matches_rowlocal(spark):
-    """_pairs_from_members_chunked (r8 verdict lead item) must emit the
-    EXACT pair multiset of the row-local expansion on buckets of every
-    shape — singleton chunks, exact-multiple, remainder, and multi-key
-    buckets — when forced through the join path with a tiny chunk."""
+def test_pipelined_pair_expansion_matches_dense(spark):
+    """_pairs_from_members (r10 pipelined form) must emit the EXACT
+    (doc_a < doc_b) pair multiset of the dense definition on buckets of
+    every shape — 2-element, odd, dozen-element, multi-bucket frames —
+    and silently drop size-<2 arrays (F.sequence(1, 0) is DESCENDING in
+    Spark; they must never reach the explode)."""
     from pyspark.sql import functions as F
 
     from energy_consumption_forecasting_spark.queries.dedup import (
         _pairs_from_members,
-        _pairs_from_members_chunked,
     )
 
     rows = [
-        ("b0", "x", sorted([3, 1, 9, 7, 5, 2, 8])),          # 7 = 2*3+1
-        ("b0", "y", sorted(range(100, 112))),                  # 12 = 4*3
-        ("b1", "x", [42, 77]),                                 # single chunk
-        ("b1", "z", sorted(range(200, 203))),                  # exactly chunk
+        ("b0", "x", sorted([3, 1, 9, 7, 5, 2, 8])),
+        ("b0", "y", sorted(range(100, 112))),
+        ("b1", "x", [42, 77]),
+        ("b1", "z", sorted(range(200, 203))),
+        ("b2", "s", [999]),          # singleton: contributes nothing
+        ("b2", "e", []),             # empty: contributes nothing
     ]
     members = spark.createDataFrame(
         [(b, k, sorted(d)) for b, k, d in rows],
         "band string, bucket string, docs array<long>",
     )
-    naive = sorted(
+    got = sorted(
         (r.doc_a, r.doc_b) for r in _pairs_from_members(members).collect()
     )
-    chunked = sorted(
-        (r.doc_a, r.doc_b)
-        for r in _pairs_from_members_chunked(
-            members, ["band", "bucket"], chunk=3
-        ).collect()
-    )
-    assert chunked == naive
     want = sorted(
         (a, b) for _, _, d in rows for i, a in enumerate(d) for b in d[i + 1 :]
     )
-    assert chunked == want
+    assert got == want
 
 
-def test_minhash_mega_bucket_bounded_rows_100k(spark):
+def test_minhash_mega_bucket_streams_bounded_rows_100k(spark):
     """The r8 verdict's named scale-killer: a planted 100k-identical-doc
     bucket must NEVER materialize its k²/2 ≈ 5e9 pair structs in one
-    row.  Structural proof on the real helper: chunk rows are bounded
-    at PAIR_CHUNK, and the intra+inter pair COUNTS (computed by
-    aggregation, never exploding 5e9 rows) sum to exactly C(k,2) — the
-    chunked plan emits the identical pair set the oracle's self-join
-    defines, from ~200 bounded rows instead of one multi-GB row."""
-    from pyspark.sql import functions as F
-
-    from energy_consumption_forecasting_spark.queries.dedup import PAIR_CHUNK
-
-    k = 100_000
-    members = spark.range(1).select(
-        F.lit(0).alias("band"),
-        F.lit("mega").alias("bucket"),
-        F.sequence(F.lit(0), F.lit(k - 1)).alias("docs"),
-    )
-    # mirror the helper's chunking stage (the part that bounds rows)
-    chunk = PAIR_CHUNK
-    n_chunks = F.ceil(F.size("docs") / chunk).cast("int")
-    chunks = members.select(
-        "band",
-        "bucket",
-        n_chunks.alias("nc"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda ci: F.slice("docs", ci * chunk + 1, chunk),
-            )
-        ).alias("ci", "cdocs"),
-    )
-    stats = chunks.agg(
-        F.count("*").alias("n_rows"),
-        F.max(F.size("cdocs")).alias("max_row"),
-        F.sum(
-            (F.size("cdocs") * (F.size("cdocs") - 1) / 2).cast("long")
-        ).alias("intra_pairs"),
-    ).collect()[0]
-    assert stats.n_rows == -(-k // chunk)
-    assert stats.max_row <= PAIR_CHUNK, "a row exceeded the chunk cap"
-    # inter-chunk pair count from the join's array sizes — no explode
-    a = chunks.select(
-        "band", "bucket", F.col("ci").alias("ci_a"), F.size("cdocs").alias("na")
-    )
-    b = chunks.select(
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("ci").alias("ci_b"),
-        F.size("cdocs").alias("nb"),
-    )
-    inter = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("ci_a") < F.col("ci_b")),
-        )
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("n"))
-        .collect()[0]
-        .n
-    )
-    assert stats.intra_pairs + inter == k * (k - 1) // 2
-
-
-def test_minhash_over_chunk_cluster_end_to_end(spark):
-    """A 1,500-identical-doc cluster (3 chunks at PAIR_CHUNK=512) fully
-    exploded through _pairs_from_members_chunked: count and spot
-    membership must equal the dense C(k,2) answer, proving the
-    intra/inter split loses and invents nothing across real chunk
-    boundaries."""
+    row.  Structural proof on the REAL helper's plan (r10 pipelined
+    form): the physical plan contains exactly two Generate nodes and no
+    Join/flatten — GenerateExec streams, and inside one whole-stage
+    pipeline the generated rows stay virtual until the shuffle
+    boundary, where the docs column is already pruned (rows crossing
+    are bare (doc_a, doc_b) pairs).  The largest array any row
+    materializes is the k-element docs list or an i-prefix slice —
+    O(k) longs, not O(k²) structs.  The index fan-out over the 100k
+    bucket is verified by aggregation (k-1 scalar-i rows), never by
+    exploding 5e9 pairs."""
     from pyspark.sql import functions as F
 
     from energy_consumption_forecasting_spark.queries.dedup import (
-        PAIR_CHUNK,
-        _pairs_from_members_chunked,
+        _pairs_from_members,
     )
 
-    k = 1500
-    assert PAIR_CHUNK < k <= 3 * PAIR_CHUNK
-    members = spark.range(1).select(
+    k = 100_000
+    # docs from DATA (agg), not a literal — a 100k-element literal
+    # would constant-fold into the plan and measure codegen, not the op
+    members = spark.range(k).agg(
+        F.lit(0).alias("band"),
+        F.lit("mega").alias("bucket"),
+        F.array_sort(F.collect_list("id")).alias("docs"),
+    )
+    pairs = _pairs_from_members(members)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 2, plan
+    assert "Join" not in plan and "flatten" not in plan, plan
+    # the first explode's fan-out is k-1 scalar-i rows (never pairs)
+    step1 = members.select(
+        F.explode(F.sequence(F.lit(1), F.size("docs") - 1)).alias("i")
+    )
+    assert step1.count() == k - 1
+
+
+def test_minhash_mega_cluster_end_to_end(spark):
+    """Mega clusters fully exploded through _pairs_from_members: count,
+    distinctness and spot membership must equal the dense C(k,2) answer
+    at k=3000 (4.5M pairs), and the full 20k-member expansion (2·10⁸
+    pairs — 40× the r9 test's volume) must stream to a count in bounded
+    time, proving the pipelined form loses nothing and scales past any
+    chunk threshold."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        _pairs_from_members,
+    )
+
+    k = 3000
+    members = spark.range(k).agg(
         F.lit(0).alias("band"),
         F.lit("c").alias("bucket"),
-        F.sequence(F.lit(0), F.lit(k - 1)).alias("docs"),
+        F.array_sort(F.collect_list("id")).alias("docs"),
     )
-    pairs = _pairs_from_members_chunked(members, ["band", "bucket"])
+    pairs = _pairs_from_members(members)
     assert pairs.count() == k * (k - 1) // 2
-    # no duplicates (count == distinct count) and ordering holds on a
-    # boundary-straddling sample
     assert pairs.distinct().count() == k * (k - 1) // 2
     sample = {
         (r.doc_a, r.doc_b)
         for r in pairs.filter(
             F.col("doc_a").isin(0, 511, 512, 1023, 1024)
-            & F.col("doc_b").isin(511, 512, 1023, 1024, 1499)
+            & F.col("doc_b").isin(511, 512, 1023, 1024, 2999)
         ).collect()
     }
     for a, b in [(0, 511), (0, 512), (511, 512), (511, 1024), (1023, 1024),
-                 (1024, 1499), (0, 1499), (512, 1023)]:
+                 (1024, 2999), (0, 2999), (512, 1023)]:
         assert (a, b) in sample
+
+    k2 = 20_000
+    members2 = spark.range(k2).agg(
+        F.array_sort(F.collect_list("id")).alias("docs")
+    )
+    t0 = time.time()
+    assert _pairs_from_members(members2).count() == k2 * (k2 - 1) // 2
+    assert time.time() - t0 < 120
 
 
 def test_rev_band_balance_guarded_across_sfs(spark):
