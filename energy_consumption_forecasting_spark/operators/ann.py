@@ -908,3 +908,579 @@ def sq8_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sq_sim", "rank")
     )
+
+
+# --- LAZY fit frames (r10 purity item) ---------------------------------------------
+#
+# The r9 PCA scalar-attach pattern generalized to the quantized ANN
+# tiers: each trainer becomes a LAZY 1-row DataFrame (the fit) computed
+# by a bounded single-partition fold over a deterministic sorted sample
+# (or, for SQ8, an exact in-plan aggregate), and attaches to corpus /
+# query plans via 1-row broadcast crossJoin.  The registered sim_*
+# queries build end-to-end lazy plans — constructing them launches
+# ZERO jobs — while the eager trainers above remain for execution-time
+# contexts (the ann_index ingest source, bounded eval collects, tests).
+#
+# Solver note: the lazy IVF fit runs a seeded numpy Lloyd on the sorted
+# sample instead of MLlib KMeans (whose .fit() is irreducibly eager).
+# All IVF-tier queries are rows-only BY DESIGN (centroids are
+# solver-shaped); the hash-checked gates (sim_tier_eval) re-derive
+# centroids/codebooks by collecting the SAME fit frames, so gate and
+# query can never disagree about the quantizer.
+
+FIT_SAMPLE = 2048
+
+
+def _ann_sample(emb: DataFrame, vec_col: str, id_col: str, n: int) -> DataFrame:
+    """Deterministic training sample: sorted by id, first n — identical
+    row set AND order on every run/engine (a bare .limit() is
+    plan-stable but not contractually ordered)."""
+    return emb.orderBy(id_col).limit(n).select(vec_col)
+
+
+def _lloyd(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded numpy Lloyd — the shared k-means core of the lazy IVF/PQ
+    fits.  Deterministic: seeded init draw, fixed iteration count,
+    first-index argmin ties (same tie rule as np.argmin everywhere
+    else in this module)."""
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = X[mask].mean(axis=0)
+    return cent
+
+
+def _d2_col(a, b):
+    """Squared L2 distance between two array columns, in-plan."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_fit_frame(
+    emb: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    sample: int = FIT_SAMPLE,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """The IVF coarse quantizer as a LAZY 1-row frame: sorted sample →
+    single-partition numpy Lloyd fold → ``centroids`` (n_cells × dim).
+    Nothing executes until an action; the driver never sees a matrix."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = [v for pdf in batches for v in pdf[vec_col].tolist()]
+        if not rows:
+            raise ValueError("IVF fit: empty embeddings sample")
+        cent = _lloyd(np.asarray(rows, dtype=np.float64), n_cells, iters, seed)
+        yield pd.DataFrame(
+            [{"centroids": [[float(x) for x in c] for c in cent]}]
+        )
+
+    return (
+        _ann_sample(emb, vec_col, id_col, sample)
+        .coalesce(1)
+        .mapInPandas(fold, "centroids array<array<double>>")
+    )
+
+
+def ivf_assign_lazy(emb: DataFrame, fit: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Nearest-centroid cell assignment as a Catalyst HOF argmin over
+    the attached centroid array — no Python on the corpus path, no
+    eager fit.  First-index min ties, matching np.argmin/MLlib."""
+    at = emb.crossJoin(F.broadcast(fit))
+    d2s = F.transform(F.col("centroids"), lambda c: _d2_col(F.col(vec_col), c))
+    cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    return at.withColumn("cell", cell).drop("centroids")
+
+
+def ivf_probe_lazy(
+    queries: DataFrame,
+    fit: DataFrame,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Per-query nprobe nearest coarse cells, fully in-plan: posexplode
+    the attached centroids, rank by squared distance per query."""
+    from pyspark.sql import Window
+
+    at = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(fit))
+        .select("query_id", "qv", F.posexplode("centroids").alias("cell", "cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    return (
+        at.withColumn("d2", _d2_col(F.col("qv"), F.col("cv")))
+        .withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= nprobe)
+        .select("query_id", F.col("cell").cast("int").alias("cell"), "qv")
+    )
+
+
+def ivf_search_lazy(
+    assigned: DataFrame,
+    queries: DataFrame,
+    fit: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ivf_search with the probe list derived from the lazy fit frame
+    instead of a driver-held model — same cell equi-join, same scoring
+    algebra, zero construction jobs."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_prenormed, norm2
+
+    probe = ivf_probe_lazy(queries, fit, nprobe, id_col, vec_col).withColumn(
+        "qnrm", F.sqrt(norm2(F.col("qv")))
+    )
+    cand = assigned.withColumn("nrm", F.sqrt(norm2(F.col(vec_col)))).join(
+        F.broadcast(probe), "cell"
+    )
+    scored = cand.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_prenormed(
+            F.col("qv"), F.col(vec_col), F.col("qnrm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sq8_fit_frame(emb: DataFrame, vec_col: str = "v") -> DataFrame:
+    """The SQ8 quantizer fit as a LAZY 1-row frame: per-dimension
+    min/max via posexplode → groupBy partials (map-side combine), the
+    dim-ordered arrays assembled INSIDE the plan — the exact aggregates
+    sq8_train collects, deferred to action time."""
+    per_dim = (
+        emb.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+        ).alias("mx"),
+    )
+
+
+def sq8_encode_lazy(
+    emb: DataFrame,
+    fit: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """sq8_encode against the lazy fit: identical quantization
+    arithmetic with the ranges read from attached COLUMNS instead of
+    plan literals (bit-identical codes — the SQ8 tier stays
+    oracle-exact).  Output carries mn/mx alongside the code so the
+    downstream reconstruct needs no second fit subtree; inside
+    whole-stage codegen the 1-row broadcast columns are references,
+    not per-row copies."""
+    at = emb.crossJoin(F.broadcast(fit))
+
+    def code(x, i):
+        lo = F.element_at(F.col("mn"), i + 1)
+        hi = F.element_at(F.col("mx"), i + 1)
+        raw = F.floor((x - lo) / (hi - lo) * 255.0 + 0.5).cast("int")
+        return F.when(
+            hi > lo, F.least(F.lit(255), F.greatest(F.lit(0), raw))
+        ).otherwise(F.lit(0))
+
+    return at.select(
+        id_col, F.transform(F.col(vec_col), code).alias("code"), "mn", "mx"
+    )
+
+
+def _sq8_reconstruct_cols(code_col):
+    """Dequantize against mn/mx COLUMNS (sq8_reconstruct's arithmetic,
+    lazy-fit form) — caller's frame must carry mn/mx."""
+    return F.transform(
+        code_col,
+        lambda c, i: F.element_at(F.col("mn"), i + 1)
+        + c.cast("double")
+        * (F.element_at(F.col("mx"), i + 1) - F.element_at(F.col("mn"), i + 1))
+        / F.lit(255.0),
+    )
+
+
+def sq8_topk_lazy(
+    encoded: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """sq8_topk against a lazy-fit encoded frame (carries code+mn+mx):
+    same asymmetric scoring, zero construction jobs."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    corpus = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        _sq8_reconstruct_cols(F.col("code")).alias("rv"),
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("rv")).alias("sq_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sq_sim", "rank")
+    )
+
+
+def sq8_ivf_topk_lazy(
+    encoded_with_cell: DataFrame,
+    queries_df: DataFrame,
+    ivf_fit: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """sq8_ivf_topk with BOTH fits lazy: probe lists from the IVF fit
+    frame, dequantize from the carried mn/mx columns after the cell
+    equi-join — pruning × compression, zero construction jobs."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    probe = ivf_probe_lazy(queries_df, ivf_fit, nprobe, id_col, vec_col)
+    cand = encoded_with_cell.join(F.broadcast(probe), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), _sq8_reconstruct_cols(F.col("code"))).alias(
+            "sq_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sq_sim", "rank")
+    )
+
+
+def _pq_train_np(
+    X: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """train_pq_codebooks' numpy core on an in-memory sample (shared by
+    the lazy fold and any eager caller that already holds the sample)."""
+    n, dim = X.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        cent = Xj[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = Xj[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_fit_frame(
+    emb: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample: int = FIT_SAMPLE,
+    iters: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """PQ codebooks as a LAZY 1-row frame: sorted sample → per-subspace
+    seeded Lloyd fold → ``books`` (m × k × dim/m)."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = [v for pdf in batches for v in pdf[vec_col].tolist()]
+        if not rows:
+            raise ValueError("PQ fit: empty embeddings sample")
+        books = _pq_train_np(np.asarray(rows, dtype=np.float64), m, k, iters, seed)
+        yield pd.DataFrame(
+            [
+                {
+                    "books": [
+                        [[float(x) for x in c] for c in bj] for bj in books
+                    ]
+                }
+            ]
+        )
+
+    return (
+        _ann_sample(emb, vec_col, id_col, sample)
+        .coalesce(1)
+        .mapInPandas(fold, "books array<array<array<double>>>")
+    )
+
+
+def pq_encode_lazy(
+    emb: DataFrame,
+    fit: DataFrame,
+    m: int = 8,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encode as pure Catalyst HOFs against the attached codebooks:
+    per subspace, argmin of squared distance between the vector slice
+    and the 16 centroids — no Arrow pass, no broadcast variable, zero
+    construction jobs.  First-index ties match np.argmin in pq_encode."""
+    at = emb.crossJoin(F.broadcast(fit))
+    sub = (F.size(F.col(vec_col)) / F.lit(m)).cast("int")
+
+    def _dists(cents_j, sv):
+        # factory: binds sv per subspace (a default-arg lambda would
+        # read as a 2-arg (element, index) HOF lambda to PySpark)
+        return F.transform(cents_j, lambda c: _d2_col(sv, c))
+
+    codes = []
+    for j in range(m):
+        sv = F.slice(F.col(vec_col), F.lit(j) * sub + 1, sub)
+        d_j = _dists(F.element_at(F.col("books"), j + 1), sv)
+        codes.append((F.array_position(d_j, F.array_min(d_j)) - 1).cast("int"))
+    return at.select(id_col, F.array(*codes).alias("code"))
+
+
+def pq_topk_table_lazy(
+    encoded: DataFrame,
+    queries: DataFrame,
+    fit: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    ivf_fit: DataFrame | None = None,
+    opq_fit: DataFrame | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """pq_topk_table with every fit as a lazy frame: the (tiny) query
+    block rows carry books / centroids / rotation as attached columns,
+    so the kernel reads them from its own row — no driver-held numpy,
+    no broadcast variable, zero construction jobs.  The corpus blocks
+    carry only ids/codes(/cells); the KB-sized fit payload rides the
+    broadcast qb side once per block pair."""
+    cb = pack_code_blocks(
+        encoded,
+        id_col=id_col,
+        cell_col="cell" if ivf_fit is not None else None,
+    )
+    qb = pack_blocks(queries, id_col, vec_col, prefix="q_").crossJoin(
+        F.broadcast(fit)
+    )
+    if ivf_fit is not None:
+        qb = qb.crossJoin(F.broadcast(ivf_fit))
+    if opq_fit is not None:
+        qb = qb.crossJoin(F.broadcast(opq_fit.select("rt")))
+    pairs = cb.crossJoin(F.broadcast(qb))
+    has_cells = ivf_fit is not None
+    has_rot = opq_fit is not None
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                bks = np.asarray(
+                    [np.stack(bj) for bj in row["books"]], dtype=np.float64
+                )
+                m, kc, sub = bks.shape
+                C = np.stack(row["e_codes"]).astype(np.int64)
+                eids = np.asarray(row["e_ids"], dtype=np.int64)
+                Q = np.stack(row["q_vecs"]).astype(np.float64)
+                qids = np.asarray(row["q_ids"], dtype=np.int64)
+                Qraw = Q
+                if has_rot:
+                    # rt rows are the COLUMNS of R, so x·R = x @ rt.T
+                    Rt = np.stack(row["rt"]).astype(np.float64)
+                    Q = Q @ Rt.T
+                tabs = np.stack(
+                    [
+                        ((bks[j][None, :, :]
+                          - Q[:, None, j * sub : (j + 1) * sub]) ** 2
+                         ).sum(axis=2)
+                        for j in range(m)
+                    ],
+                    axis=1,
+                )
+                cells = (
+                    np.asarray(row["e_cells"], dtype=np.int64)
+                    if has_cells
+                    else None
+                )
+                cents = (
+                    np.stack(row["centroids"]).astype(np.float64)
+                    if has_cells
+                    else None
+                )
+                out_q, out_v, out_d = [], [], []
+                for qi in range(len(qids)):
+                    Cq, idq = C, eids
+                    if has_cells:
+                        cd = ((cents - Qraw[qi]) ** 2).sum(axis=1)
+                        probe = set(np.argsort(cd)[:nprobe].tolist())
+                        mask = np.isin(cells, list(probe))
+                        if not mask.any():
+                            continue
+                        Cq, idq = C[mask], eids[mask]
+                    d = np.zeros(len(Cq))
+                    for j in range(m):
+                        d += tabs[qi, j, Cq[:, j]]
+                    top = np.argsort(d, kind="stable")[:k_neighbors]
+                    out_q.extend([int(qids[qi])] * len(top))
+                    out_v.extend(idq[top].tolist())
+                    out_d.extend(d[top].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, id_col: out_v, "adc_dist": out_d}
+                )
+
+    partial = pairs.mapInPandas(kernel, schema=schema)
+    return _topk_window(partial, k_neighbors, "adc_dist", asc=True,
+                        id_col=id_col)
+
+
+def opq_fit_frame(
+    emb: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample: int = FIT_SAMPLE,
+    opq_iters: int = 5,
+    kmeans_iters: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """OPQ rotation + codebooks as a LAZY 1-row frame — the identical
+    Ge et al. alternation train_opq_rotation runs, folded over the
+    sorted sample.  ``rt`` holds the COLUMNS of R (R transposed) so the
+    in-plan rotation is a per-output-dim dot: rotated[d] = v · rt[d]."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = [v for pdf in batches for v in pdf[vec_col].tolist()]
+        if not rows:
+            raise ValueError("OPQ fit: empty embeddings sample")
+        X = np.asarray(rows, dtype=np.float64)
+        n, dim = X.shape
+        assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+        sub = dim // m
+        rng = np.random.default_rng(seed)
+        R = np.eye(dim)
+
+        def _km(Xj, cent):
+            for _ in range(kmeans_iters):
+                d = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                for c in range(k):
+                    mask = assign == c
+                    if mask.any():
+                        cent[c] = Xj[mask].mean(axis=0)
+            return cent
+
+        books = np.empty((m, k, sub))
+        for it in range(opq_iters):
+            Xr = X @ R
+            Y = np.empty_like(Xr)
+            for j in range(m):
+                Xj = Xr[:, j * sub : (j + 1) * sub]
+                cent = (
+                    Xj[rng.choice(n, size=k, replace=False)]
+                    if it == 0
+                    else books[j]
+                )
+                books[j] = _km(Xj, cent.copy())
+                d = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                Y[:, j * sub : (j + 1) * sub] = books[j][d.argmin(axis=1)]
+            U, _, Vt = np.linalg.svd(X.T @ Y)
+            R = U @ Vt
+        yield pd.DataFrame(
+            [
+                {
+                    "books": [
+                        [[float(x) for x in c] for c in bj] for bj in books
+                    ],
+                    "rt": [[float(R[i][d]) for i in range(dim)]
+                           for d in range(dim)],
+                }
+            ]
+        )
+
+    return (
+        _ann_sample(emb, vec_col, id_col, sample)
+        .coalesce(1)
+        .mapInPandas(
+            fold,
+            "books array<array<array<double>>>, rt array<array<double>>",
+        )
+    )
+
+
+def opq_rotate_lazy(
+    emb: DataFrame,
+    fit: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Apply the OPQ rotation in-plan: rotated[d] = v · rt[d] as a HOF
+    dot per output dimension (dim² multiplies per row — the same FLOPs
+    the Arrow matmul pays, without leaving the JVM)."""
+    at = emb.crossJoin(F.broadcast(fit.select("rt")))
+    rot = F.transform(
+        F.col("rt"),
+        lambda col: F.aggregate(
+            F.zip_with(F.col(vec_col), col, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    return at.select(id_col, rot.alias(vec_col))

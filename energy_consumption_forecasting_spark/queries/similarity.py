@@ -259,21 +259,77 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- session-shared lazy ANN fits (r10) ----------------------------------------
+#
+# Each quantizer fit is a LAZY 1-row frame (operators/ann.py), cached
+# per (session, sf_dir) via the shared_frame idiom so the fit's corpus
+# pass / sample fold executes ONCE per session at first action — the
+# warm-bench accounting the old construction-time trainers had —
+# while construction stays zero-job (shared_persist registers the
+# cache non-adaptively; materialization happens at first real action).
+
+
+def _sq8_fit_shared(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    from ..operators.ann import sq8_fit_frame
+
+    return shared_frame(
+        spark, sf_dir, "sq8_fit",
+        lambda: shared_persist(sq8_fit_frame(e)),
+        mtime_table="embeddings",
+    )
+
+
+def _ivf_fit_shared(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    from ..operators.ann import ivf_fit_frame
+
+    return shared_frame(
+        spark, sf_dir, "ivf_fit16",
+        lambda: shared_persist(ivf_fit_frame(e, n_cells=16)),
+        mtime_table="embeddings",
+    )
+
+
+def _pq_fit_shared(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    from ..operators.ann import pq_fit_frame
+
+    return shared_frame(
+        spark, sf_dir, "pq_fit8x16",
+        lambda: shared_persist(pq_fit_frame(e, m=8, k=16)),
+        mtime_table="embeddings",
+    )
+
+
+def _opq_fit_shared(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    from ..operators.ann import opq_fit_frame
+
+    return shared_frame(
+        spark, sf_dir, "opq_fit8x16",
+        lambda: shared_persist(opq_fit_frame(e, m=8, k=16)),
+        mtime_table="embeddings",
+    )
+
+
 # --- IVF (KMeans coarse quantizer) — rows-only ----------------------------------
 @query("sim_ivf_topk")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans(16) coarse cells, nprobe=4, top-5 per query
-    (operators/ann.py).  Rows-only: centroids are solver-dependent."""
-    from ..operators.ann import build_ivf, ivf_search
+    """IVF ANN: 16 coarse cells, nprobe=4, top-5 per query.  The fit is
+    LAZY (r10): a seeded numpy Lloyd over the sorted 2048-row sample
+    folds into a 1-row centroid frame (operators/ann.py::ivf_fit_frame)
+    and cell assignment / probe ranking are Catalyst HOFs over the
+    attached centroids — construction launches zero jobs.  Rows-only:
+    centroids are solver-dependent; sim_tier_eval re-derives from the
+    SAME fit frame and hash-pins metric + recall."""
+    from ..operators.ann import ivf_assign_lazy, ivf_search_lazy
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    assigned, model = build_ivf(e, n_cells=16)
+    fit = _ivf_fit_shared(spark, sf_dir, e)
+    assigned = ivf_assign_lazy(e, fit)
     queries_df = e.filter(F.col("vec_id") < N_QUERIES)
-    return ivf_search(assigned, queries_df, model, k=TOP_K, nprobe=4).select(
-        "query_id", "neighbor_id", "cos_sim", "rank"
-    )
+    return ivf_search_lazy(
+        assigned, queries_df, fit, k=TOP_K, nprobe=4
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 # --- vectorized blocked-matmul top-k (query TABLE, exact) --------------------------
@@ -327,16 +383,20 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors encoded to 8-byte codes in one Arrow pass, queries scored
     by table lookups only.  The index column is 32x smaller than the
     raw float32[64] — the memory story that makes billion-vector search
-    fit a cluster.  Rows-only: codebooks are solver-dependent."""
-    from ..operators.ann import pq_encode, pq_topk_table, train_pq_codebooks
+    fit a cluster.  Rows-only: codebooks are solver-dependent.  LAZY
+    fit (r10): the codebooks fold from the sorted sample into a 1-row
+    frame, encode is pure Catalyst HOF argmin over the attached books,
+    and the ADC kernel reads the books from its query-block row —
+    construction launches zero jobs."""
+    from ..operators.ann import pq_encode_lazy, pq_topk_table_lazy
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    books = train_pq_codebooks(e, m=8, k=16)
-    encoded = pq_encode(e, books)
+    fit = _pq_fit_shared(spark, sf_dir, e)
+    encoded = pq_encode_lazy(e, fit, m=8)
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    out = pq_topk_table(encoded, q, books, k_neighbors=TOP_K)
+    out = pq_topk_table_lazy(encoded, q, fit, k_neighbors=TOP_K)
     return out.select("query_id", "vec_id", "adc_dist", "rank")
 
 
@@ -346,30 +406,28 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed index: IVF coarse cells prune candidates, PQ/ADC
     scores the survivors — pruning x compression, the billion-vector
     shape.  Queries stay a DataFrame end-to-end
-    (operators/ann.py::pq_topk_table): probe lists are computed inside
-    the scoring kernel from the KB-sized broadcast centroid matrix,
-    never on the driver."""
-    import numpy as np
-
+    (operators/ann.py::pq_topk_table_lazy): probe lists are computed
+    inside the scoring kernel from the centroid column its query-block
+    row carries, never on the driver.  LAZY fits (r10): both the IVF
+    centroids and the PQ codebooks are 1-row fold frames — construction
+    launches zero jobs."""
     from ..operators.ann import (
-        build_ivf,
-        pq_encode,
-        pq_topk_table,
-        train_pq_codebooks,
+        ivf_assign_lazy,
+        pq_encode_lazy,
+        pq_topk_table_lazy,
     )
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    assigned, model = build_ivf(e, n_cells=16)
-    books = train_pq_codebooks(e, m=8, k=16)
-    encoded = pq_encode(e, books).join(
-        assigned.select("vec_id", "cell"), "vec_id"
+    ivf_fit = _ivf_fit_shared(spark, sf_dir, e)
+    fit = _pq_fit_shared(spark, sf_dir, e)
+    encoded = pq_encode_lazy(e, fit, m=8).join(
+        ivf_assign_lazy(e, ivf_fit).select("vec_id", "cell"), "vec_id"
     )
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    cents = np.asarray(model.clusterCenters())
-    out = pq_topk_table(
-        encoded, q, books, k_neighbors=TOP_K, centroids=cents, nprobe=4
+    out = pq_topk_table_lazy(
+        encoded, q, fit, k_neighbors=TOP_K, ivf_fit=ivf_fit, nprobe=4
     )
     return out.select("query_id", "vec_id", "adc_dist", "rank")
 
@@ -382,24 +440,29 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orthogonal-Procrustes, operators/ann.py::train_opq_rotation)
     equalizes subspace variance before the same 8x16 PQ encode, cutting
     quantization error vs sim_pq_topk at identical index size.  The
-    rotation is a dim x dim broadcast applied as one Arrow matmul per
-    batch; everything downstream (encode, ADC tables, per-batch top-k
-    prune) is the plain PQ path on rotated vectors.  Rows-only:
-    codebooks and rotation are solver-dependent."""
+    rotation applies in-plan as a HOF dot per output dimension;
+    everything downstream (encode, ADC tables, per-batch top-k prune)
+    is the plain PQ path on rotated vectors.  Rows-only: codebooks and
+    rotation are solver-dependent.  LAZY fit (r10): the Ge et al.
+    alternation folds into a 1-row (books, rotation) frame —
+    construction launches zero jobs."""
     from ..operators.ann import (
-        pq_encode,
-        pq_topk_table,
-        rotate_vectors,
-        train_opq_rotation,
+        opq_rotate_lazy,
+        pq_encode_lazy,
+        pq_topk_table_lazy,
     )
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    R, books = train_opq_rotation(e, m=8, k=16)
-    encoded = pq_encode(rotate_vectors(e, R), books)
+    fit = _opq_fit_shared(spark, sf_dir, e)
+    encoded = pq_encode_lazy(
+        opq_rotate_lazy(e, fit), fit.select("books"), m=8
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    out = pq_topk_table(encoded, q, books, k_neighbors=TOP_K, rotation=R)
+    out = pq_topk_table_lazy(
+        encoded, q, fit.select("books"), k_neighbors=TOP_K, opq_fit=fit
+    )
     return out.select("query_id", "vec_id", "adc_dist", "rank")
 
 
@@ -545,16 +608,17 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold dot products match bit-for-bit.  Scale: encode is a pure
     Catalyst transform over one min/max shuffle of dims × partitions
     partial rows; search composes with the IVF cell column for the
-    pruned tier."""
-    from ..operators.ann import sq8_encode, sq8_topk, sq8_train
+    pruned tier.  LAZY fit (r10): the ranges are an in-plan aggregate
+    frame (sq8_fit_frame) attached by 1-row broadcast — identical
+    quantization arithmetic, zero construction jobs, hash unchanged."""
+    from ..operators.ann import sq8_encode_lazy, sq8_topk_lazy
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    mins, maxs = sq8_train(e)
-    encoded = sq8_encode(e, mins, maxs)
+    encoded = sq8_encode_lazy(e, _sq8_fit_shared(spark, sf_dir, e))
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return sq8_topk(encoded, q, mins, maxs, k=TOP_K)
+    return sq8_topk_lazy(encoded, q, k=TOP_K)
 
 
 # --- IVF + SQ8 composite ANN — rows-only --------------------------------------------
@@ -563,23 +627,26 @@ def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned scalar-quantization tier: IVF coarse cells cut the
     candidate set (N·nprobe/n_cells per query), SQ8 codes decode only
     AFTER the cell join — pruning × compression with a deterministic
-    quantizer (operators/ann.py::sq8_ivf_topk).  Rows-only because the
-    KMeans cells are solver-shaped (like sim_ivf_topk); the SQ8 half
-    is oracle-proven by sim_sq8_topk and recall is pytest-pinned."""
-    from ..operators.ann import build_ivf, sq8_encode, sq8_ivf_topk, sq8_train
+    quantizer (operators/ann.py::sq8_ivf_topk_lazy).  Rows-only because
+    the coarse cells are solver-shaped (like sim_ivf_topk); the SQ8
+    half is oracle-proven by sim_sq8_topk and recall is pytest-pinned.
+    LAZY fits (r10): both the IVF centroids and the SQ8 ranges are
+    1-row frames — construction launches zero jobs."""
+    from ..operators.ann import (
+        ivf_assign_lazy,
+        sq8_encode_lazy,
+        sq8_ivf_topk_lazy,
+    )
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    assigned, model = build_ivf(e, n_cells=16)
-    mins, maxs = sq8_train(e)
-    corpus = sq8_encode(e, mins, maxs).join(
-        assigned.select("vec_id", "cell"), "vec_id"
+    ivf_fit = _ivf_fit_shared(spark, sf_dir, e)
+    corpus = sq8_encode_lazy(e, _sq8_fit_shared(spark, sf_dir, e)).join(
+        ivf_assign_lazy(e, ivf_fit).select("vec_id", "cell"), "vec_id"
     )
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return sq8_ivf_topk(
-        corpus, q, model.clusterCenters(), mins, maxs, k=TOP_K, nprobe=4
-    )
+    return sq8_ivf_topk_lazy(corpus, q, ivf_fit, k=TOP_K, nprobe=4)
 
 
 # --- ANN recall evaluation: bucketed tier vs exact truth ------------------------------
@@ -693,16 +760,19 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     those tiers are pinned on own-metric correctness instead.
 
     All collects are bounded: ≤ Q·k returned rows per tier (25), the
-    N_QUERIES query vectors, and the operators' own 2048-row training
-    sample — never the corpus."""
+    N_QUERIES query vectors, the operators' own 2048-row training
+    sample, and the 1-row fit frames — never the corpus.  r10: every
+    quantizer is RE-DERIVED by collecting the SAME lazy fit frames the
+    registered queries attach (ivf_fit_frame / pq_fit_frame /
+    opq_fit_frame), so gate and query can never disagree about
+    centroids, codebooks, or rotation."""
     import numpy as np
 
     from ..operators.ann import (
-        build_ivf,
-        pq_encode,
-        rotate_vectors,
-        train_opq_rotation,
-        train_pq_codebooks,
+        _ann_sample,
+        ivf_assign_lazy,
+        opq_rotate_lazy,
+        pq_encode_lazy,
     )
 
     e = tbl(spark, sf_dir, "embeddings").select(
@@ -755,7 +825,8 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         return True
 
     def sample_X() -> "np.ndarray":
-        rows = e.select("v").limit(2048).toPandas()["v"].tolist()
+        # the SAME sorted sample the lazy fits train on
+        rows = _ann_sample(e, "v", "vec_id", 2048).toPandas()["v"].tolist()
         return np.asarray(rows, dtype=np.float64)
 
     def recon_mse(X: np.ndarray, books: np.ndarray, R=None) -> float:
@@ -810,9 +881,10 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- pq -------------------------------------------------------------------
     X = sample_X()
-    books = train_pq_codebooks(e, m=8, k=16)
+    pq_fit = _pq_fit_shared(spark, sf_dir, e)
+    books = np.asarray(pq_fit.first()["books"], dtype=np.float64)
     rows = sim_pq_topk(spark, sf_dir).collect()
-    codes = codes_of(pq_encode(e, books), {r["vec_id"] for r in rows})
+    codes = codes_of(pq_encode_lazy(e, pq_fit, m=8), {r["vec_id"] for r in rows})
     adc_ok = all(
         abs(
             r["adc_dist"]
@@ -835,10 +907,15 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- opq ------------------------------------------------------------------
-    R, obooks = train_opq_rotation(e, m=8, k=16)
+    opq_fit = _opq_fit_shared(spark, sf_dir, e)
+    ofit_row = opq_fit.first()
+    obooks = np.asarray(ofit_row["books"], dtype=np.float64)
+    # rt rows are the COLUMNS of R, so R = rt.T
+    R = np.asarray(ofit_row["rt"], dtype=np.float64).T
     rows = sim_opq_topk(spark, sf_dir).collect()
     ocodes = codes_of(
-        pq_encode(rotate_vectors(e, R), obooks), {r["vec_id"] for r in rows}
+        pq_encode_lazy(opq_rotate_lazy(e, opq_fit), opq_fit.select("books"), m=8),
+        {r["vec_id"] for r in rows},
     )
     oadc_ok = all(
         abs(
@@ -863,8 +940,9 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- ivfpq ----------------------------------------------------------------
-    assigned, model = build_ivf(e, n_cells=16)
-    cents = np.asarray(model.clusterCenters())
+    ivf_fit = _ivf_fit_shared(spark, sf_dir, e)
+    cents = np.asarray(ivf_fit.first()["centroids"], dtype=np.float64)
+    assigned = ivf_assign_lazy(e, ivf_fit)
     rows = sim_ivfpq_topk(spark, sf_dir).collect()
     cell_of = {
         r["vec_id"]: r["cell"]
@@ -882,7 +960,9 @@ def sim_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         < 1e-9
-        for codes2 in [codes_of(pq_encode(e, books), {r["vec_id"] for r in rows})]
+        for codes2 in [
+            codes_of(pq_encode_lazy(e, pq_fit, m=8), {r["vec_id"] for r in rows})
+        ]
         for r in rows
     )
     probe_ok = True

@@ -150,12 +150,12 @@ EXEMPT: dict[str, str] = {
     # dq_referential_integrity: un-exempted r9 — the four FK audits
     # (8 driver actions + createDataFrame) became one lazy union of
     # left-join aggregates; construction is pure.
-    "sim_ivf_topk": "FIT",
-    "sim_pq_topk": "FIT",
-    "sim_opq_topk": "FIT",
-    "sim_sq8_topk": "FIT",
-    "sim_ivfpq_topk": "FIT",
-    "sim_sq8_ivf_topk": "FIT",
+    # sim_ivf/pq/opq/sq8/ivfpq/sq8_ivf _topk: un-exempted r10 — every
+    # quantizer fit is a LAZY 1-row frame (sorted-sample numpy fold for
+    # IVF/PQ/OPQ, in-plan min/max aggregate for SQ8) attached by 1-row
+    # broadcast; encode/assign/probe are Catalyst HOFs and the ADC
+    # kernel reads fits from its query-block row.  Zero construction
+    # jobs end-to-end (operators/ann.py "LAZY fit frames" section).
     "sim_ann_recall": "FIT",
     "sim_tier_eval": "FIT",
     # sim_mmr_rerank: un-exempted r8 — candidate pool + pair sims are

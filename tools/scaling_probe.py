@@ -406,6 +406,255 @@ def run_sf10emb(qs) -> None:
     print(f"wrote {SF10EMB_JSON}")
 
 
+SF10GRAPH_DIR = "/root/repo/.stage/sf10graph"
+SF1GRAPH_DIR = "/root/repo/.stage/sf1graph"
+SF10DOCS_DIR = "/root/repo/.stage/sf10docs"
+SF10GRAPH_JSON = "/root/repo/SCALE_PROBE_sf10_graph.json"
+
+# Round-9 verdict item 4: the graph family (pagerank / k-core / label
+# propagation) and dedup_connected_components are the slowest
+# driver-bench queries with no evidence past sf0.1.  Probe each at a
+# true decade:
+#
+# * graph_* read lineitem only.  k-core/LPA derive co-purchase edges
+#   (l_orderkey, l_partkey — the sf10li offsets already replicate them
+#   structurally); pagerank derives part<->supplier edges, so the graph
+#   decade tables offset l_suppkey AS WELL (1000 suppliers/replica) —
+#   each replica is a structurally identical subgraph, nodes and edges
+#   exactly x10/x100, the clean linearity null hypothesis.
+# * dedup_connected_components reads documents: the sf10 rung re-runs
+#   _gen_sf1's unigram family rule at 500k docs (x10 sf1).
+SF10GRAPH_PROBES = ["graph_pagerank", "graph_kcore", "graph_label_propagation"]
+SF10DOCS_PROBES = ["dedup_connected_components"]
+
+
+def _gen_li_graph(out_dir: str, replicas: int) -> None:
+    """lineitem-only decade with ALL THREE key families offset per
+    replica (orderkey, partkey, suppkey) — streamed one replica per
+    row group so the big table never sits whole in memory."""
+    import os
+
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li = pq.read_table("/root/testdata/sf0.1/lineitem.parquet")
+    n_orders, n_parts, n_supp = 150000, 20000, 1000
+    with pq.ParquetWriter(f"{out_dir}/lineitem.parquet", li.schema) as w:
+        for r in range(replicas):
+            t = li
+            for col, off in (
+                ("l_orderkey", r * n_orders),
+                ("l_partkey", r * n_parts),
+                ("l_suppkey", r * n_supp),
+            ):
+                t = t.set_column(
+                    t.schema.get_field_index(col),
+                    col,
+                    pa.compute.add(t[col], off),
+                )
+            w.write_table(t)
+    open(os.path.join(out_dir, "_DONE"), "w").write("ok\n")
+
+
+def _gen_sf10docs() -> None:
+    """500k-document decade under .stage/sf10docs (idempotent): the
+    EXACT _gen_sf1 unigram family rule (vocab-weighted random text,
+    empirical length distribution) at x10 the sf1 row count."""
+    import os
+
+    if os.path.exists(os.path.join(SF10DOCS_DIR, "_DONE")):
+        return
+    os.makedirs(SF10DOCS_DIR, exist_ok=True)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    docs = pq.read_table("/root/testdata/sf0.1/documents.parquet").to_pydict()
+    toks = [t.split() for t in docs["text"]]
+    vocab, counts = np.unique(
+        np.concatenate([np.array(t) for t in toks]), return_counts=True
+    )
+    probs = counts / counts.sum()
+    lens = np.array([len(t) for t in toks])
+    n_docs = 500000
+    out_len = rng.choice(lens, size=n_docs)
+    texts = [
+        " ".join(rng.choice(vocab, size=int(L), p=probs)) for L in out_len
+    ]
+    langs = rng.choice(np.array(docs["lang"]), size=n_docs)
+    sources = rng.choice(np.array(docs["source"]), size=n_docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array([str(x) for x in langs]),
+                "source": pa.array([str(x) for x in sources]),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        f"{SF10DOCS_DIR}/documents.parquet",
+    )
+    open(os.path.join(SF10DOCS_DIR, "_DONE"), "w").write("ok\n")
+
+
+ZIPF_DIR = "/root/repo/.stage/zipfdocs"
+ZIPF_JSON = "/root/repo/SCALE_PROBE_zipf.json"
+
+
+def _gen_zipfdocs() -> None:
+    """Zipfian-vocabulary documents fixture (r9 verdict item 2): same
+    row count and length distribution as the synthesized sf1 documents
+    (50k docs), but tokens drawn from a 50k-type vocabulary with Zipf
+    s = 1.1 rank weights — the realistic text shape whose
+    qualifying-pair density SCALING.md asserts collapses vs the
+    small-shared-vocabulary synthetic corpus.  Deterministic seed."""
+    import os
+
+    if os.path.exists(os.path.join(ZIPF_DIR, "_DONE")):
+        return
+    os.makedirs(ZIPF_DIR, exist_ok=True)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    docs = pq.read_table("/root/testdata/sf0.1/documents.parquet").to_pydict()
+    lens = np.array([len(t.split()) for t in docs["text"]])
+    n_docs, vsize, s_exp = 50000, 50000, 1.1
+    ranks = np.arange(1, vsize + 1, dtype=np.float64)
+    probs = ranks ** (-s_exp)
+    probs /= probs.sum()
+    vocab = np.array([f"w{i}" for i in range(vsize)])
+    out_len = rng.choice(lens, size=n_docs)
+    texts = [
+        " ".join(rng.choice(vocab, size=int(L), p=probs)) for L in out_len
+    ]
+    langs = rng.choice(np.array(docs["lang"]), size=n_docs)
+    sources = rng.choice(np.array(docs["source"]), size=n_docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array([str(x) for x in langs]),
+                "source": pa.array([str(x) for x in sources]),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        f"{ZIPF_DIR}/documents.parquet",
+    )
+    open(os.path.join(ZIPF_DIR, "_DONE"), "w").write("ok\n")
+
+
+def run_zipf(qs) -> None:
+    """Measure dedup_prefix_filter_join on the sf1 unigram corpus vs
+    the same-size Zipf-vocabulary corpus: wall clock AND qualifying
+    pair count (the output the join is quadratic IN).  Turns the
+    SCALING.md density assertion into a committed measurement."""
+    import json
+    import os
+
+    _gen_sf1()
+    _gen_zipfdocs()
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
+    results: dict = {"reps": reps, "n_docs": 50000,
+                     "zipf": {"vocab": 50000, "s": 1.1}}
+    for tag, sf in (("sf1_unigram", SF1_DIR), ("zipf", ZIPF_DIR)):
+        entry: dict = {}
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs["dedup_prefix_filter_join"](spark_holder[0], sf).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        entry["samples"] = samples
+        entry["median"] = sorted(samples)[len(samples) // 2]
+        entry["qualifying_pairs"] = qs["dedup_prefix_filter_join"](
+            spark_holder[0], sf
+        ).count()
+        results[tag] = entry
+        print(
+            f"zipf probe [{tag}]: median {entry['median']:.2f}s, "
+            f"{entry['qualifying_pairs']} qualifying pairs"
+        )
+    results["loadavg"] = os.getloadavg()[0]
+    with open(ZIPF_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {ZIPF_JSON}")
+
+
+def run_sf10graph(qs) -> None:
+    """Measure the graph family at the 6M (x10) and 60M (x100) lineitem
+    decades with all key families offset, and connected components at
+    the 50k -> 500k documents decade; persist medians + samples +
+    loadavg to the committed SF10GRAPH_JSON."""
+    import json
+    import os
+
+    _gen_li_graph(SF1GRAPH_DIR, 10)
+    _gen_li_graph(SF10GRAPH_DIR, 100)
+    _gen_sf1()
+    _gen_sf10docs()
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
+    results: dict = {"reps": reps}
+    for name in SF10GRAPH_PROBES:
+        entry: dict = {}
+        for tag, sf in (("sf1", SF1GRAPH_DIR), ("sf10", SF10GRAPH_DIR)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                qs[name](spark_holder[0], sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.time() - t0, 3))
+            entry[tag] = {
+                "samples": samples,
+                "median": sorted(samples)[len(samples) // 2],
+            }
+        entry["decade_ratio"] = round(
+            entry["sf10"]["median"] / max(entry["sf1"]["median"], 1e-9), 2
+        )
+        results[name] = entry
+        print(
+            f"sf10 graph probe {name}: {entry['sf1']['median']:.2f}s -> "
+            f"{entry['sf10']['median']:.2f}s ({entry['decade_ratio']:.1f}x for 10x)"
+        )
+    for name in SF10DOCS_PROBES:
+        entry = {}
+        for tag, sf in (("sf1", SF1_DIR), ("sf10", SF10DOCS_DIR)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                qs[name](spark_holder[0], sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.time() - t0, 3))
+            entry[tag] = {
+                "samples": samples,
+                "median": sorted(samples)[len(samples) // 2],
+            }
+        entry["decade_ratio"] = round(
+            entry["sf10"]["median"] / max(entry["sf1"]["median"], 1e-9), 2
+        )
+        results[name] = entry
+        print(
+            f"sf10 docs probe {name}: {entry['sf1']['median']:.2f}s -> "
+            f"{entry['sf10']['median']:.2f}s ({entry['decade_ratio']:.1f}x for 10x)"
+        )
+    results["loadavg"] = os.getloadavg()[0]
+    with open(SF10GRAPH_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {SF10GRAPH_JSON}")
+
+
 def run_sf1(qs) -> None:
     """Measure the flagged queries at sf0.1 AND the synthesized sf1;
     persist to SF1_JSON (the SCALING.md generation below folds the
@@ -452,6 +701,19 @@ def main() -> None:
         help="ONLY run the 60M-lineitem decade for the basket/CF family "
         "and write SCALE_PROBE_sf10_basket.json",
     )
+    ap.add_argument(
+        "--zipf",
+        action="store_true",
+        help="ONLY run the Zipf-vocabulary PPJoin density probe and "
+        "write SCALE_PROBE_zipf.json",
+    )
+    ap.add_argument(
+        "--sf10-graph",
+        action="store_true",
+        help="ONLY run the graph-family lineitem decades (suppkey "
+        "offset too) + the 500k-documents connected-components decade "
+        "and write SCALE_PROBE_sf10_graph.json",
+    )
     args = ap.parse_args()
 
     from energy_consumption_forecasting_spark import get_spark
@@ -466,6 +728,12 @@ def main() -> None:
         return
     if args.sf10_basket:
         run_sf10li(qs)
+        return
+    if args.sf10_graph:
+        run_sf10graph(qs)
+        return
+    if args.zipf:
+        run_zipf(qs)
         return
     if args.sf1:
         run_sf1(qs)
