@@ -2508,3 +2508,196 @@ def m34_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("category_n"),
         )
     )
+
+
+# --- r10: hash-checked invariant gates for the remaining rows-only M7/M9 ----
+@query(
+    "m7_grouped_eval",
+    oracle="""
+    SELECT l_returnflag AS series,
+           CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS identity_ok, TRUE AS periodic_ok,
+           TRUE AS zero_mean_ok, TRUE AS edge_nans_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def m7_grouped_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the rows-only m7_decompose_grouped from its OWN frame
+    (r9 verdict item 7 — the m8_wavelet_eval pattern).  One row per
+    series, every verdict a distributed aggregate over the registered
+    query's output joined back to its input:
+
+    * ``identity_ok`` — trend + seasonal + resid ≡ qty wherever trend
+      is defined (the additive-decomposition contract; pins column
+      transport and the statsmodels/numpy dual path alike);
+    * ``periodic_ok`` — seasonal(d) = seasonal(d+7) everywhere (the
+      component IS 7-periodic by construction; a phase-alignment bug
+      flips this);
+    * ``zero_mean_ok`` — the 7 phase values sum to ~0 (statsmodels'
+      de-meaned-period-averages convention, mirrored by
+      ml/decomposition._np_decompose:59);
+    * ``edge_nans_ok`` — trend/resid are NaN exactly at the period//2
+      = 3 edge positions per side and nowhere else (centered-MA
+      support).
+
+    n_days comes from the join (the oracle pins it from SQL), so the
+    gate also pins the series the decomposition ran on."""
+    daily = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    dec = m7_decompose_grouped(spark, sf_dir)
+    j = dec.join(daily, ["l_returnflag", "d"])
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    wn = Window.partitionBy("l_returnflag")
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    lead7 = F.lead("seasonal", 7).over(w)
+    tol = 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col("qty")))
+
+    def undef(c):
+        # Arrow maps pandas NaN to NULL on the grouped-map boundary;
+        # statsmodels emits NaN — accept either spelling of "no value"
+        return F.col(c).isNull() | F.isnan(c)
+
+    recon_ok = undef("trend") | (
+        F.abs(F.col("trend") + F.col("seasonal") + F.col("resid") - F.col("qty"))
+        <= tol
+    )
+    per_ok = lead7.isNull() | (F.abs(F.col("seasonal") - lead7) <= 1e-9)
+    edge = (rn <= 3) | (rn > n - 3)
+    edge_ok = edge == (undef("trend") & undef("resid"))
+    rows = j.select(
+        F.col("l_returnflag").alias("series"),
+        recon_ok.alias("rok"),
+        per_ok.alias("pok"),
+        edge_ok.alias("eok"),
+        F.when(rn <= 7, F.col("seasonal")).alias("s7"),
+    )
+    return (
+        rows.groupBy("series")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("rok").alias("identity_ok"),
+            F.min("pok").alias("periodic_ok"),
+            (F.abs(F.sum("s7")) <= 1e-6).alias("zero_mean_ok"),
+            F.min("eok").alias("edge_nans_ok"),
+        )
+        .orderBy("series")
+    )
+
+
+@query(
+    "m9_forecast_eval",
+    oracle="""
+    SELECT l_returnflag AS series, CAST(14 AS BIGINT) AS n_steps,
+           TRUE AS dense_steps_ok, TRUE AS finite_ok,
+           TRUE AS normal_eq_ok, TRUE AS replay_ok
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    """,
+)
+def m9_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the rows-only m9_ar_forecast from its OWN frame (r9
+    verdict item 7).  A distributed refit (one applyInPandas over the
+    same daily series) re-derives the AR(3,1) OLS coefficients and
+    checks MATH-side invariants the solver cannot fake:
+
+    * ``normal_eq_ok`` — the conditional-least-squares optimality
+      condition |Xᵀr|∞ ≤ tol·(1+|X|∞·|r|∞)·n on the differenced
+      regression (a broken solver violates the normal equations);
+    * ``replay_ok`` — the registered query's 14 forecasts equal the AR
+      recursion replayed from the refit coefficients + differencing
+      inversion (pins the recursion/integration plumbing end-to-end);
+    * ``dense_steps_ok`` / ``finite_ok`` — steps are exactly 1..14 and
+      every forecast is finite.
+
+    The registered m9_ar_forecast frame is JOINED in (never re-coded),
+    so the gate fails if the query's output drifts from the recursion
+    its coefficients define."""
+    import pandas as pd
+
+    daily = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+
+    def refit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("d")
+        y = pdf["qty"].to_numpy(dtype=np.float64)
+        p, d, steps = 3, 1, 14
+        z = np.diff(y)
+        X = np.column_stack(
+            [np.ones(len(z) - p)]
+            + [z[p - k - 1 : len(z) - k - 1] for k in range(p)]
+        )
+        target = z[p:]
+        coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+        r = target - X @ coef
+        grad = np.abs(X.T @ r).max()
+        scale = (1.0 + np.abs(X).max() * max(np.abs(r).max(), 1.0)) * len(z)
+        neq_ok = bool(grad <= 1e-6 * scale)
+        hist = list(z)
+        out = []
+        for _ in range(steps):
+            lags = [hist[-k - 1] for k in range(p)]
+            pred = coef[0] + float(np.dot(coef[1:], lags))
+            out.append(pred)
+            hist.append(pred)
+        fc = y[-1] + np.cumsum(out)
+        return pd.DataFrame(
+            [
+                {
+                    "series": pdf["l_returnflag"].iloc[0],
+                    "normal_eq_ok": neq_ok,
+                    "replay": [float(v) for v in fc],
+                }
+            ]
+        )
+
+    fit_gate = daily.groupBy("l_returnflag").applyInPandas(
+        refit, "series string, normal_eq_ok boolean, replay array<double>"
+    )
+    fc = m9_ar_forecast(spark, sf_dir)
+    got = (
+        fc.groupBy(F.col("l_returnflag").alias("series"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("step", "forecast"))).alias(
+                "sf"
+            )
+        )
+        .select(
+            "series",
+            F.transform("sf", lambda s: s["step"]).alias("steps"),
+            F.transform("sf", lambda s: s["forecast"]).alias("got"),
+        )
+    )
+    rel_err = F.aggregate(
+        F.zip_with(
+            F.col("got"),
+            F.col("replay"),
+            lambda a, b: F.abs(a - b) / F.greatest(F.lit(1.0), F.abs(b)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    bad = F.exists(
+        F.col("got"), lambda v: F.isnan(v) | (F.abs(v) > F.lit(1e15))
+    )
+    return (
+        fit_gate.join(got, "series")
+        .select(
+            "series",
+            F.size("got").cast("long").alias("n_steps"),
+            (F.col("steps") == F.sequence(F.lit(1), F.lit(14))).alias(
+                "dense_steps_ok"
+            ),
+            (~bad).alias("finite_ok"),
+            "normal_eq_ok",
+            (rel_err <= 1e-9).alias("replay_ok"),
+        )
+        .orderBy("series")
+    )
