@@ -337,30 +337,32 @@ def a_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = pruned.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
-    # triples: for each i < j, pair (arr[i], arr[j]) with every later z
-    triple_arr = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.flatten(
-                F.transform(
-                    F.slice(F.col("arr"), i + 2, F.size("arr")),
-                    lambda y, j: F.transform(
-                        F.slice(F.col("arr"), i + j + 3, F.size("arr")),
-                        lambda z: F.struct(
-                            x.alias("p1"), y.alias("p2"), z.alias("p3")
-                        ),
-                    ),
-                )
-            ),
-        )
+    # triples through THREE pipelined explodes (r10 — the basket_pairs
+    # form one level up): positions a < b < c stream one row at a time,
+    # so no row ever materializes the C(k,3) struct array the old
+    # nested flatten built (1.6e8 structs for a poisoned k=1000 basket)
+    step1 = baskets.filter(F.size("arr") >= 3).select(
+        "arr",
+        F.explode(F.sequence(F.lit(1), F.size("arr") - 2)).alias("a"),
+    )
+    step2 = step1.select(
+        "arr",
+        "a",
+        F.explode(
+            F.sequence(F.col("a") + 1, F.size("arr") - 1)
+        ).alias("b"),
+    )
+    triples = step2.select(
+        F.element_at("arr", F.col("a")).alias("p1"),
+        F.element_at("arr", F.col("b")).alias("p2"),
+        F.explode(
+            F.slice(
+                "arr", F.col("b") + 1, F.size("arr") - F.col("b")
+            )
+        ).alias("p3"),
     )
     return (
-        baskets.select(F.explode(triple_arr).alias("tr"))
-        .groupBy(
-            F.col("tr.p1").alias("p1"),
-            F.col("tr.p2").alias("p2"),
-            F.col("tr.p3").alias("p3"),
-        )
+        triples.groupBy("p1", "p2", "p3")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _MINSUP)
         .select(
