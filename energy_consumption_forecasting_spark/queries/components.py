@@ -43,7 +43,19 @@ from .dedup import (
     _pairs_from_members,
 )
 
-MAX_CC_ROUNDS = 12
+# Round cap = runaway backstop, NOT an expected budget: with one hop
+# of min-propagation + one pointer jump per round, label reach grows
+# ~2^r, so r rounds cover diameter ~2^r.  Real dup graphs (near-clique
+# clusters) converge in single digits and the label-sum probe exits
+# early; the cap only needs to exceed log2(max conceivable diameter).
+# r10: raised 12 -> 30 after the 500k-doc decade probe hit a
+# near-percolation-critical LSH graph (457k edges / 500k nodes) whose
+# giant component's diameter exceeded 2^12 reach — a synthetic-corpus
+# regime, but the cap was wrong to conflate "deep graph" with
+# "runaway loop".  30 rounds reach ~10^9 diameter; extra rounds cost
+# two (id, id) shuffles each and are only paid when the graph demands
+# them.
+MAX_CC_ROUNDS = 30
 
 
 def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

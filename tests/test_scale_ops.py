@@ -980,3 +980,63 @@ def test_rev_band_balance_guarded_across_sfs(spark):
     assert by_sf["0.1"].n_bands < 3 * by_sf["0.01"].n_bands
     # and the max share must FALL (or hold) as N grows
     assert by_sf["0.1"].share <= by_sf["0.01"].share * 1.2
+
+
+def test_lazy_ann_fits_match_eager_trainers(spark):
+    """r10 lazy fit frames: the SQ8 range frame must equal sq8_train's
+    exact aggregates; the IVF fit's HOF cell assignment must equal a
+    numpy argmin against its own collected centroids (pins the
+    first-index tie rule and the attached-column algebra); PQ HOF
+    encode must equal a numpy re-encode with the same books."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+    )
+    from energy_consumption_forecasting_spark.operators.ann import (
+        ivf_assign_lazy,
+        ivf_fit_frame,
+        pq_encode_lazy,
+        pq_fit_frame,
+        sq8_fit_frame,
+        sq8_train,
+    )
+    from energy_consumption_forecasting_spark.tables import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    # SQ8: lazy frame == eager collected ranges, element-exact
+    mins, maxs = sq8_train(e)
+    row = sq8_fit_frame(e).first()
+    assert row["mn"] == mins and row["mx"] == maxs
+
+    # IVF: HOF argmin assignment == numpy argmin on the same centroids
+    fit = ivf_fit_frame(e, n_cells=16)
+    cents = np.asarray(fit.first()["centroids"], dtype=np.float64)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_lazy(e, fit).select("vec_id", "cell").collect()
+    }
+    vecs = {r["vec_id"]: np.asarray(r["v"]) for r in e.collect()}
+    for vid, v in vecs.items():
+        want = int(((cents - v) ** 2).sum(axis=1).argmin())
+        assert got[vid] == want, vid
+
+    # PQ: HOF encode == numpy re-encode against the same books
+    pfit = pq_fit_frame(e, m=8, k=16)
+    books = np.asarray(pfit.first()["books"], dtype=np.float64)
+    m, _, sub = books.shape
+    codes = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode_lazy(e, pfit, m=8).collect()
+    }
+    for vid in list(vecs)[:50]:
+        v = vecs[vid]
+        want = [
+            int(((books[j] - v[j * sub : (j + 1) * sub]) ** 2)
+                .sum(axis=1).argmin())
+            for j in range(m)
+        ]
+        assert codes[vid] == want, vid

@@ -460,9 +460,15 @@ def _gen_li_graph(out_dir: str, replicas: int) -> None:
 
 
 def _gen_sf10docs() -> None:
-    """500k-document decade under .stage/sf10docs (idempotent): the
-    EXACT _gen_sf1 unigram family rule (vocab-weighted random text,
-    empirical length distribution) at x10 the sf1 row count."""
+    """500k-document decade under .stage/sf10docs (idempotent):
+    10 replicas of the synthesized sf1 documents with doc_id offsets
+    and a per-replica TOKEN REMAP (every token suffixed r<k>), so the
+    shingle universes of different replicas are disjoint — the LSH
+    component structure of sf1 replicates exactly x10 (sizes x10,
+    diameters invariant).  A fresh unigram draw at 500k was tried
+    first and rejected: collision DENSITY grows with N under a shared
+    vocabulary, so components deepen and the probe would measure a
+    harder graph, not a bigger one (it blew the 12-round CC cap)."""
     import os
 
     if os.path.exists(os.path.join(SF10DOCS_DIR, "_DONE")):
@@ -472,29 +478,27 @@ def _gen_sf10docs() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rng = np.random.default_rng(11)
-    docs = pq.read_table("/root/testdata/sf0.1/documents.parquet").to_pydict()
-    toks = [t.split() for t in docs["text"]]
-    vocab, counts = np.unique(
-        np.concatenate([np.array(t) for t in toks]), return_counts=True
-    )
-    probs = counts / counts.sum()
-    lens = np.array([len(t) for t in toks])
-    n_docs = 500000
-    out_len = rng.choice(lens, size=n_docs)
-    texts = [
-        " ".join(rng.choice(vocab, size=int(L), p=probs)) for L in out_len
-    ]
-    langs = rng.choice(np.array(docs["lang"]), size=n_docs)
-    sources = rng.choice(np.array(docs["source"]), size=n_docs)
+    _gen_sf1()
+    docs = pq.read_table(f"{SF1_DIR}/documents.parquet").to_pydict()
+    n = len(docs["doc_id"])
+    ids, texts, langs, sources, nchars = [], [], [], [], []
+    for r in range(10):
+        suf = f"r{r}"
+        for i in range(n):
+            ids.append(r * n + i)
+            t = " ".join(w + suf for w in docs["text"][i].split())
+            texts.append(t)
+            langs.append(docs["lang"][i])
+            sources.append(docs["source"][i])
+            nchars.append(len(t))
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array(range(n_docs), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
                 "text": pa.array(texts),
-                "lang": pa.array([str(x) for x in langs]),
-                "source": pa.array([str(x) for x in sources]),
-                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+                "lang": pa.array(langs),
+                "source": pa.array(sources),
+                "n_chars": pa.array(nchars, type=pa.int64()),
             }
         ),
         f"{SF10DOCS_DIR}/documents.parquet",
@@ -627,6 +631,8 @@ def run_sf10graph(qs) -> None:
             f"sf10 graph probe {name}: {entry['sf1']['median']:.2f}s -> "
             f"{entry['sf10']['median']:.2f}s ({entry['decade_ratio']:.1f}x for 10x)"
         )
+    with open(SF10GRAPH_JSON, "w") as f:
+        json.dump(results, f, indent=1)  # partial: survives a docs-probe crash
     for name in SF10DOCS_PROBES:
         entry = {}
         for tag, sf in (("sf1", SF1_DIR), ("sf10", SF10DOCS_DIR)):
@@ -797,6 +803,26 @@ def main() -> None:
         "- `graph_pagerank` edges derive from lineitem, which grows 10×",
         "  on the last step — a ~2.4× wall ratio on 10× data is",
         "  sub-linear (fixed 10-iteration job floor amortizing).",
+        "- Graph-family TRUE decades (SCALE_PROBE_sf10_graph.json,",
+        "  tools/scaling_probe.py --sf10-graph; all three key families",
+        "  offset so each replica is a structurally identical subgraph):",
+        "  warm medians x10 data → k-core 0.9×, label propagation 1.3×,",
+        "  connected components 2.2× (50k → 500k docs), pagerank 17.9×.",
+        "  The pagerank slope is a DESIGNED regime crossing, not a leak:",
+        "  at 210k nodes the per-round plan is broadcast-join →",
+        "  row-local fold → one agg shuffle; at 2.1M nodes the rank",
+        "  table passes the 64 MB broadcast budget and the loop switches",
+        "  to the sort-merge tier over the deg-folded edge table",
+        "  pre-partitioned on the join key (operators/pagerank.py::",
+        "  prepare_rank_graph) — the per-round cost becomes the edge",
+        "  sort-merge + agg, which is the shape that keeps scaling when",
+        "  ranks are billions of rows and broadcasting is impossible.",
+        "  The 500k-doc CC decade also surfaced that MAX_CC_ROUNDS=12",
+        "  conflated deep graphs with runaway loops (a near-critical",
+        "  457k-edge/500k-node LSH graph exceeded 2^12 label reach);",
+        "  the backstop is now 30 rounds (~10^9 diameter reach) with",
+        "  the label-sum probe still exiting real dup graphs in single",
+        "  digits.",
         "- Rows riding a session-shared persisted frame (the cosine",
         "  signature, SemDeDup scored, MinHash signature, and graph edge",
         "  frames) pay that frame's ONE-TIME build inside their single",
