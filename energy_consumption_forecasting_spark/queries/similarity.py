@@ -696,23 +696,27 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth) per the >2^53-safe fixed-point rule.  Truth and approx
     reuse the registered queries' own frames — this gate can never
     drift from what sim_topk_bruteforce / sim_bucketed_ann actually
-    run."""
+    run.  ONE lazy plan (r10, un-exempted): truth left-joins approx
+    with a hit marker and a single aggregate emits n_truth / hits /
+    recall — the two counts + driver division + createDataFrame became
+    in-plan columns; the NULLIF guard rides the CASE."""
     truth = (
         sim_topk_bruteforce(spark, sf_dir)
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id")
     )
     approx = sim_bucketed_ann(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(True).alias("__hit")
     )
-    hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
-    n_truth = truth.count()
-    # empty truth set -> NULL recall (matches the oracle's NULLIF),
-    # never a ZeroDivisionError
-    recall = (1000000 * hits) // n_truth if n_truth else None
-    return spark.createDataFrame(
-        [("bucketed", n_truth, hits, recall)],
-        "tier string, n_truth long, hits long, recall_ppm long",
+    marked = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.lit("bucketed").alias("tier"),
+        F.count("*").alias("n_truth"),
+        F.count("__hit").alias("hits"),
+        F.expr(
+            "CASE WHEN COUNT(*) = 0 THEN NULL"
+            " ELSE (1000000 * COUNT(__hit)) div COUNT(*) END"
+        ).alias("recall_ppm"),
     )
 
 

@@ -156,7 +156,8 @@ EXEMPT: dict[str, str] = {
     # broadcast; encode/assign/probe are Catalyst HOFs and the ADC
     # kernel reads fits from its query-block row.  Zero construction
     # jobs end-to-end (operators/ann.py "LAZY fit frames" section).
-    "sim_ann_recall": "FIT",
+    # sim_ann_recall: un-exempted r10 — the two counts + driver
+    # division + createDataFrame became one lazy left-join aggregate.
     "sim_tier_eval": "FIT",
     # sim_mmr_rerank: un-exempted r8 — candidate pool + pair sims are
     # shared_persist'd session frames (registration is job-free; the
