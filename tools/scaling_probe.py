@@ -823,6 +823,15 @@ def main() -> None:
         "  the backstop is now 30 rounds (~10^9 diameter reach) with",
         "  the label-sum probe still exiting real dup graphs in single",
         "  digits.",
+        "- sf10 probe REFRESH at r10 HEAD (both probe JSONs re-measured",
+        "  after the pipelined pair-expansion rewrite): basket decades",
+        "  improved to pairs 2.2×, triples 8.6×, item-item CF 4.8× on",
+        "  10× data; embedding decades cosine 5.5× (was 7.3×) and",
+        "  semantic 5.6×.  sim_knn_graph's ratio PRINTS as 23× but its",
+        "  absolute sf10 wall is 295s vs r9's 261s — inside the round's",
+        "  uniform ~1.1× host band — while the sf1 numerator dropped",
+        "  23.7 → 12.8s; a ratio whose numerator improved is not a",
+        "  scale regression (the knn plan is untouched this round).",
         "- Rows riding a session-shared persisted frame (the cosine",
         "  signature, SemDeDup scored, MinHash signature, and graph edge",
         "  frames) pay that frame's ONE-TIME build inside their single",
