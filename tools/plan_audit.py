@@ -25,6 +25,17 @@ AUDITED = [
     # r9: it is one lazy plan now and audited below.)
     # r9: the un-exempted in-plan fit family + the new pipeline ops —
     # every one is a single lazy plan for the first time this round.
+    # r10: sim_ann_recall left the driver-composed club (one lazy
+    # left-join aggregate now), and the lazified quantized-ANN tiers +
+    # the two new M7/M9 gates are single lazy plans — audited below.
+    "sim_ann_recall",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_opq_topk",
+    "sim_ivfpq_topk",
+    "sim_sq8_ivf_topk",
+    "m7_grouped_eval",
+    "m9_forecast_eval",
     "w_markov_attribution",
     "ts_changepoint",
     "m6_silhouette",
