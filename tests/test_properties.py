@@ -1054,3 +1054,45 @@ def test_ffd_assign_property(lengths):
     under_half = sum(1 for v in fills.values() if v < cap / 2)
     assert under_half <= 1
     assert ffd_assign(ordered, cap) == assign
+
+
+# --- r10 pipelined pair expansion vs brute force ---------------------------------
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=500),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_pipelined_pairs_property(spark, buckets):
+    """_pairs_from_members (the r10 pipelined double-explode) must emit
+    EXACTLY the per-bucket (a < b) combination multiset of its sorted
+    member arrays for arbitrary bucket shapes — duplicates WITHIN a
+    bucket collapse (arrays come from collect_list of distinct ids in
+    production, but the helper must still be well-defined), empty and
+    singleton buckets contribute nothing, and identical buckets stack
+    multiset-wise."""
+    from collections import Counter
+    from itertools import combinations
+
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        _pairs_from_members,
+    )
+
+    rows = [(i, sorted(set(b))) for i, b in enumerate(buckets)]
+    ref = Counter()
+    for _, docs in rows:
+        for a, b in combinations(docs, 2):
+            ref[(a, b)] += 1
+    members = spark.createDataFrame(
+        rows, "bucket long, docs array<long>"
+    )
+    got = Counter(
+        (r.doc_a, r.doc_b) for r in _pairs_from_members(members).collect()
+    )
+    assert got == ref
