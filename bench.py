@@ -132,6 +132,14 @@ HEADLINE = [
     "emb_whitening_eval",
     "w_markov_attribution",
     "ts_changepoint",
+    # round-10: the lazified quantized-ANN tiers (session-shared lazy
+    # fit frames) — per-round visibility on the warm-path walls the
+    # shared_persist accounting is supposed to hold
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_opq_topk",
+    "sim_ivfpq_topk",
+    "sim_sq8_ivf_topk",
 ]
 
 
