@@ -889,6 +889,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcast hints guard against persist-inflated stats at gate SF;
     # at production scale drop them and these become shuffle-hash
     # equi-joins on vec_id (still no BNL anywhere in the plan).
+    # A/B'd in r10 and KEPT: a footer-rowcount gate that unhinted these
+    # joins past 200k vectors was measured at the 500k decade and made
+    # things WORSE in local mode (heap pressure from per-partition
+    # shuffled-hash maps vs ONE in-JVM broadcast copy; the hinted run
+    # completes in ~95s).  The trade only reverses on a real multi-
+    # executor cluster, where per-round 300 MB broadcasts multiply per
+    # executor — THERE the hint should be dropped, as documented.
     return (
         cand.join(F.broadcast(ea), F.col("vec_a") == F.col("ea.vec_id"))
         .join(F.broadcast(eb), F.col("vec_b") == F.col("eb.vec_id"))
