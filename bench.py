@@ -140,6 +140,12 @@ HEADLINE = [
     "sim_opq_topk",
     "sim_ivfpq_topk",
     "sim_sq8_ivf_topk",
+    # round-10 late wave: multi-probe LSH (query-side fan-out, one
+    # corpus signature), the JL sparse-sign projection (row-local
+    # folds), and the zero-shuffle token-entropy panel
+    "sim_multiprobe_lsh",
+    "emb_jl_projection",
+    "text_token_entropy",
 ]
 
 

@@ -1448,3 +1448,322 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
+
+
+# --- Johnson-Lindenstrauss sparse-sign projection (r10) -------------------------
+#
+# The dimension-reduction-before-ANN scale lever: project d=64 vectors
+# onto k=16 coordinates through a checked-in +-1 sign matrix scaled by
+# 1/sqrt(k) (Achlioptas 2003, "Database-friendly random projections").
+# At 100 TB this is the step that shrinks every downstream distance
+# computation 4x (and the shuffle payload of every bucket join with it)
+# while preserving pairwise L2 within the JL distortion band; the
+# distortion gate below MEASURES that band on a bounded pair sample
+# instead of asserting it.
+JL_K = 16
+
+
+def _jl_signs_sql() -> str:
+    """The 16x64 sign matrix as a DuckDB list-of-lists literal."""
+    from ._jl_signs import JL_SIGNS
+
+    rows = ",".join(
+        "[" + ",".join(f"{x}.0" for x in row) + "]" for row in JL_SIGNS
+    )
+    return f"[{rows}]"
+
+
+_JL_SIGNS_LITERAL = _jl_signs_sql()
+
+
+def _jl_proj_spark(vcol):
+    """16-element projection array: dot(v, s_k) / 4 per sign row (the
+    1/sqrt(16) JL scale; division by 4 is exact in binary FP)."""
+    from ._jl_signs import JL_SIGNS
+    from ..functions.vectors import dot
+
+    return F.array(
+        *[
+            dot(vcol, F.array(*[F.lit(float(s)) for s in row])) / F.lit(4.0)
+            for row in JL_SIGNS
+        ]
+    )
+
+
+@query(
+    "emb_jl_projection",
+    oracle=f"""
+    WITH signs AS (SELECT {_JL_SIGNS_LITERAL} AS ss),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT vec_id,
+             list_transform(range(1, 17),
+                            i -> list_dot_product(v, ss[i]) / 4.0) AS parr
+      FROM e, signs
+    )
+    SELECT vec_id, CAST(k - 1 AS INTEGER) AS k, pv AS p
+    FROM (SELECT vec_id, unnest(parr) AS pv,
+                 generate_subscripts(parr, 1) AS k
+          FROM p)
+    """,
+)
+def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-sign JL projection of every embedding, long format
+    (vec_id, k, p).  Row-local arithmetic: ZERO shuffles beyond the
+    unsplittable-source fanout; the 16 fold expressions stay inside
+    whole-stage codegen.  Bit-stable cross-engine: the Spark fold and
+    DuckDB's list_dot_product both accumulate in index order and the
+    +-1 entries and /4 scale are exact in binary FP."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    return fanout(e, "vec_id").select(
+        "vec_id", F.posexplode(_jl_proj_spark(F.col("v"))).alias("k", "p")
+    )
+
+
+@query(
+    "emb_jl_distortion",
+    oracle=f"""
+    WITH signs AS (SELECT {_JL_SIGNS_LITERAL} AS ss),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 32),
+    p AS (
+      SELECT vec_id, v,
+             list_transform(range(1, 17),
+                            i -> list_dot_product(v, ss[i]) / 4.0) AS parr
+      FROM e, signs
+    ),
+    pr AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_transform(range(1, 17), i -> a.parr[i] - b.parr[i]) AS dp,
+             list_transform(range(1, 65), i -> a.v[i] - b.v[i]) AS dv
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ),
+    r AS (
+      SELECT vec_a, vec_b,
+             list_dot_product(dp, dp)
+               / NULLIF(list_dot_product(dv, dv), 0.0) AS ratio
+      FROM pr
+    )
+    SELECT vec_a, vec_b, ratio,
+           CASE WHEN ratio BETWEEN 0.2 AND 5.0 THEN TRUE ELSE FALSE END
+             AS within_jl_band
+    FROM r
+    """,
+)
+def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distortion gate: for every pair among the first 32 vectors
+    (a BOUNDED diagnostic sample — the inequality self-join is a
+    nested-loop over <=32 broadcast rows at ANY corpus size, by
+    construction, not by data), the ratio ||Pa - Pb||^2 / ||a - b||^2.
+    For the +-1/sqrt(k) ensemble E[ratio] = 1; the [0.2, 5.0] band is
+    a loose concentration check at k=16 that flags a broken sign
+    matrix or scale, not a tight JL epsilon.  The diff-then-fold order
+    is identical in both engines, so ratio is emitted raw (bit-stable,
+    no rounding)."""
+    from ..functions.vectors import dot
+
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 32)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("parr", _jl_proj_spark(F.col("v")))
+        .transform(shared_plan)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dp = F.zip_with(F.col("a.parr"), F.col("b.parr"), lambda x, y: x - y)
+    dv = F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x - y)
+    num, den = dot(dp, dp), dot(dv, dv)
+    ratio = num / F.when(den != 0.0, den)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            ratio.alias("ratio"),
+        )
+        .withColumn(
+            "within_jl_band",
+            F.when(F.col("ratio").between(0.2, 5.0), F.lit(True)).otherwise(
+                F.lit(False)
+            ),
+        )
+    )
+
+
+# --- multi-probe hyperplane LSH (r10) --------------------------------------------
+def _lsh_dots_spark(vcol):
+    """The 8 raw plane dot products as a double array (index order =
+    plane order, matching the bucket's bit order)."""
+    from ._lsh_planes import PLANES
+    from ..functions.vectors import dot
+
+    return F.array(
+        *[dot(vcol, F.array(*[F.lit(x) for x in row])) for row in PLANES]
+    )
+
+
+@query(
+    "sim_multiprobe_lsh",
+    oracle=f"""
+    WITH planes AS (SELECT {_planes_sql()} AS ps),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+             list_transform(range(1, 9),
+                            i -> list_dot_product(v, ps[i])) AS dots
+      FROM e, planes
+    ),
+    sigb AS (
+      SELECT vec_id, v, dots,
+             list_transform(dots,
+                            d -> CASE WHEN d >= 0 THEN 1 ELSE 0 END) AS bits
+      FROM sig
+    ),
+    corpus AS (
+      SELECT vec_id, v,
+             array_to_string(
+               list_transform(bits, b -> CAST(b AS VARCHAR)), '') AS bucket
+      FROM sigb
+    ),
+    mg AS (
+      SELECT vec_id, i,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ad, i) AS rn
+      FROM (SELECT vec_id, unnest(range(1, 9)) AS i,
+                   unnest(list_transform(dots, d -> abs(d))) AS ad
+            FROM sigb WHERE vec_id < {N_QUERIES})
+    ),
+    fl AS (
+      SELECT vec_id, max(CASE WHEN rn = 1 THEN i END) AS i1,
+                     max(CASE WHEN rn = 2 THEN i END) AS i2
+      FROM mg GROUP BY 1
+    ),
+    qp AS (
+      SELECT s.vec_id AS query_id, s.v AS qv, t.probe_id,
+             array_to_string(list_transform(range(1, 9), i ->
+               CAST(CASE WHEN (t.probe_id IN (1, 3) AND i = fl.i1)
+                           OR (t.probe_id IN (2, 3) AND i = fl.i2)
+                         THEN 1 - s.bits[i] ELSE s.bits[i]
+                    END AS VARCHAR)), '') AS probe_bucket
+      FROM sigb s
+      JOIN fl ON s.vec_id = fl.vec_id
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS probe_id) t
+    ),
+    cand AS (
+      SELECT qp.query_id, qp.probe_id, c.vec_id AS neighbor_id,
+             list_dot_product(qp.qv, c.v)
+               / (sqrt(list_dot_product(qp.qv, qp.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      FROM qp JOIN corpus c
+        ON c.bucket = qp.probe_bucket AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS topk_rank, neighbor_id,
+           CAST(probe_id AS INTEGER) AS probe_id, cos_sim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al., VLDB 2007): each query
+    probes its own 8-bit bucket PLUS the three buckets reached by
+    flipping its one or two lowest-|margin| sign bits — the bits most
+    likely to disagree for a true near neighbor.  T=4 probes buy the
+    recall of ~4 independent hash tables at ONE table's memory and
+    build cost, which at 100 TB is the difference between storing one
+    corpus signature column and four.
+
+    Scale shape: the corpus side computes one signature per vector
+    (row-local folds); the probe fan-out is QUERY-side only (Q x 4
+    rows, broadcast into the bucket equi-join), so corpus work is
+    identical to single-probe LSH.  A candidate matches at most one
+    probe (the 4 probe buckets are pairwise distinct by construction),
+    so no dedup pass is needed.  Deterministic end-to-end: checked-in
+    planes, |margin| ties broken by plane index, top-k ties by
+    neighbor id."""
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    e = with_norm(
+        tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("dots", _lsh_dots_spark(F.col("v")))
+        .withColumn(
+            "bits",
+            F.transform(
+                F.col("dots"),
+                lambda d: F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.array_join(
+                F.transform(F.col("bits"), lambda b: b.cast("string")), ""
+            ),
+        )
+    ).transform(shared_plan)
+
+    order = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.struct(
+                    F.abs(F.element_at(F.col("dots"), i)).alias("ad"),
+                    i.alias("i"),
+                ),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("i1", F.element_at(order, 1))
+        .withColumn("i2", F.element_at(order, 2))
+    )
+
+    def probe(flip1: bool, flip2: bool):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.when(
+                    (F.lit(flip1) & (i == F.col("i1")))
+                    | (F.lit(flip2) & (i == F.col("i2"))),
+                    1 - F.element_at(F.col("bits"), i),
+                )
+                .otherwise(F.element_at(F.col("bits"), i))
+                .cast("string"),
+            ),
+            "",
+        )
+
+    probes = F.array(
+        probe(False, False), probe(True, False),
+        probe(False, True), probe(True, True),
+    )
+    qp = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.posexplode(probes).alias("probe_id", "probe_bucket"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("cbucket"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        c.join(
+            F.broadcast(qp),
+            (F.col("cbucket") == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "probe_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("topk_rank", F.row_number().over(w))
+        .filter(F.col("topk_rank") <= TOP_K)
+        .select("query_id", "topk_rank", "neighbor_id", "probe_id", "cos_sim")
+    )

@@ -1331,3 +1331,107 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chars_per_token_ppm"),
     )
+
+
+# --- token entropy / lexical diversity (r10) ------------------------------------
+@query(
+    "text_token_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(a) AS w FROM toks WHERE len(a) >= 1)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 9) AS entropy,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9) AS ttr
+    FROM cnt GROUP BY 1
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the standard lexical-diversity quality signals
+    (templated/keyword-stuffed text collapses toward 0; natural prose
+    sits near the corpus band).  H = ln(n) - (sum c*ln c)/n, so only
+    the per-type c*ln c mass is needed, never per-token probabilities.
+
+    Scale shape: ZERO shuffles — each row sorts its own token array
+    and one JVM-side run-length fold extracts (types, sum c*ln c) in a
+    single pass, the text_repetition_score device; a corpus-sized
+    groupBy(doc, word) shuffle would move every token twice for what
+    is row-local arithmetic.  Cross-engine floats: the fold adds
+    run*ln(run) in sorted-token order while the oracle's hash
+    aggregate adds in arbitrary order, and JVM vs libm ln can differ
+    at the last ulp, so both sides round to 9 digits (values are O(1);
+    the accumulated error is <=1e-13)."""
+    toks = fanout(tbl(spark, sf_dir, "documents")).select(
+        "doc_id", F.array_sort(_toks(F.lower(F.col("text")))).alias("a")
+    )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("types"),
+        F.lit(0.0).alias("sclc"),
+    )
+
+    def flush(run):
+        # run * ln(run) for the closed run; ln(1) = 0 so singleton
+        # runs add exactly 0.0 (the SQL side never sees c*ln(c)=0
+        # terms differently — both are exact zeros).
+        return F.when(
+            run >= 1, run.cast("double") * F.log(run.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def step(acc, x):
+        cont = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(cont, acc["types"]).otherwise(acc["types"] + 1).alias("types"),
+            F.when(cont, acc["sclc"])
+            .otherwise(acc["sclc"] + flush(acc["run"]))
+            .alias("sclc"),
+        )
+
+    stats = F.aggregate(
+        F.col("a"),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["types"].alias("types"),
+            (acc["sclc"] + flush(acc["run"])).alias("sclc"),
+        ),
+    )
+    n = F.size("a").cast("long")
+    return (
+        toks.filter(F.size("a") >= 1)
+        .select("doc_id", n.alias("n_tokens"), stats.alias("st"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("st.types").alias("n_types"),
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("st.sclc") / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("entropy"),
+            F.round(
+                F.col("st.types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("ttr"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Unit invariants for the r10 JL projection and multi-probe LSH.
+
+Parity with the DuckDB oracles is covered by tools/check_parity.py;
+these tests pin the algorithmic contracts that parity alone cannot
+see: exact sequential-fold arithmetic vs an independent Python loop,
+the probe-bucket geometry (Hamming distance, distinctness, lowest-
+margin bit selection), and the JL concentration sanity band.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_jl_signs_shape_and_balance():
+    from energy_consumption_forecasting_spark.queries._jl_signs import JL_SIGNS
+
+    assert len(JL_SIGNS) == 16
+    assert all(len(r) == 64 for r in JL_SIGNS)
+    assert all(x in (-1, 1) for r in JL_SIGNS for x in r)
+    # seeded Bernoulli rows should be near-balanced (no degenerate row)
+    for r in JL_SIGNS:
+        assert abs(sum(r)) <= 24
+
+
+def test_jl_projection_matches_sequential_python(spark):
+    """The Spark fold and a left-to-right Python loop accumulate in
+    the same order -> bit-exact equality, not approximate."""
+    from energy_consumption_forecasting_spark.queries._jl_signs import JL_SIGNS
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        emb_jl_projection,
+    )
+
+    rows = emb_jl_projection(spark, SF_SMALL).filter("vec_id = 0").collect()
+    assert len(rows) == 16
+    import pandas as pd
+
+    v = [
+        float(x)
+        for x in pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+        .set_index("vec_id")
+        .loc[0, "embedding"]
+    ]
+    for r in rows:
+        acc = 0.0
+        for x, s in zip(v, JL_SIGNS[r.k]):
+            acc = acc + x * float(s)
+        assert r.p == acc / 4.0, (r.k, r.p, acc / 4.0)
+
+
+def test_jl_distortion_band(spark):
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        emb_jl_distortion,
+    )
+
+    rows = emb_jl_distortion(spark, SF_SMALL).collect()
+    assert len(rows) == 32 * 31 // 2
+    ratios = [r.ratio for r in rows if r.ratio is not None]
+    assert all(r > 0 for r in ratios)
+    # E[ratio] = 1 for the +-1/sqrt(k) ensemble; the sample mean over
+    # 496 pairs concentrates well inside [0.6, 1.6] at k=16
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.6, mean
+    # the registered band is a loose outlier screen, not a tight bound
+    assert sum(r.within_jl_band for r in rows) >= 0.9 * len(rows)
+
+
+def _bits(v, planes):
+    return [
+        1 if sum(x * p for x, p in zip(v, row)) >= 0 else 0 for row in planes
+    ]
+
+
+def test_multiprobe_probe_geometry(spark):
+    """Every emitted neighbor's bucket is within Hamming distance 2 of
+    its query's bucket, and probe_id encodes WHICH low-margin bits
+    differ (0 = same bucket, 1/2 = one flipped bit, 3 = both)."""
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries._lsh_planes import PLANES
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        sim_multiprobe_lsh,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").set_index("vec_id")
+    bits = {
+        vid: _bits([float(x) for x in row.embedding], PLANES)
+        for vid, row in emb.iterrows()
+    }
+    margins = {
+        vid: sorted(
+            range(8),
+            key=lambda i: (
+                abs(
+                    sum(
+                        float(x) * p
+                        for x, p in zip(emb.loc[vid].embedding, PLANES[i])
+                    )
+                ),
+                i,
+            ),
+        )[:2]
+        for vid in (0, 1, 2, 3, 4)
+    }
+
+    rows = sim_multiprobe_lsh(spark, SF_SMALL).collect()
+    assert rows, "multiprobe returned nothing at sf0.001"
+    for r in rows:
+        qb, nb = bits[r.query_id], bits[r.neighbor_id]
+        diff = {i for i in range(8) if qb[i] != nb[i]}
+        i1, i2 = margins[r.query_id]
+        expected = [set(), {i1}, {i2}, {i1, i2}][r.probe_id]
+        assert diff == expected, (r.query_id, r.neighbor_id, r.probe_id, diff)
+        assert 1 <= r.topk_rank <= 5
+
+
+def test_multiprobe_dominates_single_bucket(spark):
+    """Multi-probe candidates are a SUPERSET of same-bucket candidates,
+    so after the top-5 cut the i-th best multiprobe cosine must be >=
+    the i-th best single-bucket cosine for every query (a base
+    candidate can be displaced from the top-5 only by something
+    strictly better from a flipped bucket)."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        sim_lsh_hyperplane,
+        sim_multiprobe_lsh,
+    )
+
+    mp_rows = sim_multiprobe_lsh(spark, SF_SMALL).collect()
+    mp = {}
+    for r in mp_rows:
+        mp.setdefault(r.query_id, []).append((r.topk_rank, r.cos_sim))
+    base = sim_lsh_hyperplane(spark, SF_SMALL).filter(
+        (F.col("vec_a") < 5) | (F.col("vec_b") < 5)
+    )
+    base_cands: dict[int, list[float]] = {q: [] for q in range(5)}
+    for r in base.collect():
+        if r.vec_a < 5:
+            base_cands[r.vec_a].append(r.cos_sim)
+        if r.vec_b < 5:
+            base_cands[r.vec_b].append(r.cos_sim)
+    for q in range(5):
+        bc = sorted(base_cands[q], reverse=True)[:5]
+        mc = [c for _, c in sorted(mp.get(q, []))]
+        assert len(mc) >= len(bc), (q, len(mc), len(bc))
+        for i, c in enumerate(bc):
+            assert mc[i] >= c - 1e-12, (q, i, mc[i], c)
+
+
+def test_token_entropy_matches_python(spark):
+    import math as m
+
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries.text import (
+        text_token_entropy,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in text_token_entropy(spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(docs)
+    for _, row in docs.head(20).iterrows():
+        toks = [t for t in row.text.lower().split() if t]
+        n = len(toks)
+        from collections import Counter
+
+        cnt = Counter(toks)
+        ent = m.log(n) - sum(c * m.log(c) for c in cnt.values()) / n
+        r = got[row.doc_id]
+        assert r.n_tokens == n and r.n_types == len(cnt)
+        assert r.entropy == pytest.approx(ent, abs=1e-8)
+        assert r.ttr == pytest.approx(len(cnt) / n, abs=1e-8)
