@@ -1604,10 +1604,11 @@ def _lsh_dots_spark(vcol):
     )
 
 
-@query(
-    "sim_multiprobe_lsh",
-    oracle=f"""
-    WITH planes AS (SELECT {_planes_sql()} AS ps),
+# Shared multi-probe CTE chain (planes -> signatures -> corpus buckets
+# -> lowest-|margin| flip indices -> probe buckets -> scored candidates)
+# used VERBATIM by sim_multiprobe_lsh and the sim_multiprobe_recall
+# gate so operator and gate can never drift (the _LM_SCORED_SQL rule).
+_MP_CTES = f"""planes AS (SELECT {_planes_sql()} AS ps),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sig AS (
       SELECT vec_id, v,
@@ -1657,14 +1658,24 @@ def _lsh_dots_spark(vcol):
                   * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
       FROM qp JOIN corpus c
         ON c.bucket = qp.probe_bucket AND c.vec_id <> qp.query_id
-    )
-    SELECT query_id, CAST(rnk AS INTEGER) AS topk_rank, neighbor_id,
-           CAST(probe_id AS INTEGER) AS probe_id, cos_sim
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY cos_sim DESC, neighbor_id) AS rnk
-          FROM cand)
-    WHERE rnk <= {TOP_K}
+    ),
+    mp_topk AS (
+      SELECT query_id, CAST(rnk AS INTEGER) AS topk_rank, neighbor_id,
+             CAST(probe_id AS INTEGER) AS probe_id, cos_sim
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM cand)
+      WHERE rnk <= {TOP_K}
+    )"""
+
+
+@query(
+    "sim_multiprobe_lsh",
+    oracle=f"""
+    WITH {_MP_CTES}
+    SELECT query_id, topk_rank, neighbor_id, probe_id, cos_sim
+    FROM mp_topk
     """,
 )
 def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1766,4 +1777,236 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("topk_rank", F.row_number().over(w))
         .filter(F.col("topk_rank") <= TOP_K)
         .select("query_id", "topk_rank", "neighbor_id", "probe_id", "cos_sim")
+    )
+
+
+@query(
+    "sim_multiprobe_recall",
+    oracle=f"""
+    WITH {_MP_CTES},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id) AS rnk
+        FROM e q, e c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    sb AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id) AS rnk
+        FROM corpus q JOIN corpus c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS truth_k,
+           CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_single,
+           CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_multi
+    FROM truth t
+    LEFT JOIN sb s
+      ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+    LEFT JOIN mp_topk m
+      ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} evaluation for multi-probe LSH, composed from the
+    REGISTERED frames (sim_topk_bruteforce = exact truth,
+    sim_lsh_hyperplane = the single-probe candidate set,
+    sim_multiprobe_lsh = the operator under test) so the gate measures
+    exactly what the queries ship.  Emits per-query exact-integer hit
+    counts — hits_multi >= hits_single ALWAYS (the multi-probe
+    candidate set is a superset, and anything displacing a true
+    neighbor from a top-k is itself a true neighbor), so the gate also
+    serves as an algebraic invariant, not just a quality number.  The
+    oracle re-derives all three sides from the shared _MP_CTES
+    fragment — operator and gate cannot drift.
+
+    Expectation on THIS corpus: the synthetic embeddings are
+    near-orthogonal (true top-k cosines sit barely above 0), the
+    adversarial regime for sign-bit LSH — measured sf0.01 recall is
+    0/5 single-probe vs 1/5 best multi-probe.  That is the honest
+    number the gate exists to expose (the dedup_lsh_quality lesson:
+    widen bands / add probes to trade recall); on clustered real
+    embeddings the same 8-bit + T=4 operating point lands far higher,
+    and the INVARIANT (multi >= single) holds on any corpus."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    mp = sim_multiprobe_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("m_q"), F.col("neighbor_id").alias("m_n")
+    )
+    h = sim_lsh_hyperplane(spark, sf_dir)
+    cand = (
+        h.filter(F.col("vec_a") < N_QUERIES)
+        .select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cos_sim",
+        )
+        .unionByName(
+            h.filter(F.col("vec_b") < N_QUERIES).select(
+                F.col("vec_b").alias("query_id"),
+                F.col("vec_a").alias("neighbor_id"),
+                "cos_sim",
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    sb = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            F.col("query_id").alias("s_q"), F.col("neighbor_id").alias("s_n")
+        )
+    )
+    return (
+        truth.join(
+            sb,
+            (F.col("s_q") == F.col("query_id"))
+            & (F.col("s_n") == F.col("neighbor_id")),
+            "left",
+        )
+        .join(
+            mp,
+            (F.col("m_q") == F.col("query_id"))
+            & (F.col("m_n") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("truth_k"),
+            F.sum(
+                F.when(F.col("s_n").isNotNull(), 1).otherwise(0)
+            ).alias("hits_single"),
+            F.sum(
+                F.when(F.col("m_n").isNotNull(), 1).otherwise(0)
+            ).alias("hits_multi"),
+        )
+    )
+
+
+# --- JL-accelerated rerank tier (r10) ---------------------------------------------
+RERANK_POOL = 20
+
+
+@query(
+    "sim_jl_rerank_topk",
+    oracle=f"""
+    WITH signs AS (SELECT {_JL_SIGNS_LITERAL} AS ss),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT vec_id, v,
+             list_transform(range(1, 17),
+                            i -> list_dot_product(v, ss[i]) / 4.0) AS parr
+      FROM e, signs
+    ),
+    q AS (SELECT * FROM p WHERE vec_id < {N_QUERIES}),
+    s1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv,
+             list_dot_product(q.parr, c.parr)
+               / (sqrt(list_dot_product(q.parr, q.parr))
+                  * sqrt(list_dot_product(c.parr, c.parr))) AS cos_proj
+      FROM q JOIN p c ON q.vec_id <> c.vec_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, qv, cv, cos_proj FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_proj DESC, neighbor_id) AS prnk
+        FROM s1
+      ) WHERE prnk <= {RERANK_POOL}
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id, cos_proj,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cos_exact
+      FROM pool
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS topk_rank, neighbor_id,
+           cos_exact, cos_proj
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_exact DESC, neighbor_id) AS rnk
+          FROM rr)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN through the JL projection: stage 1 scans the
+    16-dim projections (4x fewer multiply-adds and 4x less data moved
+    per distance than the raw 64-dim corpus — at 100 TB the projected
+    column is the one that fits the scan budget), keeps a
+    {RERANK_POOL}-candidate pool per query, stage 2 reranks the pool
+    with EXACT 64-dim cosine and keeps the top {TOP_K}.  The classic
+    compress-then-rerank shape (same contract as the PQ/ADC tiers,
+    but with a data-independent, oracle-exact projection).
+    Deterministic: checked-in signs, rank ties broken by neighbor id
+    at both stages."""
+    from ..functions.vectors import dot
+
+    base = (
+        tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("parr", _jl_proj_spark(F.col("v")))
+        .transform(shared_plan)
+    )
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("parr").alias("qparr"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    cos_proj = dot(F.col("qparr"), F.col("parr")) / (
+        F.sqrt(dot(F.col("qparr"), F.col("qparr")))
+        * F.sqrt(dot(F.col("parr"), F.col("parr")))
+    )
+    s1 = base.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qv",
+        F.col("v").alias("cv"),
+        cos_proj.alias("cos_proj"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_proj"), "neighbor_id"
+    )
+    pool = (
+        s1.withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= RERANK_POOL)
+        .drop("prnk")
+    )
+    cos_exact = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    rr = pool.select(
+        "query_id", "neighbor_id", "cos_proj", cos_exact.alias("cos_exact")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_exact"), "neighbor_id"
+    )
+    return (
+        rr.withColumn("topk_rank", F.row_number().over(we))
+        .filter(F.col("topk_rank") <= TOP_K)
+        .select("query_id", "topk_rank", "neighbor_id", "cos_exact", "cos_proj")
     )

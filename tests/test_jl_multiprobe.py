@@ -178,3 +178,48 @@ def test_token_entropy_matches_python(spark):
         assert r.n_tokens == n and r.n_types == len(cnt)
         assert r.entropy == pytest.approx(ent, abs=1e-8)
         assert r.ttr == pytest.approx(len(cnt) / n, abs=1e-8)
+
+
+def test_multiprobe_recall_invariant(spark):
+    """hits_multi >= hits_single per query (candidate superset +
+    displacement-only-by-true-neighbors), truth_k == 5."""
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        sim_multiprobe_recall,
+    )
+
+    rows = sim_multiprobe_recall(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.truth_k == 5
+        assert 0 <= r.hits_single <= r.hits_multi <= 5
+
+
+def test_jl_rerank_exact_on_pool(spark):
+    """Stage-2 cosines are the exact 64-dim values: for every emitted
+    (query, neighbor) the cos_exact matches a sequential Python fold,
+    and ranks are 1..5 without gaps."""
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries.similarity import (
+        sim_jl_rerank_topk,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").set_index("vec_id")
+
+    def seq_cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    rows = sim_jl_rerank_topk(spark, SF_SMALL).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.topk_rank)
+        got = seq_cos(emb.loc[r.query_id].embedding, emb.loc[r.neighbor_id].embedding)
+        assert r.cos_exact == pytest.approx(got, abs=1e-12)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
