@@ -1435,3 +1435,91 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+# --- Zipf rank-frequency slope (r10) ----------------------------------------------
+ZIPF_TOP = 100
+
+
+@query(
+    "text_zipf_slope",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    top AS (
+      SELECT c, r FROM (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt
+      ) WHERE r <= {ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 9)
+             AS slope,
+           ROUND((sy * sxx - sx * sxy) / NULLIF(n * sxx - sx * sx, 0.0), 9)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 9)
+             AS r2
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top
+    {ZIPF_TOP} corpus tokens — natural corpora slope near -1; templated
+    or synthetic text flattens (this corpus's uniform vocabulary is
+    exactly such a flat case, which is the point of measuring it).
+    Companion to text_heaps_law on the vocabulary axis.
+
+    Scale shape: one map-side-combinable count aggregation, then a
+    TakeOrderedAndProject (distributed top-k, never a global sort or
+    an unpartitioned window over the full vocabulary — the rank window
+    runs on the <= {ZIPF_TOP}-row limited frame, which also sits above
+    the Aggregate for the calendar-bounded-window CI audit).  Floats:
+    closed-form OLS from the five moment sums, round(9) both sides for
+    the accumulation-order and libm-ln ulps."""
+    from pyspark.sql import Window
+
+    toks = fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        F.explode(_toks(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "w").limit(ZIPF_TOP)
+    r = F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    pts = top.select(r.alias("r"), "c").select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    det = n * sxx - sx * sx
+    detc = F.when(det != 0.0, det)
+    r2den = det * (n * syy - sy * sy)
+    return m.select(
+        n.cast("long").alias("n_points"),
+        F.round((n * sxy - sx * sy) / detc, 9).alias("slope"),
+        F.round((sy * sxx - sx * sxy) / detc, 9).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / F.when(r2den != 0.0, r2den),
+            9,
+        ).alias("r2"),
+    )
