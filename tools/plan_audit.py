@@ -275,6 +275,15 @@ AUDITED = [
     "w_bounce_rate",
     "graph_degree_histogram",
     "text_heaps_law",
+    # round-10 late wave: JL projection family, multi-probe LSH +
+    # recall gate, and the two zero-/one-shuffle text panels
+    "emb_jl_projection",
+    "emb_jl_distortion",
+    "sim_multiprobe_lsh",
+    "sim_multiprobe_recall",
+    "sim_jl_rerank_topk",
+    "text_token_entropy",
+    "text_zipf_slope",
 ]
 
 
