@@ -1876,15 +1876,19 @@ def sim_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").alias("s_q"), F.col("neighbor_id").alias("s_n")
         )
     )
+    # sb and mp are <= N_QUERIES * TOP_K rows BY CONSTRUCTION (top-k
+    # cut per query), so the explicit broadcast hints are scale-honest
+    # at any corpus size — without them the audit-mode plan falls back
+    # to sort-merge for what is a bounded dimension join.
     return (
         truth.join(
-            sb,
+            F.broadcast(sb),
             (F.col("s_q") == F.col("query_id"))
             & (F.col("s_n") == F.col("neighbor_id")),
             "left",
         )
         .join(
-            mp,
+            F.broadcast(mp),
             (F.col("m_q") == F.col("query_id"))
             & (F.col("m_n") == F.col("neighbor_id")),
             "left",

@@ -1523,3 +1523,93 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     )
+
+
+# --- per-source distribution divergence (r10) ---------------------------------------
+@query(
+    "text_source_divergence",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM tok GROUP BY 1, 2
+    ),
+    wt AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+    st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+                  CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS n FROM sw),
+    terms AS (
+      SELECT sw.source,
+             (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+               * ln((CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE))) AS kl_term,
+             abs(CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)
+                 - CAST(c_w AS DOUBLE) / CAST(n AS DOUBLE)) AS tv_term,
+             CAST(c_w AS DOUBLE) / CAST(n AS DOUBLE) AS pc_term,
+             n_s, n_types
+      FROM sw JOIN wt USING (w) JOIN st USING (source) CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           ROUND(SUM(kl_term), 9) AS kl_vs_corpus,
+           ROUND(0.5 * (SUM(tv_term) + (1.0 - SUM(pc_term))), 9) AS tvd_vs_corpus
+    FROM terms GROUP BY 1
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift vs the whole corpus: KL(p_source
+    || p_corpus) and total-variation distance over the unigram token
+    distributions — the mixture/domain-shift diagnostic a pretraining
+    recipe reads before weighting sources (the DSIR/temperature-mixture
+    input signal).  TVD folds in the mass of corpus tokens ABSENT from
+    the source as (1 - sum p_c over present tokens) — no zero-count
+    join rows needed, and KL's support is exactly the present tokens.
+
+    Scale shape: one (source, token) hash aggregation off the token
+    explode; the token totals and source totals REUSE that aggregate
+    (groupBy over sw, never a second corpus scan), and the corpus
+    total attaches as a 1-row crossJoin (in-plan scalar, not a
+    collect).  Floats: exact integer counts everywhere; one ln and
+    two divisions per (source, token) term, round(9) both sides for
+    the accumulation order."""
+    tok = fanout(tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")).select(
+        "source", F.explode(_toks(F.lower(F.col("text")))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    wt = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    st = sw.groupBy("source").agg(
+        F.sum("c_sw").alias("n_s"), F.count("*").alias("n_types")
+    )
+    tot = sw.agg(F.sum("c_sw").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    terms = (
+        sw.join(wt, "w")
+        .join(st, "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "n_s",
+            "n_types",
+            (
+                (d("c_sw") / d("n_s"))
+                * F.log((d("c_sw") * d("n")) / (d("n_s") * d("c_w")))
+            ).alias("kl_term"),
+            F.abs(d("c_sw") / d("n_s") - d("c_w") / d("n")).alias("tv_term"),
+            (d("c_w") / d("n")).alias("pc_term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.max("n_types").alias("n_types"),
+        F.round(F.sum("kl_term"), 9).alias("kl_vs_corpus"),
+        F.round(
+            0.5 * (F.sum("tv_term") + (F.lit(1.0) - F.sum("pc_term"))), 9
+        ).alias("tvd_vs_corpus"),
+    )
