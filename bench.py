@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_multiprobe_lsh",
     "emb_jl_projection",
     "text_token_entropy",
+    "text_source_divergence",
 ]
 
 

@@ -1824,7 +1824,7 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} evaluation for multi-probe LSH, composed from the
+    """Recall@5 evaluation for multi-probe LSH, composed from the
     REGISTERED frames (sim_topk_bruteforce = exact truth,
     sim_lsh_hyperplane = the single-probe candidate set,
     sim_multiprobe_lsh = the operator under test) so the gate measures
@@ -1958,13 +1958,20 @@ def sim_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN through the JL projection: stage 1 scans the
     16-dim projections (4x fewer multiply-adds and 4x less data moved
     per distance than the raw 64-dim corpus — at 100 TB the projected
-    column is the one that fits the scan budget), keeps a
-    {RERANK_POOL}-candidate pool per query, stage 2 reranks the pool
-    with EXACT 64-dim cosine and keeps the top {TOP_K}.  The classic
-    compress-then-rerank shape (same contract as the PQ/ADC tiers,
-    but with a data-independent, oracle-exact projection).
-    Deterministic: checked-in signs, rank ties broken by neighbor id
-    at both stages."""
+    column is the one that fits the scan budget), keeps a 20-candidate
+    pool per query, stage 2 reranks the pool with EXACT 64-dim cosine
+    and keeps the top 5.  The classic compress-then-rerank shape (same
+    contract as the PQ/ADC tiers, but with a data-independent,
+    oracle-exact projection).  Deterministic: checked-in signs, rank
+    ties broken by neighbor id at both stages.
+
+    Shuffle discipline (review catch): the stage-1 candidate rows
+    carry ONLY (query_id, neighbor_id, cos_proj) through the pool-cut
+    window — never the 64-dim vectors, which would make the exchange
+    ~40x wider and defeat the projection's bandwidth saving.  The full
+    vectors re-attach AFTER the cut: the <= Q*20-row pool broadcasts
+    into one corpus equi-join for the neighbor vectors, and the Q-row
+    query side broadcasts for the query vectors."""
     from ..functions.vectors import dot
 
     base = (
@@ -1973,9 +1980,8 @@ def sim_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("parr", _jl_proj_spark(F.col("v")))
         .transform(shared_plan)
     )
-    q = base.select(
+    q1 = base.select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
         F.col("parr").alias("qparr"),
     ).filter(F.col("query_id") < N_QUERIES)
     cos_proj = dot(F.col("qparr"), F.col("parr")) / (
@@ -1983,12 +1989,10 @@ def sim_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(dot(F.col("parr"), F.col("parr")))
     )
     s1 = base.join(
-        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+        F.broadcast(q1), F.col("query_id") != F.col("vec_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        "qv",
-        F.col("v").alias("cv"),
         cos_proj.alias("cos_proj"),
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -1999,11 +2003,20 @@ def sim_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prnk") <= RERANK_POOL)
         .drop("prnk")
     )
+    # re-attach vectors post-cut: pool is bounded (<= Q * 20 rows by
+    # construction), so it broadcasts into the corpus scan; the query
+    # vectors come from the Q-row broadcast side.
+    cands = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    ).join(F.broadcast(pool), "neighbor_id")
+    q2 = base.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).filter(F.col("query_id") < N_QUERIES)
     cos_exact = dot(F.col("qv"), F.col("cv")) / (
         F.sqrt(dot(F.col("qv"), F.col("qv")))
         * F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
-    rr = pool.select(
+    rr = cands.join(F.broadcast(q2), "query_id").select(
         "query_id", "neighbor_id", "cos_proj", cos_exact.alias("cos_exact")
     )
     we = Window.partitionBy("query_id").orderBy(

@@ -1476,7 +1476,7 @@ ZIPF_TOP = 100
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top
-    {ZIPF_TOP} corpus tokens — natural corpora slope near -1; templated
+    100 corpus tokens — natural corpora slope near -1; templated
     or synthetic text flattens (this corpus's uniform vocabulary is
     exactly such a flat case, which is the point of measuring it).
     Companion to text_heaps_law on the vocabulary axis.
@@ -1484,7 +1484,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combinable count aggregation, then a
     TakeOrderedAndProject (distributed top-k, never a global sort or
     an unpartitioned window over the full vocabulary — the rank window
-    runs on the <= {ZIPF_TOP}-row limited frame, which also sits above
+    runs on the <= 100-row limited frame, which also sits above
     the Aggregate for the calendar-bounded-window CI audit).  Floats:
     closed-form OLS from the five moment sums, round(9) both sides for
     the accumulation-order and libm-ln ulps."""

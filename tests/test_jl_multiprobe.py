@@ -223,3 +223,46 @@ def test_jl_rerank_exact_on_pool(spark):
         assert r.cos_exact == pytest.approx(got, abs=1e-12)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_source_divergence_matches_python(spark):
+    """KL and TVD per source vs an independent Python computation
+    (Counter-based), plus the distribution-theory invariants:
+    KL >= 0, 0 <= TVD <= 1, token totals partition the corpus."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries.text import (
+        text_source_divergence,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for _, row in docs.iterrows():
+        toks = [t for t in row.text.lower().split() if t]
+        corpus.update(toks)
+        per_src.setdefault(row.source, Counter()).update(toks)
+    n_corpus = sum(corpus.values())
+
+    rows = {r.source: r for r in text_source_divergence(spark, SF_SMALL).collect()}
+    assert set(rows) == set(per_src)
+    assert sum(r.n_tokens for r in rows.values()) == n_corpus
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = sum(
+            (c / n_s) * math.log((c * n_corpus) / (n_s * corpus[w]))
+            for w, c in cnt.items()
+        )
+        tv_present = sum(
+            abs(c / n_s - corpus[w] / n_corpus) for w, c in cnt.items()
+        )
+        pc_present = sum(corpus[w] / n_corpus for w in cnt)
+        tvd = 0.5 * (tv_present + (1.0 - pc_present))
+        r = rows[src]
+        assert r.n_tokens == n_s and r.n_types == len(cnt)
+        assert r.kl_vs_corpus == pytest.approx(kl, abs=1e-7)
+        assert r.kl_vs_corpus >= -1e-9
+        assert r.tvd_vs_corpus == pytest.approx(tvd, abs=1e-7)
+        assert -1e-9 <= r.tvd_vs_corpus <= 1.0 + 1e-9

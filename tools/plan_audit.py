@@ -284,6 +284,7 @@ AUDITED = [
     "sim_jl_rerank_topk",
     "text_token_entropy",
     "text_zipf_slope",
+    "text_source_divergence",
 ]
 
 
