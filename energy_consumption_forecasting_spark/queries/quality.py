@@ -929,8 +929,11 @@ _ACF_CTES = """v AS (
     )"""
 
 
-def _acf_frames(spark: SparkSession, sf_dir: str):
-    """Spark half of ``_ACF_CTES``: (per-lag num frame, den frame)."""
+def _centered_daily(spark: SparkSession, sf_dir: str):
+    """Spark half of ``_ACF_CTES``'s ``c`` CTE: the exact scaled-
+    centered daily series (d, c = n*vc - tot as DECIMAL(38,0)).
+    Factored out of ``_acf_frames`` (r10) so the spectral periodogram
+    reads the IDENTICAL centered frame — shared-fragment rule."""
     d38 = "decimal(38,0)"
     ev = tbl(spark, sf_dir, "events")
     v = ev.groupBy(F.to_date("ts").alias("d")).agg(
@@ -956,6 +959,13 @@ def _acf_frames(spark: SparkSession, sf_dir: str):
         .cast(d38)
         .alias("c"),
     )
+    return c
+
+
+def _acf_frames(spark: SparkSession, sf_dir: str):
+    """Spark half of ``_ACF_CTES``: (per-lag num frame, den frame)."""
+    d38 = "decimal(38,0)"
+    c = _centered_daily(spark, sf_dir)
     den = c.agg(F.sum(F.col("c") * F.col("c")).cast(d38).alias("den"))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     b = c.select(F.col("d").alias("bd"), F.col("c").alias("cb"))
@@ -2135,4 +2145,81 @@ def w_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div COUNT(*) AS BIGINT)"
             ).alias("bounce_ppm"),
         )
+    )
+
+
+# --- spectral periodogram at candidate seasonal periods (r10) -------------------------
+@query(
+    "ts_periodogram",
+    oracle=f"""
+    WITH {_ACF_CTES},
+    md AS (SELECT MIN(d) AS d0, CAST(COUNT(*) AS BIGINT) AS nd FROM c),
+    pts AS (
+      SELECT CAST(c.c AS DOUBLE) AS x,
+             CAST(date_diff('day', md.d0, c.d) AS DOUBLE) AS t
+      FROM c, md
+    ),
+    periods AS (SELECT unnest([7, 30, 91, 365]) AS period),
+    sums AS (
+      SELECT period,
+             SUM(x * cos(6.283185307179586 * t / CAST(period AS DOUBLE)))
+               AS sc,
+             SUM(x * sin(6.283185307179586 * t / CAST(period AS DOUBLE)))
+               AS ss
+      FROM pts, periods GROUP BY 1
+    )
+    SELECT CAST(period AS INTEGER) AS period, md.nd AS n_days,
+           ROUND((sc * sc + ss * ss)
+                 / (CAST(md.nd AS DOUBLE) * CAST(den.den AS DOUBLE)), 9)
+             AS power_frac
+    FROM sums, md, den
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier power of the daily total-value series at the
+    candidate seasonal periods (7/30/91/365 days) — the frequency-
+    domain sibling of ts_acf/ts_seasonality_strength: a sharp weekly
+    cycle shows as power_frac concentration at period 7.  power_frac
+    = (Sc^2 + Ss^2) / (n * sum c^2) with Sc = sum c_t cos(2*pi*t/T),
+    Ss likewise — the normalized periodogram ordinate in [0, ~1].
+
+    Shares the exact scaled-centered daily frame with ts_acf
+    (``_centered_daily`` / the ``c`` CTE of ``_ACF_CTES``) so the
+    spectral and autocorrelation views can never disagree about the
+    series.  Plan: calendar-bounded daily aggregate, 1-row min/count
+    broadcast, a 4-row period grid cross join, one hash aggregation.
+    Floats: the trig sums are order-dependent and JVM/libm cos can
+    differ in the last ulp, so power_frac rounds to 9 digits (the
+    accumulated error is ~1e-13 relative; values are O(1))."""
+    d38 = "decimal(38,0)"
+    c = _centered_daily(spark, sf_dir)
+    den = c.agg(F.sum(F.col("c") * F.col("c")).cast(d38).alias("den"))
+    md = c.agg(
+        F.min("d").alias("d0"), F.count("*").cast("long").alias("nd")
+    )
+    pts = c.crossJoin(F.broadcast(md)).select(
+        F.col("c").cast("double").alias("x"),
+        F.datediff(F.col("d"), F.col("d0")).cast("double").alias("t"),
+        "nd",
+    )
+    periods = F.array(*[F.lit(p) for p in (7, 30, 91, 365)])
+    tau = 6.283185307179586
+    ang = tau * F.col("t") / F.col("period").cast("double")
+    sums = (
+        pts.select("x", "t", "nd", F.explode(periods).alias("period"))
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("x") * F.cos(ang)).alias("sc"),
+            F.sum(F.col("x") * F.sin(ang)).alias("ss"),
+            F.max("nd").alias("nd"),
+        )
+    )
+    return sums.crossJoin(F.broadcast(den)).select(
+        F.col("period").cast("int").alias("period"),
+        F.col("nd").alias("n_days"),
+        F.round(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / (F.col("nd").cast("double") * F.col("den").cast("double")),
+            9,
+        ).alias("power_frac"),
     )

@@ -266,3 +266,42 @@ def test_source_divergence_matches_python(spark):
         assert r.kl_vs_corpus >= -1e-9
         assert r.tvd_vs_corpus == pytest.approx(tvd, abs=1e-7)
         assert -1e-9 <= r.tvd_vs_corpus <= 1.0 + 1e-9
+
+
+def test_periodogram_matches_python(spark):
+    """power_frac per period vs an independent numpy DFT on the same
+    centered daily series; weekly ordinate dominates annual on this
+    short fixture only if the data says so — we assert the values,
+    not a shape."""
+    import numpy as np
+    import pandas as pd
+
+    from energy_consumption_forecasting_spark.queries.quality import (
+        ts_periodogram,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    daily = (
+        ev.assign(d=pd.to_datetime(ev.ts).dt.date)
+        .groupby("d")["value"]
+        .apply(lambda s: int(round(sum(round(float(v) * 100) for v in s))))
+        .sort_index()
+    )
+    # exact centering mirror: c_t = n*v_t - total (scaled residual)
+    n = len(daily)
+    tot = daily.sum()
+    c = (n * daily - tot).astype(float).values
+    t = np.array(
+        [(d - daily.index[0]).days for d in daily.index], dtype=float
+    )
+    den = float((c * c).sum())
+    got = {r.period: r for r in ts_periodogram(spark, SF_SMALL).collect()}
+    assert set(got) == {7, 30, 91, 365}
+    for T in (7, 30, 91, 365):
+        ang = 6.283185307179586 * t / float(T)
+        sc, ss = float((c * np.cos(ang)).sum()), float((c * np.sin(ang)).sum())
+        want = (sc * sc + ss * ss) / (n * den)
+        r = got[T]
+        assert r.n_days == n
+        assert r.power_frac == pytest.approx(want, abs=1e-7)
+        assert 0.0 <= r.power_frac <= 2.0

@@ -285,6 +285,7 @@ AUDITED = [
     "text_token_entropy",
     "text_zipf_slope",
     "text_source_divergence",
+    "ts_periodogram",
 ]
 
 

@@ -85,6 +85,14 @@ PROBES = [
     ("emb_whitening_eval", "two moment passes fused with whitening UDF"),
     ("text_tokenizer_fertility", "one scan + langid bucket agg"),
     ("pipeline_pack_ffd", "per-shard FFD applyInPandas + bin agg"),
+    # r10 late wave
+    ("emb_jl_projection", "row-local 16x64 sign folds, zero shuffles"),
+    ("sim_multiprobe_lsh", "corpus signature + query-side probe fan-out"),
+    ("sim_jl_rerank_topk", "16-dim scan pool cut + bounded exact rerank"),
+    ("text_token_entropy", "sorted-array run-length fold, zero shuffles"),
+    ("text_zipf_slope", "count agg + distributed top-k + 1-row OLS"),
+    ("text_source_divergence", "(source,token) agg reused for all totals"),
+    ("ts_periodogram", "calendar daily agg + 4-row period grid"),
 ]
 
 
