@@ -1563,52 +1563,88 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = _ppjoin_ordered_frame(spark, sf_dir)
     n = F.size("sorted_tids")
     prefix_len = (n - F.ceil(n * F.lit(PREFIX_TAU)) + 1).cast("int")
-    prefixes = ordered.select(
+    # ``pmask`` (bitmap tier only): the OR of the PREFIX tokens' bits —
+    # the device that lets the bitmap tier dedupe AT GENERATION (r10
+    # optimization): a qualifying pair appears once per shared prefix
+    # token (measured multiplicity 9.1x at sf1 — 721M candidate rows
+    # shuffled into a 79.2M-pair distinct, 2.2k executor-seconds in
+    # that one stage), but pmask_a & pmask_b is the shared-prefix-token
+    # SET, computable per join row, so keeping only the row whose tok
+    # is the LEAST shared bit emits every pair exactly once and the
+    # candidate exchange + distinct disappear from this tier entirely.
+    prefixes = ordered.withColumn(
+        "__pt", F.slice("sorted_tids", 1, prefix_len)
+    ).select(
         "doc_id",
         n.alias("n"),
         "mask",
-        F.explode(F.slice("sorted_tids", 1, prefix_len)).alias("tok"),
+        F.when(
+            F.col("mask").isNotNull(),
+            F.expr("aggregate(__pt, 0L, (acc, t) -> acc + shiftleft(1L, t))"),
+        ).alias("pmask"),
+        F.explode("__pt").alias("tok"),
     )
+    # The two tiers now JOIN separately (tier-filtered prefix sides):
+    # vn is corpus-global, so at execution exactly one side has rows
+    # and AQE's empty-relation propagation eliminates the other tier's
+    # joins once its prefix exchange materializes empty — the same
+    # device the old post-distinct split relied on, moved up to the
+    # join so the bitmap tier never pays the pair exchange at all.
+    #
     # length filter (PPJoin): Jaccard >= tau forces min(|x|,|y|) >=
     # tau * max(|x|,|y|) — applied INSIDE the candidate join so skewed
-    # posting lists shed size-incompatible pairs before the distinct.
+    # posting lists shed size-incompatible pairs immediately.
     # Lossless like the prefix filter; the oracle pins both.
-    pair = (
-        prefixes.alias("pa")
-        .join(prefixes.alias("pb"), "tok")
+    _len_ok = F.least(F.col("pa.n"), F.col("pb.n")) >= F.lit(
+        PREFIX_TAU
+    ) * F.greatest(F.col("pa.n"), F.col("pb.n"))
+    bp = prefixes.filter(F.col("mask").isNotNull())
+    shared_pref = F.col("pa.pmask").bitwiseAND(F.col("pb.pmask"))
+    # "tok is the least shared prefix token" == no shared bit strictly
+    # below tok.  The below-mask shiftleft(1L, tok) - 1 would overflow
+    # (ANSI) at tok = 63, so that one bit position gets a literal.
+    below_mask = F.when(
+        F.col("tok") == 63, F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+    ).otherwise(F.expr("shiftleft(1L, tok) - 1L"))
+    inter_bm = F.bit_count(F.col("pa.mask").bitwiseAND(F.col("pb.mask")))
+    jac_bm = inter_bm.cast("double") / (
+        F.col("pa.n") + F.col("pb.n") - inter_bm
+    ).cast("double")
+    # Every surviving row is a distinct qualifying pair: the least-bit
+    # test keeps exactly one of a pair's k generating rows (each row
+    # sees the same pmask pair, hence the same least bit), and a TRUE
+    # pair always shares >= 1 prefix token (the prefix principle), so
+    # no pair is lost.  popcount-exact scoring as before.
+    bm = (
+        bp.alias("pa")
+        .join(bp.alias("pb"), "tok")
         .filter(
             (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            & (
-                F.least(F.col("pa.n"), F.col("pb.n"))
-                >= F.lit(PREFIX_TAU) * F.greatest(F.col("pa.n"), F.col("pb.n"))
-            )
+            & _len_ok
+            & (shared_pref.bitwiseAND(below_mask) == 0)
+            & (jac_bm >= PREFIX_TAU)
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            jac_bm.alias("jaccard"),
         )
     )
-    # Bitmap-tier scoring rides the prefix rows (masks are popcount'd
-    # in the join's own partitions); inter_bm is NULL in the general
-    # tier.  Bitmap tau-losers are shed HERE, before the distinct — a
-    # pair sharing k prefix tokens appears k times with the same
-    # popcount, so distinct on the pair-functional tuple is exact —
-    # while general-tier rows (NULL inter_bm) pass through to the
-    # array verification below.
-    inter_bm = F.bit_count(F.col("pa.mask").bitwiseAND(F.col("pb.mask")))
+    # General tier (vocabulary > one bitset word): candidate pairs via
+    # the same prefix join, deduped by an explicit exchange + distinct,
+    # then exact array_intersect verification — unchanged shape.
+    gp = prefixes.filter(F.col("mask").isNull()).select("doc_id", "n", "tok")
+    pair = (
+        gp.alias("pa")
+        .join(gp.alias("pb"), "tok")
+        .filter((F.col("pa.doc_id") < F.col("pb.doc_id")) & _len_ok)
+    )
     cand = (
         pair.select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
             F.col("pa.n").alias("na"),
             F.col("pb.n").alias("nb"),
-            inter_bm.alias("inter_bm"),
-        )
-        .filter(
-            F.col("inter_bm").isNull()
-            | (
-                F.col("inter_bm").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter_bm")).cast(
-                    "double"
-                )
-                >= PREFIX_TAU
-            )
         )
         # spread the candidate set by WORK before the per-pair set
         # intersects: candidate rows are ~32 bytes but each downstream
@@ -1623,26 +1659,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
         )
-        # na/nb/inter_bm are functions of the pair, so this distinct
-        # has exactly pair cardinality
+        # na/nb are functions of the pair, so this distinct has
+        # exactly pair cardinality
         .distinct()
-    )
-    # Tier split AFTER the distinct: the bitmap branch is already
-    # verified (popcount + tau shed above) and needs NO further joins;
-    # only general-tier rows (NULL inter_bm) join back for the
-    # array_intersect verification.  At execution exactly one branch
-    # has rows — AQE's empty-relation propagation eliminates the other
-    # branch's joins once its candidate stage materializes empty, so
-    # the bitmap tier pays nothing for the general tier's machinery
-    # (the earlier one-path form joined null arrays through two hash
-    # joins on every candidate — measured ~1.35x at sf0.1).
-    bm = cand.filter(F.col("inter_bm").isNotNull()).select(
-        "doc_a",
-        "doc_b",
-        (
-            F.col("inter_bm").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter_bm")).cast("double")
-        ).alias("jaccard"),
     )
     dv = ordered.select(
         "doc_id",
@@ -1655,8 +1674,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.col("na") + F.col("nb") - inter
     gen = (
-        cand.filter(F.col("inter_bm").isNull())
-        .join(a, "doc_a")
+        cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
