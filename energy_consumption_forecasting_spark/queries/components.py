@@ -91,11 +91,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     from ..session import aqe_disabled, loop_shuffle_width
 
     spark = nodes.sparkSession
-    sym = (
-        edges.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-        .union(edges.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
-        .persist()
-    )
+    # Symmetrize by EXPLODE, not union (r10 — the _supply_edges lesson
+    # applied here too): the union's two branches are separate subtrees,
+    # so the whole upstream edge derivation (LSH band pairs + exact md5
+    # pairs in dedup_connected_components) executed TWICE to build sym —
+    # measured as the two biggest stages of the query at sf0.1 (~12s +
+    # ~5s executor time, each writing the same 1.07 MB of pairs).  The
+    # row-local explode doubles each pair in one pass over one subtree.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("s"), F.col("doc_b").alias("t")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("s"), F.col("doc_a").alias("t")
+                ),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t").persist()
     labels = nodes.select(
         F.col("v"), F.col("v").alias("comp")
     ).localCheckpoint(eager=True)
@@ -890,6 +904,43 @@ def _kcore_oracle() -> str:
     return sql
 
 
+def kcore_peel_doubled(doubled: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peel over a SYMMETRIZED (s, t) edge frame
+    (each undirected edge present in both orientations): each round
+    drops edges whose either endpoint has degree < k.  Returns the
+    surviving symmetric frame, output-partitioned by ``s`` after any
+    even round count.
+
+    r10 rewrite (guide §2.4 "remove shuffles outright"): degrees are
+    window counts on the edge frame itself — ``count(*) over
+    (partition by s)`` is deg(s) and, because the frame is symmetric,
+    the same device over ``t`` is deg(t) — so one round is two window
+    nodes + a filter with NO self-joins, no separate degree aggregate,
+    and no per-round checkpoint (each round references its predecessor
+    exactly once, so the lazy plan is LINEAR and the whole peel is one
+    AQE-planned job; the old groupBy+two-join form referenced it three
+    times and needed a lazy localCheckpoint per round, compiled
+    non-adaptively at session width — 8 rounds of 32/64-partition
+    exchanges over what is, at sf0.1, a 3.6k-edge graph).  Window
+    order ALTERNATES so each round's first window rides the previous
+    round's output partitioning: exchanges drop from ~3/round to
+    1/round (+1 for round one).  Skew exposure (all edges of one hot
+    node in one task) is identical to the join-by-node-id shape it
+    replaces; AQE sizes every exchange to the live edge set, which
+    only shrinks."""
+    cur = doubled
+    ws, wt = Window.partitionBy("s"), Window.partitionBy("t")
+    for r in range(rounds):
+        first, second = (ws, wt) if r % 2 == 0 else (wt, ws)
+        cur = (
+            cur.withColumn("d1", F.count("*").over(first))
+            .withColumn("d2", F.count("*").over(second))
+            .filter((F.col("d1") >= k) & (F.col("d2") >= k))
+            .select("s", "t")
+        )
+    return cur
+
+
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """Fixed-round k-core peel over an (u, v) edge DataFrame: each round
     drops nodes of degree < k and the edges touching them.  Returns the
@@ -897,26 +948,22 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     ``rounds``).  Testable against a pure-python reference on arbitrary
     graphs (tests/test_components.py).
 
-    The round-0 edge set is consumed as-is (each round reads it twice:
-    degree agg + peel join) — callers pass an already-shared frame (the
-    session-cached persisted co-purchase edges in graph_kcore), so a
-    checkpoint here would just double-cache the same rows."""
-    cur = edges
-    for _ in range(rounds):
-        deg = (
-            cur.select(F.col("u").alias("n"))
-            .unionAll(cur.select(F.col("v").alias("n")))
-            .groupBy("n")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("n")
-        cur = (
-            cur.join(keep.withColumnRenamed("n", "u"), "u")
-            .join(keep.withColumnRenamed("n", "v"), "v")
-            .select("u", "v")
-            .transform(shared_plan)
-        )
-    return cur
+    Thin (u, v)-contract wrapper over :func:`kcore_peel_doubled`: the
+    symmetric filter keeps or drops both orientations of an edge
+    together, so ``s < t`` on the surviving frame is exactly the
+    original undirected edge set."""
+    doubled = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
+    cur = kcore_peel_doubled(doubled, k, rounds)
+    return cur.filter(F.col("s") < F.col("t")).select(
+        F.col("s").alias("u"), F.col("t").alias("v")
+    )
 
 
 @query("graph_kcore", oracle=_kcore_oracle())
@@ -933,12 +980,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     decreasing; rounds are fixed (8) with the true-fixpoint convergence
     pytest-asserted at gate SFs (tests/test_components.py)."""
     edges = _copurchase_edges(spark, sf_dir)
-    cur = kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
-    return (
-        cur.select(F.col("u").alias("node"))
-        .unionAll(cur.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("core_degree"))
+    doubled = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
+    cur = kcore_peel_doubled(doubled, KCORE_K, KCORE_ROUNDS)
+    # The symmetric frame already holds one row per (node, incident
+    # edge), so the per-node count IS core_degree — no union re-fanout;
+    # KCORE_ROUNDS is even, so the final round left the frame
+    # partitioned by ``s`` and this aggregate adds no exchange.
+    return cur.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("core_degree")
     )
 
 
@@ -1125,13 +1181,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("s").alias("n"), F.col("m.lab").alias("lab"))
         )
-        # lineage truncation every 3rd round, not every round (round-6
-        # item 2: each checkpoint is a job barrier and the per-round
-        # math is barrier-dominated at gate SF — measured ~2.9s -> 2.5s
-        # at sf0.1); label lineage is linear, so short lazy chains are
-        # safe
-        if (i + 1) % 3 == 0 and i + 1 < LPA_ROUNDS:
-            labels = labels.transform(shared_plan)
+        # NO in-loop checkpoint (r10, guide §2.2/§2.4): the label
+        # lineage is LINEAR (each round references the previous labels
+        # exactly once; the multiply-referenced edge side is the
+        # already-checkpointed `und`), so the whole 4-round loop is one
+        # lazy plan compiled at action under the session's AQE — every
+        # per-round exchange coalesces to the live label-table size
+        # instead of the 32/64-partition session width the old
+        # every-3rd-round lazy checkpoint compiled non-adaptively
+        # (measured: 64-task near-empty stages dominating the query at
+        # sf0.1, 4.1s -> see OPTIMIZATION_r10.md).
     return labels.select(
         F.col("n").alias("node"), F.col("lab").alias("community")
     )
