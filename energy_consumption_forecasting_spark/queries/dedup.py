@@ -135,8 +135,24 @@ def _pairs_from_members(members: DataFrame) -> DataFrame:
     accepted: the output pair count, not per-row memory, binds there.
 
     Size-<2 arrays are filtered out (F.sequence(1, 0) is DESCENDING in
-    Spark — it must never reach the explode)."""
-    step1 = members.filter(F.size("docs") >= 2).select(
+    Spark — it must never reach the explode).
+
+    The round-robin repartition before the explodes is the r10 width
+    fix (guide §2.5 "input skew"/§2.2): the expansion's output is
+    O(k²) per bucket while its input is O(k), so AQE — which sizes
+    post-shuffle partitions by INPUT bytes — handed the whole
+    expansion ~10 near-idle tasks at sf1 (measured: dedup_winnow's
+    expansion stage read 12.7 MB, wrote 261 MB, 45 s of CPU on 10 of
+    32 cores).  Spreading the member rows first costs one exchange of
+    the SMALL pre-expansion frame and parallelizes the quadratic work;
+    a single poisoned mega-bucket is still one row → one task
+    (accepted, as above — only the pair count binds there).  Shuffling
+    happens strictly BEFORE the explodes, so no O(k²) row ever crosses
+    the wire."""
+    spread = members.filter(F.size("docs") >= 2).repartition(
+        members.sparkSession.sparkContext.defaultParallelism
+    )
+    step1 = spread.select(
         "docs",
         F.explode(F.sequence(F.lit(1), F.size("docs") - 1)).alias("i"),
     )
@@ -1155,9 +1171,14 @@ def _semdedup_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import shared_frame, shared_persist
 
     def build() -> DataFrame:
-        base = tbl(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", as_double("embedding").alias("v")
-        )
+        # fanout (r10): the persisted frame inherits the scan's split
+        # count (4 single-row-group files at sf1), and every downstream
+        # stage of the dominance pass — including the cosine scoring of
+        # ~N·target bucket pairs — ran at that width (measured: 4-task
+        # 7.3s-CPU scoring stage on 32 cores).  Spread before persist.
+        base = fanout(
+            tbl(spark, sf_dir, "embeddings"), "vec_id"
+        ).select("vec_id", "label", as_double("embedding").alias("v"))
         nb = base.agg(
             F.count("*").alias("n"), F.countDistinct("label").alias("c")
         ).withColumn("_k", F.pmod(F.col("n"), F.lit(1)))

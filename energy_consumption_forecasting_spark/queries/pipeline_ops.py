@@ -304,8 +304,12 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (16 bytes) are the only thing shuffled; the dup-hash set is
     the HAVING>1 aggregate, broadcast back; per-doc re-agg + one left
     join for zero-hit docs."""
+    # fanout (r10): the per-window md5 projection is the query's CPU —
+    # at sf1 the 2-row-group parquet ran it as TWO tasks (8.7 s of the
+    # wall on 2 of 32 cores, twice — both `wins` consumers recompute
+    # it); spread the scan before the heavy row-local work.
     docs = (
-        tbl(spark, sf_dir, "documents")
+        fanout(tbl(spark, sf_dir, "documents"))
         .select("doc_id", _tokens(F.col("text")).alias("a"))
         .filter(F.size("a") >= SUBSTR_WINDOW)
     )
@@ -326,23 +330,29 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > 1)
         .select("h")
     )
-    hits = (
-        wins.join(F.broadcast(dup), "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("hit_windows"))
-    )
-    n_windows = (F.size("a") - (SUBSTR_WINDOW - 1)).cast("long")
+    # ONE pass over `wins` scores everything (r10, guide §2.4): a LEFT
+    # broadcast join against the dup-hash set counts total windows
+    # (count(*)) and duplicated windows (count of matches) in the same
+    # per-doc aggregate — the old shape joined `wins` to dup, re-agged,
+    # then joined a THIRD pass over the docs scan back in for
+    # n_windows/zero-hit docs.  Every doc passing the length filter has
+    # >= 1 window, so per-doc count(*) over wins IS n_windows and no
+    # docs re-join is needed.
     return (
-        docs.join(hits, "doc_id", "left")
+        wins.join(
+            F.broadcast(dup.withColumn("__d", F.lit(1))), "h", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("__d").alias("n_dup_windows"),
+        )
         .select(
             "doc_id",
-            n_windows.alias("n_windows"),
-            F.coalesce(F.col("hit_windows"), F.lit(0)).cast("long").alias(
-                "n_dup_windows"
-            ),
+            "n_windows",
+            "n_dup_windows",
             (
-                F.coalesce(F.col("hit_windows"), F.lit(0)).cast("double")
-                / n_windows
+                F.col("n_dup_windows").cast("double") / F.col("n_windows")
             ).alias("dup_ratio"),
         )
     )
