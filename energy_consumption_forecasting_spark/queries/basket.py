@@ -99,9 +99,21 @@ def pair_counts_from_lines(
     gone).  A mega-basket's — inherently quadratic — pair stream stays
     in one task; that serialization is the accepted trade: the output
     pair count, not per-row memory, is the binding constraint, and the
-    downstream hash agg combines map-side either way."""
+    downstream hash agg combines map-side either way.
+
+    r10 prune cheapening (guide §2.3 "aggregate before you shuffle"):
+    when the caller does not need exact per-item basket counts, the
+    prune keys on plain ``count(*)`` per item instead of
+    ``countDistinct(l_orderkey)`` — a raw line count is >= the distinct
+    basket count, so the kept-item set is a SUPERSET of the exact
+    prune's (lossless: spuriously kept items' pairs still die at the
+    ``n >= {minsup}`` support filter), and the two-phase distinct
+    aggregation (measured ~30 s of executor time at sf1, an extra
+    30 MB exchange) collapses to one partially-aggregated pass."""
     if item_counts is None:
-        item_counts = _item_counts(lines)
+        item_counts = lines.groupBy("l_partkey").agg(
+            F.count("*").alias("n_item")
+        )
     freq = item_counts.filter(F.col("n_item") >= _MINSUP)
     pruned = lines.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey"
@@ -182,13 +194,20 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = lines.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
+    # Row-local explode, not a two-branch union (r10 — same recompute
+    # fix as a_item_item_cf's sym frame).
     rules = pairs.select(
-        F.col("p1").alias("ante"), F.col("p2").alias("cons"), "n"
-    ).unionAll(
-        pairs.select(
-            F.col("p2").alias("ante"), F.col("p1").alias("cons"), "n"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("ante"), F.col("p2").alias("cons"), "n"
+                ),
+                F.struct(
+                    F.col("p2").alias("ante"), F.col("p1").alias("cons"), "n"
+                ),
+            )
+        ).alias("e")
+    ).select("e.ante", "e.cons", "e.n")
     ia = item_counts.withColumnRenamed("l_partkey", "ante").withColumnRenamed(
         "n_item", "n_ante"
     )
@@ -259,11 +278,22 @@ def a_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     item_counts = _item_counts(lines)
     pairs = _pair_counts(spark, sf_dir, item_counts=item_counts)
+    # Symmetrize by row-local EXPLODE, not a two-branch union (r10 —
+    # the _supply_edges lesson): the union re-ran the whole pair
+    # aggregation for each branch (measured: the scoring stage read
+    # the 124 MB pair exchange twice at sf1).
     sym = pairs.select(
-        F.col("p1").alias("a"), F.col("p2").alias("b"), "n"
-    ).unionAll(
-        pairs.select(F.col("p2").alias("a"), F.col("p1").alias("b"), "n")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("a"), F.col("p2").alias("b"), "n"
+                ),
+                F.struct(
+                    F.col("p2").alias("a"), F.col("p1").alias("b"), "n"
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b", "e.n")
     ia = item_counts.select(
         F.col("l_partkey").alias("a"), F.col("n_item").alias("na")
     )

@@ -879,8 +879,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     moderate-similarity join — that form survives exactly as
     ``dedup_cosine_allpairs`` (unregistered; recall-measured in
     tests/test_scale_ops.py) and ``sim_threshold_join``."""
-    from ..functions.vectors import cosine_prenormed
-
     e = _cos_sig_frame(spark, sf_dir)
     bands = _cos_band_frame(spark, sf_dir)
     ba = bands.alias("ba")
@@ -899,9 +897,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = e.alias("ea")
     eb = e.alias("eb")
-    cos = cosine_prenormed(
-        F.col("ea.v"), F.col("eb.v"), F.col("ea.nrm"), F.col("eb.nrm")
-    )
     # Broadcast hints guard against persist-inflated stats at gate SF;
     # at production scale drop them and these become shuffle-hash
     # equi-joins on vec_id (still no BNL anywhere in the plan).
@@ -912,11 +907,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # completes in ~95s).  The trade only reverses on a real multi-
     # executor cluster, where per-round 300 MB broadcasts multiply per
     # executor — THERE the hint should be dropped, as documented.
-    return (
+    #
+    # Scoring via the Arrow-batch fold (r10, guide §4.2 — the
+    # sim_knn_graph device): the interpreted HOF cosine was ~117 s of
+    # executor CPU on the candidate set at sf1; score_pairs_arrow's
+    # per-dimension NumPy loop is the identical IEEE mul/add sequence,
+    # so the strict oracle's doubles are unchanged.
+    from ..functions.vectors import score_pairs_arrow
+
+    pairs = (
         cand.join(F.broadcast(ea), F.col("vec_a") == F.col("ea.vec_id"))
         .join(F.broadcast(eb), F.col("vec_b") == F.col("eb.vec_id"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("ea.v").alias("va"),
+            F.col("eb.v").alias("vb"),
+            F.col("ea.nrm").alias("na"),
+            F.col("eb.nrm").alias("nb"),
+        )
+    )
+    return score_pairs_arrow(pairs, ["vec_a", "vec_b"]).filter(
+        F.col("cos_sim") >= COS_THRESHOLD
     )
 
 
