@@ -1393,15 +1393,30 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
-    sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
-    a = ssh.select(F.col("source").alias("source_a"), "sh")
-    b = ssh.select(F.col("source").alias("source_b"), "sh")
+    # r10 rewrite (guide §2.3/§2.4): ONE groupBy(sh) with collect_set
+    # replaces the old distinct(source, sh) exchange + ssh⋈ssh
+    # self-join — collect_set dedupes (source, sh) in the SAME shuffle
+    # (map-side partial sets), per-shingle source lists are bounded by
+    # the source vocabulary (≤ ~10), pairs explode row-locally, and
+    # sizes fall out of the same member sets.  The old shape paid the
+    # distinct exchange, then re-read it for three consumers and ran a
+    # 41 s join+agg stage at sf1.  shared_plan: two consumers (pairs +
+    # sizes) read the member frame once.
+    mem = (
+        ssh.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("source")).alias("docs"))
+        .transform(shared_plan)
+    )
+    sizes = mem.select(F.explode("docs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count("*").alias("n"))
     shared = (
-        a.join(b, "sh")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        _pairs_from_members(mem)
+        .groupBy(
+            F.col("doc_a").alias("source_a"),
+            F.col("doc_b").alias("source_b"),
+        )
         .agg(F.count("*").alias("n_shared"))
     )
     return (

@@ -529,6 +529,14 @@ def pipeline_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-value scalar row broadcast back; the bucket tag is a row-local
     CASE — no corpus-wide sort or rank."""
     scored = _doc_lm_scored(spark, sf_dir)
+    # NOTE (r10, measured and left alone): doc_scores has TWO consumers
+    # (histogram + final tagging), so the LM scoring subtree executes
+    # twice.  A shared_plan checkpoint here was A/B'd at sf1 and was
+    # SLOWER (5.1-7.7 s vs 3.4-4.9 s): the lazy checkpoint compiles the
+    # scoring subtree non-adaptively (fixed-width exchanges, no AQE
+    # coalescing/skew handling on the bigram joins), which costs more
+    # than the duplicated — fully adaptive — computation.  Keep the
+    # recompute.
     doc_scores = scored.groupBy("doc_id").agg(
         F.expr("(1000000 * SUM(c2)) div SUM(c1)").alias("score_ppm")
     )
