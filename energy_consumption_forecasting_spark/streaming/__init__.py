@@ -68,7 +68,11 @@ def rocksdb_state_store(spark):
 
 
 def drain_available_now(
-    stream_df, sink_prefix: str, output_mode: str = "complete", finish=None
+    stream_df,
+    sink_prefix: str,
+    output_mode: str = "complete",
+    finish=None,
+    partitions: int | None = None,
 ):
     """GATE-ONLY drain: run a (static-source) streaming DataFrame to
     completion through a memory sink and return the final table,
@@ -88,11 +92,21 @@ def drain_available_now(
     import tempfile
     import uuid
 
+    # ``partitions``: state-store instance count for this drain.  Each
+    # stateful operator opens/commits one store PER partition PER
+    # micro-batch, so a gate whose STATE CARDINALITY is contractually
+    # bounded (calendar days, a fixed label set) should pass the
+    # matching small width — a cardinality-derived constant, valid at
+    # any corpus scale (r10: the w18 drain's 32 near-empty stores were
+    # ~0.7 s of pure store open/commit per batch).  Unbounded-keyspace
+    # gates keep STREAM_STATE_PARTITIONS.
     spark = stream_df.sparkSession
     sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ecf_stream_ckpt_")
     try:
-        with pinned_stream_partitions(spark):
+        with pinned_stream_partitions(
+            spark, partitions or STREAM_STATE_PARTITIONS
+        ):
             q = (
                 stream_df.writeStream.format("memory")
                 .queryName(sink)
