@@ -57,18 +57,32 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries against the corpus, score with fold dot products, keep the
     per-query top-k with a rank window partitioned by query (never a
     global sort)."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    from ..functions.vectors import cosine_prenormed, with_norm
+
+    # fanout (r10): the scoring pass is row-local fold math over the
+    # whole corpus and ran at the parquet's 4-split width at sf1;
+    # with_norm folds each side's norm ONCE (the plain `cosine` HOF
+    # re-derived both norms per PAIR — 3 interpreted folds instead of
+    # 1, with the corpus norm recomputed per query).  Bit-identical:
+    # same fold over the same array either way.
+    e = with_norm(
+        fanout(tbl(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
