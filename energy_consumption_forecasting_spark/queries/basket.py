@@ -359,7 +359,15 @@ def a_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     line table; the oracle's 3-way self-join is the shape this plan
     deliberately avoids."""
     lines = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    item_counts = _item_counts(lines)
+    # r10: superset prune on plain count(*) — a raw line count is >=
+    # the distinct-basket count, so the kept-item set is a SUPERSET of
+    # the exact prune's and spuriously kept items' triples still die
+    # at the n >= {minsup} support filter (same lossless argument as
+    # pair_counts_from_lines; the scoring here never reads n_item, so
+    # the two-phase countDistinct aggregation is pure overhead).
+    item_counts = lines.groupBy("l_partkey").agg(
+        F.count("*").alias("n_item")
+    )
     freq = item_counts.filter(F.col("n_item") >= _MINSUP)
     pruned = lines.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey"
