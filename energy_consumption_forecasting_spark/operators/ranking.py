@@ -318,6 +318,61 @@ def global_row_number_lazy(
     )
 
 
+def global_prefix_sums_lazy(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_cols: list[str],
+    bucket: Column,
+    cum_cols: list[str],
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Multi-value :func:`global_prefix_sum_lazy`: N exact running sums
+    over ONE order in ONE pass — one per-bucket partials aggregate, one
+    offsets window, one data window (r10, guide §2.4: two chained
+    single-value prefix sums re-derive their shared input per pass;
+    fusing them halves the aggregate/window work and the offsets
+    subtree).  Same bucket/NULL/broadcast contracts as the single-value
+    form."""
+    if len(value_cols) != len(cum_cols):
+        raise ValueError("value_cols and cum_cols must pair up")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    tagged = df.withColumn(_BKT, bucket)
+    partials = tagged.groupBy(_BKT).agg(
+        *[
+            F.sum(F.col(v)).cast("long").alias(f"__s_{i}")
+            for i, v in enumerate(value_cols)
+        ]
+    )
+    w_prior = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    off_names = [f"{_OFF}_{i}" for i in range(len(value_cols))]
+    offs = partials.select(
+        F.col(_BKT),
+        *[
+            F.coalesce(F.sum(f"__s_{i}").over(w_prior), F.lit(0)).alias(o)
+            for i, o in enumerate(off_names)
+        ],
+    )
+    guarded_off0 = F.coalesce(
+        F.col(off_names[0]),
+        F.raise_error(
+            F.lit("global_prefix_sums_lazy: bucket expression produced NULL")
+        ).cast("long"),
+    )
+    w_local = (
+        Window.partitionBy(_BKT)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs_side = F.broadcast(offs) if broadcast_offsets else offs
+    out = tagged.join(offs_side, _BKT, "left")
+    for i, (v, c) in enumerate(zip(value_cols, cum_cols)):
+        off = guarded_off0 if i == 0 else F.col(off_names[i])
+        out = out.withColumn(
+            c, (F.sum(F.col(v)).over(w_local) + off).cast("long")
+        )
+    return out.drop(_BKT, *off_names)
+
+
 def ntile_expr(rn_name: str, n_name: str, k: int):
     """Exact ``ntile(k)`` as a column expression of a global rank and
     total-count column (both attachable action-free by

@@ -168,7 +168,19 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanout(tbl(spark, sf_dir, "documents"))
         .select(F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w"))
     )
-    truec = occ.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    # ONE corpus pass (r10, guide §2.3): the exact count table is the
+    # sufficient statistic for BOTH outputs — the sketch over the
+    # occurrence stream is identical to summing true_cnt per bucket
+    # over the vocabulary (count of occurrences per bucket ≡ sum of
+    # per-word counts), so the 4-salt md5 runs once per DISTINCT word,
+    # not once per token occurrence, and the second tokenize+explode
+    # corpus scan disappears.  shared_plan: top-k and the sketch both
+    # read the vocabulary-sized frame.
+    truec = (
+        occ.groupBy("w")
+        .agg(F.count("*").alias("true_cnt"))
+        .transform(shared_plan, width=8)
+    )
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
     # top-k + driver merge of k-sized heaps) — no single-partition
     # window anywhere near the vocabulary table.
@@ -179,9 +191,9 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.substring(F.md5(F.concat(salt_col, F.lit(":"), w_col)), 1, 2)
 
     cms = (
-        occ.select("w", salts)
+        truec.select("w", "true_cnt", salts)
         .groupBy("salt", bucket(F.col("salt"), F.col("w")).alias("bucket"))
-        .agg(F.count("*").alias("bucket_cnt"))
+        .agg(F.sum("true_cnt").alias("bucket_cnt"))
     )
     probes = top.select("w", "true_cnt", salts).withColumn(
         "bucket", bucket(F.col("salt"), F.col("w"))
@@ -864,7 +876,20 @@ def w_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 28x the per-day-distinct table (already collapsed from raw
     events), fixed at any corpus scale; the approximate tier at
     extreme scale is an HLL sketch union over the same 28 partials
-    (a_approx_distinct family)."""
+    (a_approx_distinct family).
+
+    r10 (guide §2.3): the 28× fanned (day, user) stream used to cross
+    the wire into a two-phase countDistinct.  Each user's covered days
+    are instead merged row-locally after ONE user-keyed exchange of
+    the per-day-distinct table: per user, overlapping [d, d+27]
+    windows coalesce into islands (classic gaps-and-islands running
+    max), each island explodes its covered days exactly once — so
+    (d, user) rows are unique by construction, the per-day aggregate
+    is a plain map-side-combinable count (≤ #calendar-days rows per
+    task cross the wire), and the duplicate-eliminating exchange of
+    the 28×-amplified stream disappears.  Same integers: a user
+    counts toward day d iff some active day lies in (d-27, d].
+    """
     from ..session import ensure_utc
 
     ensure_utc(spark)
@@ -872,19 +897,32 @@ def w_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("d"), "user_id")
         .distinct()
+        .transform(shared_plan)
     )
     cal = du.select("d").distinct()
-    fanned = du.select(
-        F.explode(
-            F.sequence(F.lit(0), F.lit(27))
-        ).alias("k"),
-        F.col("d").alias("d0"),
-        "user_id",
-    ).select(F.date_add("d0", F.col("k")).alias("d"), "user_id")
+    w = Window.partitionBy("user_id").orderBy("d")
+    prev_end = F.max(F.date_add("d", 27)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_end.isNull() | (F.col("d") > prev_end)
+    ).cast("int")
+    isl = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    islands = (
+        du.withColumn("isl", isl)
+        .groupBy("user_id", "isl")
+        .agg(
+            F.min("d").alias("s"),
+            F.date_add(F.max("d"), 27).alias("e"),
+        )
+    )
+    days = islands.select(
+        "user_id", F.explode(F.sequence("s", "e")).alias("d")
+    )
     return (
-        fanned.join(cal, "d")  # clamp to observed days only
+        days.join(F.broadcast(cal), "d")  # clamp to observed days only
         .groupBy("d")
-        .agg(F.countDistinct("user_id").alias("mau"))
+        .agg(F.count("*").alias("mau"))
     )
 
 

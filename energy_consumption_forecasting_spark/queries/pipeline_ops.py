@@ -822,8 +822,17 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape)."""
     from ..operators.ranking import global_prefix_sum_lazy
 
-    toks = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    # r10 (guide §2.4): the lazy prefix sum reads its input twice
+    # (bucket partials + main pass) — checkpoint the 2-longs-per-doc
+    # frame so the corpus tokenize runs once, spread by fanout instead
+    # of the parquet's row-group count.
+    toks = (
+        fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .transform(shared_plan)
     )
     cum = global_prefix_sum_lazy(
         toks,
@@ -1534,12 +1543,19 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id", "is_target", F.explode(bigram_hashes).alias("b")
     )
-    ct = bg.filter("is_target").groupBy("b").agg(F.count("*").alias("ct"))
-    cr = bg.filter(~F.col("is_target")).groupBy("b").agg(
-        F.count("*").alias("cr")
-    )
+    # r10 (guide §2.4): the two distribution estimates used to be two
+    # separate consumers of the occurrence stream (two md5 expansion
+    # passes) stitched back with a full outer join; ONE conditional
+    # aggregate over the 256-bucket key produces both counts in one
+    # pass with no join (groupBy(b) covers exactly the buckets either
+    # side of the old full join saw; the conditional sums give 0
+    # where the old coalesce(_, 0) did).
     u = (
-        ct.join(cr, "b", "full")
+        bg.groupBy("b")
+        .agg(
+            F.sum(F.col("is_target").cast("long")).alias("ct"),
+            F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+        )
         .select(
             "b",
             (
@@ -1820,12 +1836,17 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays pure."""
     from ..operators.ranking import global_row_number_lazy
 
-    docs = tbl(spark, sf_dir, "documents").select(
+    docs = fanout(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
             "a"
         ),
     )
+    # r10 (guide §2.4): the lazy rank consumes its input twice (bucket
+    # counts + main pass) — without the checkpoint the tokenize +
+    # array_distinct subtree ran once per consumer; the checkpointed
+    # frame is 2 longs/doc.  fanout spreads the single-row-group scan
+    # so the distinct-ratio HOF work isn't serialized on 2 tasks.
     scored = docs.select(
         "doc_id",
         F.least(
@@ -1837,7 +1858,7 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("difficulty"),
-    )
+    ).transform(shared_plan)
     shuffle_key = F.md5(
         F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))
     )

@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import fanout, tbl
+from ._util import fanout, shared_plan, tbl
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -584,34 +584,50 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered groupBy (query terms only — the scan's predicate prunes
     everything else), corpus stats (N, L, df) are scalar broadcasts,
     and the final top-k is orderBy+limit (per-partition heaps, no
-    global sort materialization)."""
-    docs = fanout(tbl(spark, sf_dir, "documents")).select(
-        "doc_id", _toks().alias("a")
+    global sort materialization).
+
+    r10 (guide §2.3/§2.4): tf for a FIXED 4-term query is row-local —
+    ``size(filter(a, x -> x = term))`` per term — so the old
+    explode-every-token → filter → groupBy(doc, w) → pivot machinery
+    (a corpus-occurrence exchange plus a second full tokenize pass for
+    dl/N/L) collapses to ONE tokenize pass producing a 6-int-per-doc
+    frame; corpus stats (N, L, df) are one aggregate over it, and the
+    scoring expression is unchanged (bit-identical doubles)."""
+    def tf_col(term: str):
+        # single-parameter lambda (a two-parameter one would be read as
+        # PySpark's (element, index) form), term bound via the factory
+        return (
+            F.size(F.filter("a", lambda x: x == term))
+            .cast("long")
+            .alias(f"tf_{term}")
+        )
+
+    perdoc = (
+        fanout(tbl(spark, sf_dir, "documents"))
+        .select("doc_id", _toks().alias("a"))
+        .select(
+            "doc_id",
+            F.size("a").cast("long").alias("dl"),
+            *[tf_col(t) for t in _BM25_TERMS],
+        )
+        .transform(shared_plan)
     )
-    occ = docs.select("doc_id", F.explode("a").alias("w"))
-    dls = docs.select("doc_id", F.size("a").cast("long").alias("dl"))
-    n_df = docs.agg(
+    stats = perdoc.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.size("a")).cast("long").alias("l"),
-    )
-    tf = (
-        occ.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    piv = tf.groupBy("doc_id").agg(
+        F.sum("dl").cast("long").alias("l"),
         *[
-            F.coalesce(
-                F.max(F.when(F.col("w") == t, F.col("tf"))), F.lit(0)
-            ).alias(f"tf_{t}")
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(t)
             for t in _BM25_TERMS
-        ]
+        ],
     )
-    dfs = tf.groupBy("w").agg(F.count("*").cast("long").alias("d"))
-    # one-row frames: per-term df as columns, alongside N and L
-    df_row = dfs.groupBy().pivot("w", list(_BM25_TERMS)).agg(F.first("d"))
-    stats = n_df.crossJoin(df_row)
-    scored = piv.join(dls, "doc_id").crossJoin(F.broadcast(stats))
+    # membership matches the old tf-pivot inner join: only documents
+    # containing at least one query term are scored (identical top-k
+    # since absent docs would score 0).
+    has_term = None
+    for t in _BM25_TERMS:
+        cond = F.col(f"tf_{t}") > 0
+        has_term = cond if has_term is None else (has_term | cond)
+    scored = perdoc.filter(has_term).crossJoin(F.broadcast(stats))
 
     def term_score(t: str):
         d = F.coalesce(F.col(t), F.lit(0))
@@ -1023,40 +1039,70 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence trick: a word contributes to the doc where its
     MIN(doc_id) lands, so "distinct so far" = prefix sum of per-doc
     new-word counts — and both prefixes run through the ZERO-ACTION
-    distributed prefix sum (operators/ranking.global_prefix_sum_lazy,
-    r8: doc_id is a dense monotone key, so ``doc_id div 8192`` is an
-    evenly-loaded monotone bucket — per-bucket window ≤8192 rows at
-    any corpus size, offsets a bucket-count-sized subtree, and the
-    construction launches no job), NOT a single-partition global
-    window: the per-doc frame is corpus-cardinality, exactly the case
-    the two-pass rank exists for."""
-    from ..operators.ranking import global_prefix_sum_lazy
+    distributed prefix sum (operators/ranking, r8: doc_id is a dense
+    monotone key, so ``doc_id div 8192`` is an evenly-loaded monotone
+    bucket — per-bucket window ≤8192 rows at any corpus size, offsets
+    a bucket-count-sized subtree, and the construction launches no
+    job), NOT a single-partition global window: the per-doc frame is
+    corpus-cardinality, exactly the case the two-pass rank exists for.
 
-    tok = fanout(
-        tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select(
+    r10 (guide §2.3/§2.4): the old shape shuffled EVERY token
+    occurrence by word into a ``tok ⋈ first_doc`` join just to test
+    ``d0 = doc_id`` per occurrence.  The join is gone: per-(doc, word)
+    counts collapse the occurrence stream once
+    (map-side-combinable), ``min_by(k, doc_id)`` carries "occurrences
+    of w inside its first doc" through the vocabulary aggregate, and
+    new_words(doc) is a vocabulary-sized re-group by that first doc —
+    identical integers, no corpus-sized join exchange.  The two
+    chained prefix sums fuse into ONE pass
+    (``global_prefix_sums_lazy``)."""
+    from ..operators.ranking import global_prefix_sums_lazy
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = fanout(docs).select(
         "doc_id",
         F.explode(
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("w"),
     )
-    first_doc = tok.groupBy("w").agg(F.min("doc_id").alias("d0"))
+    # (doc, word) occurrence counts feed ONLY the first-doc vocabulary
+    # pass (per-doc token totals are a row-local size() — no reason to
+    # route them through the exchange, and no reason to checkpoint the
+    # near-occurrence-sized pair frame).
+    dwc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("k"))
+    first_doc = dwc.groupBy("w").agg(
+        F.min("doc_id").alias("d0"),
+        # k of the (unique) row with the smallest doc_id = how many
+        # times w occurs in its first document — exactly the mass the
+        # old per-occurrence d0 = doc_id indicator summed.
+        F.min_by("k", "doc_id").alias("k0"),
+    )
+    new_words = (
+        first_doc.groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.sum("k0").cast("long").alias("new_words"))
+    )
+    ntok = fanout(docs).select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)  # explode-drops empty docs, as before
     perdoc = (
-        tok.join(first_doc, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum((F.col("d0") == F.col("doc_id")).cast("int"))
-            .cast("long")
-            .alias("new_words"),
+        ntok.join(new_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
         )
+        .transform(shared_plan)
     )
     bkt = F.expr("doc_id div 8192")
-    with_tok = global_prefix_sum_lazy(
-        perdoc, ["doc_id"], "n_tokens", bucket=bkt, cum_col="cum_tokens"
-    )
-    with_both = global_prefix_sum_lazy(
-        with_tok, ["doc_id"], "new_words", bucket=bkt, cum_col="cum_vocab"
+    with_both = global_prefix_sums_lazy(
+        perdoc,
+        ["doc_id"],
+        ["n_tokens", "new_words"],
+        bucket=bkt,
+        cum_cols=["cum_tokens", "cum_vocab"],
     )
     return with_both.select(
         "doc_id",

@@ -899,6 +899,41 @@ def test_global_prefix_sum_lazy_matches_eager_and_guards_nulls(spark):
         bad.collect()
 
 
+def test_global_prefix_sums_lazy_matches_chained_singles(spark):
+    """The fused multi-value lazy prefix sum (r10) must equal two
+    chained single-value lazy prefix sums value-for-value, and stay
+    zero-job at construction."""
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.operators.ranking import (
+        global_prefix_sum_lazy,
+        global_prefix_sums_lazy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101 + 1, (i * 13) % 7) for i in range(500)],
+        "k int, v int, w int",
+    )
+    bkt = F.expr("k div 64")
+    chained = global_prefix_sum_lazy(
+        global_prefix_sum_lazy(df, ["k"], "v", bucket=bkt, cum_col="cv"),
+        ["k"],
+        "w",
+        bucket=bkt,
+        cum_col="cw",
+    )
+    want = {r["k"]: (r["cv"], r["cw"]) for r in chained.collect()}
+
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    fused = global_prefix_sums_lazy(
+        df, ["k"], ["v", "w"], bucket=bkt, cum_cols=["cv", "cw"]
+    )
+    assert dag.numTotalJobs() == before, "fused prefix sums ran a job"
+    got = {r["k"]: (r["cv"], r["cw"]) for r in fused.collect()}
+    assert got == want
+
+
 @given(
     st.integers(min_value=1, max_value=400),
     st.integers(min_value=1, max_value=12),
