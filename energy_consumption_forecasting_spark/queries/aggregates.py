@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import fanout, shared_plan, tbl
 
 
 def _dec(c: str) -> Column:
@@ -42,7 +42,10 @@ def _exact_avg(c: str) -> Column:
     """,
 )
 def a1_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly→daily mean rollup, the EP2 spine (N:183-188,199-205)."""
+    """Hourly→daily mean rollup, the EP2 spine (N:183-188,199-205).
+    r10 note: a fanout spread (the tpch_q1 device) was A/B'd here and
+    was neutral-to-negative (1.44 → 1.56 s) — only 3 decimal folds per
+    row vs q1's 8, so the exchange costs what the spread saves."""
     return (
         tbl(spark, sf_dir, "lineitem")
         .groupBy(F.to_date("l_shipdate").alias("ship_date"))
@@ -260,8 +263,16 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = tbl(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    # fanout (r10, guide §2.5/§6): the single-row-group testdata scan
+    # runs the whole 8-aggregate decimal map side on ONE task (stage
+    # profile: 1.8 s CPU, 3 tasks, one doing all the work); spread the
+    # filtered rows first — at 100 TB the source is splittable and the
+    # exchange is one harmless extra map pass (fanout contract).
+    li = fanout(
+        tbl(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+        ),
+        "l_orderkey",
     )
     one = F.lit(1).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -344,7 +355,15 @@ _PART_REV_SQL = """rev AS (
 
 
 def _part_revenue(li: DataFrame) -> DataFrame:
-    """(p, rev_e4) — the Spark twin of _PART_REV_SQL."""
+    """(p, rev_e4) — the Spark twin of _PART_REV_SQL.
+
+    r10 note (measured and left alone): BOTH a fanout here (the lazy
+    rank/prefix consumers read this frame twice, so the spread
+    exchange pays double: 1.65 → 2.72 s A/B at sf0.1) and a
+    shared_plan checkpoint (1.56 → 2.6 s — non-adaptive compile +
+    block materialization) LOST to the plain recompute; the map-side
+    partial aggregation already collapses to part-cardinality before
+    the exchange."""
     rev_line = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
         "long"
     ) * (100 - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
@@ -373,7 +392,15 @@ def _rev_cum_lazy(rev: DataFrame) -> DataFrame:
     (rev_e4 DESC, p) plus the grand total, as ONE lazy plan — the
     banded ``global_prefix_sum_lazy`` with fixed-width value bands
     (negated so the bucket is monotone non-decreasing along the
-    descending order).  Shared by a_pareto_abc / a_abc_xyz."""
+    descending order).  Shared by a_pareto_abc / a_abc_xyz.
+
+    r10 note (measured and left alone): the lazy prefix sum reads its
+    input twice (band partials + main pass), so the lineitem revenue
+    aggregation runs once per consumer — a shared_plan checkpoint of
+    the part-sized aggregate was A/B'd and was ~1.7x SLOWER (1.56 →
+    2.6 s at sf0.1): the non-adaptively compiled subtree + block
+    materialization cost more than the adaptive recompute (the
+    pipeline_lm_buckets lesson).  Keep the recompute."""
     from ..operators.ranking import global_prefix_sum_lazy
 
     return global_prefix_sum_lazy(
