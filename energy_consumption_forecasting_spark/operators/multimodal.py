@@ -45,7 +45,18 @@ MEDIA_SCHEMA = T.StructType(
 
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat the documents table as a binary-payload corpus so
-    the plumbing is exercisable on the synthetic testdata."""
+    the plumbing is exercisable on the synthetic testdata.
+
+    r10 (guide §4/§2.5): repartition to session width BEFORE the
+    payload column is built — every downstream decode kernel
+    (mapInPandas) otherwise inherits the single-row-group scan's
+    1-task split and runs the whole corpus decode serially (stage
+    profile: mm_phash_dedup = one 2.4 s task).  The payload shuffle is
+    exactly the cost a splittable 100 TB source would not pay, and is
+    harmless there (the fanout contract in queries/_util)."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     return df.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -123,10 +134,14 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over columns, not iterrows: iterrows builds a pandas
+        # Series per row and dominated the kernel (guide §4.2)
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                px = _decode_bytes(r["payload"], r["kind"])
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                px = _decode_bytes(payload, kind)
                 pi = px.astype(np.int64)
                 s = int(pi.sum())
                 ssq = int((pi * pi).sum())
@@ -135,8 +150,8 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                 std = math.sqrt(max(ssq / npx - mean * mean, 0.0))
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "px_sum": s,
                         "px_sumsq": ssq,
                         "feat_mean": mean,
@@ -165,12 +180,14 @@ def resize_images(df: DataFrame, size: tuple[int, int] = (8, 8)) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                px = _decode_bytes(r["payload"], r["kind"])
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                px = _decode_bytes(payload, kind)
                 yi = np.linspace(0, px.shape[0] - 1, h).astype(int)
                 xi = np.linspace(0, px.shape[1] - 1, w).astype(int)
                 out.append(
-                    {"media_id": r["media_id"], "pixels": px[np.ix_(yi, xi)].ravel().tolist()}
+                    {"media_id": mid, "pixels": px[np.ix_(yi, xi)].ravel().tolist()}
                 )
             yield pd.DataFrame(out, columns=["media_id", "pixels"])
 
@@ -221,8 +238,8 @@ def audio_rms_windows(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r["payload"] or b"")[:AUDIO_CAP]
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")[:AUDIO_CAP]
                 if not raw:
                     continue
                 x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
@@ -231,7 +248,7 @@ def audio_rms_windows(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                     s, ss, n = int(w.sum()), int((w * w).sum()), len(w)
                     out.append(
                         (
-                            int(r["media_id"]),
+                            int(mid),
                             wi // AUDIO_WINDOW,
                             n,
                             s,
