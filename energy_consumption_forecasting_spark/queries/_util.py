@@ -25,7 +25,18 @@ def fanout(df: DataFrame, cols: str | list[str] = "doc_id") -> DataFrame:
     groups / files) would not pay; at 100 TB the input is splittable
     and callers can drop this, but it is also harmless there — one
     extra map-side pass.  Row-local downstream math is unaffected by
-    the reordering."""
+    the reordering.
+
+    ``cols=None`` spreads ROUND-ROBIN instead of hash-partitioning: a
+    keyed fanout forces its key columns into the scan's ReadSchema
+    even when the query never reads them (the tpch_q1 plan-contract
+    regression, r10), while round-robin needs no column at all.  Use
+    it whenever the spread key is not otherwise part of the query.
+    The local sort-before-repartition Spark inserts for retry
+    determinism (SPARK-23207) is charged to the map side and is cheap
+    next to the compute the spread exists to parallelize."""
+    if cols is None:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     cols = [cols] if isinstance(cols, str) else cols
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
 

@@ -268,11 +268,14 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profile: 1.8 s CPU, 3 tasks, one doing all the work); spread the
     # filtered rows first — at 100 TB the source is splittable and the
     # exchange is one harmless extra map pass (fanout contract).
+    # ROUND-ROBIN (cols=None), not keyed: a hash fanout on l_orderkey
+    # pulled an 8th column into the scan's ReadSchema (plan-contract
+    # test catch); decimal sums are exact under any row order.
     li = fanout(
         tbl(spark, sf_dir, "lineitem").filter(
             F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
         ),
-        "l_orderkey",
+        cols=None,
     )
     one = F.lit(1).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
