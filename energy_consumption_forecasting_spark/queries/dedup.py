@@ -656,13 +656,53 @@ def _cos_band_rows(e: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "band",
+            "sig",
             F.substring(
                 "sig", F.col("band") * F.col("bits") + 1, F.col("bits")
             ).alias("bucket"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= COS_BUCKET_CAP)
-        .select("vec_id", "band", "bucket")
+        # smask: bitmask of the bands this vec_id SURVIVED the cap in —
+        # what lets pair consumers dedup candidates AT GENERATION (the
+        # first-colliding-band filter, r10) instead of paying a
+        # corpus-pair-sized distinct exchange.  One extra vocabulary-
+        # sized window on the once-per-session persisted build.
+        .withColumn(
+            "smask",
+            F.sum(F.expr("shiftleft(1L, band)")).over(
+                Window.partitionBy("vec_id")
+            ),
+        )
+        .select("vec_id", "band", "bucket", "sig", "smask")
+    )
+
+
+def _banded_pair_scores(
+    spark: SparkSession, sf_dir: str, a_name: str, b_name: str
+) -> DataFrame:
+    """All banded candidate pairs with their EXACT cosine, deduped and
+    scored bucket-locally (r10, guide §8) — the shared engine of
+    dedup_embedding_cosine and sim_knn_graph.
+
+    The previous shape (band self-join → pair-sized distinct exchange
+    → two broadcast joins pulling ``v`` onto every pair → Arrow
+    scorer) materialized each vector once PER PAIR: 12.7M pairs × two
+    64-double arrays ≈ 13 GB of JVM rows re-serialized into Python —
+    measured ~106 s executor CPU warm at sf1, the entire query wall.
+    Every decision is bucket-local (a candidate exists only inside a
+    ≤COS_BUCKET_CAP (band, bucket) group), so
+    :func:`bucket_pair_scores_arrow` ships each bucket's MEMBERS once
+    (corpus × COS_BANDS rows ≈ 108 MB at sf1) and forms pairs,
+    first-collision dedup (sig/smask — each qualifying pair emitted
+    exactly once, from its lowest co-surviving colliding band), and
+    the bit-identical per-dimension cosine fold where the vectors
+    already are.  Only (a, b, cos) comes back.  Thresholds and top-k
+    stay JVM-side (Spark NaN semantics preserved by construction)."""
+    from ..functions.vectors import bucket_pair_scores_arrow
+
+    return bucket_pair_scores_arrow(
+        _cos_band_frame(spark, sf_dir), COS_BANDS, a_name, b_name
     )
 
 
@@ -685,7 +725,23 @@ def _cos_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import shared_frame, shared_persist
 
     def build() -> DataFrame:
-        return shared_persist(_cos_band_rows(_cos_sig_frame(spark, sf_dir)))
+        # r10 (guide §8 layout): the persisted frame carries the
+        # payload (v, nrm) ON the band rows, hash-partitioned by
+        # (band, bucket) at session width and sorted within partitions
+        # so every bucket is whole and contiguous — exactly what the
+        # bucket-local pair kernel (bucket_pair_scores_arrow) streams.
+        # The vector attach is a broadcast probe of the 1-row-per-vec
+        # sig frame onto COS_BANDS rows per vec (never onto pairs);
+        # the payload crosses ONE exchange, once per session.  At
+        # 100 TB this is the banded storage layout, written once.
+        dp = spark.sparkContext.defaultParallelism
+        sig = _cos_sig_frame(spark, sf_dir).select("vec_id", "v", "nrm")
+        return shared_persist(
+            _cos_band_rows(_cos_sig_frame(spark, sf_dir))
+            .join(F.broadcast(sig), "vec_id")
+            .repartition(dp, "band", "bucket")
+            .sortWithinPartitions("band", "bucket", "vec_id")
+        )
 
     return shared_frame(
         spark, sf_dir, "cos_bands", build, mtime_table="embeddings"
@@ -778,7 +834,6 @@ def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks — r8 advice fix); at 100 TB this is the "compute signatures
     once, persist to storage" layout, with exactly the rung's planes
     in the persisted bytes."""
-    from ..functions.vectors import with_norm
     from ._util import shared_frame, shared_persist
 
     def build() -> DataFrame:
@@ -786,40 +841,50 @@ def _cos_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", as_double("embedding").alias("v")
         )
         # fanout above: the signature + norm math is row-local and
-        # heavy — spread the single-row-group scan first.
-        return shared_persist(attach_rung_sig(with_norm(base)))
+        # heavy — spread the single-row-group scan first.  The norm
+        # rides attach_rung_sig's Arrow pass (r10).
+        return shared_persist(attach_rung_sig(base))
 
     return shared_frame(spark, sf_dir, "cos_sig64", build, mtime_table="embeddings")
 
 
 def attach_rung_sig(base: DataFrame) -> DataFrame:
     """Fold the corpus-rung-width signature (``COS_BANDS·b`` bits,
-    b = ``_cos_bits_expr`` of the in-plan count) onto a frame carrying
-    (vec_id, v, ...).  THE fold path — ``_cos_sig_frame`` and the
-    scale tests both call it, so the banding
-    (:func:`_cos_band_rows`, which reads the band width structurally
-    from ``length(sig)``) always consumes exactly the folded width.
+    b = ``_cos_bits_expr`` of the in-plan count) AND the L2 norm
+    (``nrm``) onto a frame carrying (vec_id, v, ...).  THE fold path —
+    ``_cos_sig_frame`` and the scale tests both call it, so the
+    banding (:func:`_cos_band_rows`, which reads the band width
+    structurally from ``length(sig)``) always consumes exactly the
+    folded width.
 
     The rung rides the plan as a broadcast 1-row count aggregate (the
     pmod equi-join attach — a non-foldable runtime-constant key keeps
     the planner on BroadcastHashJoin, never the BNL the dedup plan
     guard bans); under ``shared_persist`` registration is job-free and
-    the hint fires at first action."""
+    the hint fires at first action.
+
+    r10 (guide §4.2): the fold itself moved from the interpreted
+    slice/transform HOF (`_cos_sig_prefix`, nbits·dim lambda closures
+    per row — ~10 s of the 13 s cold sf1 build) into ONE Arrow batch
+    pass (:func:`rung_sig_norm_arrow`) whose per-dimension NumPy
+    accumulation is the bit-identical IEEE sequence; the norm rides
+    the same pass, so ``with_norm`` is no longer needed in front.
+    ``_cos_sig_prefix`` remains the JVM-side definition of record
+    (equality pinned by tests/test_scale_ops.py)."""
+    from ..functions.vectors import rung_sig_norm_arrow
+    from ._lsh_planes import PLANES64
+
     nb = base.agg(F.count("*").alias("n_vec")).withColumn(
         "_k", F.pmod(F.col("n_vec"), F.lit(1))
     )
     nbits = COS_BANDS * _cos_bits_expr(F.col("n_vec"))
-    return (
+    tagged = (
         base.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
         .join(F.broadcast(nb), "_k")
-        .withColumn(
-            "sig",
-            _cos_sig_prefix(
-                F.col("v"), nbits, max_bits=COS_BANDS * COS_MAX_BITS
-            ),
-        )
+        .withColumn("__nbits", nbits)
         .drop("_k", "n_vec")
     )
+    return rung_sig_norm_arrow(tagged, PLANES64)
 
 
 @query(
@@ -879,55 +944,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     moderate-similarity join — that form survives exactly as
     ``dedup_cosine_allpairs`` (unregistered; recall-measured in
     tests/test_scale_ops.py) and ``sim_threshold_join``."""
-    e = _cos_sig_frame(spark, sf_dir)
-    bands = _cos_band_frame(spark, sf_dir)
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bucket") == F.col("bb.bucket"))
-            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
-        )
-        .select(
-            F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    ea = e.alias("ea")
-    eb = e.alias("eb")
-    # Broadcast hints guard against persist-inflated stats at gate SF;
-    # at production scale drop them and these become shuffle-hash
-    # equi-joins on vec_id (still no BNL anywhere in the plan).
-    # A/B'd in r10 and KEPT: a footer-rowcount gate that unhinted these
-    # joins past 200k vectors was measured at the 500k decade and made
-    # things WORSE in local mode (heap pressure from per-partition
-    # shuffled-hash maps vs ONE in-JVM broadcast copy; the hinted run
-    # completes in ~95s).  The trade only reverses on a real multi-
-    # executor cluster, where per-round 300 MB broadcasts multiply per
-    # executor — THERE the hint should be dropped, as documented.
-    #
-    # Scoring via the Arrow-batch fold (r10, guide §4.2 — the
-    # sim_knn_graph device): the interpreted HOF cosine was ~117 s of
-    # executor CPU on the candidate set at sf1; score_pairs_arrow's
-    # per-dimension NumPy loop is the identical IEEE mul/add sequence,
-    # so the strict oracle's doubles are unchanged.
-    from ..functions.vectors import score_pairs_arrow
-
-    pairs = (
-        cand.join(F.broadcast(ea), F.col("vec_a") == F.col("ea.vec_id"))
-        .join(F.broadcast(eb), F.col("vec_b") == F.col("eb.vec_id"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("ea.v").alias("va"),
-            F.col("eb.v").alias("vb"),
-            F.col("ea.nrm").alias("na"),
-            F.col("eb.nrm").alias("nb"),
-        )
-    )
-    return score_pairs_arrow(pairs, ["vec_a", "vec_b"]).filter(
+    # r10 (guide §8): candidate generation, dedup, and exact scoring
+    # all happen bucket-locally inside one Arrow pass — see
+    # _banded_pair_scores.  The pair-sized distinct exchange AND the
+    # 13 GB per-pair vector attach are gone; only (a, b, cos) rows
+    # exist JVM-side.  The threshold stays here (Spark NaN semantics).
+    return _banded_pair_scores(spark, sf_dir, "vec_a", "vec_b").filter(
         F.col("cos_sim") >= COS_THRESHOLD
     )
 

@@ -542,47 +542,15 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort anywhere."""
     from pyspark.sql import Window
 
-    from .dedup import _cos_band_frame, _cos_sig_frame
-    from ..functions.vectors import cosine_prenormed
+    from .dedup import _banded_pair_scores
 
-    from ..functions.vectors import score_pairs_arrow
-
-    e = _cos_sig_frame(spark, sf_dir)
-    bands = _cos_band_frame(spark, sf_dir)
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    # r10 (guide §2.3/§4.2): generate each unordered pair ONCE
-    # (vec_id <, not <>) — the old both-orientations join pushed 2x
-    # the rows through the distinct, the vector joins, and the HOF
-    # cosine; dot(a,b) == dot(b,a) bit-exactly (elementwise products
-    # commute, fold order unchanged), so scoring once and exploding
-    # both directions afterwards is value-identical.
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bucket") == F.col("bb.bucket"))
-            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
-        )
-        .select(F.col("ba.vec_id").alias("src"), F.col("bb.vec_id").alias("dst"))
-        .distinct()
-    )
-    ea, eb = e.alias("ea"), e.alias("eb")
-    pairs = (
-        cand.join(F.broadcast(ea), F.col("src") == F.col("ea.vec_id"))
-        .join(F.broadcast(eb), F.col("dst") == F.col("eb.vec_id"))
-        .select(
-            "src",
-            "dst",
-            F.col("ea.v").alias("va"),
-            F.col("eb.v").alias("vb"),
-            F.col("ea.nrm").alias("na"),
-            F.col("eb.nrm").alias("nb"),
-        )
-    )
-    # Arrow-batch scorer (bit-identical sequential fold — see
-    # score_pairs_arrow): replaces the interpreted per-element HOF
-    # lambdas that were 85% of the query's executor CPU at sf1.
-    scored = score_pairs_arrow(pairs, ["src", "dst"])
+    # r10 (guide §8): each unordered pair is generated, deduped
+    # (first-colliding-band), and scored ONCE, bucket-locally inside
+    # one Arrow pass (_banded_pair_scores) — no pair-sized distinct
+    # exchange, no per-pair vector attach (13 GB of JVM rows at sf1).
+    # dot(a,b) == dot(b,a) bit-exactly, so scoring the a<b orientation
+    # and exploding both directions afterwards is value-identical.
+    scored = _banded_pair_scores(spark, sf_dir, "src", "dst")
     both = scored.select(
         F.explode(
             F.array(

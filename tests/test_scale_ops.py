@@ -1040,3 +1040,139 @@ def test_lazy_ann_fits_match_eager_trainers(spark):
             for j in range(m)
         ]
         assert codes[vid] == want, vid
+
+
+def test_rung_sig_arrow_kernel_matches_jvm_fold(spark):
+    """The r10 Arrow sig/norm kernel (rung_sig_norm_arrow) must be
+    BIT-identical to the JVM definition of record: per-plane
+    ``_cos_sig_prefix`` left-fold signs and ``sqrt(norm2(v))`` —
+    the contract that keeps the strict DuckDB oracle green after the
+    fold moved into NumPy."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+        norm2,
+    )
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        COS_BANDS,
+        COS_MAX_BITS,
+        _cos_sig_prefix,
+        attach_rung_sig,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(500, 64))
+    # plant sign-boundary stress: a few vectors scaled to tiny norms
+    vecs[:25] *= 1e-12
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select("vec_id", as_double("embedding").alias("v"))
+
+    got = {
+        r["vec_id"]: (r["sig"], r["nrm"])
+        for r in attach_rung_sig(base).collect()
+    }
+    nbits = len(next(iter(got.values()))[0])
+
+    jvm = {
+        r["vec_id"]: (r["sig"], r["nrm"])
+        for r in base.select(
+            "vec_id",
+            _cos_sig_prefix(
+                F.col("v"), F.lit(nbits), max_bits=COS_BANDS * COS_MAX_BITS
+            ).alias("sig"),
+            F.sqrt(norm2(F.col("v"))).alias("nrm"),
+        ).collect()
+    }
+    assert set(got) == set(jvm)
+    for vid in got:
+        assert got[vid][0] == jvm[vid][0], f"sig mismatch vec {vid}"
+        # bit-exact doubles: compare raw repr, not approx
+        assert math.isclose(got[vid][1], jvm[vid][1], rel_tol=0.0, abs_tol=0.0) or (
+            got[vid][1] == jvm[vid][1]
+        ), f"nrm mismatch vec {vid}: {got[vid][1]!r} vs {jvm[vid][1]!r}"
+
+
+def test_bucket_pair_scores_match_join_distinct_reference(spark):
+    """The r10 bucket-local pair kernel must emit EXACTLY the pairs of
+    the join→distinct reference shape — same (a, b) set, each pair
+    once, bit-identical cosines — including across a capped mega
+    bucket (the smask/first-collision subtlety: a pair whose earlier-
+    band collision was broken by the cap must still be emitted from
+    its first CO-SURVIVING band)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.functions.vectors import (
+        as_double,
+        bucket_pair_scores_arrow,
+        cosine_prenormed,
+        norm2,
+    )
+    from energy_consumption_forecasting_spark.queries.dedup import (
+        COS_BANDS,
+        _cos_band_rows,
+        attach_rung_sig,
+    )
+
+    rng = np.random.RandomState(5)
+    # a planted identical cluster (cap stress) + noise
+    one = rng.normal(size=64)
+    vecs = [one + rng.normal(scale=1e-4, size=64) for _ in range(1200)] + [
+        rng.normal(size=64) for _ in range(800)
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = attach_rung_sig(
+        df.select("vec_id", as_double("embedding").alias("v"))
+    )
+    bands = _cos_band_rows(e).join(
+        F.broadcast(e.select("vec_id", "v", "nrm")), "vec_id"
+    )
+    staged = bands.repartition(8, "band", "bucket").sortWithinPartitions(
+        "band", "bucket", "vec_id"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in bucket_pair_scores_arrow(staged, COS_BANDS).collect()
+    }
+
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("vec_a"),
+            F.col("bb.vec_id").alias("vec_b"),
+            F.col("ba.v").alias("va"),
+            F.col("bb.v").alias("vb"),
+            F.col("ba.nrm").alias("na"),
+            F.col("bb.nrm").alias("nb"),
+        )
+        .distinct()
+    )
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in cand.select(
+            "vec_a",
+            "vec_b",
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        ).collect()
+    }
+    assert set(got) == set(want), (
+        f"pair set mismatch: {len(got)} vs {len(want)}; "
+        f"missing={list(set(want)-set(got))[:5]} "
+        f"extra={list(set(got)-set(want))[:5]}"
+    )
+    for k, v in want.items():
+        assert got[k] == v, f"cos mismatch {k}: {got[k]!r} vs {v!r}"
