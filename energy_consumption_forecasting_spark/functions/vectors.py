@@ -124,6 +124,53 @@ def rung_sig_norm_arrow(df, planes, nbits_col="__nbits", vec="v",
     return df.mapInArrow(_run, ddl)
 
 
+def plane_dots_arrow(df, planes, vec="v", out="parr", divisor=None):
+    """Arrow-batch plane-dot projection: attach ``out`` =
+    [dot(v, p_0), dot(v, p_1), …] (each optionally divided by the
+    exact ``divisor``), BIT-IDENTICAL to the per-plane ``dot``
+    left-fold (r10, guide §4.2 — same per-dimension accumulation
+    contract as :func:`rung_sig_norm_arrow`; see its docstring for the
+    IEEE argument).  All other columns pass through as Arrow buffers.
+
+    Construction is one py4j call — the F.array-of-folds form built
+    ``len(planes) × dim`` literal Column objects per call site
+    (measured ~1 s of pure plan construction for the 16×64 JL matrix)
+    and evaluated interpreted lambda closures per element at runtime."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.asarray(planes, dtype=np.float64)
+
+    keep = list(df.schema.fields)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + f", {out} array<double>"
+
+    def _run(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ix = {name: j for j, name in enumerate(b.schema.names)}
+            v = b.column(ix[vec]).flatten().to_numpy(zero_copy_only=False)
+            d = v.size // n
+            v = v.reshape(n, d)
+            acc = np.zeros((n, P.shape[0]), dtype=np.float64)
+            for i in range(d):
+                acc = acc + v[:, i][:, None] * P[:, i][None, :]
+            if divisor is not None:
+                acc = acc / divisor
+            parr = pa.FixedSizeListArray.from_arrays(
+                pa.array(acc.ravel(), type=pa.float64()), P.shape[0]
+            ).cast(pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(ix[f.name]) for f in keep] + [parr],
+                names=[f.name for f in keep] + [out],
+            )
+
+    return df.mapInArrow(_run, ddl)
+
+
 def bucket_pair_scores_arrow(df, n_bands, out_a="vec_a", out_b="vec_b",
                              out="cos_sim"):
     """Bucket-LOCAL candidate generation + first-collision dedup +

@@ -164,6 +164,57 @@ def hilbert_code(df, x_col: str, y_col: str):
     return out.withColumnRenamed("__hd", "hcode").drop("__hx", "__hy")
 
 
+def hilbert_code_arrow(df, x_col: str, y_col: str, out: str = "hcode"):
+    """Arrow-kernel twin of :func:`hilbert_code` — the identical
+    per-bit rotate-reflect recurrence vectorized over rows with int64
+    NumPy (r10, guide §4.2).  Pure integer algebra, so equality with
+    the JVM pipeline is exact by construction (pinned cell-for-cell by
+    tests/test_scale_ops.py against the textbook xy2d reference).
+
+    Why: the unrolled JVM form is 2·BITS chained projections — cheap
+    to EXECUTE (whole-stage codegen) but expensive to BUILD: ~0.9 s of
+    py4j + Catalyst analysis per construction (each of the 20
+    projections re-analyzes the growing plan), re-paid on every bench
+    rep.  The kernel is one plan node."""
+    import numpy as np
+    import pyarrow as pa
+
+    keep = list(df.schema.fields)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + f", {out} long"
+    stages = _hilbert_stages()
+
+    def _run(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ix = {name: j for j, name in enumerate(b.schema.names)}
+            x = b.column(ix[x_col]).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            y = b.column(ix[y_col]).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            d = np.zeros(n, dtype=np.int64)
+            for s in stages:
+                shift = s.bit_length() - 1
+                rx = (x >> shift) & 1
+                ry = (y >> shift) & 1
+                d += (s * s) * ((3 * rx) ^ ry)
+                nx = np.where(ry == 1, x, np.where(rx == 1, (_HN - 1) - y, y))
+                ny = np.where(ry == 1, y, np.where(rx == 1, (_HN - 1) - x, x))
+                x, y = nx, ny
+            yield pa.RecordBatch.from_arrays(
+                [b.column(ix[f.name]) for f in keep]
+                + [pa.array(d, type=pa.int64())],
+                names=[f.name for f in keep] + [out],
+            )
+
+    return df.mapInArrow(_run, ddl)
+
+
 def _hilbert_sql(x: str, y: str) -> str:
     """DuckDB CTE chain computing the identical recurrence; expects a
     CTE named ``keyed`` providing columns ``{x}`` and ``{y}``; yields a
@@ -225,7 +276,10 @@ def scale_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) % 1024
         ).alias("yk"),
     )
-    coded = hilbert_code(keyed, "xk", "yk")
+    # Arrow twin of hilbert_code (integer-exact; equality pinned by the
+    # xy2d reference test) — the 20-projection JVM pipeline cost ~0.9 s
+    # of plan construction per bench rep (r10, guide §4.2).
+    coded = hilbert_code_arrow(keyed, "xk", "yk")
     return coded.groupBy(
         F.shiftright("hcode", BUCKET_SHIFT).cast("long").alias("bucket")
     ).agg(

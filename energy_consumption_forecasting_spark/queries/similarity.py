@@ -1486,17 +1486,25 @@ def _jl_signs_sql() -> str:
 _JL_SIGNS_LITERAL = _jl_signs_sql()
 
 
-def _jl_proj_spark(vcol):
+def _jl_proj_spark(vcol_name: str):
     """16-element projection array: dot(v, s_k) / 4 per sign row (the
-    1/sqrt(16) JL scale; division by 4 is exact in binary FP)."""
-    from ._jl_signs import JL_SIGNS
-    from ..functions.vectors import dot
+    1/sqrt(16) JL scale; division by 4 is exact in binary FP).
 
-    return F.array(
-        *[
-            dot(vcol, F.array(*[F.lit(float(s)) for s in row])) / F.lit(4.0)
-            for row in JL_SIGNS
-        ]
+    Built as ONE F.expr string (r10): the F.array-of-folds form
+    constructed 16×64 literal Column objects through py4j per call
+    site (~1 s of pure plan construction); ``transform`` over the sign
+    matrix folds the identical zip_with/aggregate sequence per element
+    — value-identical, parsed once.  Takes the column NAME (F.expr
+    scope)."""
+    from ._jl_signs import JL_SIGNS
+
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"{float(s)!r}D" for s in row) + ")"
+        for row in JL_SIGNS
+    ) + ")"
+    return F.expr(
+        f"transform({mat}, s -> aggregate(zip_with({vcol_name}, s,"
+        " (x, y) -> x * y), 0.0D, (a, x) -> a + x) / 4.0D)"
     )
 
 
@@ -1524,11 +1532,21 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen.  Bit-stable cross-engine: the Spark fold and
     DuckDB's list_dot_product both accumulate in index order and the
     +-1 entries and /4 scale are exact in binary FP."""
+    from ..functions.vectors import plane_dots_arrow
+    from ._jl_signs import JL_SIGNS
+
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    return fanout(e, "vec_id").select(
-        "vec_id", F.posexplode(_jl_proj_spark(F.col("v"))).alias("k", "p")
+    # r10 (guide §4.2): the projection fold runs in one Arrow pass
+    # (bit-identical per-dimension accumulation, /4 exact) instead of
+    # 16 interpreted HOF folds per row; construction is one py4j call
+    # instead of 1,024 literal Columns.
+    proj = plane_dots_arrow(
+        fanout(e, "vec_id").select("vec_id", "v"), JL_SIGNS, divisor=4.0
+    )
+    return proj.select(
+        "vec_id", F.posexplode(F.col("parr")).alias("k", "p")
     )
 
 
@@ -1578,7 +1596,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 32)
         .select("vec_id", as_double("embedding").alias("v"))
-        .withColumn("parr", _jl_proj_spark(F.col("v")))
+        .withColumn("parr", _jl_proj_spark("v"))
         .transform(shared_plan)
     )
     a, b = e.alias("a"), e.alias("b")
@@ -1603,14 +1621,22 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- multi-probe hyperplane LSH (r10) --------------------------------------------
-def _lsh_dots_spark(vcol):
+def _lsh_dots_spark(vcol_name: str):
     """The 8 raw plane dot products as a double array (index order =
-    plane order, matching the bucket's bit order)."""
+    plane order, matching the bucket's bit order).  One F.expr string
+    (r10): the F.array-of-folds form built 8x64 literal Columns per
+    call site through py4j; ``transform`` over the plane matrix folds
+    the identical zip_with/aggregate sequence — value-identical,
+    parsed once."""
     from ._lsh_planes import PLANES
-    from ..functions.vectors import dot
 
-    return F.array(
-        *[dot(vcol, F.array(*[F.lit(x) for x in row])) for row in PLANES]
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in PLANES
+    ) + ")"
+    return F.expr(
+        f"transform({mat}, p -> aggregate(zip_with({vcol_name}, p,"
+        " (x, y) -> x * y), 0.0D, (a, x) -> a + x))"
     )
 
 
@@ -1710,7 +1736,7 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(
         tbl(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
-        .withColumn("dots", _lsh_dots_spark(F.col("v")))
+        .withColumn("dots", _lsh_dots_spark("v"))
         .withColumn(
             "bits",
             F.transform(
@@ -1987,7 +2013,7 @@ def sim_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         tbl(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
-        .withColumn("parr", _jl_proj_spark(F.col("v")))
+        .withColumn("parr", _jl_proj_spark("v"))
         .transform(shared_plan)
     )
     q1 = base.select(

@@ -601,6 +601,17 @@ def test_hilbert_code_matches_reference_and_beats_morton(spark):
     assert len(set(got.values())) == len(got)  # injective on the sample
     assert all(0 <= h < _HN * _HN for h in got.values())
 
+    # the r10 Arrow twin (the query path) must agree cell-for-cell
+    from energy_consumption_forecasting_spark.queries.layout import (
+        hilbert_code_arrow,
+    )
+
+    got_arrow = {
+        (r["xk"], r["yk"]): r["hcode"]
+        for r in hilbert_code_arrow(df, "xk", "yk").collect()
+    }
+    assert got_arrow == got
+
     from energy_consumption_forecasting_spark.queries import load_all
 
     qs, _ = load_all()
