@@ -803,8 +803,14 @@ def _cos_sig_prefix(vec_col, nbits_col: Column, max_bits: int = 16) -> Column:
     from ._lsh_planes import PLANES64
     from ..functions.vectors import dot
 
-    planes = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in PLANES64[:max_bits]]
+    # ONE parsed literal for the plane matrix (r10): the nested
+    # F.array/F.lit form built max_bits×64 Column objects through py4j
+    # per call site (~1-2 s of pure construction at max_bits=64).
+    planes = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+            for row in PLANES64[:max_bits]
+        ) + ")"
     )
     return F.array_join(
         F.transform(

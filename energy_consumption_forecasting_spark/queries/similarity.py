@@ -207,18 +207,24 @@ def _planes_sql() -> str:
     return f"[{rows}]"
 
 
-def _lsh_bucket_spark(vec_col):
-    """8-char sign-bit bucket string for a double-array column."""
+def _lsh_bucket_spark(vcol_name: str):
+    """8-char sign-bit bucket string for a double-array column (by
+    NAME — F.expr scope).  One F.expr string (r10): the concat-of-
+    8-fold-dots form built 512 literal Columns per call site; the
+    transform over the plane matrix folds the identical
+    zip_with/aggregate sequence per plane (NULL dots hit the CASE
+    ELSE exactly like the old ``otherwise("0")``)."""
     from ._lsh_planes import PLANES
-    from ..functions.vectors import dot
 
-    bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(x) for x in row])) >= 0, "1").otherwise(
-            "0"
-        )
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
         for row in PLANES
-    ]
-    return F.concat(*bits)
+    ) + ")"
+    return F.expr(
+        f"array_join(transform({mat}, p -> CASE WHEN"
+        f" aggregate(zip_with({vcol_name}, p, (x, y) -> x * y), 0.0D,"
+        " (a, x) -> a + x) >= 0 THEN '1' ELSE '0' END), '')"
+    )
 
 
 @query(
@@ -254,7 +260,7 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(
         tbl(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
-        .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
+        .withColumn("bucket", _lsh_bucket_spark("v"))
     ).transform(shared_plan)
     a = e.alias("a")
     b = e.alias("b")
@@ -1318,7 +1324,7 @@ def sim_filtered_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("int").alias("label"),
             as_double("embedding").alias("v"),
         )
-        .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
+        .withColumn("bucket", _lsh_bucket_spark("v"))
     ).transform(shared_plan)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -1430,7 +1436,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("int").alias("label"),
             as_double("embedding").alias("v"),
         )
-        .withColumn("bucket", _lsh_bucket_spark(F.col("v")))
+        .withColumn("bucket", _lsh_bucket_spark("v"))
     ).transform(shared_plan)
     c = e.select(
         F.col("vec_id").alias("neg_id"),
