@@ -831,15 +831,17 @@ def main() -> None:
         "  the backstop is now 30 rounds (~10^9 diameter reach) with",
         "  the label-sum probe still exiting real dup graphs in single",
         "  digits.",
-        "- sf10 probe REFRESH at r10 HEAD (both probe JSONs re-measured",
-        "  after the pipelined pair-expansion rewrite): basket decades",
-        "  improved to pairs 2.2×, triples 8.6×, item-item CF 4.8× on",
-        "  10× data; embedding decades cosine 5.5× (was 7.3×) and",
-        "  semantic 5.6×.  sim_knn_graph's ratio PRINTS as 23× but its",
-        "  absolute sf10 wall is 295s vs r9's 261s — inside the round's",
-        "  uniform ~1.1× host band — while the sf1 numerator dropped",
-        "  23.7 → 12.8s; a ratio whose numerator improved is not a",
-        "  scale regression (the knn plan is untouched this round).",
+        "- sf10 probe REFRESH at r10 HEAD (post bucket-local pair",
+        "  kernel, SCALE_PROBE_sf10.json re-measured, 3 reps): cosine",
+        "  10.6× on 10× data (sf10 ABSOLUTE wall 86→14 s vs the",
+        "  pre-kernel probe), knn 6.9× (sf10 291→152 s), semantic",
+        "  7.3× — all linear-or-better.  The knn/semantic sf1",
+        "  numerators include a shared-frame REBUILD (the sf10 builds",
+        "  evict the sf1 persisted frames inside the probe session —",
+        "  the one-time-build caveat below); warm steady state is the",
+        "  bench gate (sim_knn_graph 2.6-2.8 s at sf1).  Basket decades",
+        "  (SCALE_PROBE_sf10_basket.json, pipelined pair-expansion):",
+        "  pairs 2.2×, triples 8.6×, item-item CF 4.8×.",
         "- Rows riding a session-shared persisted frame (the cosine",
         "  signature, SemDeDup scored, MinHash signature, and graph edge",
         "  frames) pay that frame's ONE-TIME build inside their single",
