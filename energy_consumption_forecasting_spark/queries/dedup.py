@@ -937,9 +937,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-derived so expected bucket population stays ~128 up to ~8.4M
     vectors, plus the COS_BUCKET_CAP=1024 backstop — pair work is
     LINEAR in N, see the rule and recall model at COS_MIN_BITS) →
-    candidate pairs from a **bucket equi-join** (shuffle-hash on the
-    band key, never a cartesian product) → DISTINCT → exact fold-dot
-    cosine on the candidate set.
+    candidate pairs formed, deduped (first-colliding-band) and scored
+    BUCKET-LOCALLY in one Arrow pass over the (band, bucket)-laid-out
+    member rows (``_banded_pair_scores`` — never a cartesian product,
+    never a pair-sized exchange, and the vectors cross the Python
+    boundary once per band row instead of once per pair).
 
     RESULT-SET DISCONTINUITY (documented contract, r8 advice): the
     band bits grow with the corpus, so moderate-cosine recall DROPS as
