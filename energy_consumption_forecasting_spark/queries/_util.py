@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..session import ensure_utc
 from ..tables import load_table
@@ -30,14 +30,18 @@ def fanout(df: DataFrame, cols: str | list[str] = "doc_id") -> DataFrame:
     ``cols=None`` spreads ROUND-ROBIN instead of hash-partitioning: a
     keyed fanout forces its key columns into the scan's ReadSchema
     even when the query never reads them (the tpch_q1 plan-contract
-    regression, r10), while round-robin needs no column at all.  Use
-    it whenever the spread key is not otherwise part of the query.
-    The local sort-before-repartition Spark inserts for retry
-    determinism (SPARK-23207) is charged to the map side and is cheap
-    next to the compute the spread exists to parallelize."""
+    regression, r10), while round-robin needs no column at all.
+    BUT round-robin pays a local sort of the whole input on the map
+    side (SPARK-23207 retry determinism) — measured at 1.17 s vs
+    0.74 s for a keyed spread on the tpch_q1 map task (r10 second
+    optimization pass).  So when the query DOES read usable columns,
+    prefer passing Column expressions: ``F.xxhash64(<cols the query
+    already reads>)`` is the guide-§2.5 deterministic synthetic key —
+    no extra ReadSchema column, no map-side sort, retry-safe (the key
+    derives from row content, not ``rand()``)."""
     if cols is None:
         return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    cols = [cols] if isinstance(cols, str) else cols
+    cols = [cols] if isinstance(cols, (str, Column)) else cols
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
 
 

@@ -43,11 +43,18 @@ def _exact_avg(c: str) -> Column:
 )
 def a1_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly→daily mean rollup, the EP2 spine (N:183-188,199-205).
-    r10 note: a fanout spread (the tpch_q1 device) was A/B'd here and
-    was neutral-to-negative (1.44 → 1.56 s) — only 3 decimal folds per
-    row vs q1's 8, so the exchange costs what the spread saves."""
+    r10 note: a ROUND-ROBIN fanout was A/B'd here and was
+    neutral-to-negative (1.44 → 1.56 s) — the keyless repartition's
+    map-side sort (SPARK-23207) cost what the spread saved.  The
+    xxhash64-keyed spread (second pass; same device as tpch_q1) has no
+    sort and wins: 1.70 → 1.23 s median at sf0.1.  Hash key uses only
+    the three measure columns the aggregate already reads; decimal
+    sums are exact under any row placement."""
     return (
-        tbl(spark, sf_dir, "lineitem")
+        fanout(
+            tbl(spark, sf_dir, "lineitem"),
+            cols=[F.xxhash64("l_quantity", "l_extendedprice", "l_discount")],
+        )
         .groupBy(F.to_date("l_shipdate").alias("ship_date"))
         .agg(
             _exact_avg("l_quantity").alias("avg_qty"),
@@ -268,14 +275,19 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profile: 1.8 s CPU, 3 tasks, one doing all the work); spread the
     # filtered rows first — at 100 TB the source is splittable and the
     # exchange is one harmless extra map pass (fanout contract).
-    # ROUND-ROBIN (cols=None), not keyed: a hash fanout on l_orderkey
-    # pulled an 8th column into the scan's ReadSchema (plan-contract
-    # test catch); decimal sums are exact under any row order.
+    # Spread key: xxhash64 over measure columns the aggregate already
+    # reads (guide §2.5 deterministic synthetic key).  Round-robin
+    # (cols=None) was the first fix, but a keyless repartition pays a
+    # local sort of the whole input on the single map task
+    # (SPARK-23207) — A/B at sf0.1: rr 1.17 s / xxhash 0.74 s / no
+    # fanout 1.15 s.  The hash key adds no ReadSchema column (the
+    # plan-contract test pins 7) and decimal sums are exact under any
+    # row placement.
     li = fanout(
         tbl(spark, sf_dir, "lineitem").filter(
             F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
         ),
-        cols=None,
+        cols=[F.xxhash64("l_quantity", "l_extendedprice", "l_discount", "l_tax")],
     )
     one = F.lit(1).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(

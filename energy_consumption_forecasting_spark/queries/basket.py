@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from ._util import tbl
+from ._util import fanout, tbl
 
 _MINSUP = 2  # pair must co-occur in >= 2 baskets
 
@@ -118,7 +118,16 @@ def pair_counts_from_lines(
     pruned = lines.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey"
     ).select("l_orderkey", "l_partkey")
-    baskets = pruned.groupBy("l_orderkey").agg(
+    # Session-width basket exchange (r10 second pass, guide §2.5): AQE
+    # sizes the post-shuffle stage by its INPUT bytes (~5 MB at sf0.1
+    # → 4 tasks), but that stage runs the C(k,2) pair explode +
+    # partial pair agg whose output is 2.4× its input — the
+    # expansion-width disease.  fanout's keyed REPARTITION_BY_NUM is
+    # exempt from AQE coalescing, and the basket groupBy reuses the
+    # partitioning (same key, same width → no second exchange), so the
+    # explode runs at session width.  Interleaved A/B at sf0.1:
+    # 1.47 → 1.18 s median.
+    baskets = fanout(pruned, "l_orderkey").groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
     return (
@@ -372,7 +381,9 @@ def a_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = lines.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey"
     ).select("l_orderkey", "l_partkey")
-    baskets = pruned.groupBy("l_orderkey").agg(
+    # Session-width basket exchange — same expansion-width fix as
+    # pair_counts_from_lines (C(k,3) amplification here).
+    baskets = fanout(pruned, "l_orderkey").groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
     # triples through THREE pipelined explodes (r10 — the basket_pairs
