@@ -345,7 +345,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     fit = _ivf_fit_shared(spark, sf_dir, e)
-    assigned = ivf_assign_lazy(e, fit)
+    # fanout (r10 second pass): the single-row-group scan ran the whole
+    # cell-assign + search pipeline as ONE task (warm stage profile:
+    # 1-task ~0.7-1.2 s CPU stages across the quantized tiers); spread
+    # the corpus before the encode/assign HOFs.
+    assigned = ivf_assign_lazy(fanout(e, "vec_id"), fit)
     queries_df = e.filter(F.col("vec_id") < N_QUERIES)
     return ivf_search_lazy(
         assigned, queries_df, fit, k=TOP_K, nprobe=4
@@ -414,6 +418,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     fit = _pq_fit_shared(spark, sf_dir, e)
+    # fanout A/B'd here (r10 second pass) and NEUTRAL (1.40 vs 1.46 s
+    # interleaved): the PQ encode's 0.6 s single-task CPU ≈ what the
+    # exchange + 32-task scoring round-trips cost — left unspread,
+    # unlike the heavier rotate/assign tiers.
     encoded = pq_encode_lazy(e, fit, m=8)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     out = pq_topk_table_lazy(encoded, q, fit, k_neighbors=TOP_K)
@@ -442,6 +450,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_fit = _ivf_fit_shared(spark, sf_dir, e)
     fit = _pq_fit_shared(spark, sf_dir, e)
+    # fanout A/B'd here (r10 second pass) and LOSES (1.41 vs 1.54 s
+    # interleaved): both join branches must exchange, which costs more
+    # than the spread saves — left on the scan layout.
     encoded = pq_encode_lazy(e, fit, m=8).join(
         ivf_assign_lazy(e, ivf_fit).select("vec_id", "cell"), "vec_id"
     )
@@ -476,8 +487,9 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     fit = _opq_fit_shared(spark, sf_dir, e)
+    # fanout: spread the 1-task rotate + encode (see sim_ivf_topk note)
     encoded = pq_encode_lazy(
-        opq_rotate_lazy(e, fit), fit.select("books"), m=8
+        opq_rotate_lazy(fanout(e, "vec_id"), fit), fit.select("books"), m=8
     )
     q = e.filter(F.col("vec_id") < N_QUERIES)
     out = pq_topk_table_lazy(
@@ -632,7 +644,9 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    encoded = sq8_encode_lazy(e, _sq8_fit_shared(spark, sf_dir, e))
+    encoded = sq8_encode_lazy(
+        fanout(e, "vec_id"), _sq8_fit_shared(spark, sf_dir, e)
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return sq8_topk_lazy(encoded, q, k=TOP_K)
 
@@ -658,8 +672,10 @@ def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     ivf_fit = _ivf_fit_shared(spark, sf_dir, e)
-    corpus = sq8_encode_lazy(e, _sq8_fit_shared(spark, sf_dir, e)).join(
-        ivf_assign_lazy(e, ivf_fit).select("vec_id", "cell"), "vec_id"
+    # fanout once, shared by both join branches (see sim_ivfpq_topk)
+    ec = fanout(e, "vec_id")
+    corpus = sq8_encode_lazy(ec, _sq8_fit_shared(spark, sf_dir, e)).join(
+        ivf_assign_lazy(ec, ivf_fit).select("vec_id", "cell"), "vec_id"
     )
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return sq8_ivf_topk_lazy(corpus, q, ivf_fit, k=TOP_K, nprobe=4)
