@@ -772,73 +772,78 @@ def w_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = trans.groupBy("f", "t").agg(F.count("*").alias("n"))
     # 1-row wide matrix: per-(f,t) counts plus per-f totals (totals
     # include the 'null' absorber — the oracle's SUM(n) GROUP BY f).
+    # r10 construction-cost pass: every repeated expression here ships
+    # as ONE F.expr string (parsed JVM-side to the identical tree —
+    # CASE/coalesce/division/fold shapes textually mirror the Column
+    # chains they replace) instead of hundreds of py4j Column calls;
+    # cProfile showed ~9.4k py4j round trips ≈ 1.9 s of this query's
+    # construction in the when/struct builders.
     froms = ("start",) + _MC_CHANNELS
     targets = _MC_CHANNELS + ("purchase",)
     aggs = []
     for f_ in froms:
         aggs.append(
-            F.coalesce(
-                F.sum(F.when(F.col("f") == f_, F.col("n"))), F.lit(0)
-            ).alias(f"tot_{f_}")
+            F.expr(
+                f"coalesce(sum(CASE WHEN f = '{f_}' THEN n END), 0)"
+                f" AS tot_{f_}"
+            )
         )
         for t_ in targets:
             aggs.append(
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            (F.col("f") == f_) & (F.col("t") == t_),
-                            F.col("n"),
-                        )
-                    ),
-                    F.lit(0),
-                ).alias(f"n_{f_}_{t_}")
+                F.expr(
+                    f"coalesce(sum(CASE WHEN f = '{f_}' AND t = '{t_}'"
+                    f" THEN n END), 0) AS n_{f_}_{t_}"
+                )
             )
     # row-normalized probabilities — same long/long→double division as
     # the oracle's CAST ... AS DOUBLE (ANSI-safe zero guard mirrors the
     # oracle's absent-row COALESCE 0.0).
     wide = counts.agg(*aggs).select(
         *[
-            F.when(F.col(f"tot_{f_}") == 0, F.lit(0.0))
-            .otherwise(F.col(f"n_{f_}_{t_}") / F.col(f"tot_{f_}"))
-            .alias(f"p_{f_}_{t_}")
+            F.expr(
+                f"CASE WHEN tot_{f_} = 0 THEN CAST(0.0 AS DOUBLE)"
+                f" ELSE n_{f_}_{t_} / tot_{f_} END AS p_{f_}_{t_}"
+            )
             for f_ in froms
             for t_ in targets
         ]
     )
 
-    def term(f_: str, scen: Column, acc: Column) -> Column:
-        """v'_F — the exact left-associated fold `_mc_term_sql` states."""
-        expr = F.col(f"p_{f_}_purchase")
+    def term_sql(f_: str, scen_sql: str, acc_ref: str) -> str:
+        """v'_F — the exact left-associated fold `_mc_term_sql` states,
+        over the Spark-side p_{f}_{t} columns."""
+        acc = f"p_{f_}_purchase"
         for t_ in _MC_CHANNELS:
-            expr = expr + (
-                F.when(scen == t_, F.lit(0.0)).otherwise(
-                    F.col(f"p_{f_}_{t_}") * acc[t_[0]]
-                )
+            acc = (
+                f"({acc} + (CASE WHEN {scen_sql} = '{t_}' THEN"
+                f" CAST(0.0 AS DOUBLE)"
+                f" ELSE p_{f_}_{t_} * {acc_ref}.{t_[0]} END))"
             )
-        return expr
+        return acc
 
-    def absorb(scen: Column) -> Column:
-        init = F.struct(
-            *[F.lit(0.0).alias(t_[0]) for t_ in _MC_CHANNELS]
+    def absorb(scen_sql: str) -> Column:
+        init = ", ".join(
+            f"'{t_[0]}', CAST(0.0 AS DOUBLE)" for t_ in _MC_CHANNELS
         )
-        vfin = F.aggregate(
-            F.sequence(F.lit(1), F.lit(_MC_ITERS)),
-            init,
-            lambda acc, _: F.struct(
-                *[term(t_, scen, acc).alias(t_[0]) for t_ in _MC_CHANNELS]
-            ),
+        merge = ", ".join(
+            f"'{t_[0]}', {term_sql(t_, scen_sql, 'acc')}"
+            for t_ in _MC_CHANNELS
         )
-        return term("start", scen, vfin)
+        return F.expr(
+            f"aggregate(sequence(1, {_MC_ITERS}), named_struct({init}),"
+            f" (acc, x) -> named_struct({merge}),"
+            f" acc -> {term_sql('start', scen_sql, 'acc')})"
+        )
 
     # base conversion as a column on the 1-row frame BEFORE the
     # scenario explode — one events scan, no self-join, no window.
-    scens = wide.withColumn("base_conv", absorb(F.lit("base"))).select(
+    scens = wide.withColumn("base_conv", absorb("'base'")).select(
         F.explode(
             F.array(*[F.lit(s) for s in ("base",) + _MC_CHANNELS])
         ).alias("scen"),
         "*",
     )
-    conv = absorb(F.col("scen"))
+    conv = absorb("scen")
     return scens.select(
         F.col("scen").alias("scenario"),
         conv.alias("conv_prob"),

@@ -33,13 +33,21 @@ def read_fixed_width(
 ) -> DataFrame:
     """Generic fixed-width reader: one substring projection per field,
     trimmed and cast.  The whole parse is a single narrow projection —
-    pushdown-friendly and shuffle-free."""
+    pushdown-friendly and shuffle-free.
+
+    r10 construction-cost note: the projection ships as ONE
+    ``selectExpr`` call — building 128 ``F.substring(...)`` Column
+    chains for the .dly layout cost ~640 py4j round trips per
+    construction (cProfile: 3.2 s of pipeline_weather_e2e's 4.5 s
+    profiled ctor inside read_fixed_width); the SQL strings parse
+    JVM-side to the identical expression tree (trim(substring) → cast
+    → alias)."""
     text = spark.read.text(path)
-    cols = [
-        F.trim(F.substring("value", start, length)).cast(dtype).alias(name)
+    exprs = [
+        f"CAST(trim(substring(value, {start}, {length})) AS {dtype}) AS `{name}`"
         for name, start, length, dtype in spec
     ]
-    return text.select(*cols)
+    return text.selectExpr(*exprs)
 
 
 def read_stations(spark: SparkSession, path: str) -> DataFrame:
