@@ -964,6 +964,18 @@ def _d2_col(a, b):
     )
 
 
+def _d2_sql(a: str, b: str) -> str:
+    """The textual twin of :func:`_d2_col` — same zip_with/aggregate
+    fold, parsed JVM-side (r10 construction-cost pass: each HOF lambda
+    Column costs dozens of py4j round trips; an argmin over 16
+    centroids × 8 subspaces built ~0.8 s of pure construction per
+    query)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def ivf_fit_frame(
     emb: DataFrame,
     vec_col: str = "v",
@@ -998,8 +1010,9 @@ def ivf_assign_lazy(emb: DataFrame, fit: DataFrame, vec_col: str = "v") -> DataF
     the attached centroid array — no Python on the corpus path, no
     eager fit.  First-index min ties, matching np.argmin/MLlib."""
     at = emb.crossJoin(F.broadcast(fit))
-    d2s = F.transform(F.col("centroids"), lambda c: _d2_col(F.col(vec_col), c))
-    cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    # One F.expr for the cell argmin (r10 — see _d2_sql).
+    d2s = f"transform(centroids, c -> {_d2_sql(vec_col, 'c')})"
+    cell = F.expr(f"CAST(array_position({d2s}, array_min({d2s})) - 1 AS INT)")
     return at.withColumn("cell", cell).drop("centroids")
 
 
@@ -1273,19 +1286,22 @@ def pq_encode_lazy(
     and the 16 centroids — no Arrow pass, no broadcast variable, zero
     construction jobs.  First-index ties match np.argmin in pq_encode."""
     at = emb.crossJoin(F.broadcast(fit))
-    sub = (F.size(F.col(vec_col)) / F.lit(m)).cast("int")
-
-    def _dists(cents_j, sv):
-        # factory: binds sv per subspace (a default-arg lambda would
-        # read as a 2-arg (element, index) HOF lambda to PySpark)
-        return F.transform(cents_j, lambda c: _d2_col(sv, c))
-
+    # One F.expr for the whole m-subspace argmin (r10 — see _d2_sql):
+    # textually the same slice/transform/array_position tree the Column
+    # loop built, including the duplicated d_j subtree inside
+    # array_position(d_j, array_min(d_j)) that Column reuse also
+    # produced.
+    sub = f"CAST(size({vec_col}) / {m} AS INT)"
     codes = []
     for j in range(m):
-        sv = F.slice(F.col(vec_col), F.lit(j) * sub + 1, sub)
-        d_j = _dists(F.element_at(F.col("books"), j + 1), sv)
-        codes.append((F.array_position(d_j, F.array_min(d_j)) - 1).cast("int"))
-    return at.select(id_col, F.array(*codes).alias("code"))
+        sv = f"slice({vec_col}, ({j} * {sub}) + 1, {sub})"
+        d_j = f"transform(element_at(books, {j + 1}), c -> {_d2_sql(sv, 'c')})"
+        codes.append(
+            f"CAST(array_position({d_j}, array_min({d_j})) - 1 AS INT)"
+        )
+    return at.select(
+        id_col, F.expr("array(" + ", ".join(codes) + ")").alias("code")
+    )
 
 
 def pq_topk_table_lazy(
