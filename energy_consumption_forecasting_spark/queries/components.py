@@ -455,6 +455,65 @@ def _copurchase_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame(spark, sf_dir, "copurchase_doubled", build)
 
 
+def _copurchase_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached persisted degree table of the co-purchase graph —
+    one groupBy over the shared doubled frame (deg(n) = rows with
+    s = n, identical to the unionAll-of-endpoints count).  r10 second
+    pass: triangle count, local clustering and assortativity each
+    rebuilt the same deg via a 64-partition union + per-action lazy
+    checkpoint (warm stage profile: the 64-task deg stage led every
+    one of the three); one persisted copy serves all consumers and
+    reps."""
+    from ._util import shared_frame, shared_persist
+
+    return shared_frame(
+        spark,
+        sf_dir,
+        "copurchase_deg",
+        lambda: shared_persist(
+            _copurchase_doubled(spark, sf_dir)
+            .groupBy(F.col("s").alias("n"))
+            .agg(F.count("*").alias("d"))
+        ),
+    )
+
+
+def _copurchase_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached persisted degree-ORIENTED edge frame
+    (a, b, d_a, d_b): every co-purchase edge oriented from its lower-
+    (degree, id) endpoint — the compact-forward layout both
+    graph_triangle_count and graph_local_clustering wedge-join over.
+    r10 second pass: each of the two queries re-ran the two degree
+    tagging joins + orientation per ACTION; one persisted copy serves
+    both queries' three wedge-join readers and every rep."""
+    from ._util import shared_frame, shared_persist
+
+    def build() -> DataFrame:
+        edges = _copurchase_edges(spark, sf_dir)
+        deg = _copurchase_deg(spark, sf_dir)
+        du, dv = deg.alias("du"), deg.alias("dv")
+        tagged = (
+            edges.join(du, F.col("u") == F.col("du.n"))
+            .join(dv, F.col("v") == F.col("dv.n"))
+            .select(
+                "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
+            )
+        )
+        u_first = (F.col("d_u") < F.col("d_v")) | (
+            (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+        )
+        return shared_persist(
+            tagged.select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+                F.when(u_first, F.col("d_u")).otherwise(F.col("d_v")).alias("d_a"),
+                F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
+            )
+        )
+
+    return shared_frame(spark, sf_dir, "copurchase_oriented", build)
+
+
 def _copurchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark half of ``_COPURCHASE_SQL`` — the support>=2 co-purchase
     (u, v) edge set, shared by triangle count / assortativity / k-core
@@ -529,31 +588,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Downstream joins that must broadcast carry explicit hints
     # (persist inflates size stats; ROUND_LOG #5).
     edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
     # deg is node-cardinality — NOT broadcast (at 100 TB that table is
     # large); the equi-join shuffles on the node key, which AQE will
     # downgrade to a broadcast on its own when the graph is small.
-    deg = deg.transform(shared_plan)
-    du, dv = deg.alias("du"), deg.alias("dv")
-    tagged = (
-        edges.join(du, F.col("u") == F.col("du.n"))
-        .join(dv, F.col("v") == F.col("dv.n"))
-        .select("u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"))
-    )
-    u_first = (F.col("d_u") < F.col("d_v")) | (
-        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
-    )
-    od = tagged.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(u_first, F.col("d_u")).otherwise(F.col("d_v")).alias("d_a"),
-        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
-    )
+    # Session-shared persisted deg (r10 second pass — _copurchase_deg).
+    deg = _copurchase_deg(spark, sf_dir)
+    # Session-shared persisted oriented frame (r10 second pass —
+    # _copurchase_oriented): the tagging joins + orientation run once
+    # per session, shared with graph_local_clustering.
+    od = _copurchase_oriented(spark, sf_dir)
     e1, e2, e3 = od.alias("e1"), od.alias("e2"), od.alias("e3")
     lt = (F.col("e1.d_b") < F.col("e2.d_b")) | (
         (F.col("e1.d_b") == F.col("e2.d_b")) & (F.col("e1.b") < F.col("e2.b"))
@@ -869,13 +912,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session-shared persisted frame covers both of edges' readers
     # (deg and the tagging join) — triangle-count convention.
     edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    deg = deg.transform(shared_plan)
+    # Session-shared persisted deg (r10 second pass — _copurchase_deg).
+    deg = _copurchase_deg(spark, sf_dir)
     d38 = "decimal(38,0)"
     du, dv = deg.alias("du"), deg.alias("dv")
     tagged = (
@@ -1287,30 +1325,11 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact integers; degree-1 nodes emit NULL (undefined)
     on both engines."""
     edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    deg = deg.transform(shared_plan)
-    du, dv = deg.alias("du"), deg.alias("dv")
-    tagged = (
-        edges.join(du, F.col("u") == F.col("du.n"))
-        .join(dv, F.col("v") == F.col("dv.n"))
-        .select(
-            "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
-        )
-    )
-    u_first = (F.col("d_u") < F.col("d_v")) | (
-        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
-    )
-    od = tagged.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(u_first, F.col("d_u")).otherwise(F.col("d_v")).alias("d_a"),
-        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
-    )
+    # Session-shared persisted deg (r10 second pass — _copurchase_deg).
+    deg = _copurchase_deg(spark, sf_dir)
+    # Session-shared persisted oriented frame (r10 second pass —
+    # _copurchase_oriented), shared with graph_triangle_count.
+    od = _copurchase_oriented(spark, sf_dir)
     e1, e2, e3 = od.alias("e1"), od.alias("e2"), od.alias("e3")
     lt = (F.col("e1.d_b") < F.col("e2.d_b")) | (
         (F.col("e1.d_b") == F.col("e2.d_b")) & (F.col("e1.b") < F.col("e2.b"))
