@@ -151,7 +151,16 @@ def shared_persist(df: DataFrame) -> DataFrame:
 # the shared structure once, run many analytics" layout a production
 # pipeline would persist to storage.
 _FRAME_CACHE: dict[tuple, object] = {}
-_FRAME_CACHE_MAX = 12
+# Must exceed the number of DISTINCT shared-frame tags a single
+# (session, sf_dir) can register (16 as of r10 — graph structure
+# frames, dedup sig/edge frames, ANN fits), or a full bench pass
+# evicts the oldest frame mid-pass and every later pass rebuilds it
+# (r10 second-pass catch: adding the copurchase_deg/oriented/doubled
+# + cc_dedup_edges tags pushed the count past the old bound of 12 and
+# graph_pagerank's shared PreparedRankGraph thrash-rebuilt, 3.5→5.3 s
+# min).  Entries are KB-MB persisted frames at gate SF; the bound is
+# a leak backstop, not a working-set limit.
+_FRAME_CACHE_MAX = 24
 
 
 def shared_frame(
