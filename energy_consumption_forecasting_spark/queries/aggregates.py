@@ -283,11 +283,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fanout 1.15 s.  The hash key adds no ReadSchema column (the
     # plan-contract test pins 7) and decimal sums are exact under any
     # row placement.
+    # fanout wraps the SCAN frame (the splittability gate reads the
+    # load_table tag, which narrow ops drop); Catalyst pushes the
+    # shipdate filter below the repartition, so the physical plan is
+    # unchanged (plan-contract test pins PushedFilters + ReadSchema).
     li = fanout(
-        tbl(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
-        ),
+        tbl(spark, sf_dir, "lineitem"),
         cols=[F.xxhash64("l_quantity", "l_extendedprice", "l_discount", "l_tax")],
+    ).filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
     )
     one = F.lit(1).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -127,7 +127,7 @@ def pair_counts_from_lines(
     # partitioning (same key, same width → no second exchange), so the
     # explode runs at session width.  Interleaved A/B at sf0.1:
     # 1.47 → 1.18 s median.
-    baskets = fanout(pruned, "l_orderkey").groupBy("l_orderkey").agg(
+    baskets = fanout(pruned, "l_orderkey", gate=False).groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
     return (
@@ -383,7 +383,7 @@ def a_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey")
     # Session-width basket exchange — same expansion-width fix as
     # pair_counts_from_lines (C(k,3) amplification here).
-    baskets = fanout(pruned, "l_orderkey").groupBy("l_orderkey").agg(
+    baskets = fanout(pruned, "l_orderkey", gate=False).groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
     # triples through THREE pipelined explodes (r10 — the basket_pairs

@@ -827,7 +827,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame so the corpus tokenize runs once, spread by fanout instead
     # of the parquet's row-group count.
     toks = (
-        fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+        fanout(tbl(spark, sf_dir, "documents")).select("doc_id", "text")
         .select(
             "doc_id",
             F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),

@@ -790,7 +790,7 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> ONE map-side-combinable groupBy on (doc, bucket); output
     is the sparse feature matrix, at most 256 rows per document
     regardless of document length."""
-    docs = fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = fanout(tbl(spark, sf_dir, "documents")).select("doc_id", "text")
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -970,7 +970,7 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregations — the (word, doc) collapse then
     the word rollup — with the corpus size folded in as a broadcast
     scalar, never a zero-filled dense matrix."""
-    tok = fanout(tbl(spark, sf_dir, "documents").select("doc_id", "text")).select(
+    tok = fanout(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.explode(
             F.filter(F.split("text", r"\s+"), lambda x: x != "")

@@ -212,3 +212,94 @@ def test_calendar_bounded_window_contract_all_queries(spark):
         "unpartitioned Window over an unbounded frame (calendar-bounded "
         f"window contract broken): {offenders}"
     )
+
+
+# --- fanout splittability gate (r11 verdict item 3) ---------------------------
+#
+# The scan-site fanout exists ONLY because the testdata parquet is a
+# single unsplittable row group: at 100 TB the source is splittable and
+# the repartition would be a full extra exchange of the fact table.
+# These tests pin both sides of the gate: the single-split testdata
+# keeps the spread, a multi-file (splittable) source skips it — and the
+# pure-python split estimator that drives the gate matches Spark's real
+# partition count so the decision is made from true scan parallelism.
+
+
+def test_fanout_gate_skips_on_splittable_source(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_consumption_forecasting_spark.tables import est_scan_partitions
+    from energy_consumption_forecasting_spark.queries._util import fanout
+
+    target = spark.sparkContext.defaultParallelism
+    # enough part files that the packed split count clears the session
+    # parallelism; scan confs pinned small so the fixture stays tiny
+    # (default 4 MB openCost packs ~3 small files per split, capping
+    # the partition count below 32 for any uniform small-file layout)
+    path = os.path.join(str(tmp_path), "wide.parquet")
+    spark.range(0, 200_000).withColumn(
+        "doc_id", F.col("id")
+    ).repartition(2 * target + 8).write.mode("overwrite").parquet(path)
+
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        est = est_scan_partitions(spark, path)
+        wide = spark.read.parquet(path)
+        actual = wide.rdd.getNumPartitions()
+        assert est == actual, f"estimator {est} != actual {actual}"
+        assert actual >= target
+
+        wide._sg_scan_parts = est
+        assert fanout(wide, "doc_id") is wide, "gate failed to skip"
+        # ungated callers (mid-plan pre-explode spreads) still spread
+        assert fanout(wide, "doc_id", gate=False) is not wide
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_fanout_gate_keeps_spread_on_unsplittable_source(spark):
+    from energy_consumption_forecasting_spark.queries._util import fanout, tbl
+    from energy_consumption_forecasting_spark.tables import est_scan_partitions
+
+    docs = tbl(spark, SF_SMALL, "documents")
+    assert docs._sg_scan_parts == est_scan_partitions(
+        spark, f"{SF_SMALL}/documents.parquet"
+    )
+    assert docs._sg_scan_parts < spark.sparkContext.defaultParallelism
+    spread = fanout(docs)
+    assert spread is not docs
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_scan_partition_estimator_matches_spark(spark):
+    """Calibration: the driver-side re-run of Spark's file-split
+    algorithm must equal df.rdd.getNumPartitions() on every testdata
+    table (single file) — the layouts the gate actually sees."""
+    from energy_consumption_forecasting_spark.tables import (
+        TABLE_NAMES,
+        est_scan_partitions,
+        load_table,
+    )
+
+    for name in TABLE_NAMES:
+        df = load_table(spark, SF_SMALL, name)
+        est = est_scan_partitions(spark, f"{SF_SMALL}/{name}.parquet")
+        actual = df.rdd.getNumPartitions()
+        assert est == actual, f"{name}: est {est} != actual {actual}"
+
+
+def test_q1_filter_pushes_below_fanout_exchange(spark):
+    """tpch_q1's shipdate filter sits AFTER the gated fanout in source
+    order (the fanout must wrap the scan frame to see the gate tag);
+    Catalyst must still push it into the scan."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), (
+        "shipdate filter no longer reaches the scan:\n" + plan
+    )
