@@ -285,6 +285,12 @@ def main() -> None:
     spread = {
         name: [min(ts), max(ts)] for name, ts in samples.items()
     }
+    # rep-1 wall per query, first class (r10 verdict item 4): session-
+    # shared frames (graph family, ANN fits) build inside the FIRST
+    # consumer's first rep, so the median alone under-reports the first
+    # consumer and over-credits the others.  "cold" keeps that one-time
+    # build visible without changing the median methodology.
+    cold = {name: ts[0] for name, ts in samples.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -296,6 +302,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "samples": samples,
+                "cold": cold,
                 "loadavg_per_pass": loadavg,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

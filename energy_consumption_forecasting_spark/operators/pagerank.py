@@ -237,6 +237,13 @@ def pagerank(
                 rank_side = ranks.withColumnRenamed("v", "src")
                 if n * 48 < 64 << 20:  # ~48B/row vs 64MB broadcast budget
                     rank_side = F.broadcast(rank_side)
+                else:
+                    # same §3.1 gate as _power_iterate: shuffled-hash
+                    # with the node-sized rank side as build, so the
+                    # src-partitioned edge persist streams unsorted
+                    # (SMJ re-sorted it every round — the sf10 decade's
+                    # super-linear term)
+                    rank_side = rank_side.hint("shuffle_hash")
                 contribs = (
                     we.join(rank_side, "src")
                     .groupBy("dst")
@@ -398,6 +405,18 @@ def _power_iterate(
             rank_side = ranks.withColumnRenamed("v", "src")
             if graph.broadcastable:
                 rank_side = F.broadcast(rank_side)
+            else:
+                # Past the broadcast budget the planner defaults to a
+                # sort-merge join that RE-SORTS the persisted edge table
+                # every round — the dominant super-linear term of the
+                # sf10 decade probe (guide §3.1: pick the strategy
+                # deliberately).  A shuffled-hash join with the rank
+                # side as build keeps the src-partitioned edge layout
+                # streaming (no exchange, no sort — ``we`` is persisted
+                # hash(src, iter_n) and the loop width pins the shuffle
+                # partitions to iter_n) and builds only the node-sized
+                # rank table per partition.
+                rank_side = rank_side.hint("shuffle_hash")
             ranks = (
                 graph.we.join(rank_side, "src")
                 .groupBy("dst")

@@ -145,15 +145,31 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
 
     prev_sum = _label_sum(labels) if numeric_ids else None
+    sym_j = None
     try:
         # every round executes INSIDE the context (eager checkpoint +
         # convergence probe per round), so AQE-off covers the whole
         # loop — per-round adaptive re-planning is pure driver latency
         # on these pinned plans (the pagerank measurement, session.py)
-        with loop_shuffle_width(spark, n_edges, 50_000), aqe_disabled(spark):
+        with loop_shuffle_width(spark, n_edges, 50_000) as loop_n, aqe_disabled(
+            spark
+        ):
+            # r11 (guide §2.4/§3.1, the pagerank sf10 lesson): the raw
+            # sym persist has the SCAN/upstream layout, so every
+            # round's join re-exchanged AND re-sorted the whole edge
+            # table (sf10 docs decade 3.7x for 10x).  Exchange it once
+            # onto the loop's join key and hint the node-sized label
+            # side as a shuffled-hash build: per round the edges now
+            # stream from cache with no exchange and no sort.
+            sym_j = sym.repartition(loop_n, "s").persist()
+            sym_j.count()  # materialize from sym's cached blocks
+            sym.unpersist()  # only sym_j is read from here on
             for _ in range(MAX_CC_ROUNDS):
-                msgs = sym.join(
-                    labels.select(F.col("v").alias("s"), "comp"), "s"
+                msgs = sym_j.join(
+                    labels.select(F.col("v").alias("s"), "comp").hint(
+                        "shuffle_hash"
+                    ),
+                    "s",
                 ).select(F.col("t").alias("v"), "comp")
                 new = (
                     labels.union(msgs)
@@ -184,6 +200,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             )
     finally:
         sym.unpersist()
+        if sym_j is not None:
+            sym_j.unpersist()
 
 
 @query(
