@@ -32,6 +32,10 @@ from ._util import fanout, tbl
 
 _MINSUP = 2  # pair must co-occur in >= 2 baskets
 
+# pair-key packing bound (r11): two non-negative int keys < 2^31 pack
+# exactly into one int64 as p1*2^31 + p2 (see pair_counts_from_lines)
+_PACK_LIM = 1 << 31
+
 _ITEMS_SQL = """
 items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -130,11 +134,35 @@ def pair_counts_from_lines(
     baskets = fanout(pruned, "l_orderkey", gate=False).groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("arr")
     )
+    # r11 (guide §2.3 "narrower types"): the pair aggregation groups on
+    # ONE packed int64 instead of two — p1*2^31 + p2 is exact and
+    # order-preserving for 0 <= p1 < p2 < 2^31 (p1 < p2 by the sorted
+    # array), cutting the partial-agg exchange row from 24 to 16 bytes
+    # and the hash-agg key comparison to one long.  Keys at or past
+    # 2^31 fail fast in-plan (raise_error) rather than corrupt — wider
+    # catalogs must widen the pack, not silently wrap.  Unpacked after
+    # the support filter; output identical (div/mod invert the pack).
+    packed = basket_pairs(baskets).select(
+        F.when(
+            F.col("p2") < F.lit(_PACK_LIM),
+            F.col("p1") * F.lit(_PACK_LIM) + F.col("p2"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("basket pair key >= 2^31: widen the pair packing")
+            ).cast("long")
+        )
+        .alias("pk")
+    )
     return (
-        basket_pairs(baskets)
-        .groupBy("p1", "p2")
+        packed.groupBy("pk")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _MINSUP)
+        .select(
+            F.expr(f"pk div {1 << 31}").alias("p1"),
+            (F.col("pk") % F.lit(_PACK_LIM)).alias("p2"),
+            "n",
+        )
     )
 
 

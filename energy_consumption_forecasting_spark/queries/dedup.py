@@ -162,6 +162,46 @@ def _pairs_from_members(members: DataFrame) -> DataFrame:
     )
 
 
+# Pair-key packing (r11, guide §2.3 "narrower types"): the candidate
+# paths aggregate (distinct / count) over (doc_a, doc_b) int64 pairs.
+# With 0 <= doc_a < doc_b < 2^31 (member lists are array_sort'ed int
+# ids) the pair packs EXACTLY into one int64 as doc_a*2^31 + doc_b —
+# a 24->16 byte exchange row and a one-long hash-agg key.  Ids at or
+# past 2^31 fail fast in-plan rather than wrap silently (wider corpora
+# must widen the pack).  div/mod invert the pack, so unpacked output
+# is bit-identical to the unpacked aggregation.
+_PAIR_PACK = 1 << 31
+
+
+def _packed_pairs_from_members(members: DataFrame) -> DataFrame:
+    """(pk) packed pair stream — `_pairs_from_members` with the pack
+    folded into the generate pipeline, so bare 8-byte keys (not 16-byte
+    pairs) enter the downstream distinct/count exchange."""
+    return _pairs_from_members(members).select(
+        F.when(
+            F.col("doc_b") < F.lit(_PAIR_PACK),
+            F.col("doc_a") * F.lit(_PAIR_PACK) + F.col("doc_b"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("doc pair key >= 2^31: widen the pair packing")
+            ).cast("long")
+        )
+        .alias("pk")
+    )
+
+
+def _unpack_pairs(df: DataFrame) -> DataFrame:
+    """Invert `_packed_pairs_from_members`: (pk, rest...) ->
+    (doc_a, doc_b, rest...)."""
+    rest = [c for c in df.columns if c != "pk"]
+    return df.select(
+        F.expr(f"pk div {_PAIR_PACK}").alias("doc_a"),
+        (F.col("pk") % F.lit(_PAIR_PACK)).alias("doc_b"),
+        *rest,
+    )
+
+
 
 
 # --- exact dedup: hash-groupBy ----------------------------------------------
@@ -231,9 +271,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DOC_FREQ))
     )
-    pairs = (
-        _pairs_from_members(members)
-        .groupBy("doc_a", "doc_b")
+    pairs = _unpack_pairs(
+        _packed_pairs_from_members(members)
+        .groupBy("pk")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.alias("sa")
@@ -406,7 +446,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = _pairs_from_members(members).distinct()
+    cand = _unpack_pairs(_packed_pairs_from_members(members).distinct())
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     n_agree = F.size(
@@ -1170,9 +1210,9 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DOC_FREQ))
     )
-    return (
-        _pairs_from_members(members)
-        .groupBy("doc_a", "doc_b")
+    return _unpack_pairs(
+        _packed_pairs_from_members(members)
+        .groupBy("pk")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
@@ -1812,9 +1852,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DOC_FREQ))
     )
-    pairs = (
-        _pairs_from_members(members)
-        .groupBy("doc_a", "doc_b")
+    pairs = _unpack_pairs(
+        _packed_pairs_from_members(members)
+        .groupBy("pk")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.alias("sa")
@@ -2198,7 +2238,7 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = _pairs_from_members(members).distinct()
+    cand = _unpack_pairs(_packed_pairs_from_members(members).distinct())
     splits = tbl(spark, sf_dir, "documents").select(
         "doc_id", split_col().alias("split")
     )

@@ -103,7 +103,23 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2,
                     help="process-level interleave rounds per build")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_r08_ab.json"))
+    ap.add_argument(
+        "--focus",
+        nargs="*",
+        default=None,
+        help="override the focus set: name@/abs/sf/dir entries "
+        "(sf defaults to /root/testdata/sf0.1)",
+    )
     args = ap.parse_args()
+    global FOCUS
+    if args.focus:
+        FOCUS = [
+            {
+                "name": f.split("@", 1)[0],
+                "sf": f.split("@", 1)[1] if "@" in f else "/root/testdata/sf0.1",
+            }
+            for f in args.focus
+        ]
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from scaling_probe import _gen_sf1
