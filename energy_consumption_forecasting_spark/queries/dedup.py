@@ -446,7 +446,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = _unpack_pairs(_packed_pairs_from_members(members).distinct())
+    # pair packing A/B'd here and LOST (r11, /tmp committed to
+    # OPTIMIZATION_r11.md: min 1.47 -> 1.70 s at sf1 interleaved) — the
+    # distinct's partial agg already collapses map-side, so the packed
+    # key saved nothing and the guard+pack projection cost showed; the
+    # COUNT aggregations below keep the pack (ngram min 11.3 -> 9.6 s).
+    cand = _pairs_from_members(members).distinct()
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     n_agree = F.size(
@@ -2238,7 +2243,12 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = _unpack_pairs(_packed_pairs_from_members(members).distinct())
+    # pair packing A/B'd here and LOST (r11, /tmp committed to
+    # OPTIMIZATION_r11.md: min 1.47 -> 1.70 s at sf1 interleaved) — the
+    # distinct's partial agg already collapses map-side, so the packed
+    # key saved nothing and the guard+pack projection cost showed; the
+    # COUNT aggregations below keep the pack (ngram min 11.3 -> 9.6 s).
+    cand = _pairs_from_members(members).distinct()
     splits = tbl(spark, sf_dir, "documents").select(
         "doc_id", split_col().alias("split")
     )
